@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Tuned for the driver's local[32] harness but with settings chosen to
+  * survive a real multi-executor cluster at 100 TB:
+  *   - AQE on (runtime re-plan: skew-join splitting, partition coalescing,
+  *     dynamic broadcast conversion),
+  *   - shuffle.partitions sized to the parallelism (the driver harness is a
+  *     single host; on a 1000-executor cluster this would be set to
+  *     2-3x total cores — AQE coalescing makes over-provisioning cheap),
+  *   - parquet nanos read as long (the `events` table carries
+  *     TIMESTAMP(NANOS) which Spark's reader otherwise rejects),
+  *   - UTC session timezone so date arithmetic is stable against the
+  *     DuckDB oracle.
+  */
+object Sessions {
+  def tuned(master: String, cpus: String): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

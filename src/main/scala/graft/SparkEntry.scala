@@ -1,13 +1,550 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TimeFns._
+import graft.functions.TextFns._
+import graft.functions.VectorFns
+import graft.multimodal.Multimodal
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator IDs
+  * (A=aggregation, J=join, P=projection/split, T=stateful, F=scalar fn,
+  * S=source; dedup/sim/text/mm = the LLM-pipeline extensions).
+  *
+  * Numeric discipline for oracle parity: every money/measure sum runs in
+  * DecimalType (exact, associative — reproducible under any partitioning)
+  * and is cast to double only at the end; single divisions of exact values
+  * are bit-identical across engines. Window starts are computed as
+  * epoch-floor (integer math), formatted as strings.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  private def dec(c: String): org.apache.spark.sql.Column =
+    col(c).cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── Flagship: TPC-H Q1 pricing summary (A-class agg, full scan shape)
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          (sum(col("l_discount").cast("decimal(3,2)")).cast("double") / count(lit(1)))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ── A1: ProductStats — 10s tumbling window, counters + exact distinct
+    "a1_product_stats" -> ((s, dir) =>
+      Stats.productStats(Tables.events(s, dir)).orderBy(col("stt"), col("event_type"))),
+
+    // ── A2: VisitorStats — multi-key cube cell, 60s window
+    "a2_visitor_stats" -> ((s, dir) =>
+      Stats.visitorStats(Tables.events(s, dir))
+        .orderBy(col("stt"), col("event_type"), col("cohort"))),
+
+    // ── A3: KeywordStats — tokenize + explode + count (U1/F14)
+    "a3_keyword_stats" -> ((s, dir) =>
+      Stats.keywordStats(Tables.documents(s, dir)).orderBy(col("keyword"))),
+
+    // ── A4: ProvinceStats — geo rollup with distinct counts over BHJ dims
+    "a4_province_stats" -> ((s, dir) =>
+      Stats.provinceStats(
+        Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))
+        .orderBy(col("n_name"))),
+
+    // ── A5: GMV serving query
+    "a5_gmv" -> ((s, dir) => Stats.gmv(Tables.orders(s, dir)).orderBy(col("dt"))),
+
+    // ── J1: interval join, symmetric band [0, +30d]
+    "j1_interval_join" -> ((s, dir) =>
+      Joins.intervalJoin(
+        Tables.orders(s, dir), Tables.lineitem(s, dir),
+        "o_orderkey", "l_orderkey", "o_orderdate", "l_shipdate",
+        lowerSec = 0L, upperSec = 30L * 86400L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("ct"),
+          sum(dec("l_quantity")).cast("double").as("qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // ── J2: interval join, asymmetric band [-15d, 0]
+    "j2_interval_join_asym" -> ((s, dir) =>
+      Joins.intervalJoin(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        "l_orderkey", "o_orderkey", "l_shipdate", "o_orderdate",
+        lowerSec = 15L * 86400L, upperSec = 0L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("ct"),
+          sum(dec("l_extendedprice")).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))),
+
+    // ── J3: dimension enrichment via broadcast hash joins (x2 dims)
+    "j3_dim_enrich" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).withColumnRenamed("p_partkey", "l_partkey")
+      val sup = Tables.supplier(s, dir).withColumnRenamed("s_suppkey", "l_suppkey")
+      Joins.enrich(l, Seq((p, Seq("l_partkey")), (sup, Seq("l_suppkey"))))
+        .groupBy(col("p_brand"), col("s_name"))
+        .agg(count(lit(1)).as("ct"),
+          sum(dec("l_extendedprice")).cast("double").as("revenue"))
+        .orderBy(col("p_brand"), col("s_name"))
+    }),
+
+    // ── J4: unionByName of shaped streams + reaggregation
+    "j4_union_stats" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(createDate(col("ts")).as("dt"), lit(1L).as("pv"), lit(0L).as("cv"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(createDate(col("ts")).as("dt"), lit(0L).as("pv"), lit(1L).as("cv"))
+      views.unionByName(clicks)
+        .groupBy(col("dt"))
+        .agg(sum(col("pv")).as("pv"), sum(col("cv")).as("cv"))
+        .orderBy(col("dt"))
+    }),
+
+    // ── J5: config-driven routing (broadcast config join)
+    "j5_config_route" -> ((s, dir) => {
+      val cfg = s.createDataFrame(Seq(
+        ("purchase", "insert", "dwd_purchase"),
+        ("signup", "insert", "dwd_signup")))
+        .toDF("source_table", "operate_type", "sink_table")
+      val facts = Tables.events(s, dir).withColumn("op", lit("insert"))
+      Joins.configRoute(facts, cfg, "event_type", "op")
+        .groupBy(col("sink_table"))
+        .agg(count(lit(1)).as("ct"))
+        .orderBy(col("sink_table"))
+    }),
+
+    // ── T1: new/old-visitor flag (first-event-per-key)
+    "t1_new_old_flag" -> ((s, dir) =>
+      Sessionize.newOldFlag(Tables.events(s, dir))
+        .groupBy(col("is_new"))
+        .agg(count(lit(1)).as("ct"), count_distinct(col("user_id")).as("user_ct"))
+        .orderBy(col("is_new"))),
+
+    // ── T2: UV daily dedup (first event per key per day)
+    "t2_uv_dedup" -> ((s, dir) =>
+      Sessionize.uvDedup(Tables.events(s, dir))
+        .select(col("user_id"), col("dt"), col("event_id"))
+        .orderBy(col("user_id"), col("dt"))),
+
+    // ── T3: bounce detection (no successor within 1800s)
+    "t3_bounce" -> ((s, dir) =>
+      Sessionize.bounces(Tables.events(s, dir), gapSec = 1800L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("bounce_ct"))
+        .orderBy(col("user_id"))),
+
+    // ── P1: JSON parse with dead-letter semantics (clean rows kept)
+    "p1_json_parse" -> ((s, dir) =>
+      LogPipeline.parseProps(Tables.events(s, dir))
+        .filter(col("props_parsed").isNotNull && col("props_parsed.k").isNotNull)
+        .groupBy(pmod(col("props_parsed.k"), lit(10L)).as("k_bucket"))
+        .agg(count(lit(1)).as("ct"))
+        .orderBy(col("k_bucket"))),
+
+    // ── P4: multi-way stream split (branch counts)
+    "p4_stream_split" -> ((s, dir) => {
+      val (starts, pages, rest) = LogPipeline.threeWaySplit(Tables.events(s, dir))
+      starts.select(lit("start").as("branch"))
+        .unionByName(pages.select(lit("page").as("branch")))
+        .unionByName(rest.select(lit("other").as("branch")))
+        .groupBy(col("branch"))
+        .agg(count(lit(1)).as("ct"))
+        .orderBy(col("branch"))
+    }),
+
+    // ── P6: derived calendar columns
+    "p6_derived_dates" -> ((s, dir) =>
+      LogPipeline.derivedDates(
+        Tables.orders(s, dir).withColumn("ts", col("o_orderdate")))
+        .select(col("o_orderkey"), col("create_date"), col("create_hour"), col("create_ts"))
+        .orderBy(col("o_orderkey"))),
+
+    // ── S6: dimension point lookup
+    "s6_dim_lookup" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .filter(col("c_custkey").between(1, 20))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    // ── F2-F13: scalar function pack
+    "f_scalar_pack" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        split(col("o_orderpriority"), "-").getItem(0).as("prio_code"),
+        substring(col("o_orderstatus"), 1, 1).as("status_c"),
+        toYmdHms(col("o_orderdate")).as("od_str"),
+        toTs(toYmdHms(col("o_orderdate"))).as("od_ms"),
+        floor(datediff(lit("2024-12-31").cast("date"), col("o_orderdate")) / lit(365))
+          .as("age_years"),
+        toYyyymmdd(col("o_orderdate")).as("od_yyyymmdd"))
+        .orderBy(col("o_orderkey"))),
+
+    // ── Dedup: exact content-hash
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).orderBy(col("keeper_id"))),
+
+    // ── Dedup: n-gram Jaccard via inverted shingle index
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── Dedup: MinHash+LSH (rows-only: hash family is engine-side)
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir))
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── Dedup: SimHash (rows-only)
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── Dedup: embedding near-dup via hyperplane buckets (rows-only)
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(
+        Tables.embeddings(s, dir), VectorFns.randomPlanes(3, 64), minCosine = 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // ── Similarity: exact brute-force cosine top-k
+    "sim_topk_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cos_r"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── Similarity: LSH-bucketed ANN (rows-only; approximate)
+    "sim_topk_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+        VectorFns.randomPlanes(8, 64))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── Similarity: IVF ANN with distributed k-means (rows-only)
+    "sim_topk_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Similarity.trainCentroids(emb, k = 16, iters = 2)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, centroids, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── Text: quality scoring
+    "text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        truncate6(meanTokenLen(col("text"))).as("mean_tok_len"),
+        truncate6(stopwordRatio(tokensWs(col("text")))).as("stopword_ratio"),
+        truncate6(qualityScore(col("text"))).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // ── Text: language ID heuristic vs labeled lang
+    "text_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), langId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("ct"))
+        .orderBy(col("lang"), col("pred"))),
+
+    // ── Text: token counting (whitespace + regex pre-tokenizer)
+    "text_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_ws"),
+        size(tokensRe(col("text"))).as("n_re"),
+        length(col("text")).as("n_chars_m"),
+        col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // ── Text: document fingerprint (rows-only: engine-side hash)
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // ── Multimodal: binary payload + typed metadata
+    "mm_binary_meta" -> ((s, dir) =>
+      Multimodal.attachBinary(Tables.documents(s, dir))
+        .select(col("doc_id"), col("kind"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.codec").as("codec"))
+        .orderBy(col("doc_id"))),
+
+    // ── Multimodal: stubbed per-partition feature extraction (rows-only)
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.attachBinary(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("feature"))
+        .orderBy(col("doc_id"))),
+
+    // ── K3/A5: serve over materialized stats (two-level agg)
+    "k3_serving_reagg" -> ((s, dir) =>
+      Stats.productStats(Tables.events(s, dir))
+        .groupBy(col("event_type"))
+        .agg(sum(col("ct")).as("total_ct"),
+          max(col("user_ct")).as("max_win_users"),
+          count(lit(1)).as("windows"))
+        .orderBy(col("event_type")))
+  )
+
+  /** DuckDB oracle SQL, column-name-aligned with `queries`. */
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a1_product_stats" ->
+      """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//10000000)*10000000 AS us,
+        |                  event_type, value, user_id FROM events)
+        |SELECT strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(make_timestamp(us + 10000000), '%Y-%m-%d %H:%M:%S') AS edt,
+        |       event_type, COUNT(*) AS ct,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount,
+        |       COUNT(DISTINCT user_id) AS user_ct
+        |FROM w GROUP BY us, event_type ORDER BY us, event_type""".stripMargin,
+
+    "a2_visitor_stats" ->
+      """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//60000000)*60000000 AS us,
+        |                  event_type, value, user_id FROM events)
+        |SELECT strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       event_type, user_id % 4 AS cohort, COUNT(*) AS pv,
+        |       COUNT(DISTINCT user_id) AS uv,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+        |FROM w GROUP BY us, event_type, cohort ORDER BY us, event_type, cohort""".stripMargin,
+
+    "a3_keyword_stats" ->
+      """SELECT keyword, COUNT(*) AS ct
+        |FROM (SELECT unnest(string_split(trim(lower(text)), ' ')) AS keyword FROM documents)
+        |WHERE keyword <> '' GROUP BY keyword ORDER BY keyword""".stripMargin,
+
+    "a4_province_stats" ->
+      """SELECT n_name, COUNT(DISTINCT o_orderkey) AS order_ct,
+        |       COUNT(DISTINCT o_custkey) AS cust_ct,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "a5_gmv" ->
+      """SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+        |       COUNT(*) AS order_ct
+        |FROM orders GROUP BY dt ORDER BY dt""".stripMargin,
+
+    "j1_interval_join" ->
+      """SELECT l_returnflag, COUNT(*) AS ct,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM orders JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "j2_interval_join_asym" ->
+      """SELECT o_orderpriority, COUNT(*) AS ct,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND o_orderdate >= l_shipdate - INTERVAL 15 DAY
+        | AND o_orderdate <= l_shipdate
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "j3_dim_enrich" ->
+      """SELECT p_brand, s_name, COUNT(*) AS ct,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |LEFT JOIN part ON l_partkey = p_partkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_name ORDER BY p_brand, s_name""".stripMargin,
+
+    "j4_union_stats" ->
+      """SELECT dt, CAST(SUM(pv) AS BIGINT) AS pv, CAST(SUM(cv) AS BIGINT) AS cv
+        |FROM (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt, 1 AS pv, 0 AS cv
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'), 0, 1
+        |  FROM events WHERE event_type = 'click')
+        |GROUP BY dt ORDER BY dt""".stripMargin,
+
+    "j5_config_route" ->
+      """WITH config(source_table, operate_type, sink_table) AS (VALUES
+        |  ('purchase', 'insert', 'dwd_purchase'), ('signup', 'insert', 'dwd_signup'))
+        |SELECT sink_table, COUNT(*) AS ct
+        |FROM events JOIN config
+        |  ON event_type = source_table AND operate_type = 'insert'
+        |GROUP BY sink_table ORDER BY sink_table""".stripMargin,
+
+    "t1_new_old_flag" ->
+      """WITH f AS (SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events)
+        |SELECT CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_new, COUNT(*) AS ct,
+        |       COUNT(DISTINCT user_id) AS user_ct
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t2_uv_dedup" ->
+      """WITH f AS (SELECT user_id,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt, event_id,
+        |    row_number() OVER (PARTITION BY user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, dt, event_id FROM f WHERE rn = 1 ORDER BY user_id, dt""".stripMargin,
+
+    "t3_bounce" ->
+      """WITH f AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT user_id, us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        |  FROM f)
+        |SELECT user_id, COUNT(*) AS bounce_ct FROM g
+        |WHERE nxt IS NULL OR nxt - us > 1800000000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "p1_json_parse" ->
+      """SELECT CAST(regexp_extract(props, '\d+') AS BIGINT) % 10 AS k_bucket, COUNT(*) AS ct
+        |FROM events WHERE regexp_extract(props, '\d+') <> ''
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p4_stream_split" ->
+      """SELECT CASE WHEN event_type = 'signup' THEN 'start'
+        |            WHEN event_type IN ('view','click') THEN 'page'
+        |            ELSE 'other' END AS branch, COUNT(*) AS ct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p6_derived_dates" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS create_date,
+        |       strftime(o_orderdate, '%H') AS create_hour,
+        |       (epoch_us(o_orderdate)//1000000)*1000 AS create_ts
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "s6_dim_lookup" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey BETWEEN 1 AND 20 ORDER BY c_custkey""".stripMargin,
+
+    "f_scalar_pack" ->
+      """SELECT o_orderkey,
+        |  string_split(o_orderpriority, '-')[1] AS prio_code,
+        |  substr(o_orderstatus, 1, 1) AS status_c,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od_str,
+        |  (epoch_us(o_orderdate)//1000000)*1000 AS od_ms,
+        |  CAST(floor(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-12-31')/365.0) AS BIGINT) AS age_years,
+        |  strftime(o_orderdate, '%Y%m%d') AS od_yyyymmdd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+        |  FROM toks),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(la + lb - i) AS jaccard
+        |FROM p WHERE CAST(i AS DOUBLE)/(la + lb - i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "sim_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
+        |      FROM q, embeddings e WHERE e.vec_id <> query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_r
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, text, toks, len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)/len(toks) END AS mean_tok_len,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE)/len(toks) END AS sw,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)/length(text) END AS punct
+        |  FROM t)
+        |SELECT doc_id, n_tokens, floor(mean_tok_len*1000000)/1000000 AS mean_tok_len,
+        |  floor(sw*1000000)/1000000 AS stopword_ratio,
+        |  floor((0.4*least(length(text)/500.0, 1.0)
+        |      + 0.3*(1.0 - least(punct*5.0, 1.0))
+        |      + 0.3*least(sw*5.0, 1.0))*1000000)/1000000 AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH toks AS (SELECT lang,
+        |    string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS t FROM documents),
+        |h AS (SELECT lang,
+        |    len(list_filter(t, x -> list_contains(['the','and','of','to','is','you','that','with'], x))) AS eh,
+        |    len(list_filter(t, x -> list_contains(['el','la','de','que','los','por','con','una'], x))) AS sh_,
+        |    len(list_filter(t, x -> list_contains(['le','la','les','des','est','une','dans','pour'], x))) AS fh,
+        |    len(list_filter(t, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))) AS dh,
+        |    len(list_filter(t, x -> list_contains(['的','是','不','我','了','在','人','有'], x))) AS zh_
+        |  FROM toks),
+        |p AS (SELECT lang, CASE
+        |    WHEN greatest(eh, sh_, fh, dh, zh_) = 0 THEN 'und'
+        |    WHEN zh_ = greatest(eh, sh_, fh, dh, zh_) THEN 'zh'
+        |    WHEN fh = greatest(eh, sh_, fh, dh, zh_) THEN 'fr'
+        |    WHEN sh_ = greatest(eh, sh_, fh, dh, zh_) THEN 'es'
+        |    WHEN eh = greatest(eh, sh_, fh, dh, zh_) THEN 'en'
+        |    ELSE 'de' END AS pred FROM h)
+        |SELECT lang, pred, COUNT(*) AS ct FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS n_ws,
+        |  len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS n_re,
+        |  length(text) AS n_chars_m, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id, 'text' AS kind, strlen(text) AS n_bytes, 'utf-8' AS codec
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "k3_serving_reagg" ->
+      """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//10000000)*10000000 AS us,
+        |                  event_type, user_id FROM events),
+        |a AS (SELECT us, event_type, COUNT(*) AS ct, COUNT(DISTINCT user_id) AS user_ct
+        |      FROM w GROUP BY us, event_type)
+        |SELECT event_type, CAST(SUM(ct) AS BIGINT) AS total_ct,
+        |       MAX(user_ct) AS max_win_users, COUNT(*) AS windows
+        |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
 }

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar surface: tokenizer (reference F14,
+  * util/KeyWordUtil.java:12-29 — IK segmentation, re-expressed for
+  * offline/latin text), token statistics, quality scoring, language ID,
+  * and document fingerprinting.
+  *
+  * Everything is a built-in-function composition (no UDFs): `split`,
+  * `filter`, `transform`, `aggregate`, `xxhash64` are all codegen'd, so
+  * these run at full whole-stage-codegen speed and scale linearly with
+  * executors — no JVM<->interpreter boundary per row.
+  */
+object TextFns {
+
+  /** F14: whitespace tokenizer (the oracle-parity path — DuckDB
+    * string_split on a single space after trim). */
+  def tokensWs(c: Column): Column =
+    filter(split(trim(lower(c)), "\\s+"), t => t =!= lit(""))
+
+  /** General tokenizer: split on any non-letter/digit run (BPE-ish regex
+    * pre-tokenization, the shape GPT-style BPE uses before merges). */
+  def tokensRe(c: Column): Column =
+    filter(split(lower(c), "[^\\p{L}\\p{N}]+"), t => t =!= lit(""))
+
+  /** Token count (whitespace). */
+  def tokenCount(c: Column): Column = size(tokensWs(c))
+
+  /** Word n-gram shingles from a token array: slide a window of `n`,
+    * join with single spaces. Distributed-safe: pure per-row expression. */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array(concat_ws(" ", tokens)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(tokens) - lit(n)),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+
+  /** Character n-grams of the raw string (for language-ID profiles). */
+  def charNgrams(c: Column, n: Int): Column = {
+    val s = lower(c)
+    when(length(s) < n, array(s)).otherwise(
+      transform(sequence(lit(0), length(s) - lit(n)), i => substring(s, lit(1) + i, lit(n))))
+  }
+
+  private val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Stopword ratio: fraction of tokens that are common English stopwords. */
+  def stopwordRatio(tokens: Column): Column = {
+    val sw = array(Stopwords.map(lit): _*)
+    when(size(tokens) === 0, lit(0.0))
+      .otherwise(size(array_intersect_count(tokens, sw)).cast("double") / size(tokens))
+  }
+
+  /** Tokens that are stopwords (with multiplicity). */
+  private def array_intersect_count(tokens: Column, sw: Column): Column =
+    filter(tokens, t => array_contains(sw, t))
+
+  /** Punctuation ratio over characters. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(
+        (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double") / length(c))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(c: Column): Column = {
+    val t = tokensWs(c)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs, low
+    * punctuation, presence of function words — the usual cheap pre-filters
+    * a pretraining pipeline applies before expensive model scoring.
+    * Unrounded: both engines produce bit-identical IEEE doubles for the
+    * same op order; callers truncate with [[truncate6]] (never `round`,
+    * whose half-up tie-breaking differs between engines on knife-edge
+    * values like 0.7512624999999999). */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val punct = punctRatio(c)
+    val sw = stopwordRatio(tokensWs(c))
+    lit(0.4) * lenScore +
+      lit(0.3) * (lit(1.0) - least(punct * lit(5.0), lit(1.0))) +
+      lit(0.3) * least(sw * lit(5.0), lit(1.0))
+  }
+
+  /** Oracle-stable 6-decimal truncation: floor(x*1e6)/1e6 is the same
+    * IEEE op sequence in Spark and DuckDB, so results are bit-identical
+    * whenever the inputs are — unlike round(), where Spark goes through
+    * BigDecimal (decimal string) and DuckDB through x*1e6 (binary),
+    * disagreeing on values that sit on a rounding boundary. */
+  def truncate6(c: Column): Column = floor(c * lit(1000000.0)) / lit(1000000.0)
+
+  /** Language-ID marker lexicons (tiny, public common-word lists). */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "you", "that", "with"),
+    "es" -> Seq("el", "la", "de", "que", "los", "por", "con", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "zh" -> Seq("的", "是", "不", "我", "了", "在", "人", "有"))
+
+  /** N-gram/stopword heuristic language ID: score each language by marker
+    * hits per token, pick the argmax, "und" (undetermined) when no marker
+    * fires. Pure expression — no per-row JVM calls. */
+  def langId(c: Column): Column = {
+    val toks = tokensRe(c)
+    val scored = LangMarkers.map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(m, t))).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: order-sensitive 62-bit rolling hash over tokens
+    * — two independent 31-bit polynomial tracks (mod 2^31-1, multipliers
+    * coprime) packed into one long. Overflow-free under ANSI arithmetic;
+    * docs differing only in whitespace normalize equal. */
+  def fingerprint(c: Column): Column = {
+    val M = lit(2147483647L)
+    def track(mult: Long): Column =
+      aggregate(
+        tokensWs(c),
+        lit(17L),
+        (acc, t) => pmod(acc * lit(mult) + pmod(xxhash64(t), M), M))
+    shiftleft(track(1000003L), 31).bitwiseOR(track(998244353L % 2147483647L))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` columns as pure built-in
+  * expressions (`zip_with` + `aggregate` are codegen'd higher-order
+  * functions). Accumulation is sequential in element order in double
+  * precision — deterministic and bit-stable across partitionings, which
+  * keeps results reproducible at any cluster size.
+  */
+object VectorFns {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, x) => acc + x)
+
+  /** Element-wise sum of two double arrays (for centroid accumulation). */
+  def add(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
+
+  /** Scale a double array by 1/k (centroid mean step). */
+  def divide(a: Column, k: Column): Column = transform(a, x => x / k)
+
+  /** Sign-random-projection (SimHash-for-vectors) bucket id: the sequence
+    * of signs of dot products against `planes` packed into a long. Planes
+    * are literal arrays baked into the plan — broadcast-free. */
+  def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(v, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Deterministic pseudo-random unit-ish hyperplanes from a fixed seed. */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.functions.HashFns._
+import graft.functions.TextFns._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication suite — the training-data-pipeline operators
+  * layered on the reference's dedup machinery (SURVEY.md §7.4).
+  *
+  * Shuffle budget (the thing that matters at 100 TB):
+  *  - exact:        1 shuffle (groupBy content hash).
+  *  - minhashLsh:   signatures computed at scan (narrow), 1 shuffle on
+  *                  (band, key) buckets, candidate verify joins only
+  *                  within-bucket pairs — never the full cross product.
+  *  - simhash:      narrow fingerprint + 1 shuffle on band keys.
+  *  - ngramJaccard: inverted-index join on shingle hash — shuffle is
+  *                  bounded by posting-list sizes, with a frequency cap to
+  *                  drop degenerate high-DF shingles (classic skew guard).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keeper = min doc_id per md5(text). */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("copies"))
+
+  /** Exact dedup, returning surviving rows (keeper rows only). */
+  def exactKeepers(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    documents.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** MinHash + LSH near-dup candidate pairs, verified with exact shingle
+    * Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    *
+    * numPerms=128, bands=32 (rows=4) targets ~0.5 collision at J≈0.42 —
+    * standard (1/b)^(1/r) threshold tuning.
+    */
+  def minhashLsh(
+      documents: DataFrame,
+      shingleLen: Int = 3,
+      numPerms: Int = 128,
+      bands: Int = 32,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(numPerms % bands == 0)
+    val rows = numPerms / bands
+    val perms = permutations(numPerms)
+
+    val sigs = documents
+      .select(col("doc_id"), shingles(tokensWs(col("text")), shingleLen).as("sh"))
+      .withColumn("sig", minHash(col("sh"), perms))
+      .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+
+    val candidates = sigs.as("l")
+      .join(sigs.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(documents, candidates, shingleLen)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact shingle-set Jaccard for given candidate pairs (distributed:
+    * joins the pair list against per-doc shingle sets twice). */
+  def verifyJaccard(documents: DataFrame, pairs: DataFrame, shingleLen: Int): DataFrame = {
+    val docShingles = documents
+      .select(col("doc_id"),
+        array_distinct(shingles(tokensWs(col("text")), shingleLen)).as("sh"))
+    val a = docShingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docShingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    pairs
+      .join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints over word 3-gram shingles
+    * (order-sensitive — token bags alone are too uniform on natural
+    * corpora), candidates from 4x16-bit band collisions, verified by exact
+    * hamming <= maxHamming. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
+      shingleLen: Int = 3): DataFrame = {
+    val fp = documents.select(col("doc_id"),
+      simHash(shingles(tokensWs(col("text")), shingleLen)).as("fp"))
+    val banded = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("fp"), col("b.band"), col("b.key"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        hamming64(col("l.fp"), col("r.fp")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram Jaccard via inverted index: candidate pairs share at least
+    * `minCommon` shingles; high-document-frequency shingles are dropped
+    * (skew guard — a stopword shingle would otherwise create a quadratic
+    * posting-list join). */
+  def ngramJaccardPairs(
+      documents: DataFrame,
+      shingleLen: Int = 3,
+      minJaccard: Double = 0.5,
+      maxDf: Long = 1000L,
+      minCommon: Int = 2): DataFrame = {
+    val postings = documents
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokensWs(col("text")), shingleLen))).as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("sh"))
+    val pairs = postings.as("l").join(postings.as("r"),
+        col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .select(col("doc_a"), col("doc_b"))
+    verifyJaccard(documents, pairs, shingleLen).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Embedding near-dup: cosine above threshold among hyperplane-bucket
+    * cohabitants (see Similarity.lshBuckets for the bucket construction). */
+  def embeddingNearDup(embeddings: DataFrame, planes: Seq[Array[Double]],
+      minCosine: Double = 0.95): DataFrame = {
+    import graft.functions.VectorFns._
+    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    bucketed.as("l").join(bucketed.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        cosine(col("l.embedding"), col("r.embedding")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

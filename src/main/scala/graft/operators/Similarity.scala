@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.functions.VectorFns._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column (SURVEY.md §7.4 / builder brief).
+  *
+  * Three tiers, trading recall for shuffle volume:
+  *  - bruteForceTopK: exact. Query set is broadcast, so the big side never
+  *    shuffles — cost is one scan of the corpus per batch of queries.
+  *    Correctness baseline + the right answer when |queries| is small.
+  *  - lshTopK: sign-random-projection buckets; only bucket-cohabitants are
+  *    scored. Multi-probe (hamming-1 neighbors of the query bucket) keeps
+  *    recall up without widening the shuffle much.
+  *  - ivfTopK: IVF — k-means coarse quantizer (trained distributed, Lloyd
+  *    iterations are joins+aggs), queries probe their nProbe nearest
+  *    centroids; only those inverted lists are scanned.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine: broadcast the (small) query set against the
+    * corpus, rank per query. Excludes self-matches. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = corpus.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN: score only vectors sharing the query's hyperplane
+    * bucket or any bucket at hamming distance 1 (multi-probe). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Seq[Array[Double]]): DataFrame = {
+    val nb = planes.size
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    // query probes: own bucket + flip each bit once
+    val probes = queries.select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        hyperplaneBucket(col("embedding"), planes).as("b0"))
+      .withColumn("probe", explode(array(
+        (col("b0") +: (0 until nb).map(i => col("b0").bitwiseXOR(lit(1L << i)))): _*)))
+    val scored = bucketed.join(broadcast(probes),
+        col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Distributed k-means coarse quantizer: deterministic init (first k by
+    * id), `iters` Lloyd steps, each an assign (broadcast centroids) +
+    * recompute (one shuffle on cluster id). Returns (cluster_id, centroid:
+    * array<double>). */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    var centroids = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("centroid"))
+      .withColumn("cluster_id",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
+      .select(col("cluster_id"), col("centroid"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // Mean per (cluster, position): posexplode + avg is the
+      // constant-memory-per-group shape (no array buffering in the agg).
+      centroids = assign(corpus, centroids)
+        .join(corpus, "vec_id")
+        .select(col("cluster_id"), posexplode(col("embedding")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("cluster_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid (broadcast nested-loop over
+    * k centroids — k is small; the corpus stays partition-local). */
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cluster_id"),
+        l2sq(col("embedding"), col("centroid")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster_id"))
+
+  /** IVF search: probe the nProbe nearest centroids per query, scan only
+    * those lists. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: DataFrame, nProbe: Int = 2): DataFrame = {
+    val lists = corpus.join(assign(corpus, centroids), "vec_id")
+    val qProbes = queries.crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cluster_id"), l2sq(col("embedding"), col("centroid")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cluster_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cluster_id"))
+    val scored = lists.join(broadcast(qProbes), Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.TimeFns._
+import graft.functions.TextFns._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DWS-layer aggregations, re-expressed over the harness star schema.
+  *
+  * Reference semantics (SURVEY.md §2.5):
+  *  - A1 ProductStats (dws/ProductStatsApp.java:202-241): 10s tumbling
+  *    event-time window keyed by entity, summed counters + exact distinct
+  *    id counts (HashSet in the reference → count_distinct/collect_set here;
+  *    approx_count_distinct is the documented 100 TB path).
+  *  - A2 VisitorStats (dws/VisitorStatsApp.java:108-141): 10s window over a
+  *    multi-key cube cell.
+  *  - A3 KeywordStats (dws/KeywordStatsApp.java:56-61): tokenize + count.
+  *  - A4 ProvinceStats (dws/ProvinceStatsSqlApp.java:44-52): geo rollup with
+  *    distinct order count + money sum.
+  *  - A5 GMV serving query (gmall-publisher mapper/ProductStatsMapper.java:10).
+  *
+  * All are single hash-aggregations: partial (map-side) + final agg, one
+  * shuffle on the group keys — the minimal plan shape; survives any scale
+  * by growing shuffle partitions.
+  */
+object Stats {
+
+  /** A1: 10s tumbling window per event_type — counters, exact money sum
+    * (decimal; double sums are not reproducible across partitionings),
+    * exact distinct users. */
+  def productStats(events: DataFrame, windowSec: Int = 10): DataFrame =
+    events
+      .groupBy(
+        stt(col("ts"), windowSec).as("stt"),
+        edt(col("ts"), windowSec).as("edt"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("ct"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("amount"),
+        count_distinct(col("user_id")).as("user_ct"))
+
+  /** A1 at 100 TB: identical shape with HLL distinct — one pass, merges
+    * associatively across executors, constant memory per group. */
+  def productStatsApprox(events: DataFrame, windowSec: Int = 10): DataFrame =
+    events
+      .groupBy(stt(col("ts"), windowSec).as("stt"), col("event_type"))
+      .agg(
+        count(lit(1)).as("ct"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("amount"),
+        approx_count_distinct(col("user_id")).as("user_ct_approx"))
+
+  /** A2: multi-key visitor cube cell (window x type x user bucket). */
+  def visitorStats(events: DataFrame, windowSec: Int = 60): DataFrame =
+    events
+      .groupBy(
+        stt(col("ts"), windowSec).as("stt"),
+        col("event_type"),
+        pmod(col("user_id"), lit(4L)).as("cohort"))
+      .agg(
+        count(lit(1)).as("pv"),
+        count_distinct(col("user_id")).as("uv"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("dur_sum"))
+
+  /** A3: keyword stats — tokenize, explode, count. The filter-before-
+    * tokenize order is kept from the reference (KeywordStatsApp.java:40-45);
+    * the tokenizer is a deterministic builtin composition so Catalyst may
+    * still push the outer filter into the scan. */
+  def keywordStats(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(tokensWs(col("text"))).as("keyword"))
+      .groupBy(col("keyword"))
+      .agg(count(lit(1)).as("ct"))
+
+  /** A4: province-stats analogue — orders rolled up to nation/region with
+    * distinct order count and exact money sum. Dims (customer/nation) are
+    * broadcast: orders is the only large input, so the plan is
+    * scan(orders) -> BHJ -> BHJ -> partial agg -> exchange -> final agg. */
+  def provinceStats(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count_distinct(col("o_orderkey")).as("order_ct"),
+        count_distinct(col("o_custkey")).as("cust_ct"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("order_amount"))
+
+  /** A5: GMV serving query — daily sum over the stats table. */
+  def gmv(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(toYyyymmdd(col("o_orderdate")).as("dt"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("gmv"),
+        count(lit(1)).as("order_ct"))
+}
