@@ -26,28 +26,34 @@ object HashFns {
 
   /** MinHash signature (array<long>, length k) of a string-array column.
     * Elements are first hashed once with xxhash64 (folded to 31 bits); each
-    * permutation is a cheap affine transform over that single hash. */
+    * permutation is a cheap affine transform over that single hash. The
+    * element-hash array is bind-bound so the k permutations iterate over a
+    * lambda variable instead of k re-inlined copies of the hash transform
+    * (and, transitively, of the upstream shingle construction). */
   def minHash(elems: Column, perms: Seq[(Long, Long)]): Column = {
-    val hashes = transform(elems, e => pmod(xxhash64(e), lit(P)))
     val permArr = array(perms.map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
-    transform(permArr, p =>
-      array_min(transform(hashes, h =>
-        pmod(p.getField("a") * h + p.getField("b"), lit(P)))))
+    ExprUtil.bind(transform(elems, e => pmod(xxhash64(e), lit(P)))) { hashes =>
+      transform(permArr, p =>
+        array_min(transform(hashes, h =>
+          pmod(p.getField("a") * h + p.getField("b"), lit(P)))))
+    }
   }
 
   /** LSH band keys: split a k-long signature into `bands` bands of
     * k/bands rows each and hash each band to one long. Result:
     * array<struct<band:int, key:long>> ready to explode. */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          transform(slice(sig, b * rowsPerBand + 1, rowsPerBand), _.cast("string"))))
-          .as("key"))
-    }: _*)
+    ExprUtil.bind(sig) { s =>
+      array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(s, b * rowsPerBand + 1, rowsPerBand), _.cast("string"))))
+            .as("key"))
+      }: _*)
+    }
 
   /** SimHash: 64-bit fingerprint. For each bit b, sum +1/-1 across token
     * hashes; bit set iff the sum is positive. Bit positions are unrolled at
@@ -56,16 +62,17 @@ object HashFns {
     val bitVotes = aggregate(
       elems,
       array_repeat(lit(0L), 64),
-      (acc, e) => {
-        val h = xxhash64(e)
+      (acc, e) => ExprUtil.bind(xxhash64(e)) { h =>
         array((0 until 64).map { b =>
           element_at(acc, b + 1) +
             when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
         }: _*)
       })
-    (0 until 64).map { b =>
-      when(element_at(bitVotes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+    ExprUtil.bind(bitVotes) { votes =>
+      (0 until 64).map { b =>
+        when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

@@ -29,13 +29,18 @@ object TextFns {
   def tokenCount(c: Column): Column = size(tokensWs(c))
 
   /** Word n-gram shingles from a token array: slide a window of `n`,
-    * join with single spaces. Distributed-safe: pure per-row expression. */
+    * join with single spaces. Distributed-safe: pure per-row expression.
+    * The token array is bind-bound: without it, the upstream tokenization
+    * (a full split of the document) would be re-inlined into every
+    * per-shingle slice — O(tokens²) work per document. */
   def shingles(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array(concat_ws(" ", tokens)))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(tokens) - lit(n)),
-          i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+    ExprUtil.bind(tokens) { t =>
+      when(size(t) < n, array(concat_ws(" ", t)))
+        .otherwise(
+          transform(
+            sequence(lit(0), size(t) - lit(n)),
+            i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+    }
 
   /** Character n-grams of the raw string (for language-ID profiles). */
   def charNgrams(c: Column, n: Int): Column = {
@@ -49,8 +54,10 @@ object TextFns {
   /** Stopword ratio: fraction of tokens that are common English stopwords. */
   def stopwordRatio(tokens: Column): Column = {
     val sw = array(Stopwords.map(lit): _*)
-    when(size(tokens) === 0, lit(0.0))
-      .otherwise(size(array_intersect_count(tokens, sw)).cast("double") / size(tokens))
+    ExprUtil.bind(tokens) { t =>
+      when(size(t) === 0, lit(0.0))
+        .otherwise(size(array_intersect_count(t, sw)).cast("double") / size(t))
+    }
   }
 
   /** Tokens that are stopwords (with multiplicity). */
@@ -64,11 +71,11 @@ object TextFns {
         (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double") / length(c))
 
   /** Mean token length in characters. */
-  def meanTokenLen(c: Column): Column = {
-    val t = tokensWs(c)
-    when(size(t) === 0, lit(0.0))
-      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
-  }
+  def meanTokenLen(c: Column): Column =
+    ExprUtil.bind(tokensWs(c)) { t =>
+      when(size(t) === 0, lit(0.0))
+        .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+    }
 
   /** Heuristic quality score in [0,1]: rewards mid-length docs, low
     * punctuation, presence of function words — the usual cheap pre-filters
@@ -104,15 +111,16 @@ object TextFns {
   /** N-gram/stopword heuristic language ID: score each language by marker
     * hits per token, pick the argmax, "und" (undetermined) when no marker
     * fires. Pure expression — no per-row JVM calls. */
-  def langId(c: Column): Column = {
-    val toks = tokensRe(c)
-    val scored = LangMarkers.map { case (lang, markers) =>
-      val m = array(markers.map(lit): _*)
-      struct(size(filter(toks, t => array_contains(m, t))).as("hits"), lit(lang).as("lang"))
+  def langId(c: Column): Column =
+    ExprUtil.bind(tokensRe(c)) { toks =>
+      val scored = LangMarkers.map { case (lang, markers) =>
+        val m = array(markers.map(lit): _*)
+        struct(size(filter(toks, t => array_contains(m, t))).as("hits"), lit(lang).as("lang"))
+      }
+      ExprUtil.bind(array_max(array(scored: _*))) { best =>
+        when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+      }
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
 
   /** Document fingerprint: order-sensitive 62-bit rolling hash over tokens
     * — two independent 31-bit polynomial tracks (mod 2^31-1, multipliers
@@ -120,11 +128,13 @@ object TextFns {
     * docs differing only in whitespace normalize equal. */
   def fingerprint(c: Column): Column = {
     val M = lit(2147483647L)
-    def track(mult: Long): Column =
-      aggregate(
-        tokensWs(c),
-        lit(17L),
-        (acc, t) => pmod(acc * lit(mult) + pmod(xxhash64(t), M), M))
-    shiftleft(track(1000003L), 31).bitwiseOR(track(998244353L % 2147483647L))
+    ExprUtil.bind(tokensWs(c)) { toks =>
+      def track(mult: Long): Column =
+        aggregate(
+          toks,
+          lit(17L),
+          (acc, t) => pmod(acc * lit(mult) + pmod(xxhash64(t), M), M))
+      shiftleft(track(1000003L), 31).bitwiseOR(track(998244353L % 2147483647L))
+    }
   }
 }
