@@ -297,6 +297,66 @@ object SparkEntry {
         .select(col("doc_id"), col("feature"))
         .orderBy(col("doc_id"))),
 
+    // ── Streaming gate: the SAME operators through real Structured
+    // Streaming execution (state stores, watermarks, event-time timeouts)
+    // over a bounded file source with Trigger.AvailableNow. Proves the
+    // streaming path — not just the batch twin — in the correctness gate.
+
+    // ── T1 streaming: flatMapGroupsWithState first-visit flag
+    "stream_t1_new_old" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.StatefulStreams.newOldFlag(
+          graft.streaming.Sources.eventsStream(s, dir)))
+        .groupBy(col("is_new"))
+        .agg(count(lit(1)).as("ct"), count_distinct(col("user_id")).as("user_ct"))
+        .orderBy(col("is_new"))),
+
+    // ── T2 streaming: per-key last-date ValueState dedup
+    "stream_t2_uv_dedup" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.StatefulStreams.uvDedup(
+          graft.streaming.Sources.eventsStream(s, dir)))
+        .select(col("user_id"), col("dt"), col("event_id"))
+        .orderBy(col("user_id"), col("dt"))),
+
+    // ── T3 streaming: CEP bounce via event-time timeout. Keys whose final
+    // event is within gapSec of the final watermark stay pending (live-
+    // stream semantics); the oracle applies the same watermark cutoff.
+    "stream_t3_bounce" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.StatefulStreams.bounces(
+          graft.streaming.Sources.eventsStream(s, dir)
+            .withWatermark("ts", "0 seconds"),
+          gapSec = 1800L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("bounce_ct"))
+        .orderBy(col("user_id"))),
+
+    // ── A1 streaming: watermarked tumbling window agg, complete mode
+    "stream_a1_product_stats" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.WindowedStreams.productStats(
+          graft.streaming.Sources.eventsStream(s, dir)),
+        outputMode = "complete")
+        .orderBy(col("stt"), col("event_type"))),
+
+    // ── J1 streaming: stream-stream interval join (view -> click within
+    // 600s per user), watermark-bounded state
+    "stream_j1_interval_join" -> ((s, dir) => {
+      val ev = graft.streaming.Sources.eventsStream(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.WindowedStreams.intervalJoin(
+          views, clicks, "v_user", "c_user", "v_ts", "c_ts",
+          lowerSec = 0L, upperSec = 600L))
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("pair_ct"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── K3/A5: serve over materialized stats (two-level agg)
     "k3_serving_reagg" -> ((s, dir) =>
       Stats.productStats(Tables.events(s, dir))
@@ -429,6 +489,56 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS bounce_ct FROM g
         |WHERE nxt IS NULL OR nxt - us > 1800000000
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_t1_new_old" ->
+      """WITH f AS (SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events)
+        |SELECT CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_new, COUNT(*) AS ct,
+        |       COUNT(DISTINCT user_id) AS user_ct
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_t2_uv_dedup" ->
+      """WITH f AS (SELECT user_id,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt, event_id,
+        |    row_number() OVER (PARTITION BY user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, dt, event_id FROM f WHERE rn = 1 ORDER BY user_id, dt""".stripMargin,
+
+    // Bounce emission = (a) successor observed with gap > 1800s, or
+    // (b) event-time timeout: watermark (ms, = floor(max_us/1000) with 0s
+    // delay) passed ts + gap. Trailing events inside the horizon stay
+    // pending — mirrored here by the mu cutoff.
+    "stream_t3_bounce" ->
+      """WITH f AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |mx AS (SELECT max(us) AS mu FROM f),
+        |g AS (SELECT user_id, us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        |  FROM f)
+        |SELECT user_id, COUNT(*) AS bounce_ct FROM g, mx
+        |WHERE (nxt IS NOT NULL AND nxt - us > 1800000000)
+        |   OR (nxt IS NULL AND (us + 1800000000)//1000 < mu//1000)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_a1_product_stats" ->
+      """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//10000000)*10000000 AS us,
+        |                  event_type, value, user_id FROM events)
+        |SELECT strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(make_timestamp(us + 10000000), '%Y-%m-%d %H:%M:%S') AS edt,
+        |       event_type, COUNT(*) AS ct,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount,
+        |       COUNT(DISTINCT user_id) AS user_ct
+        |FROM w GROUP BY us, event_type ORDER BY us, event_type""".stripMargin,
+
+    "stream_j1_interval_join" ->
+      """SELECT v.user_id, COUNT(*) AS pair_ct
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        | AND c.c_ts >= v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 600 SECOND
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
 
     "p1_json_parse" ->
       """SELECT CAST(regexp_extract(props, '\d+') AS BIGINT) % 10 AS k_bucket, COUNT(*) AS ct

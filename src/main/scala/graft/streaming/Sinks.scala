@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming sink surface (SURVEY.md §2.2).
+  *
+  *  - K1 fixed-topic Kafka producer (util/MyKafkaUtil.java:21-23).
+  *  - K2 dynamic-topic producer (util/MyKafkaUtil.java:25-30): Spark's
+  *    kafka sink honors a per-row `topic` column natively.
+  *  - K3 JDBC/ClickHouse batch sink (util/ClickHouseUtil.java:16-54):
+  *    foreachBatch + append; `@TransientSink` column skipping becomes a
+  *    drop. The micro-batch IS the batching unit (the reference's
+  *    batchSize/interval knobs collapse into the trigger).
+  *  - K4/K5 dim upsert with auto-create (func/DimSinkFunction.java:28-72,
+  *    TableProcessFunction.java:87-148): merge-by-key overwrite; first
+  *    write creates the table (the reference's generated Phoenix DDL —
+  *    implemented as intended; the original never executed its statement).
+  *  - K6 console (.print()).
+  */
+object Sinks {
+
+  /** K1: shape rows for a fixed Kafka topic — all columns JSON-packed into
+    * `value`. */
+  def kafkaValue(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** K1: write to one Kafka topic. */
+  def toKafka(df: DataFrame, servers: String, topic: String,
+      checkpoint: String): StreamingQuery =
+    kafkaValue(df).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** K2: dynamic topic — the sink routes each row by its `topic` column
+    * (dwd/BaseDBApp.java:93-98's KafkaSerializationSchema analogue). */
+  def toKafkaDynamic(df: DataFrame, servers: String, topicCol: String,
+      checkpoint: String): StreamingQuery =
+    df.withColumn("topic", col(topicCol))
+      .select(col("topic"), to_json(struct(df.columns.filter(_ != topicCol).map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** K3: append each micro-batch to a parquet table, dropping transient
+    * (sink-skipped) columns. Works for any JDBC-style store by swapping the
+    * inner writer. */
+  def foreachBatchParquet(df: DataFrame, path: String, checkpoint: String,
+      transientCols: Seq[String] = Nil,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.drop(transientCols: _*).write.mode(SaveMode.Append).parquet(path)
+      }
+      .start()
+
+  /** K4/K5: upsert each micro-batch into a keyed dim table stored as
+    * parquet: latest row per key wins; table auto-created on first batch.
+    * The read-union-overwrite is safe because dim tables are small by
+    * contract (they broadcast in joins); a lakehouse MERGE is the drop-in
+    * upgrade when the store supports it. */
+  def dimUpsert(df: DataFrame, path: String, keyCol: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    df.writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, path, keyCol)
+      }
+      .start()
+
+  private[graft] def upsertBatch(batch: DataFrame, path: String, keyCol: String): Unit = {
+    val spark = batch.sparkSession
+    val incoming = batch.withColumn("__v", monotonically_increasing_id())
+    val existing =
+      try spark.read.parquet(path).withColumn("__v", lit(-1L))
+      catch { case _: Exception => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], incoming.schema) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__v").desc)
+    val merged = existing.unionByName(incoming)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__v")
+      .localCheckpoint(true) // break lineage off the files being overwritten
+    merged.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** K6: console sink (the reference's .print() debug taps). */
+  def console(df: DataFrame, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream.format("console").option("checkpointLocation", checkpoint)
+}

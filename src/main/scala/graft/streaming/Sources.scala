@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming source surface (SURVEY.md §2.1).
+  *
+  *  - S1 Kafka string source (util/MyKafkaUtil.java:32-37): subscribe +
+  *    value-as-string.
+  *  - S2 Kafka JSON DDL source (util/MyKafkaUtil.java:40-48): declared
+  *    schema + event-time column + watermark.
+  *  - S3/S4 CDC envelope source (ods/Flink_CDCWithCustomerSchema_Ods.java:
+  *    50-124): Debezium-style {database, tableName, before, after, type}
+  *    records, with the reference's create→insert rename. Spark has no
+  *    built-in binlog reader, so the envelope stream arrives over any
+  *    byte transport (kafka / files / MemoryStream) and is decoded here.
+  *  - File/parquet streams stand in for Kafka in the test harness: the
+  *    transforms are source-agnostic DataFrame functions.
+  */
+object Sources {
+
+  /** S1: Kafka topic as a stream of (key, value) strings. */
+  def kafkaStrings(spark: SparkSession, servers: String, topic: String,
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        col("topic"), col("partition"), col("offset"), col("timestamp"))
+
+  /** S2: Kafka JSON records with a declared schema, event-time column and
+    * watermark — the Flink SQL DDL-with-WATERMARK analogue. */
+  def kafkaJson(spark: SparkSession, servers: String, topic: String,
+      schema: StructType, tsField: String, watermarkDelay: String): DataFrame =
+    kafkaStrings(spark, servers, topic)
+      .select(from_json(col("value"), schema).as("r"))
+      .select(col("r.*"))
+      .withWatermark(tsField, watermarkDelay)
+
+  /** CDC changelog envelope schema (S4). `before`/`after` stay as raw JSON
+    * strings because the payload schema differs per source table; per-table
+    * decode applies a second from_json with that table's schema. */
+  val cdcEnvelopeSchema: StructType = StructType(Seq(
+    StructField("database", StringType),
+    StructField("tableName", StringType),
+    StructField("before", StringType),
+    StructField("after", StringType),
+    StructField("type", StringType)))
+
+  /** S4: decode CDC envelope JSON and normalize op names (create→insert,
+    * matching Flink_CDCWithCustomerSchema_Ods.java:110-117). */
+  def cdcDecode(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw
+      .select(from_json(col(valueCol), cdcEnvelopeSchema).as("e"))
+      .select(col("e.*"))
+      .withColumn("type",
+        when(col("type") === "create", lit("insert")).otherwise(col("type")))
+
+  /** Events table as a file stream — the harness stand-in for the
+    * ods_base_log Kafka topic. Schema must be declared (streaming cannot
+    * infer); ts arrives as raw nanos (see Tables.events) and is floored to
+    * micros. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+  }
+}

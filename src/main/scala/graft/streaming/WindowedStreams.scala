@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.functions.TextFns._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DWS-layer streaming aggregations (SURVEY.md §2.5-2.6): tumbling
+  * event-time windows over watermarked streams — the Flink
+  * TumblingEventTimeWindows / SQL TUMBLE analogue (T5, T6, A1-A4).
+  *
+  * Distinct counts: streaming disallows COUNT(DISTINCT); `size(collect_set)`
+  * reproduces the reference's exact HashSet accumulator
+  * (dws/ProductStatsApp.java:212-222) with memory bounded per window/key.
+  * `approx_count_distinct` (HLL) is the 100 TB path — constant memory,
+  * associative merges.
+  */
+object WindowedStreams {
+
+  /** A1 streaming: 10s tumbling window per event_type with counters, exact
+    * money sum (decimal) and exact distinct users. */
+  def productStats(events: DataFrame, windowSec: Int = 10,
+      watermark: String = "2 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("event_type"))
+      .agg(
+        count(lit(1)).as("ct"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("amount"),
+        size(collect_set(col("user_id"))).cast("long").as("user_ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("ct"), col("amount"), col("user_ct"))
+
+  /** A2 streaming: visitor cube cell — window x type x cohort. */
+  def visitorStats(events: DataFrame, windowSec: Int = 60,
+      watermark: String = "14 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        window(col("ts"), s"$windowSec seconds"),
+        col("event_type"),
+        pmod(col("user_id"), lit(4L)).as("cohort"))
+      .agg(
+        count(lit(1)).as("pv"),
+        size(collect_set(col("user_id"))).cast("long").as("uv"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("dur_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("event_type"), col("cohort"), col("pv"), col("uv"), col("dur_sum"))
+
+  /** A3 streaming (dws/KeywordStatsApp.java): tokenizer UDTF analogue —
+    * explode(tokens) is the LATERAL TABLE(SplitFunction) shape — then a
+    * windowed count per keyword. */
+  def keywordStats(pages: DataFrame, textCol: String, windowSec: Int = 10,
+      watermark: String = "2 seconds"): DataFrame =
+    pages
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(tokensWs(col(textCol))).as("keyword"))
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("keyword"))
+      .agg(count(lit(1)).as("ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("keyword"), col("ct"))
+
+  /** J1 streaming (dwm/OrderWideApp.java:87-97): watermarked stream-stream
+    * interval join — right.ts in [left.ts - lowerSec, left.ts + upperSec].
+    * Inner join: rows emit as soon as both sides arrive; the watermark only
+    * bounds join state retention (exactly Flink's interval-join cleanup). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      lowerSec: Long, upperSec: Long,
+      watermark: String = "0 seconds"): DataFrame =
+    left.withWatermark(leftTs, watermark).join(
+      right.withWatermark(rightTs, watermark),
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lowerSec SECONDS") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperSec SECONDS"))
+}

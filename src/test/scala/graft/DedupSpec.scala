@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Dedup
+import graft.functions.VectorFns
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup
+    (4L, "completely different content about distributed query engines and spark"),
+    (5L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under the min doc_id") {
+    val r = Dedup.exact(docs).collect()
+      .map(x => (x.getAs[Long]("keeper_id"), x.getAs[Long]("copies"))).toMap
+    assert(r(1L) === 2L)   // docs 1+2 collapse
+    assert(r.values.sum === 5L)
+    assert(Dedup.exactKeepers(docs).count() === 4L)
+  }
+
+  test("minhash LSH finds the exact and near duplicate pair, nothing else") {
+    val pairs = Dedup.minhashLsh(docs, minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard scores the exact dup at 1.0") {
+    val r = Dedup.ngramJaccardPairs(docs).collect()
+      .map(x => ((x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")), x.getAs[Double]("jaccard")))
+      .toMap
+    assert(r((1L, 2L)) === 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0") {
+    val r = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(x => ((x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")),
+        x.getAs[Int]("hamming"))).toMap
+    assert(r((1L, 2L)) === 0)
+  }
+
+  test("bucketPairs star-fallback keeps min-id connectivity above the cap") {
+    val banded = (1L to 10L).map(i => (i, 0, 7L)).toDF("doc_id", "band", "key")
+    val capped = Dedup.bucketPairs(banded, Seq("band", "key"), col("doc_id"), maxBucket = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(capped === (2L to 10L).map(b => (1L, b)).toSet) // star on min id
+    val full = Dedup.bucketPairs(banded, Seq("band", "key"), col("doc_id"), maxBucket = 100)
+    assert(full.count() === 45L) // 10 choose 2
+  }
+
+  test("embedding near-dup pairs identical vectors") {
+    val emb = Seq(
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(1.0f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, VectorFns.randomPlanes(2, 8), minCosine = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import graft.streaming.{Sinks, Sources}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dim upsert: latest row per key wins, table auto-created (K4/K5)") {
+    val path = Files.createTempDirectory("graft-dim").toString + "/dim"
+    val b1 = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
+    Sinks.upsertBatch(b1, path, "id")
+    val b2 = Seq((2L, "robert"), (3L, "carol")).toDF("id", "name")
+    Sinks.upsertBatch(b2, path, "id")
+    val r = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(r === Map(1L -> "alice", 2L -> "robert", 3L -> "carol"))
+  }
+
+  test("kafkaValue packs all columns into a JSON value column (K1)") {
+    val v = Sinks.kafkaValue(Seq((1L, "x")).toDF("id", "name"))
+    assert(v.columns.toSeq === Seq("value"))
+    assert(v.as[String].head().contains("\"name\":\"x\""))
+  }
+
+  test("CDC envelope decode normalizes create to insert (S4)") {
+    val raw = Seq(
+      """{"database":"gmall","tableName":"order_info","before":"{}","after":"{\"id\":1}","type":"create"}""",
+      """{"database":"gmall","tableName":"order_info","before":"{\"id\":1}","after":"{}","type":"delete"}""",
+      "not json").toDF("value")
+    val out = Sources.cdcDecode(raw).collect()
+    assert(out(0).getAs[String]("type") === "insert")
+    assert(out(1).getAs[String]("type") === "delete")
+    assert(out(2).getAs[String]("tableName") === null) // dead-letter row, P1 shape
+  }
+}
