@@ -21,6 +21,7 @@ object Sessions {
     val spark = SparkSession
       .builder()
       .master(master)
+      .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,34 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions. Install with
+  * `.withExtensions(new GraftExtensions)` (Sessions.tuned does) or via
+  * `spark.sql.extensions=graft.expressions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def one(name: String, f: Expression => Expression)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name, new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (args: Seq[Expression]) => f(args.head))
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    ("graft_l2sq", new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
+      (args: Seq[Expression]) => L2Squared(args(0), args(1))),
+    ("graft_dot", new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    one("graft_tokenize", Tokenize.apply))
+}

@@ -11,17 +11,26 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen'd expressions (graft.expressions.*, registered by
+    * GraftExtensions — every engine session comes from Sessions.tuned).
+    * The *Hof twins below are the pure-builtin formulations, kept for
+    * sessions without the extension and as cross-check oracles in tests;
+    * results are bit-identical (same accumulation order). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def l2sq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column = dotHof(a, b) / (norm(a) * norm(b))
 
-  /** Squared L2 distance. */
-  def l2sq(a: Column, b: Column): Column =
+  /** Squared L2 distance (HOF form). */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, x) => acc + x)

@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.5f, -0.5f, 2.5f), Array(-1.0f, 0.0f, 1.0f))
+  ).toDF("id", "a", "b")
+
+  test("native cosine/dot/l2sq are bit-identical to the HOF formulations") {
+    val r = vecs.select(
+      VectorFns.cosine(col("a"), col("b")).as("cn"),
+      VectorFns.cosineHof(col("a"), col("b")).as("ch"),
+      VectorFns.dot(col("a"), col("b")).as("dn"),
+      VectorFns.dotHof(col("a"), col("b")).as("dh"),
+      VectorFns.l2sq(col("a"), col("b")).as("ln"),
+      VectorFns.l2sqHof(col("a"), col("b")).as("lh")).collect()
+    r.foreach { row =>
+      def d(i: Int) = java.lang.Double.doubleToLongBits(row.getDouble(i))
+      assert(d(0) === d(1), "cosine")
+      assert(d(2) === d(3), "dot")
+      assert(d(4) === d(5), "l2sq")
+    }
+  }
+
+  test("native cosine survives whole-stage codegen (no fallback)") {
+    // non-foldable codegen-friendly input: array() of column exprs (the
+    // transform/sequence HOFs would themselves be CodegenFallback and
+    // break the span)
+    val df = spark.range(10).select(
+      array((0 to 7).map(j => (col("id") + j).cast("float")): _*).as("a"),
+      array((0 to 7).map(j => (col("id") * j).cast("float")): _*).as("b"))
+    val planned = df.select(VectorFns.cosine(col("a"), col("b")))
+    val plan = planned.queryExecution.executedPlan.toString
+    // the '*' prefix marks operators inside a WholeStageCodegen span
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("native cosine of a zero vector is NaN (no ANSI divide-by-zero)") {
+    val df = spark.range(1).select(
+      transform(sequence(lit(0), lit(3)), _ => lit(0.0f)).as("a"),
+      transform(sequence(lit(0), lit(3)), _ => lit(1.0f)).as("b"))
+    assert(df.select(VectorFns.cosine(col("a"), col("b"))).as[Double].head().isNaN)
+  }
+
+  test("graft_tokenize works as SQL LATERAL VIEW (U1 parity)") {
+    Seq((1L, "  Hello  WORLD  "), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text").createOrReplaceTempView("kw")
+    val r = spark.sql(
+      "SELECT id, word FROM kw LATERAL VIEW graft_tokenize(text) t AS word")
+      .as[(Long, String)].collect().toSet
+    assert(r === Set((1L, "hello"), (1L, "world")))
+  }
+
+  test("graft_cosine callable from plain SQL with implicit casts") {
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+}
