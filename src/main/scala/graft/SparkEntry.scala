@@ -249,14 +249,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ── Text: quality scoring
+    // ── Text: quality scoring — single-pass native profile expression
+    // (graft_text_profile computes every metric in one tokenization; the
+    // HOF formulation in TextFns is the semantically-identical slow twin)
     "text_quality" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        truncate6(meanTokenLen(col("text"))).as("mean_tok_len"),
-        truncate6(stopwordRatio(tokensWs(col("text")))).as("stopword_ratio"),
-        truncate6(qualityScore(col("text"))).as("quality"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          call_function("graft_text_profile", col("text")).as("p"))
+        .select(
+          col("doc_id"),
+          col("p.n_tokens").as("n_tokens"),
+          truncate6(col("p.mean_tok_len")).as("mean_tok_len"),
+          truncate6(col("p.stopword_ratio")).as("stopword_ratio"),
+          truncate6(col("p.quality")).as("quality"))
         .orderBy(col("doc_id"))),
 
     // ── Text: language ID heuristic vs labeled lang

@@ -30,5 +30,6 @@ object GraftExtensions {
       (args: Seq[Expression]) => L2Squared(args(0), args(1))),
     ("graft_dot", new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
-    one("graft_tokenize", Tokenize.apply))
+    one("graft_tokenize", Tokenize.apply),
+    one("graft_text_profile", TextProfile.apply))
 }

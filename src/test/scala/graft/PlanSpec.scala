@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions for the headline queries: the plan IS
+  * the product at 100 TB, so regressions in join strategy, pushdown or
+  * aggregation mode are test failures, not perf mysteries.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1_agg: column pruning reaches the parquet scan") {
+    val p = plan("q1_agg")
+    // only the 4 needed lineitem columns are read
+    assert(p.contains("ReadSchema"), p.take(500))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"))
+  }
+
+  test("j3_dim_enrich: dims broadcast, fact side never shuffles before join") {
+    val p = plan("j3_dim_enrich")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("a4_province_stats: both dims broadcast (two BHJs)") {
+    val p = plan("a4_province_stats")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("j1_interval_join: equi key drives a real join, band is residual " +
+    "(no nested-loop cartesian)") {
+    val p = plan("j1_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
+  test("a1_product_stats: partial (map-side) aggregation before the exchange") {
+    val p = plan("a1_product_stats")
+    // two HashAggregate levels around one Exchange = partial+final
+    val aggs = "HashAggregate".r.findAllIn(p).size + "ObjectHashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, p.take(800))
+    assert(p.contains("Exchange"))
+  }
+
+  test("s6_dim_lookup: point-range predicate pushed to the parquet scan") {
+    val p = plan("s6_dim_lookup")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual") || pushed.contains("c_custkey"),
+      pushed)
+  }
+
+  test("dedup_exact: single shuffle (groupBy hash), no join") {
+    val p = plan("dedup_exact")
+    assert(!p.contains("Join"), p.take(800))
+    assert("Exchange".r.findAllIn(p).size <= 2) // agg exchange + AQE read
+  }
+
+  test("sim_topk_brute: query side broadcast — corpus never shuffles for the join") {
+    val p = plan("sim_topk_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
