@@ -1,6 +1,5 @@
 package graft
 
-import graft.functions.VectorFns
 import org.apache.spark.sql.functions._
 
 /** Throwaway stage-level profiler (not part of the driver contract). */
@@ -12,16 +11,15 @@ object Prof {
       val t0 = System.nanoTime(); val r = f
       println(s"== $label: ${(System.nanoTime() - t0) / 1e9}s"); r
     }
-    val emb = Tables.embeddings(spark, dir)
-    // all-pairs cosine sum: 2000 x 2000 x 64-dim — the loop dominates
-    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
-    val cross = a.crossJoin(b)
-    time("warmup")(cross.count())
-    time("all-pairs cosine NATIVE")(
-      cross.select(sum(VectorFns.cosine(col("ea"), col("eb")))).collect())
-    time("all-pairs cosine HOF")(
-      cross.select(sum(VectorFns.cosineHof(col("ea"), col("eb")))).collect())
+    val docs = Tables.documents(spark, dir)
+    time("warmup scan")(docs.count())
+    time("text_quality count (bench shape)")(
+      SparkEntry.queries("text_quality")(spark, dir).count())
+    time("text_quality collect")(
+      SparkEntry.queries("text_quality")(spark, dir).collect())
+    time("profile only")(docs.select(
+      call_function("graft_text_profile", col("text")).as("p"))
+      .select(sum(col("p.n_tokens"))).collect())
     spark.stop()
   }
 }

@@ -31,5 +31,22 @@ object GraftExtensions {
     ("graft_dot", new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     one("graft_tokenize", Tokenize.apply),
-    one("graft_text_profile", TextProfile.apply))
+    one("graft_text_profile", TextProfile.apply),
+    ("graft_minhash_bands", new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+      (args: Seq[Expression]) => MinHashBands(args(0),
+        intArg(args, 1, "shingleLen"), intArg(args, 2, "numPerms"), intArg(args, 3, "bands"))),
+    ("graft_simhash", new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash64(args(0), intArg(args, 1, "shingleLen"))))
+
+  /** Extract a literal int parameter from a function call argument. */
+  private def intArg(args: Seq[Expression], i: Int, name: String): Int = {
+    require(args.length > i && args(i).foldable,
+      s"argument $i ($name) must be a literal integer")
+    args(i).eval(null) match {
+      case n: Int => n
+      case n: Long => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"argument $i ($name) must be an integer literal, got $other")
+    }
+  }
 }

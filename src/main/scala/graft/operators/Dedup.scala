@@ -85,13 +85,15 @@ object Dedup {
       bands: Int = 32,
       minJaccard: Double = 0.5): DataFrame = {
     require(numPerms % bands == 0)
-    val rows = numPerms / bands
-    val perms = permutations(numPerms)
 
+    // fused native sketch: tokenize→shingle→hash→fold in one pass per row
+    // (graft.expressions.MinHashBands); the HOF pipeline (shingles →
+    // minHash → lshBands) computes identical band keys but pays
+    // interpreted-lambda cost per shingle×permutation
     val sigs = documents
-      .select(col("doc_id"), shingles(tokensWs(col("text")), shingleLen).as("sh"))
-      .withColumn("sig", minHash(col("sh"), perms))
-      .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("b"))
+      .select(col("doc_id"),
+        explode(call_function("graft_minhash_bands",
+          col("text"), lit(shingleLen), lit(numPerms), lit(bands))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
 
     val candidates = bucketPairs(sigs, Seq("band", "key"), col("doc_id"))
@@ -124,7 +126,7 @@ object Dedup {
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
       shingleLen: Int = 3): DataFrame = {
     val fp = documents.select(col("doc_id"),
-      simHash(shingles(tokensWs(col("text")), shingleLen)).as("fp"))
+      call_function("graft_simhash", col("text"), lit(shingleLen)).as("fp"))
     val banded = fp.select(
       struct(col("doc_id"), col("fp")).as("m"),
       explode(array((0 until 4).map { b =>

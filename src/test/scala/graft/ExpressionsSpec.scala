@@ -56,6 +56,34 @@ class ExpressionsSpec extends SparkSpec {
     assert(r === Set((1L, "hello"), (1L, "world")))
   }
 
+  test("fused minhash bands produce identical keys to the HOF pipeline") {
+    import graft.functions.{HashFns, TextFns}
+    val docs = Seq("the quick brown fox jumps over the lazy dog",
+      "one two", "", "solo").toDF("text")
+    val native = docs.select(
+      explode(call_function("graft_minhash_bands",
+        col("text"), lit(3), lit(16), lit(4))).as("b"))
+      .select(col("b.band"), col("b.key")).collect().map(_.toString).sorted
+    val hof = docs.select(
+      explode(HashFns.lshBands(
+        HashFns.minHash(TextFns.shingles(TextFns.tokensWs(col("text")), 3),
+          HashFns.permutations(16)), 4, 4)).as("b"))
+      .select(col("b.band"), col("b.key")).collect().map(_.toString).sorted
+    assert(native === hof)
+  }
+
+  test("fused simhash matches the HOF simhash bit-for-bit") {
+    import graft.functions.{HashFns, TextFns}
+    val docs = Seq("the quick brown fox jumps over the lazy dog",
+      "alpha beta gamma delta", "xy").toDF("text")
+    val native = docs.select(
+      call_function("graft_simhash", col("text"), lit(3))).as[Long].collect()
+    val hof = docs.select(
+      HashFns.simHash(TextFns.shingles(TextFns.tokensWs(col("text")), 3)))
+      .as[Long].collect()
+    assert(native === hof)
+  }
+
   test("graft_cosine callable from plain SQL with implicit casts") {
     val r = spark.sql(
       "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").as[Double].head()

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Dedup, Joins, Sessionize, Stats}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5): semantics that must hold for
+  * any input, not just fixtures — the properties that make the operators
+  * safe to run distributed (idempotence, associativity, band containment,
+  * partitioning invariance).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Drive ScalaCheck generators with fixed seeds (the scalatest bridge
+    * artifact is not in the offline cache): deterministic, reproducible. */
+  private def forAll[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(g(Gen.Parameters.default, Seed(i.toLong)).getOrElse(
+        fail(s"generator returned no value for seed $i")))
+    }
+
+  private val docGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 25)
+    texts <- Gen.listOfN(n, Gen.chooseNum(0, 6).flatMap(k =>
+      Gen.listOfN(k + 1, Gen.oneOf("alpha", "beta", "gamma", "delta", "the", "x"))
+        .map(_.mkString(" "))))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    forAll(docGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val once = Dedup.exactKeepers(df)
+      val twice = Dedup.exactKeepers(once)
+      assert(once.count() === twice.count())
+      assert(once.select("doc_id").as[Long].collect().sorted
+        === twice.select("doc_id").as[Long].collect().sorted)
+    }
+  }
+
+  test("windowed agg is partitioning-invariant (map-side combine correctness)") {
+    forAll(Gen.choose(1, 40)) { n =>
+      val events = (1 to n).map(i =>
+        (i.toLong, new java.sql.Timestamp(1600000000000L + i * 3777L),
+          i.toLong % 5, if (i % 2 == 0) "view" else "click", i * 1.5, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      def normalize(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("stt", "event_type").collect().map(_.toString)
+      val p1 = normalize(Stats.productStats(events.repartition(1)))
+      val p7 = normalize(Stats.productStats(events.repartition(7)))
+      assert(p1 === p7)
+    }
+  }
+
+  test("interval join output satisfies the band for every row") {
+    forAll(Gen.zip(Gen.choose(2, 30), Gen.choose(1L, 40L))) { case (n, band) =>
+      val left = (1 to n).map(i => (i.toLong % 5,
+        new java.sql.Timestamp(1600000000000L + i * 9999L))).toDF("lk", "lts")
+      val right = (1 to n).map(i => ((i * 3).toLong % 5,
+        new java.sql.Timestamp(1600000000000L + i * 14141L))).toDF("rk", "rts")
+      val out = Joins.intervalJoin(left, right, "lk", "rk", "lts", "rts", band, band)
+        .select(col("lk"), col("rk"),
+          (unix_micros(col("rts")) - unix_micros(col("lts"))).as("delta_us"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getAs[Long]("lk") === r.getAs[Long]("rk"))
+        val d = r.getAs[Long]("delta_us")
+        assert(d >= -band * 1000000L && d <= band * 1000000L)
+      }
+    }
+  }
+
+  test("uv dedup emits exactly one row per (user, day) present in the input") {
+    forAll(Gen.choose(1, 50)) { n =>
+      val events = (1 to n).map(i =>
+        (i.toLong, new java.sql.Timestamp(1600000000000L + (i % 7) * 86400000L + i),
+          i.toLong % 3, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val out = Sessionize.uvDedup(events)
+      val expected = events
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct().count()
+      assert(out.count() === expected)
+      // idempotence: dedup of the survivors changes nothing
+      assert(Sessionize.uvDedup(out.drop("dt")).count() === expected)
+    }
+  }
+
+  test("minhash signature length and band count are stable") {
+    forAll(docGen) { docs =>
+      import graft.functions.{HashFns, TextFns}
+      val df = docs.toDF("doc_id", "text")
+      val sig = df.select(
+        HashFns.minHash(TextFns.shingles(TextFns.tokensWs(col("text")), 2),
+          HashFns.permutations(16)).as("sig"))
+      assert(sig.select(size(col("sig"))).as[Int].collect().forall(_ === 16))
+    }
+  }
+}
