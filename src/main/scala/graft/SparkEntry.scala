@@ -288,6 +288,20 @@ object SparkEntry {
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // ── A1 at 100 TB: HLL distinct (approx_count_distinct) — constant
+    // memory per group, associative merges (rows-only: HLL estimates are
+    // engine-specific)
+    "a1_product_stats_approx" -> ((s, dir) =>
+      Stats.productStatsApprox(Tables.events(s, dir))
+        .orderBy(col("stt"), col("event_type"))),
+
+    // ── Multimodal: frame sampling over sequence media
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.attachBinary(Tables.documents(s, dir)), stride = 16)
+        .select(col("doc_id"), col("frame_offsets"))
+        .orderBy(col("doc_id"))),
+
     // ── Multimodal: binary payload + typed metadata
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.attachBinary(Tables.documents(s, dir))
@@ -651,6 +665,11 @@ object SparkEntry {
 
     "mm_binary_meta" ->
       """SELECT doc_id, 'text' AS kind, strlen(text) AS n_bytes, 'utf-8' AS codec
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        |  [16*i for i in range(0, greatest((strlen(text)-1)//16, 0) + 1)] AS frame_offsets
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "k3_serving_reagg" ->

@@ -69,6 +69,7 @@ object Multimodal {
     media.select(
       col("doc_id"),
       transform(
-        sequence(lit(0), greatest((col("meta.n_bytes") - 1) / stride, lit(0))),
+        sequence(lit(0L),
+          greatest(floor((col("meta.n_bytes") - 1) / stride).cast("long"), lit(0L))),
         i => i * stride).as("frame_offsets"))
 }
