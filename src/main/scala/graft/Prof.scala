@@ -11,15 +11,21 @@ object Prof {
       val t0 = System.nanoTime(); val r = f
       println(s"== $label: ${(System.nanoTime() - t0) / 1e9}s"); r
     }
-    val docs = Tables.documents(spark, dir)
-    time("warmup scan")(docs.count())
-    time("text_quality count (bench shape)")(
-      SparkEntry.queries("text_quality")(spark, dir).count())
-    time("text_quality collect")(
-      SparkEntry.queries("text_quality")(spark, dir).collect())
-    time("profile only")(docs.select(
-      call_function("graft_text_profile", col("text")).as("p"))
-      .select(sum(col("p.n_tokens"))).collect())
+    time("warmup")(Tables.events(spark, dir).count())
+    def joinQuery() = SparkEntry.queries("stream_j1_interval_join")(spark, dir).count()
+    time("stream_j1 @32 shuffle parts") {
+      spark.conf.set("spark.sql.shuffle.partitions", "32"); joinQuery()
+    }
+    time("stream_j1 @8 shuffle parts") {
+      spark.conf.set("spark.sql.shuffle.partitions", "8"); joinQuery()
+    }
+    time("stream_j1 @4 shuffle parts") {
+      spark.conf.set("spark.sql.shuffle.partitions", "4"); joinQuery()
+    }
+    time("stream_t3 @8 parts") {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      SparkEntry.queries("stream_t3_bounce")(spark, dir).count()
+    }
     spark.stop()
   }
 }

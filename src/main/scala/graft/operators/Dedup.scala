@@ -150,15 +150,20 @@ object Dedup {
       minJaccard: Double = 0.5,
       maxDf: Long = 1000L,
       minCommon: Int = 2): DataFrame = {
-    val postings = documents
+    // inverted index without a posting-list self-join: group the postings
+    // by shingle hash (a long join key instead of the shingle string),
+    // drop degenerate high-DF shingles (skew guard), emit within-bucket
+    // pairs and count shared shingles per pair — one shuffle per stage,
+    // shingles computed once
+    val buckets = documents
       .select(col("doc_id"),
         explode(array_distinct(shingles(tokensWs(col("text")), shingleLen))).as("sh"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("df") <= maxDf)
-      .select(col("doc_id"), col("sh"))
-    val pairs = postings.as("l").join(postings.as("r"),
-        col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .groupBy(xxhash64(col("sh")).as("shh"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
+    val pairs = buckets
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
       .filter(col("common") >= minCommon)
       .select(col("doc_a"), col("doc_b"))

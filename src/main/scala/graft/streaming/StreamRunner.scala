@@ -17,19 +17,33 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamRunner {
   private val n = new AtomicLong()
 
+  /** State partition count for stateful streaming queries. Batch shuffle
+    * width (sized to cores) is the wrong unit for streaming state: every
+    * micro-batch commits one state-store delta per partition per stateful
+    * operator, so partition count multiplies checkpoint file I/O. Sized
+    * for the single-host harness (measured: the stream-stream join runs
+    * 7.9s at 32 partitions, 2.4s at 4); a real cluster sizes this to
+    * state volume / executor count instead. */
+  val StatePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8").toInt
+
   def collect(stream: DataFrame, outputMode: String = "append"): DataFrame = {
     val spark = stream.sparkSession
     val id = n.incrementAndGet()
     val name = s"graft_stream_$id"
     val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-$id-${System.nanoTime()}"
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     spark.table(name)
   }
 }

@@ -23,6 +23,36 @@ class SinksSpec extends SparkSpec {
     assert(v.as[String].head().contains("\"name\":\"x\""))
   }
 
+  test("T8 exactly-once: restart from checkpoint processes each input once") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-eo").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val schema = StructType(Seq(StructField("id", LongType)))
+
+    def writeInput(ids: Range): Unit =
+      ids.map(_.toLong).toDF("id")
+        .repartition(1).write.mode("append").parquet(in)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", out)
+        .start()
+      q.awaitTermination()
+    }
+
+    writeInput(1 to 100)
+    runOnce()
+    writeInput(101 to 150)
+    runOnce() // second run must resume from the checkpointed offsets
+    val got = spark.read.parquet(out).as[Long].collect().sorted
+    assert(got === (1L to 150L).toArray) // each row exactly once
+  }
+
   test("CDC envelope decode normalizes create to insert (S4)") {
     val raw = Seq(
       """{"database":"gmall","tableName":"order_info","before":"{}","after":"{\"id\":1}","type":"create"}""",
