@@ -48,4 +48,24 @@ object Joins {
     facts.join(
       broadcast(config),
       facts(factTable) === config("source_table") && facts(factType) === config("operate_type"))
+
+  /** Salted equi-join for skewed keys, when the small side is too big to
+    * broadcast and AQE's skew splitting isn't enough: the skewed (left)
+    * side gets a random salt in [0, buckets), the right side is replicated
+    * once per salt value, and the join key becomes (key, salt) — a hot key
+    * spreads over `buckets` reducers instead of one straggler.
+    *
+    * Replication cost is |right| × buckets, so use a modest bucket count
+    * and reserve this for the handful of keys AQE can't split (the classic
+    * targeted-salting recipe; at 100 TB you'd salt only rows whose key is
+    * in a precomputed hot-key set and union the rest unsalted). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0)
+    val salted = left.withColumn("__salt", pmod(spark_partition_id()
+      + monotonically_increasing_id(), lit(buckets)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }
