@@ -86,15 +86,16 @@ object Similarity {
   }
 
   /** Assign each vector to its nearest centroid (broadcast nested-loop over
-    * k centroids — k is small; the corpus stays partition-local). */
+    * k centroids — k is small; the corpus stays partition-local). min_by
+    * keeps this a hash aggregation: a row_number window would force a full
+    * sort of |corpus|×k rows per Lloyd iteration. Tie-break on cluster_id
+    * keeps assignment deterministic. */
   def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("cluster_id"),
         l2sq(col("embedding"), col("centroid")).as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cluster_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster_id"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cluster_id"), struct(col("d2"), col("cluster_id"))).as("cluster_id"))
 
   /** IVF search: probe the nProbe nearest centroids per query, scan only
     * those lists. */
