@@ -36,7 +36,9 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashBands(args(0),
         intArg(args, 1, "shingleLen"), intArg(args, 2, "numPerms"), intArg(args, 3, "bands"))),
     ("graft_simhash", new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimHash64(args(0), intArg(args, 1, "shingleLen"))))
+      (args: Seq[Expression]) => SimHash64(args(0), intArg(args, 1, "shingleLen"))),
+    ("graft_shingles", new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
+      (args: Seq[Expression]) => ShingleArray(args(0), intArg(args, 1, "shingleLen"))))
 
   /** Extract a literal int parameter from a function call argument. */
   private def intArg(args: Seq[Expression], i: Int, name: String): Int = {

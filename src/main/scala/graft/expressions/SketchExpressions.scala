@@ -46,6 +46,38 @@ object Sketches {
   }
 }
 
+/** Word n-gram shingles in one pass: tokenize + slide, parity with
+  * TextFns.shingles (short docs collapse to one joined shingle). SQL:
+  * graft_shingles(text, n). */
+case class ShingleArray(child: Expression, shingleLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = Sketches.tokenize(input.asInstanceOf[UTF8String].toString)
+    val n = shingleLen
+    val out: Array[Any] =
+      if (toks.length < n) Array(UTF8String.fromString(toks.mkString(" ")))
+      else Array.tabulate[Any](toks.length - n + 1) { i =>
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        UTF8String.fromString(sb.toString)
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleArray =
+    copy(child = newChild)
+}
+
 /** MinHash signature + LSH band keys in one pass:
   * array<struct<band:int, key:long>>, ready to explode into the
   * (band, key) bucket table. SQL: graft_minhash_bands(text, n, k, bands). */

@@ -108,7 +108,8 @@ object Dedup {
   def verifyJaccard(documents: DataFrame, pairs: DataFrame, shingleLen: Int): DataFrame = {
     val docShingles = documents
       .select(col("doc_id"),
-        array_distinct(shingles(tokensWs(col("text")), shingleLen)).as("sh"))
+        array_distinct(call_function("graft_shingles",
+          col("text"), lit(shingleLen))).as("sh"))
     val a = docShingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docShingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     pairs
@@ -157,7 +158,8 @@ object Dedup {
     // shingles computed once
     val buckets = documents
       .select(col("doc_id"),
-        explode(array_distinct(shingles(tokensWs(col("text")), shingleLen))).as("sh"))
+        explode(array_distinct(call_function("graft_shingles",
+          col("text"), lit(shingleLen)))).as("sh"))
       .groupBy(xxhash64(col("sh")).as("shh"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)

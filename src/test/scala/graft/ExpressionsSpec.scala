@@ -72,6 +72,17 @@ class ExpressionsSpec extends SparkSpec {
     assert(native === hof)
   }
 
+  test("native shingles match the HOF shingles on edge cases") {
+    import graft.functions.TextFns
+    val docs = Seq("the quick brown fox", "one two", "solo", "", "  a  b  ")
+      .toDF("text")
+    val native = docs.select(
+      call_function("graft_shingles", col("text"), lit(3))).as[Seq[String]].collect()
+    val hof = docs.select(
+      TextFns.shingles(TextFns.tokensWs(col("text")), 3)).as[Seq[String]].collect()
+    assert(native === hof)
+  }
+
   test("fused simhash matches the HOF simhash bit-for-bit") {
     import graft.functions.{HashFns, TextFns}
     val docs = Seq("the quick brown fox jumps over the lazy dog",
