@@ -264,10 +264,10 @@ object SparkEntry {
           truncate6(col("p.quality")).as("quality"))
         .orderBy(col("doc_id"))),
 
-    // ── Text: language ID heuristic vs labeled lang
+    // ── Text: language ID heuristic vs labeled lang (native one-pass)
     "text_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("lang"), langId(col("text")).as("pred"))
+        .select(col("lang"), call_function("graft_langid", col("text")).as("pred"))
         .groupBy(col("lang"), col("pred"))
         .agg(count(lit(1)).as("ct"))
         .orderBy(col("lang"), col("pred"))),

@@ -32,6 +32,7 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     one("graft_tokenize", Tokenize.apply),
     one("graft_text_profile", TextProfile.apply),
+    one("graft_langid", LangId.apply),
     ("graft_minhash_bands", new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
       (args: Seq[Expression]) => MinHashBands(args(0),
         intArg(args, 1, "shingleLen"), intArg(args, 2, "numPerms"), intArg(args, 3, "bands"))),

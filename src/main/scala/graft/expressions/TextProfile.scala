@@ -71,6 +71,52 @@ case class TextProfile(child: Expression)
     copy(child = newChild)
 }
 
+/** One-pass language ID: marker-word hits per language over the regex
+  * tokenization, argmax with (hits, lang) lexicographic tie-break —
+  * exactly TextFns.langId's array_max(struct(hits, lang)) semantics
+  * (the marker lists sort so that lexicographic tie-break equals the
+  * oracle's fixed CASE order). "und" when no marker fires. */
+case class LangId(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_langid"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.toLowerCase
+      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    var bestLang = "und"
+    var bestHits = 0L
+    LangId.Markers.foreach { case (lang, words) =>
+      var hits = 0L
+      var i = 0
+      while (i < toks.length) { if (words(toks(i))) hits += 1; i += 1 }
+      if (hits > bestHits || (hits == bestHits && hits > 0 && lang > bestLang)) {
+        bestHits = hits; bestLang = lang
+      }
+    }
+    UTF8String.fromString(bestLang)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
+object LangId {
+  /** Same lists as TextFns.LangMarkers. */
+  val Markers: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "and", "of", "to", "is", "you", "that", "with"),
+    "es" -> Set("el", "la", "de", "que", "los", "por", "con", "una"),
+    "fr" -> Set("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "de" -> Set("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "zh" -> Set("的", "是", "不", "我", "了", "在", "人", "有"))
+}
+
 object TextProfile {
   val schema: StructType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),

@@ -72,6 +72,22 @@ class ExpressionsSpec extends SparkSpec {
     assert(native === hof)
   }
 
+  test("native langid matches the HOF langId including tie-breaks") {
+    import graft.functions.TextFns
+    val docs = Seq(
+      "the cat and the dog is with you",
+      "el gato que los perros con una casa",
+      "le chat est dans la maison pour une nuit",
+      "der hund und die katze ist nicht ein",
+      "的 是 不 我 了",
+      "la la la",            // es/fr tie on 'la'
+      "zzz qqq", "").toDF("text")
+    val native = docs.select(call_function("graft_langid", col("text")))
+      .as[String].collect()
+    val hof = docs.select(TextFns.langId(col("text"))).as[String].collect()
+    assert(native === hof)
+  }
+
   test("native shingles match the HOF shingles on edge cases") {
     import graft.functions.TextFns
     val docs = Seq("the quick brown fox", "one two", "solo", "", "  a  b  ")
