@@ -15,8 +15,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every query path enters through here: make sure the native graft_*
+    // functions exist even on sessions not built by Sessions.tuned
+    graft.expressions.GraftExtensions.ensureRegistered(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS,false) which Spark's
     * parquet reader rejects outright. We read nanos as raw longs

@@ -18,6 +18,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** Idempotently register the graft functions on an existing session —
+    * the safety net for sessions not built via Sessions.tuned (e.g. a
+    * harness that constructs its own SparkSession and calls SparkEntry
+    * directly). */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (name, info, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
   private def one(name: String, f: Expression => Expression)
       : (String, ExpressionInfo, Seq[Expression] => Expression) =
     (name, new ExpressionInfo(classOf[GraftExtensions].getName, name),

@@ -67,6 +67,7 @@ object Sources {
     * infer); ts arrives as raw nanos (see Tables.events) and is floored to
     * micros. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftExtensions.ensureRegistered(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType),

@@ -111,6 +111,17 @@ class ExpressionsSpec extends SparkSpec {
     assert(native === hof)
   }
 
+  test("ensureRegistered makes queries work on a session without extensions") {
+    val reg = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    graft.expressions.GraftExtensions.functions.map(_._1).foreach { n =>
+      reg.dropFunction(FunctionIdentifier(n))
+    }
+    // any Tables.read path re-registers
+    val r = SparkEntry.queries("text_quality")(spark, "/root/testdata/sf0.001")
+    assert(r.limit(1).count() === 1)
+  }
+
   test("graft_cosine callable from plain SQL with implicit casts") {
     val r = spark.sql(
       "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").as[Double].head()
