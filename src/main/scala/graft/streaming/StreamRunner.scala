@@ -27,11 +27,20 @@ object StreamRunner {
   val StatePartitions: Int =
     sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8").toInt
 
+  /** Checkpoint root: tmpfs when available — these are throwaway
+    * bounded-run checkpoints, and state-store commits are pure file-I/O
+    * overhead on them (a durable store is only right for a real
+    * long-running deployment, which goes through Sinks.* with an explicit
+    * checkpointLocation instead). */
+  private val ckptRoot: String =
+    if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+    else System.getProperty("java.io.tmpdir")
+
   def collect(stream: DataFrame, outputMode: String = "append"): DataFrame = {
     val spark = stream.sparkSession
     val id = n.incrementAndGet()
     val name = s"graft_stream_$id"
-    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-$id-${System.nanoTime()}"
+    val ckpt = s"$ckptRoot/graft-ckpt-$id-${System.nanoTime()}"
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
     try {
