@@ -11,21 +11,23 @@ object Prof {
       val t0 = System.nanoTime(); val r = f
       println(s"== $label: ${(System.nanoTime() - t0) / 1e9}s"); r
     }
-    time("warmup")(Tables.events(spark, dir).count())
-    def joinQuery() = SparkEntry.queries("stream_j1_interval_join")(spark, dir).count()
-    time("stream_j1 @32 shuffle parts") {
-      spark.conf.set("spark.sql.shuffle.partitions", "32"); joinQuery()
-    }
-    time("stream_j1 @8 shuffle parts") {
-      spark.conf.set("spark.sql.shuffle.partitions", "8"); joinQuery()
-    }
-    time("stream_j1 @4 shuffle parts") {
-      spark.conf.set("spark.sql.shuffle.partitions", "4"); joinQuery()
-    }
-    time("stream_t3 @8 parts") {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      SparkEntry.queries("stream_t3_bounce")(spark, dir).count()
-    }
+    val docs = Tables.documents(spark, dir)
+    time("warmup")(docs.count())
+    val buckets = docs
+      .select(col("doc_id"),
+        explode(array_distinct(call_function("graft_shingles",
+          col("text"), lit(3)))).as("sh"))
+      .groupBy(xxhash64(col("sh")).as("shh"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= 1000)
+    time("buckets")(buckets.count())
+    println("bucket size histo:")
+    buckets.groupBy(size(col("ids")).as("sz")).count()
+      .orderBy(desc("sz")).limit(10).collect()
+      .foreach(r => println(s"  size=${r.get(0)} buckets=${r.get(1)}"))
+    val pairs = time("pairs")(operators.Dedup
+      .ngramJaccardPairs(docs))
+    time("full ngram")(pairs.count())
     spark.stop()
   }
 }
