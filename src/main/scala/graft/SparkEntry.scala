@@ -282,10 +282,11 @@ object SparkEntry {
         col("n_chars"))
         .orderBy(col("doc_id"))),
 
-    // ── Text: document fingerprint (rows-only: engine-side hash)
+    // ── Text: document fingerprint — portable rolling hash (md5-primitive
+    // twin of the xxhash64 fast path), bit-for-bit oracle-checkable
     "text_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), fingerprintPortable(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
     // ── A1 at 100 TB: HLL distinct (approx_count_distinct) — constant
@@ -295,11 +296,17 @@ object SparkEntry {
       Stats.productStatsApprox(Tables.events(s, dir))
         .orderBy(col("stt"), col("event_type"))),
 
-    // ── Multimodal: frame sampling over sequence media
+    // ── Multimodal: frame sampling over sequence media. The offsets array
+    // is flattened to scalars + csv — the gate's comparator hashes scalar
+    // cells, and the csv keeps the full array contents under check.
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(
         Multimodal.attachBinary(Tables.documents(s, dir)), stride = 16)
-        .select(col("doc_id"), col("frame_offsets"))
+        .select(col("doc_id"),
+          size(col("frame_offsets")).cast("long").as("n_frames"),
+          element_at(col("frame_offsets"), -1).cast("long").as("last_offset"),
+          array_join(transform(col("frame_offsets"), _.cast("string")), ",")
+            .as("offsets_csv"))
         .orderBy(col("doc_id"))),
 
     // ── Multimodal: binary payload + typed metadata
@@ -309,11 +316,16 @@ object SparkEntry {
           col("meta.n_bytes").as("n_bytes"), col("meta.codec").as("codec"))
         .orderBy(col("doc_id"))),
 
-    // ── Multimodal: stubbed per-partition feature extraction (rows-only)
+    // ── Multimodal: stubbed per-partition feature extraction. Scalar
+    // projections of the feature vector (dim; sum == payload byte count by
+    // construction of the histogram stub) make the stage oracle-checkable.
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.attachBinary(Tables.documents(s, dir)))
-        .select(col("doc_id"), col("feature"))
+        .select(col("doc_id"),
+          size(col("feature")).cast("long").as("feature_dim"),
+          aggregate(col("feature"), lit(0.0), (a, x) => a + x).cast("long")
+            .as("feature_sum"))
         .orderBy(col("doc_id"))),
 
     // ── Streaming gate: the SAME operators through real Structured
@@ -421,7 +433,7 @@ object SparkEntry {
 
     "a3_keyword_stats" ->
       """SELECT keyword, COUNT(*) AS ct
-        |FROM (SELECT unnest(string_split(trim(lower(text)), ' ')) AS keyword FROM documents)
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS keyword FROM documents)
         |WHERE keyword <> '' GROUP BY keyword ORDER BY keyword""".stripMargin,
 
     "a4_province_stats" ->
@@ -595,7 +607,9 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents),
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
         |sh AS (SELECT doc_id,
         |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
         |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
@@ -620,7 +634,7 @@ object SparkEntry {
 
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text,
-        |    list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
         |  FROM documents),
         |m AS (SELECT doc_id, text, toks, len(toks) AS n_tokens,
         |    CASE WHEN len(toks) = 0 THEN 0.0
@@ -669,8 +683,32 @@ object SparkEntry {
 
     "mm_frame_sample" ->
       """SELECT doc_id,
-        |  [16*i for i in range(0, greatest((strlen(text)-1)//16, 0) + 1)] AS frame_offsets
+        |  greatest((strlen(text)-1)//16, 0) + 1 AS n_frames,
+        |  16*greatest((strlen(text)-1)//16, 0) AS last_offset,
+        |  array_to_string([16*i for i in range(0, greatest((strlen(text)-1)//16, 0) + 1)], ',') AS offsets_csv
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the stub feature is a 16-bin byte histogram of the utf-8 payload, so
+    // dim == 16 and sum(bins) == byte length — both engine-independent
+    "mm_features" ->
+      """SELECT doc_id, CAST(16 AS BIGINT) AS feature_dim,
+        |  CAST(strlen(text) AS BIGINT) AS feature_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same construction as TextFns.fingerprintPortable: two 31-bit
+    // polynomial tracks over md5_number_lower-per-token, packed into 62 bits
+    "text_fingerprint" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_transform(
+        |      list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''),
+        |      x -> CAST(md5_number_lower(x) % 2147483647 AS BIGINT)) AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (list_reduce(list_prepend(CAST(17 AS BIGINT), hs),
+        |     (acc, h) -> (acc * 1000003 + h) % 2147483647) << 31)
+        |  | list_reduce(list_prepend(CAST(17 AS BIGINT), hs),
+        |     (acc, h) -> (acc * 998244353 + h) % 2147483647) AS fp
+        |FROM toks ORDER BY doc_id""".stripMargin,
 
     "k3_serving_reagg" ->
       """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//10000000)*10000000 AS us,

@@ -31,7 +31,9 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      // integer floor division: double division loses precision above 2^53
+      // (epoch-nanos ~1.6e18), which could shift event times by ±1µs
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =

@@ -33,13 +33,10 @@ object Sessionize {
   /** T2: first event per key per day (the reference's 24h-TTL ValueState
     * dedup — calendar-day semantics, UniqueVisitApp.java:70-91). */
   def uvDedup(events: DataFrame, key: String = "user_id"): DataFrame = {
-    val w = Window
-      .partitionBy(col(key), to_date(col("ts")).as("dt"))
-      .orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col(key), col("dt")).orderBy(col("ts"), col("event_id"))
     events
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(key), col("dt")).orderBy(col("ts"), col("event_id"))))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
   }

@@ -70,21 +70,32 @@ object Sinks {
     * contract (they broadcast in joins); a lakehouse MERGE is the drop-in
     * upgrade when the store supports it. */
   def dimUpsert(df: DataFrame, path: String, keyCol: String, checkpoint: String,
+      versionCol: Option[String] = None,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
     df.writeStream
       .outputMode("update")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        upsertBatch(batch, path, keyCol)
+        upsertBatch(batch, path, keyCol, versionCol)
       }
       .start()
 
-  private[graft] def upsertBatch(batch: DataFrame, path: String, keyCol: String): Unit = {
+  /** Merge one micro-batch into the keyed dim table. "Latest per key wins"
+    * is decided by `versionCol` (an event-time/version column from the CDC
+    * envelope) when one exists; without it the winner WITHIN a batch is
+    * arbitrary — partition order is not arrival order, so two same-key
+    * updates in one batch have no defined relative order. Incoming rows
+    * always beat previously-stored rows. */
+  private[graft] def upsertBatch(batch: DataFrame, path: String, keyCol: String,
+      versionCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val incoming = batch.withColumn("__v", monotonically_increasing_id())
+    val incoming = versionCol match {
+      case Some(v) => batch.withColumn("__v", col(v).cast("long"))
+      case None    => batch.withColumn("__v", lit(0L))
+    }
     val existing =
-      try spark.read.parquet(path).withColumn("__v", lit(-1L))
+      try spark.read.parquet(path).withColumn("__v", lit(Long.MinValue))
       catch { case _: Exception => spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], incoming.schema) }
     val w = org.apache.spark.sql.expressions.Window

@@ -80,6 +80,8 @@ object Sources {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      // integer floor division — same truncation as Tables.events (double
+      // division is lossy above 2^53)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -17,6 +17,22 @@ class SinksSpec extends SparkSpec {
     assert(r === Map(1L -> "alice", 2L -> "robert", 3L -> "carol"))
   }
 
+  test("dim upsert: versionCol decides the winner within one batch (K4)") {
+    val path = Files.createTempDirectory("graft-dimv").toString + "/dim"
+    // same key twice in one batch, higher version listed first — arrival
+    // order must NOT matter, only the version column
+    val b = Seq((1L, "newer", 20L), (1L, "older", 10L), (2L, "only", 5L))
+      .toDF("id", "name", "ver")
+    Sinks.upsertBatch(b, path, "id", Some("ver"))
+    // a later batch with a lower version still wins over the stored row
+    // (incoming beats existing; cross-batch version ordering is the CDC
+    // transport's contract, not the sink's)
+    val b2 = Seq((2L, "update", 1L)).toDF("id", "name", "ver")
+    Sinks.upsertBatch(b2, path, "id", Some("ver"))
+    val r = spark.read.parquet(path).select("id", "name").as[(Long, String)].collect().toMap
+    assert(r === Map(1L -> "newer", 2L -> "update"))
+  }
+
   test("kafkaValue packs all columns into a JSON value column (K1)") {
     val v = Sinks.kafkaValue(Seq((1L, "x")).toDF("id", "name"))
     assert(v.columns.toSeq === Seq("value"))
