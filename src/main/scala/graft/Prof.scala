@@ -12,22 +12,25 @@ object Prof {
       println(s"== $label: ${(System.nanoTime() - t0) / 1e9}s"); r
     }
     val docs = Tables.documents(spark, dir)
-    time("warmup")(docs.count())
-    val buckets = docs
-      .select(col("doc_id"),
-        explode(array_distinct(call_function("graft_shingles",
-          col("text"), lit(3)))).as("sh"))
+    time("warmup docs scan")(docs.count())
+    time("warmup q1")(SparkEntry.queries("q1_agg")(spark, dir).count())
+
+    // ngram pipeline: count-based jaccard (no re-shingling verify stage)
+    time("ngram cold")(SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).count())
+    time("ngram warm")(operators.Dedup.ngramJaccardPairs(docs).count())
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(call_function("graft_shingles",
+        col("text"), lit(3)))).as("sh"))
+    time("  shingle explode")(sh.count())
+    val buckets = sh
       .groupBy(xxhash64(col("sh")).as("shh"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= 1000)
-    time("buckets")(buckets.count())
-    println("bucket size histo:")
-    buckets.groupBy(size(col("ids")).as("sz")).count()
-      .orderBy(desc("sz")).limit(10).collect()
-      .foreach(r => println(s"  size=${r.get(0)} buckets=${r.get(1)}"))
-    val pairs = time("pairs")(operators.Dedup
-      .ngramJaccardPairs(docs))
-    time("full ngram")(pairs.count())
+    time("  bucket agg")(buckets.count())
+
+    // streaming floor: one stateful query end-to-end
+    time("stream_t2 end-to-end")(
+      SparkEntry.queries("stream_t2_uv_dedup")(spark, dir).count())
     spark.stop()
   }
 }

@@ -62,11 +62,15 @@ object Similarity {
     * recompute (one shuffle on cluster id). Returns (cluster_id, centroid:
     * array<double>). */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    // deterministic init: first k by id. The k rows collapse into one agg
+    // (no global row_number window — that shape moves all data to a single
+    // partition and warns; here only k tiny rows ever reach one task)
     var centroids = corpus.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("centroid"))
-      .withColumn("cluster_id",
-        row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
-      .select(col("cluster_id"), col("centroid"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("centroid")))).as("cs"))
+      .select(posexplode(col("cs")))
+      .select((col("pos") + 1).cast("long").as("cluster_id"),
+        col("col.centroid").as("centroid"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       // Mean per (cluster, position): posexplode + avg is the
