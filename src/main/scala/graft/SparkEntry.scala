@@ -129,6 +129,85 @@ object SparkEntry {
         .orderBy(col("sink_table"))
     }),
 
+    // ── J6: as-of join (union+window — no join operator, one key shuffle).
+    // Each order gets the customer's previous order date (strictly before).
+    "j6_asof_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      Joins.asOfJoin(
+        o, o.select(col("o_custkey").as("ck"), col("o_orderdate").as("od")),
+        "o_custkey", "ck", "o_orderdate", "od",
+        payload = Seq("od"), strict = true)
+        .select(col("o_orderkey"), col("asof.od").as("prev_date"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ── A6: top-N per group (serving-layer ranking)
+    "a6_topn_per_group" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val rev = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), col("o_custkey"))
+        .agg(sum(dec("o_totalprice")).cast("double").as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_name")).orderBy(col("revenue").desc, col("o_custkey"))
+      rev.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("n_name"), col("rnk"))
+    }),
+
+    // ── A7: rollup (region -> nation -> grand total in one pass)
+    "a7_rollup" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(dec("o_totalprice")).cast("double").as("revenue"),
+          count(lit(1)).as("order_ct"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // ── T4: gap-based sessionization (batch twin of session_window)
+    "t4_sessionize" -> ((s, dir) =>
+      Sessionize.sessionStats(Tables.events(s, dir), gapSec = 1800L)
+        .orderBy(col("user_id"), col("session_id"))),
+
+    // ── Sampling: deterministic stratified hash sample — selection is a
+    // pure function of (doc_id, lang), stable under any partitioning
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratified(Tables.documents(s, dir), col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // ── Embeddings: scalar transform pack (norms, moments, extrema)
+    "emb_scalar_pack" -> ((s, dir) => {
+      def e = transform(col("embedding"), _.cast("double"))
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        truncate6(sqrt(aggregate(e, lit(0.0), (a, x) => a + x * x))).as("l2"),
+        truncate6(aggregate(e, lit(0.0), (a, x) => a + x) / size(col("embedding")))
+          .as("mean"),
+        truncate6(array_max(e)).as("maxv"),
+        truncate6(array_min(e)).as("minv"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ── Pipeline: composed pretraining corpus filter (langid + quality +
+    // token bounds + exact-dedup keeper)
+    "pipe_pretrain_filter" -> ((s, dir) =>
+      Pretrain.filterCorpus(Tables.documents(s, dir),
+        lang = "en", minQuality = 0.4, minTokens = 5, maxTokens = 100000)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // ── T1: new/old-visitor flag (first-event-per-key)
     "t1_new_old_flag" -> ((s, dir) =>
       Sessionize.newOldFlag(Tables.events(s, dir))
@@ -494,6 +573,102 @@ object SparkEntry {
         |FROM events JOIN config
         |  ON event_type = source_table AND operate_type = 'insert'
         |GROUP BY sink_table ORDER BY sink_table""".stripMargin,
+
+    "j6_asof_join" ->
+      """SELECT o1.o_orderkey, o2.o_orderdate AS prev_date
+        |FROM orders o1 ASOF LEFT JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey AND o1.o_orderdate > o2.o_orderdate
+        |ORDER BY o1.o_orderkey""".stripMargin,
+
+    "a6_topn_per_group" ->
+      """WITH rev AS (
+        |  SELECT n_name, o_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, o_custkey),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY n_name
+        |        ORDER BY revenue DESC, o_custkey) AS rnk FROM rev)
+        |SELECT n_name, o_custkey, revenue, rnk FROM r WHERE rnk <= 3
+        |ORDER BY n_name, rnk""".stripMargin,
+
+    "a7_rollup" ->
+      """SELECT r_name, n_name,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS order_ct
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "t4_sessionize" ->
+      """WITH f AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |h AS (SELECT user_id, event_id, us,
+        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MAX(us) - MIN(us) AS span_us, MIN(event_id) AS first_event
+        |FROM h GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 <
+        |  (CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 1000 ELSE 2500 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "emb_scalar_pack" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id, len(v) AS dim,
+        |  floor(sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b))*1000000)/1000000 AS l2,
+        |  floor((list_reduce(v, (a,b) -> a+b)/len(v))*1000000)/1000000 AS mean,
+        |  floor(list_max(v)*1000000)/1000000 AS maxv,
+        |  floor(list_min(v)*1000000)/1000000 AS minv
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    // mirrors TextFns.qualityScore + graft_langid + tokensWs + exact-keeper
+    // — the same formulas as the text_quality / text_langid oracles
+    "pipe_pretrain_filter" ->
+      """WITH toks AS (SELECT doc_id, text, lang,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tw,
+        |    string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS tr
+        |  FROM documents),
+        |lid AS (SELECT doc_id, text, lang, tw, len(tw) AS n_tok,
+        |    len(list_filter(tr, x -> list_contains(['the','and','of','to','is','you','that','with'], x))) AS eh,
+        |    len(list_filter(tr, x -> list_contains(['el','la','de','que','los','por','con','una'], x))) AS sh_,
+        |    len(list_filter(tr, x -> list_contains(['le','la','les','des','est','une','dans','pour'], x))) AS fh,
+        |    len(list_filter(tr, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))) AS dh,
+        |    len(list_filter(tr, x -> list_contains(['的','是','不','我','了','在','人','有'], x))) AS zh_
+        |  FROM toks),
+        |pred AS (SELECT *, CASE
+        |    WHEN greatest(eh, sh_, fh, dh, zh_) = 0 THEN 'und'
+        |    WHEN zh_ = greatest(eh, sh_, fh, dh, zh_) THEN 'zh'
+        |    WHEN fh = greatest(eh, sh_, fh, dh, zh_) THEN 'fr'
+        |    WHEN sh_ = greatest(eh, sh_, fh, dh, zh_) THEN 'es'
+        |    WHEN eh = greatest(eh, sh_, fh, dh, zh_) THEN 'en'
+        |    ELSE 'de' END AS plang FROM lid),
+        |q AS (SELECT *,
+        |    CASE WHEN n_tok = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(tw, x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE)/n_tok END AS sw,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)/length(text) END AS punct
+        |  FROM pred),
+        |f AS (SELECT doc_id, text, lang FROM q
+        |  WHERE plang = 'en'
+        |    AND (0.4*least(length(text)/500.0, 1.0)
+        |       + 0.3*(1.0 - least(punct*5.0, 1.0))
+        |       + 0.3*least(sw*5.0, 1.0)) >= 0.4
+        |    AND n_tok BETWEEN 5 AND 100000),
+        |k AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
+        |SELECT doc_id, lang FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "t1_new_old_flag" ->
       """WITH f AS (SELECT user_id,

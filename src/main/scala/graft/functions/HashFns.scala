@@ -78,4 +78,21 @@ object HashFns {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Little-endian low 64 bits of md5 as an unsigned decimal — the
+    * engine-portable hash primitive (DuckDB: `md5_number_lower`, Python:
+    * `struct.unpack('<Q', md5(x).digest()[8:])`). Used wherever a hash
+    * value itself is part of the contract (fingerprints, deterministic
+    * sampling); xxhash64 stays the fast path for engine-internal hashing. */
+  def md5Lower64(c: Column): Column = {
+    val hx = md5(c.cast("binary"))
+    // digest bytes 8..15, byte-reversed, as hex → unsigned 64-bit decimal
+    val le = concat(Seq(31, 29, 27, 25, 23, 21, 19, 17)
+      .map(i => substring(hx, i, 2)): _*)
+    conv(le, 16, 10).cast("decimal(20,0)")
+  }
+
+  /** md5Lower64 mod m, as a long (m must fit in a positive long). */
+  def md5Lower64Mod(c: Column, m: Long): Column =
+    pmod(md5Lower64(c), lit(m).cast("decimal(20,0)")).cast("long")
 }

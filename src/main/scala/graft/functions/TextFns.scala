@@ -146,17 +146,10 @@ object TextFns {
     * hex-shuffle per token. */
   def fingerprintPortable(c: Column): Column = {
     val M = 2147483647L
-    val dM = lit(M).cast("decimal(20,0)")
-    def tokHash(t: Column): Column = {
-      val hx = md5(t.cast("binary"))
-      // bytes 8..15 of the digest, byte-reversed (little-endian), as hex
-      val le = concat(Seq(31, 29, 27, 25, 23, 21, 19, 17)
-        .map(i => substring(hx, i, 2)): _*)
-      pmod(conv(le, 16, 10).cast("decimal(20,0)"), dM).cast("long")
-    }
     ExprUtil.bind(tokensWs(c)) { toks =>
       def track(mult: Long): Column =
-        aggregate(toks, lit(17L), (acc, t) => pmod(acc * lit(mult) + tokHash(t), lit(M)))
+        aggregate(toks, lit(17L), (acc, t) =>
+          pmod(acc * lit(mult) + HashFns.md5Lower64Mod(t, M), lit(M)))
       shiftleft(track(1000003L), 31).bitwiseOR(track(998244353L))
     }
   }

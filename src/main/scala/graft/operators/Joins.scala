@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join surface of the reference (SURVEY.md §2.4), batch shapes.
@@ -48,6 +49,51 @@ object Joins {
     facts.join(
       broadcast(config),
       facts(factTable) === config("source_table") && facts(factType) === config("operate_type"))
+
+  /** As-of join (left): attach to each left row the payload of the LATEST
+    * right row at-or-before (`strict=false`) / strictly-before
+    * (`strict=true`) the left row's time, per key. Lefts without a match
+    * keep a null payload.
+    *
+    * Spark has no built-in ASOF join. The equi-join-then-max_by shape
+    * multiplies the fact side by the per-key version count before pruning;
+    * a theta-join is a cartesian band. This is the union trick instead: tag
+    * both sides, sort within key by (ts, side), and carry the last-seen
+    * right payload forward with a running window — ONE shuffle on the key,
+    * O(|left|+|right|) rows, no join operator at all. The same recipe backs
+    * point-in-time feature lookups (train-data joins) at any scale; skew =
+    * hot keys, same guards as any keyed shuffle.
+    *
+    * Rights that tie on (key, ts) are first reduced to their struct-max
+    * payload so the result is deterministic under any partitioning (the
+    * same tie policy an engine-native ASOF leaves unspecified). */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      payload: Seq[String],
+      asCol: String = "asof",
+      strict: Boolean = false): DataFrame = {
+    // dedup rights per (key, ts): lexicographic struct max — deterministic
+    val r0 = right
+      .groupBy(col(rightKey).as("__k"), col(rightTs).as("__ts"))
+      .agg(max(struct(payload.map(col): _*)).as("__p"))
+    // at equal ts: side 0 sorts before the left row (inclusive semantics),
+    // side 2 after it (strict excludes equal-ts rights from the frame)
+    val rSide = if (strict) 2 else 0
+    val r = r0.withColumn("__side", lit(rSide))
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(asCol, last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__k", "__ts", "__side", "__p")
+  }
 
   /** Salted equi-join for skewed keys, when the small side is too big to
     * broadcast and AQE's skew splitting isn't enough: the skewed (left)

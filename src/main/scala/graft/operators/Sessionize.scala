@@ -41,6 +41,34 @@ object Sessionize {
       .drop("rn")
   }
 
+  /** Gap-based sessionization: events of one key belong to the same
+    * session while consecutive gaps stay within `gapSec`. Two windows over
+    * one shuffle on the key: a lag to flag session starts, a running sum to
+    * number them. The batch twin of `session_window` (T6's session
+    * variant); at any scale this is one hash shuffle + per-key linear scan. */
+  def sessionize(events: DataFrame, gapSec: Long, key: String = "user_id"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__new",
+        when(
+          lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+              gapSec * 1000000L,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
+  /** Session stats: one row per (key, session) with size, span and bounds. */
+  def sessionStats(events: DataFrame, gapSec: Long, key: String = "user_id"): DataFrame =
+    sessionize(events, gapSec, key)
+      .groupBy(col(key), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span_us"),
+        min(col("event_id")).as("first_event"))
+
   /** T3: bounce = event with no successor for the same key within gapSec
     * (or no successor at all) — `lead` over the key timeline. */
   def bounces(events: DataFrame, gapSec: Long, key: String = "user_id"): DataFrame = {

@@ -34,4 +34,44 @@ class JoinsSpec extends SparkSpec {
     assert(out.count() === 2)
     assert(out.filter(col("name").isNull).count() === 1)
   }
+
+  test("asOfJoin: latest right at-or-before, strictly-before, and no-match null") {
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 50L, "l3"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 100L, "r@100"), (1L, 150L, "r@150"), (1L, 300L, "r@300"))
+      .toDF("rk", "rt", "rv")
+
+    val incl = Joins.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("rv"))
+      .select(col("lv"), col("asof.rv")).as[(String, String)].collect().toMap
+    assert(incl === Map("l1" -> "r@100", "l2" -> "r@150", "l3" -> null))
+
+    val strict = Joins.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("rv"),
+      strict = true)
+      .select(col("lv"), col("asof.rv")).as[(String, String)].collect().toMap
+    assert(strict === Map("l1" -> null, "l2" -> "r@150", "l3" -> null))
+  }
+
+  test("asOfJoin: rights tying on (key, ts) resolve deterministically (struct max)") {
+    val left = Seq((1L, 10L, "l")).toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, "a"), (1L, 5L, "z"), (1L, 5L, "m")).toDF("rk", "rt", "rv")
+    val out = Joins.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("rv"))
+      .select(col("asof.rv")).as[String].collect()
+    assert(out.toSeq === Seq("z"))
+  }
+
+  test("asOfJoin matches the equi-join+max_by formulation on random data") {
+    val rnd = new scala.util.Random(11)
+    val left = Seq.fill(300)((rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "lid")
+    val right = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong))
+      .distinct.map { case (k, t) => (k, t, s"p$k-$t") }.toDF("rk", "rt", "rv")
+    val fast = Joins.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("rt", "rv"))
+      .select(col("lid"), col("asof.rv").as("rv"))
+    val naive = left.join(right, col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .groupBy(col("lid"))
+      .agg(max_by(col("rv"), struct(col("rt"), col("rv"))).as("rv"))
+    val a = fast.collect().map(_.toString).sorted
+    val b = naive.collect().map(_.toString).sorted
+    assert(a === b)
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Pretrain, Sampling, Sessionize}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, Long)*) = // (event_id, epoch_sec, user)
+    rows.toDF("event_id", "sec", "user_id")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+
+  test("sessionize splits on gaps > gapSec and numbers sessions per key") {
+    val e = ev((1L, 0L, 1L), (2L, 100L, 1L), (3L, 2000L, 1L), (4L, 2100L, 1L),
+      (5L, 50L, 2L))
+    val out = Sessionize.sessionize(e, gapSec = 1800L)
+      .select(col("event_id"), col("session_id")).as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessionStats spans and sizes") {
+    val e = ev((1L, 0L, 1L), (2L, 100L, 1L), (3L, 9000L, 1L))
+    val out = Sessionize.sessionStats(e, gapSec = 1800L)
+      .select(col("session_id"), col("n_events"), col("span_us"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 100000000L), (2L, 1L, 0L)))
+  }
+
+  test("hash sampling is a pure function of the key: stable under repartition") {
+    val df = (1 to 2000).map(_.toLong).toDF("id")
+    val once = Sampling.hashSample(df, col("id"), 0.3).as[Long].collect().sorted
+    val again = Sampling.hashSample(df.repartition(13), col("id"), 0.3)
+      .as[Long].collect().sorted
+    assert(once === again)
+    // rate lands near 30% (md5 is uniform)
+    assert(math.abs(once.length / 2000.0 - 0.3) < 0.05)
+  }
+
+  test("stratified sampling honors per-stratum rates and the default") {
+    val df = (1 to 3000).map(i => (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "s")
+    val kept = Sampling.stratified(df, col("s"), col("id"),
+      Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
+    val byS = kept.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(byS.getOrElse("a", 0L) === 1000L) // rate 1.0 keeps all
+    assert(byS.getOrElse("b", 0L) === 0L)    // rate 0.0 keeps none
+    assert(math.abs(byS.getOrElse("c", 0L) - 500L) < 100L) // default 0.5
+  }
+
+  test("pretrain filter composes: lang + quality + token bounds + dedup keeper") {
+    val en = "the quick brown fox jumps over the lazy dog and that is it " * 5
+    val docs = Seq(
+      (1L, en, "en"),                            // keeper of the en pair
+      (2L, en, "en"),                            // exact dup -> dropped
+      (3L, "el la de que los por con una cosa mas grande aqui", "es"), // wrong lang
+      (4L, "the of and", "en"),                  // too few tokens
+      (5L, en + " unique tail", "en"))           // distinct content survives
+      .toDF("doc_id", "text", "lang")
+    val out = Pretrain.filterCorpus(docs).select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 5L))
+  }
+}
