@@ -467,6 +467,15 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── T4 streaming: session_window agg. Sessions still open at the final
+    // watermark stay pending (live-stream semantics; oracle mirrors the
+    // cutoff).
+    "stream_t4_session" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.WindowedStreams.sessionStats(
+          graft.streaming.Sources.eventsStream(s, dir), gapSec = 1800L))
+        .orderBy(col("user_id"), col("stt_us"))),
+
     // ── K3/A5: serve over materialized stats (two-level agg)
     "k3_serving_reagg" -> ((s, dir) =>
       Stats.productStats(Tables.events(s, dir))
@@ -632,6 +641,26 @@ object SparkEntry {
         |  floor(list_max(v)*1000000)/1000000 AS maxv,
         |  floor(list_min(v)*1000000)/1000000 AS minv
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    // session_window cutoff: a session emits once the final watermark (ms,
+    // 0s delay → floor(max_us/1000)) is at or past its end (last + gap)
+    "stream_t4_session" ->
+      """WITH f AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |mx AS (SELECT max(us) AS mu FROM f),
+        |g AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |h AS (SELECT user_id, us,
+        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (SELECT user_id, sid, MIN(us) AS stt_us, MAX(us) AS last_us,
+        |         COUNT(*) AS n_events
+        |  FROM h GROUP BY user_id, sid)
+        |SELECT user_id, stt_us, n_events FROM sess, mx
+        |WHERE (last_us + 1800000000)//1000 <= mu//1000
+        |ORDER BY user_id, stt_us""".stripMargin,
 
     // mirrors TextFns.qualityScore + graft_langid + tokensWs + exact-keeper
     // — the same formulas as the text_quality / text_langid oracles

@@ -42,10 +42,14 @@ object Sessionize {
   }
 
   /** Gap-based sessionization: events of one key belong to the same
-    * session while consecutive gaps stay within `gapSec`. Two windows over
+    * session while consecutive gaps stay under `gapSec`. Two windows over
     * one shuffle on the key: a lag to flag session starts, a running sum to
     * number them. The batch twin of `session_window` (T6's session
-    * variant); at any scale this is one hash shuffle + per-key linear scan. */
+    * variant), with its exact boundary semantics — session_window merges an
+    * event arriving exactly gapSec after the previous one (verified in
+    * StreamingParitySpec), so only a gap STRICTLY greater than gapSec
+    * starts a new session. At any scale this is one hash shuffle + per-key
+    * linear scan. */
   def sessionize(events: DataFrame, gapSec: Long, key: String = "user_id"): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col("ts"), col("event_id"))
     events

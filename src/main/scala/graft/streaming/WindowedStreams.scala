@@ -63,6 +63,22 @@ object WindowedStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         col("keyword"), col("ct"))
 
+  /** Session-window aggregation (T6's session variant): events of one key
+    * merge while gaps stay within `gapSec`; a session's window is
+    * [first_ts, last_ts + gap). Append mode emits a session once the
+    * watermark passes its end — trailing sessions inside the horizon stay
+    * pending, exactly the live-stream contract (the bounded-run oracle
+    * applies the same cutoff). State per key is one open session — bounded
+    * by watermark, merge-on-arrival, no event buffering. */
+  def sessionStats(events: DataFrame, gapSec: Long,
+      watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"$gapSec seconds").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("stt_us"),
+        col("n_events"))
+
   /** J1 streaming (dwm/OrderWideApp.java:87-97): watermarked stream-stream
     * interval join — right.ts in [left.ts - lowerSec, left.ts + upperSec].
     * Inner join: rows emit as soon as both sides arrive; the watermark only

@@ -86,6 +86,50 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("T4 session_window: sessions merge across batches, close on watermark") {
+    import org.apache.spark.sql.functions._
+    val out = runBatches(Seq(
+      Seq(ev(1, 100, 0), ev(2, 100, 50)),      // open session [0, 50+60)
+      Seq(ev(3, 100, 80)),                      // extends it: [0, 140)
+      Seq(ev(4, 200, 1000)),                    // watermark -> 1000 closes it
+      Seq(ev(5, 300, 5000))))(df =>             // closes user 200's session
+      graft.streaming.WindowedStreams.sessionStats(df, gapSec = 60L))
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // user 100: one 3-event session (the cross-batch merge); user 200's
+    // single-event session closed at watermark 5000; user 300 pending
+    assert(out === Map(100L -> 3L, 200L -> 1L))
+  }
+
+  test("T4 parity: streaming session boundaries == batch sessionize") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = Seq(
+      ev(1, 1, 0), ev(2, 1, 30), ev(3, 1, 200), // gap 170 > 60: two sessions
+      ev(4, 2, 10), ev(5, 2, 70),               // gap exactly 60: MERGES
+      ev(6, 3, 40),
+      ev(7, 9, 100000))                         // watermark pusher
+    // batches are roughly time-ordered; the 1000s watermark delay keeps
+    // slightly-out-of-order arrivals from being dropped as late
+    val batches = Seq(
+      Seq(events(0), events(1), events(3)),
+      Seq(events(4), events(5), events(2)),
+      Seq(events(6)))
+    val streamed = runBatches(batches)(df =>
+      graft.streaming.WindowedStreams.sessionStats(df, gapSec = 60L,
+        watermark = "1000 seconds"))
+      .filter(col("user_id") =!= 9L)
+      .select(col("user_id"), col("stt_us"), col("n_events"))
+      .collect().map(_.toString).sorted
+    val batch2 = Sessionize.sessionize(events.toDF(), gapSec = 60L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(unix_micros(min(col("ts"))).as("stt_us"), count(lit(1)).as("n_events"))
+      .filter(col("user_id") =!= 9L)
+      .select(col("user_id"), col("stt_us"), col("n_events"))
+      .collect().map(_.toString).sorted
+    assert(streamed === batch2)
+  }
+
   test("T2 parity: streaming over shuffled batches == batch operator") {
     import spark.implicits._
     val events = Seq(
