@@ -200,6 +200,24 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ── Text: TF-IDF top terms per document (integer-ranked: tf desc,
+    // df asc — engine-exact, no float idf convention in the contract)
+    "text_tfidf_top" -> ((s, dir) =>
+      TfIdf.topTerms(Tables.documents(s, dir), k = 2)
+        .orderBy(col("doc_id"), col("rnk"))),
+
+    // ── A8: exact percentiles (interpolated) per group; percentile_approx
+    // (t-digest, one pass, mergeable) is the 100 TB path for the same call
+    "a8_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          truncate6(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+          truncate6(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+          truncate6(expr("percentile(l_extendedprice, 0.75)")).as("p75"),
+          count(lit(1)).as("ct"))
+        .orderBy(col("l_returnflag"))),
+
     // ── Pipeline: composed pretraining corpus filter (langid + quality +
     // token bounds + exact-dedup keeper)
     "pipe_pretrain_filter" -> ((s, dir) =>
@@ -641,6 +659,29 @@ object SparkEntry {
         |  floor(list_max(v)*1000000)/1000000 AS maxv,
         |  floor(list_min(v)*1000000)/1000000 AS minv
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "text_tfidf_top" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+        |  FROM tf JOIN df ON tf.term = df.term)
+        |SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 2
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "a8_percentiles" ->
+      """SELECT l_returnflag,
+        |  floor(quantile_cont(l_extendedprice, 0.25)*1000000)/1000000 AS p25,
+        |  floor(quantile_cont(l_extendedprice, 0.5)*1000000)/1000000 AS p50,
+        |  floor(quantile_cont(l_extendedprice, 0.75)*1000000)/1000000 AS p75,
+        |  COUNT(*) AS ct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // session_window cutoff: a session emits once the final watermark (ms,
     // 0s delay → floor(max_us/1000)) is at or past its end (last + gap)

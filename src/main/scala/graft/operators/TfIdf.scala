@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.functions.TextFns._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF machinery over the document corpus: term frequencies, document
+  * frequencies, and per-document distinctive-term ranking.
+  *
+  * Plan shape: tokenize+explode is narrow (scan-side); TF is one shuffle
+  * on (doc, term); DF reuses the TF table with one shuffle on term; the
+  * ranking join shuffles on term and ranks within doc. At 100 TB the DF
+  * table is vocabulary-sized (≪ corpus) — AQE converts the join to a
+  * broadcast when it fits, and the high-DF head can be broadcast
+  * separately from the long tail if the vocabulary itself is huge.
+  *
+  * Ranking is by integers only (tf desc, df asc, term asc) — "most
+  * frequent, most distinctive" — so results are engine-exact without any
+  * floating-point idf convention; a float idf (log(N/df)) drops in as one
+  * extra column when a score is wanted.
+  */
+object TfIdf {
+
+  /** Term frequency per (doc_id, term). */
+  def termFreq(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokensWs(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document frequency per term (from the TF table — rows there are
+    * already distinct per (doc, term)). */
+  def docFreq(tf: DataFrame): DataFrame =
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** Top-k distinctive terms per document: highest tf, ties to the rarest
+    * (lowest df), then lexicographic. */
+  def topTerms(documents: DataFrame, k: Int): DataFrame = {
+    val tf = termFreq(documents)
+    val df = docFreq(tf)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+  }
+}

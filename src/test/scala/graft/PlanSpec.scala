@@ -67,4 +67,32 @@ class PlanSpec extends SparkSpec {
       p.take(800))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("j6_asof_join: union+window — NO join operator, one key exchange") {
+    val p = plan("j6_asof_join")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("Window"))
+  }
+
+  test("sample_stratified: pure scan-side filter — no shuffle, no join") {
+    val p = plan("sample_stratified")
+    assert(!p.contains("Join"), p.take(800))
+    // only the output sort may exchange; the filter itself is narrow
+    assert(!p.linesIterator.takeWhile(!_.contains("Sort")).exists(_.contains("Exchange")),
+      p.take(1200))
+  }
+
+  test("a6_topn_per_group: dims broadcast; rank window is partitioned (no " +
+    "single-partition global window)") {
+    val p = plan("a6_topn_per_group")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SinglePartition") ||
+      !p.linesIterator.exists(l => l.contains("Window") && l.contains("SinglePartition")),
+      p.take(1200))
+  }
+
+  test("a7_rollup: rollup stays one Expand + one aggregation exchange") {
+    val p = plan("a7_rollup")
+    assert(p.contains("Expand"), p.take(800))
+  }
 }
