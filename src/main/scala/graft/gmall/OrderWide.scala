@@ -106,6 +106,29 @@ object OrderWide {
         col("id").as("category3_id"), col("name").as("category3_name"))),
         Seq("category3_id"), "left")
 
+  /** J2 streaming: the PaymentWide join with watermarks on both sides —
+    * the second hop of the reference's chained deployment. `orderWide`
+    * here is the stream READ BACK from the dwm_order_wide sink boundary
+    * (Spark allows one stream-stream join per query, same constraint the
+    * reference solves with the intermediate Kafka topic). */
+  def paymentWideStream(paymentInfo: DataFrame, orderWide: DataFrame,
+      lagSec: Long = 15L, watermark: String = "15 seconds"): DataFrame = {
+    val pay = withCreateTs(paymentInfo)
+      .withColumnRenamed("id", "payment_id")
+      .withColumnRenamed("create_time", "payment_create_time")
+      .withColumnRenamed("create_ts_t", "pay_ts")
+      .withColumnRenamed("total_amount", "payment_amount")
+      .select(col("payment_id"), col("order_id").as("pay_order_id"),
+        col("payment_type"), col("payment_amount"),
+        col("payment_create_time"), col("pay_ts"))
+      .withWatermark("pay_ts", watermark)
+    pay.join(orderWide.withWatermark("oi_ts", watermark),
+      col("pay_order_id") === orderWide("order_id") &&
+        col("oi_ts") >= col("pay_ts") - expr(s"INTERVAL $lagSec SECONDS") &&
+        col("oi_ts") <= col("pay_ts"))
+      .drop("pay_order_id")
+  }
+
   /** J2: PaymentInfo ⋈ OrderWide with the asymmetric band
     * ow.ts ∈ [pay.ts - 15s, pay.ts] (payment follows order). */
   def paymentWide(paymentInfo: DataFrame, orderWide: DataFrame,

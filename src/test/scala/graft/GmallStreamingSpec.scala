@@ -36,6 +36,64 @@ class GmallStreamingSpec extends SparkSpec {
     assert(counts === Map("iphone" -> 2L, "12" -> 1L, "pro" -> 1L, "case" -> 1L))
   }
 
+  test("J1->J2 chained streaming through a sink boundary (dwm_order_wide)") {
+    import graft.gmall.OrderWide
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-chain").toString
+    val wideDir = s"$root/dwm_order_wide"
+
+    // raw inputs as parquet (standing in for the dwd_* Kafka topics)
+    def t(sec: Int) = f"2021-01-01 10:00:$sec%02d"
+    val orderInfo = Seq((100L, 1L, t(10)), (101L, 2L, t(20)))
+      .toDF("id", "user_id", "create_time")
+    val orderDetail = Seq(
+      (1000L, 100L, 7L, t(12)), // within +5s of order 100
+      (1001L, 101L, 8L, t(21)), // within band of order 101
+      (1002L, 101L, 9L, t(40))) // outside band -> dropped
+      .toDF("id", "order_id", "sku_id", "create_time")
+      .withColumn("order_price", lit(new java.math.BigDecimal("9.99")))
+      .withColumn("sku_num", lit(1L))
+      .withColumn("sku_name", lit("sku"))
+      .withColumn("split_total_amount", lit(new java.math.BigDecimal("9.99")))
+    val payment = Seq(
+      (5000L, 100L, "alipay", t(20)),  // order at t10 in [t20-15, t20]
+      (5001L, 101L, "union", t(50)))   // order at t20 < t50-15 -> dropped
+      .toDF("id", "order_id", "payment_type", "create_time")
+      .withColumn("total_amount", lit(new java.math.BigDecimal("9.99")))
+    val oiDir = s"$root/oi"; val odDir = s"$root/od"; val payDir = s"$root/pay"
+    orderInfo.write.parquet(oiDir)
+    orderDetail.write.parquet(odDir)
+    payment.write.parquet(payDir)
+
+    // hop 1: stream-stream interval join -> parquet sink boundary
+    val oiS = spark.readStream.schema(orderInfo.schema).parquet(oiDir)
+    val odS = spark.readStream.schema(orderDetail.schema).parquet(odDir)
+    val wide = OrderWide.joinStream(oiS, odS)
+    val q1 = wide.writeStream
+      .format("parquet").option("path", wideDir)
+      .option("checkpointLocation", s"$root/ckpt1")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+
+    // hop 2: read the boundary back as a stream, join payments
+    val wideBatch = spark.read.parquet(wideDir)
+    val wideS = spark.readStream.schema(wideBatch.schema).parquet(wideDir)
+    val payS = spark.readStream.schema(payment.schema).parquet(payDir)
+    val out = graft.streaming.StreamRunner.collect(
+      OrderWide.paymentWideStream(payS, wideS))
+    val got = out.select("payment_id", "order_id", "sku_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((5000L, 100L, 7L)))
+
+    // and the streaming chain equals the batch chain
+    val batchChain = OrderWide.paymentWide(
+      payment, OrderWide.join(orderInfo, orderDetail))
+      .select("payment_id", "order_id", "sku_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === batchChain)
+  }
+
   test("batch DwsStats.productStats: 7-source shaped union sums per metric") {
     // gmall convention: ts is epoch millis (the operator converts)
     def facts(rows: (Long, Long)*) = rows.toSeq
