@@ -101,24 +101,59 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(min_by(col("cluster_id"), struct(col("d2"), col("cluster_id"))).as("cluster_id"))
 
-  /** IVF search: probe the nProbe nearest centroids per query, scan only
-    * those lists. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroids: DataFrame, nProbe: Int = 2): DataFrame = {
-    val lists = corpus.join(assign(corpus, centroids), "vec_id")
-    val qProbes = queries.crossJoin(broadcast(centroids))
+  /** Query-side probe selection: each query's nProbe nearest centroids. */
+  private def probes(queries: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame =
+    queries.crossJoin(broadcast(centroids))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("cluster_id"), l2sq(col("embedding"), col("centroid")).as("d2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cluster_id"))))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("cluster_id"))
+
+  /** Rank bucket-cohabitant scores to top-k per query. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+
+  /** IVF search: probe the nProbe nearest centroids per query, scan only
+    * those lists. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: DataFrame, nProbe: Int = 2): DataFrame = {
+    val lists = corpus.join(assign(corpus, centroids), "vec_id")
+    val qProbes = probes(queries, centroids, nProbe)
     val scored = lists.join(broadcast(qProbes), Seq("cluster_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q_emb"), col("embedding")).as("cos"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
+  }
+
+  /** Persist the IVF inverted lists partitioned by cluster id. This is the
+    * at-rest index layout: a probe of p clusters reads p/k of the FILES —
+    * partition pruning happens before any row is deserialized, which is
+    * the difference between an index and a full scan at 100 TB. */
+  def buildIvfIndex(corpus: DataFrame, centroids: DataFrame, path: String): Unit =
+    corpus.join(assign(corpus, centroids), "vec_id")
+      .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+
+  /** Search a persisted IVF index. The probe set is collected (it is
+    * nProbe × |queries| ints — driver-side by design, like any index
+    * lookup plan) and pushed as a partition-pruning IN filter, so only the
+    * probed cluster directories are scanned. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, centroids: DataFrame, nProbe: Int = 2): DataFrame = {
+    val qProbes = probes(queries, centroids, nProbe)
+    val probedClusters = qProbes.select(col("cluster_id"))
+      .distinct().collect().map(_.getLong(0))
+    val lists = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probedClusters: _*))
+    val scored = lists.join(broadcast(qProbes), Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    rankTopK(scored, k)
   }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("persisted IVF index returns the same neighbors as the in-memory path") {
+    val path = Files.createTempDirectory("graft-ivf").toString + "/index"
+    val centroids = Similarity.trainCentroids(emb, k = 8, iters = 1)
+      .localCheckpoint(true) // pin: both paths must use identical centroids
+    val queries = emb.filter(col("vec_id") < 3)
+    Similarity.buildIvfIndex(emb, centroids, path)
+    val indexed = Similarity.ivfTopKIndexed(spark, path, queries, k = 5,
+      centroids, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted
+    val inMem = Similarity.ivfTopK(emb, queries, k = 5, centroids, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted
+    assert(indexed === inMem)
+    assert(indexed.nonEmpty)
+  }
+
+  test("index scan is pruned to the probed cluster partitions") {
+    val path = Files.createTempDirectory("graft-ivf2").toString + "/index"
+    val centroids = Similarity.trainCentroids(emb, k = 8, iters = 1)
+      .localCheckpoint(true)
+    Similarity.buildIvfIndex(emb, centroids, path)
+    // the partition layout is one directory per cluster
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cluster_id=")).map(_.getName).sorted
+    assert(dirs.length === 8)
+    // a pruned read of 2 clusters touches 2 partition values
+    val two = spark.read.parquet(path).filter(col("cluster_id").isin(1L, 2L))
+    val plan = two.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("cluster_id"), plan.take(600))
+    val vals = two.select(col("cluster_id")).distinct().as[Long].collect().toSet
+    assert(vals.subsetOf(Set(1L, 2L)))
+  }
+}
