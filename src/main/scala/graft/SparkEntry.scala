@@ -218,6 +218,36 @@ object SparkEntry {
           count(lit(1)).as("ct"))
         .orderBy(col("l_returnflag"))),
 
+    // ── Embeddings: symmetric int8 quantization (4x storage shrink for
+    // ANN scans; floor-based so quantized vectors are engine-portable)
+    "emb_quantize" -> ((s, dir) => {
+      def q = VectorFns.quantizeInt8(col("embedding"))
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        truncate6(array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+          .as("scale_t"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(q).as("q_min"),
+        array_max(q).as("q_max"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ── Corpus analytics: per-language report (docs, tokens, mean quality,
+    // distinct contents). Quality sums run in decimal — exact and
+    // associative, so the mean is reproducible under any partitioning.
+    "corpus_report" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("text"),
+          call_function("graft_text_profile", col("text")).as("p"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("p.n_tokens")).as("tokens"),
+          truncate6(sum(col("p.quality").cast("decimal(18,12)")).cast("double")
+            / count(lit(1))).as("mean_quality"),
+          count_distinct(md5(col("text"))).as("distinct_docs"))
+        .orderBy(col("lang"))),
+
     // ── Pipeline: composed pretraining corpus filter (langid + quality +
     // token bounds + exact-dedup keeper)
     "pipe_pretrain_filter" -> ((s, dir) =>
@@ -682,6 +712,40 @@ object SparkEntry {
         |  floor(quantile_cont(l_extendedprice, 0.75)*1000000)/1000000 AS p75,
         |  COUNT(*) AS ct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
+        |q AS (SELECT vec_id, sc,
+        |    CASE WHEN sc = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v, x -> CAST(floor(x/sc*127) AS BIGINT)) END AS qv
+        |  FROM s)
+        |SELECT vec_id, floor(sc*1000000)/1000000 AS scale_t,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (a,b) -> a+b) AS q_sum,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // quality formula mirrors the text_quality oracle; decimal(18,12) sums
+    // keep the mean exact and partition-order-independent
+    "corpus_report" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, lang, text, len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE)/len(toks) END AS sw,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)/length(text) END AS punct
+        |  FROM t),
+        |q AS (SELECT doc_id, lang, text, n_tokens,
+        |    0.4*least(length(text)/500.0, 1.0)
+        |      + 0.3*(1.0 - least(punct*5.0, 1.0))
+        |      + 0.3*least(sw*5.0, 1.0) AS quality
+        |  FROM m)
+        |SELECT lang, COUNT(*) AS docs, SUM(n_tokens) AS tokens,
+        |  floor((CAST(SUM(CAST(quality AS DECIMAL(18,12))) AS DOUBLE)/COUNT(*))*1000000)/1000000 AS mean_quality,
+        |  COUNT(DISTINCT md5(text)) AS distinct_docs
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
 
     // session_window cutoff: a session emits once the final watermark (ms,
     // 0s delay → floor(max_us/1000)) is at or past its end (last + gap)

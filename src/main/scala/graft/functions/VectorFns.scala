@@ -50,6 +50,17 @@ object VectorFns {
       when(dot(v, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Symmetric int8 quantization: scale = max|x| per vector, elements map
+    * to floor(x/scale*127) ∈ [-127, 127] (floor, not round — identical
+    * IEEE op order in any engine, so quantized vectors are bit-portable).
+    * 4x storage shrink for ANN candidate scans; exact re-scoring keeps the
+    * float column. Zero vectors quantize to zeros. */
+  def quantizeInt8(a: Column): Column =
+    ExprUtil.bind(array_max(transform(a, x => abs(x.cast("double"))))) { scale =>
+      when(scale === 0.0, transform(a, _ => lit(0L)))
+        .otherwise(transform(a, x => floor(x.cast("double") / scale * 127.0)))
+    }
+
   /** Deterministic pseudo-random unit-ish hyperplanes from a fixed seed. */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
