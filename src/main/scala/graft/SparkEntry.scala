@@ -524,6 +524,27 @@ object SparkEntry {
           graft.streaming.Sources.eventsStream(s, dir), gapSec = 1800L))
         .orderBy(col("user_id"), col("stt_us"))),
 
+    // ── A4 streaming via the SQL path: spark.sql over a streaming temp
+    // view (the Flink SQL job shape, SURVEY §3.2 — one Catalyst pipeline,
+    // no Table/DataStream bridge). Exact distinct via collect_set
+    // (COUNT(DISTINCT) is unsupported in streaming).
+    "stream_a4_sql" -> ((s, dir) => {
+      val view = s"ev_sql_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.Sources.eventsStream(s, dir)
+        .withWatermark("ts", "2 seconds")
+        .createOrReplaceTempView(view)
+      graft.streaming.StreamRunner.collect(
+        s.sql(
+          s"""SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
+             |       event_type, pmod(user_id, 4) AS cohort, count(*) AS pv,
+             |       size(collect_set(user_id)) AS uv,
+             |       cast(sum(cast(value AS decimal(18,2))) AS double) AS dur_sum
+             |FROM $view
+             |GROUP BY window(ts, '60 seconds'), event_type, pmod(user_id, 4)""".stripMargin),
+        outputMode = "complete")
+        .orderBy(col("stt"), col("event_type"), col("cohort"))
+    }),
+
     // ── K3/A5: serve over materialized stats (two-level agg)
     "k3_serving_reagg" -> ((s, dir) =>
       Stats.productStats(Tables.events(s, dir))
@@ -871,6 +892,15 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount,
         |       COUNT(DISTINCT user_id) AS user_ct
         |FROM w GROUP BY us, event_type ORDER BY us, event_type""".stripMargin,
+
+    "stream_a4_sql" ->
+      """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//60000000)*60000000 AS us,
+        |                  event_type, value, user_id FROM events)
+        |SELECT strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       event_type, user_id % 4 AS cohort, COUNT(*) AS pv,
+        |       COUNT(DISTINCT user_id) AS uv,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+        |FROM w GROUP BY us, event_type, cohort ORDER BY us, event_type, cohort""".stripMargin,
 
     "stream_j1_interval_join" ->
       """SELECT v.user_id, COUNT(*) AS pair_ct

@@ -130,6 +130,21 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed === batch2)
   }
 
+  test("T7 late data: an event behind the watermark is dropped from the window agg") {
+    import org.apache.spark.sql.functions._
+    val out = runBatches(Seq(
+      Seq(ev(1, 100, 5), ev(2, 100, 8)),   // window [0,10): 2 events
+      Seq(ev(3, 200, 1000)),               // watermark -> 1000, closes [0,10)
+      Seq(ev(4, 100, 3)),                  // LATE: behind watermark -> dropped
+      Seq(ev(5, 300, 2000))))(df =>        // close everything else
+      graft.streaming.WindowedStreams.productStats(df, windowSec = 10,
+        watermark = "0 seconds"))
+      .filter(col("stt") === "1970-01-01 00:00:00")
+      .select(col("ct")).collect().map(_.getLong(0))
+    // the [0,10) window emitted once, with 2 events — the late 3rd never counted
+    assert(out.toSeq === Seq(2L))
+  }
+
   test("T2 parity: streaming over shuffled batches == batch operator") {
     import spark.implicits._
     val events = Seq(
