@@ -443,6 +443,14 @@ object SparkEntry {
           col("meta.n_bytes").as("n_bytes"), col("meta.codec").as("codec"))
         .orderBy(col("doc_id"))),
 
+    // ── Multimodal: stubbed resize/downsample (binary in -> smaller
+    // binary out, metadata updated; per-partition batch shape)
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resize(
+        Multimodal.attachBinary(Tables.documents(s, dir)), factor = 4)
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes_out"))
+        .orderBy(col("doc_id"))),
+
     // ── Multimodal: stubbed per-partition feature extraction. Scalar
     // projections of the feature vector (dim; sum == payload byte count by
     // construction of the histogram stub) make the stage oracle-checkable.
@@ -1025,6 +1033,11 @@ object SparkEntry {
         |  greatest((strlen(text)-1)//16, 0) + 1 AS n_frames,
         |  16*greatest((strlen(text)-1)//16, 0) AS last_offset,
         |  array_to_string([16*i for i in range(0, greatest((strlen(text)-1)//16, 0) + 1)], ',') AS offsets_csv
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every-4th-byte downsample: output length = ceil(n_bytes/4)
+    "mm_resize" ->
+      """SELECT doc_id, CAST((strlen(text) + 3) // 4 AS BIGINT) AS n_bytes_out
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the stub feature is a 16-bin byte histogram of the utf-8 payload, so

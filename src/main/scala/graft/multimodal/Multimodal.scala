@@ -72,4 +72,29 @@ object Multimodal {
         sequence(lit(0L),
           greatest(floor((col("meta.n_bytes") - 1) / stride).cast("long"), lit(0L))),
         i => i * stride).as("frame_offsets"))
+
+  /** STUB resize/downsample: keep every `factor`-th byte of the payload.
+    * A real image resize swaps the per-partition body for a codec call;
+    * the Spark-side contract — binary in, smaller binary out, metadata
+    * updated, per-partition batch shape — is what this exercises. */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0)
+    val out = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("n_bytes", LongType),
+        StructField("codec", StringType))))))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("doc_id"), col("payload"), col("meta.codec"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val small =
+            if (bytes == null) Array.emptyByteArray
+            else Array.tabulate((bytes.length + factor - 1) / factor)(i => bytes(i * factor))
+          Row(r.getLong(0), small, Row(small.length.toLong, r.getString(2)))
+        }
+      }(enc)
+  }
 }

@@ -27,6 +27,16 @@ object Sampling {
       HashFns.md5Lower64Mod(keyCol.cast("string"), Buckets) < (rate * Buckets).toLong)
   }
 
+  /** Weighted dataset mixture: union N corpora, each hash-sampled at its
+    * own rate — the "mix web/books/code at fixed proportions" step of a
+    * pretraining data recipe. Deterministic per source (same hash-keyed
+    * selection as [[hashSample]]); schemas align by name. */
+  def mixture(sources: Seq[(DataFrame, Double)], keyCol: String): DataFrame = {
+    require(sources.nonEmpty)
+    sources.map { case (df, rate) => hashSample(df, col(keyCol), rate) }
+      .reduce(_ unionByName _)
+  }
+
   /** Stratified deterministic sample: per-stratum rates (stratum column →
     * rate in [0,1]); strata absent from the map fall back to
     * `defaultRate`. Rates are baked into the plan as a literal map — no

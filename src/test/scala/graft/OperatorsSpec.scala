@@ -47,6 +47,27 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(byS.getOrElse("c", 0L) - 500L) < 100L) // default 0.5
   }
 
+  test("mixture: per-source rates compose deterministic hash sampling") {
+    val a = (1 to 1000).map(i => (i.toLong, "a")).toDF("id", "src")
+    val b = (1 to 1000).map(i => (i.toLong + 10000, "b")).toDF("id", "src")
+    val mixed = Sampling.mixture(Seq((a, 1.0), (b, 0.0)), "id")
+    val bySrc = mixed.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc === Map("a" -> 1000L))
+    // rerun with a different partitioning: identical selection
+    val again = Sampling.mixture(Seq((a.repartition(7), 1.0), (b, 0.0)), "id")
+    assert(again.select("id").as[Long].collect().sorted ===
+      mixed.select("id").as[Long].collect().sorted)
+  }
+
+  test("multimodal resize keeps every k-th byte and updates metadata") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val out = Multimodal.resize(Multimodal.attachBinary(docs), factor = 4).head()
+    val payload = out.getAs[Array[Byte]]("payload")
+    assert(new String(payload, "UTF-8") === "aei") // bytes 0, 4, 8
+    assert(out.getAs[org.apache.spark.sql.Row]("meta").getLong(0) === 3L)
+  }
+
   test("pretrain filter composes: lang + quality + token bounds + dedup keeper") {
     val en = "the quick brown fox jumps over the lazy dog and that is it " * 5
     val docs = Seq(
