@@ -60,6 +60,18 @@ object SparkEntry {
     "a3_keyword_stats" -> ((s, dir) =>
       Stats.keywordStats(Tables.documents(s, dir)).orderBy(col("keyword"))),
 
+    // ── A3 via the custom Catalyst Generator: SQL LATERAL VIEW
+    // graft_tokenize — the reference's LATERAL TABLE(ik_analyze(...))
+    // shape verbatim (U1, func/SplitFunction.java:12-27)
+    "a3_keyword_lateral" -> ((s, dir) => {
+      val view = s"docs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Tables.documents(s, dir).createOrReplaceTempView(view)
+      s.sql(
+        s"""SELECT keyword, count(*) AS ct
+           |FROM $view LATERAL VIEW graft_tokenize(text) t AS keyword
+           |GROUP BY keyword ORDER BY keyword""".stripMargin)
+    }),
+
     // ── A4: ProvinceStats — geo rollup with distinct counts over BHJ dims
     "a4_province_stats" -> ((s, dir) =>
       Stats.provinceStats(
@@ -331,6 +343,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ── Dedup: connected components over near-dup pairs — pairs resolved
+    // to duplicate clusters (min-id label propagation)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.ngramJaccardPairs(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+
     // ── Dedup: MinHash+LSH (rows-only: hash family is engine-side)
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir))
@@ -600,6 +618,35 @@ object SparkEntry {
       """SELECT keyword, COUNT(*) AS ct
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS keyword FROM documents)
         |WHERE keyword <> '' GROUP BY keyword ORDER BY keyword""".stripMargin,
+
+    "a3_keyword_lateral" ->
+      """SELECT keyword, COUNT(*) AS ct
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS keyword FROM documents)
+        |WHERE keyword <> '' GROUP BY keyword ORDER BY keyword""".stripMargin,
+
+    // transitive closure of the ngram near-dup pairs; cluster = min
+    // reachable doc id
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+        |  FROM toks),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_a, doc_b FROM p
+        |  WHERE CAST(i AS DOUBLE)/(la + lb - i) >= 0.5),
+        |e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
+        |reach AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+        |SELECT s AS doc_id, least(s, MIN(d)) AS cluster_id
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
 
     "a4_province_stats" ->
       """SELECT n_name, COUNT(DISTINCT o_orderkey) AS order_ct,

@@ -190,6 +190,41 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over dedup pairs — the "resolve pairs into
+    * duplicate clusters" step that completes a dedup pipeline (keep one
+    * doc per cluster). Iterative min-label propagation: each round every
+    * node adopts the smallest label among itself and its neighbors; two
+    * shuffles per round, O(component diameter) rounds. Duplicate clusters
+    * are near-cliques in practice (diameter 1-2), so this converges in a
+    * couple of rounds; the driver-side loop is O(rounds), data stays
+    * distributed. Returns (doc_id, cluster_id = min doc id reachable). */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // reused every round: don't recompute the pairs
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("lbl").as("dlbl")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dlbl")).as("nlbl"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Embedding near-dup: cosine above threshold among hyperplane-bucket
     * cohabitants (see Similarity.lshBuckets for the bucket construction). */
   def embeddingNearDup(embeddings: DataFrame, planes: Seq[Array[Double]],
