@@ -74,8 +74,11 @@ object Joins {
       payload: Seq[String],
       asCol: String = "asof",
       strict: Boolean = false): DataFrame = {
-    // dedup rights per (key, ts): lexicographic struct max — deterministic
+    // dedup rights per (key, ts): lexicographic struct max — deterministic.
+    // Null-key/null-ts rights are dropped: SQL join semantics (null never
+    // matches), where a window partition would lump nulls together.
     val r0 = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
       .groupBy(col(rightKey).as("__k"), col(rightTs).as("__ts"))
       .agg(max(struct(payload.map(col): _*)).as("__p"))
     // at equal ts: side 0 sorts before the left row (inclusive semantics),

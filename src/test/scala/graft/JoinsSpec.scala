@@ -59,6 +59,16 @@ class JoinsSpec extends SparkSpec {
     assert(out.toSeq === Seq("z"))
   }
 
+  test("asOfJoin: null keys/timestamps never match (SQL join semantics)") {
+    val left = Seq((Some(1L), Some(100L), "a"), (None, Some(100L), "nullkey"),
+      (Some(1L), None, "nullts")).toDF("k", "t", "lv")
+    val right = Seq((Some(1L), Some(50L), "r"), (None, Some(10L), "rnull"))
+      .toDF("rk", "rt", "rv")
+    val out = Joins.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("rv"))
+      .select(col("lv"), col("asof.rv")).as[(String, String)].collect().toMap
+    assert(out === Map("a" -> "r", "nullkey" -> null, "nullts" -> null))
+  }
+
   test("asOfJoin matches the equi-join+max_by formulation on random data") {
     val rnd = new scala.util.Random(11)
     val left = Seq.fill(300)((rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong))
