@@ -28,9 +28,16 @@ object Prof {
       .filter(size(col("ids")) > 1 && size(col("ids")) <= 1000)
     time("  bucket agg")(buckets.count())
 
-    // streaming floor: one stateful query end-to-end
-    time("stream_t2 end-to-end")(
-      SparkEntry.queries("stream_t2_uv_dedup")(spark, dir).count())
+    // a6 pieces
+    time("a6 full")(SparkEntry.queries("a6_topn_per_group")(spark, dir).count())
+    time("a6 again")(SparkEntry.queries("a6_topn_per_group")(spark, dir).count())
+    val o = Tables.orders(spark, dir); val c = Tables.customer(spark, dir); val n = Tables.nation(spark, dir)
+    val rev = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    time("a6 agg only")(rev.count())
+    time("orders scan")(o.count())
     spark.stop()
   }
 }

@@ -69,6 +69,67 @@ class SinksSpec extends SparkSpec {
     assert(got === (1L to 150L).toArray) // each row exactly once
   }
 
+  test("dim upsert is idempotent under batch replay (foreachBatch retry)") {
+    val path = Files.createTempDirectory("graft-dimr").toString + "/dim"
+    val b = Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+    Sinks.upsertBatch(b, path, "id")
+    Sinks.upsertBatch(b, path, "id") // replay of the same micro-batch
+    val r = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(r === Map(1L -> "x", 2L -> "y"))
+  }
+
+  test("J5 streaming: config changes take effect on the NEXT micro-batch") {
+    import graft.gmall.DbRouter
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-j5").toString
+    val in = s"$root/in"; val cfgDir = s"$root/cfg"; val outDir = s"$root/out"
+
+    def writeCfg(rows: Seq[(String, String, String, String, String, String)]): Unit =
+      rows.toDF("source_table", "operate_type", "sink_table", "sink_type",
+        "sink_columns", "sink_pk")
+        .write.mode("overwrite").parquet(cfgDir)
+
+    def envelope(table: String, id: Long): String =
+      s"""{"database":"gmall","tableName":"$table","before":"{}","after":"{\\"id\\":$id}","type":"insert"}"""
+
+    writeCfg(Seq(("order_info", "insert", "dwd_order_info", "kafka", "id", "id")))
+    Seq(envelope("order_info", 1L), envelope("user_info", 2L)).toDF("value")
+      .write.mode("append").parquet(in)
+
+    val schema = StructType(Seq(StructField("value", StringType)))
+    // foreachBatch re-reads the config table every batch — the broadcast
+    // config STREAM of the reference collapses to this refresh
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val cfg = spark.read.parquet(cfgDir)
+          val routed = DbRouter.route(
+            graft.streaming.Sources.cdcDecode(batch), cfg)
+          DbRouter.writeBatch(routed, s"$root/dims")
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    val r1 = spark.read.parquet(outDir).select("topic").as[String].collect()
+    assert(r1.toSeq === Seq("dwd_order_info")) // user_info had no route -> dropped
+
+    // config gains the user_info route; new data in the next batch follows it
+    writeCfg(Seq(
+      ("order_info", "insert", "dwd_order_info", "kafka", "id", "id"),
+      ("user_info", "insert", "dwd_user_info", "kafka", "id", "id")))
+    Seq(envelope("user_info", 3L)).toDF("value").write.mode("append").parquet(in)
+    runOnce()
+    val r2 = spark.read.parquet(outDir).select("topic").as[String].collect().sorted
+    assert(r2.toSeq === Seq("dwd_order_info", "dwd_user_info"))
+  }
+
   test("CDC envelope decode normalizes create to insert (S4)") {
     val raw = Seq(
       """{"database":"gmall","tableName":"order_info","before":"{}","after":"{\"id\":1}","type":"create"}""",
