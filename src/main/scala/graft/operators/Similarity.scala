@@ -101,6 +101,26 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(min_by(col("cluster_id"), struct(col("d2"), col("cluster_id"))).as("cluster_id"))
 
+  /** Exact top-k via the bounded TopK aggregator — the scale path: the
+    * window formulation in [[bruteForceTopK]] shuffles and sorts EVERY
+    * scored (query, candidate) row; this one reduces each partition to k
+    * rows per query before the exchange (ObjectHashAggregate, map-side
+    * partials). Same ordering and tie policy; SimilaritySpec pins
+    * equality. */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val topk = udaf(graft.functions.TopK.agg(k))
+    corpus.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("neighbor_id"), col("col._1").as("cos"))
+  }
+
   /** Query-side probe selection: each query's nProbe nearest centroids. */
   private def probes(queries: DataFrame, centroids: DataFrame,
       nProbe: Int): DataFrame =

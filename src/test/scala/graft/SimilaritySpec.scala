@@ -26,6 +26,21 @@ class SimilaritySpec extends SparkSpec {
     assert(indexed.nonEmpty)
   }
 
+  test("TopK aggregator == window row_number top-k (same rows, same order)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val win = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().sorted
+    val agg = Similarity.bruteForceTopKAgg(emb, queries, k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().sorted
+    assert(agg === win)
+    // and the plan is an aggregation, not a per-group sort
+    val plan = Similarity.bruteForceTopKAgg(emb, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(600))
+  }
+
   test("index scan is pruned to the probed cluster partitions") {
     val path = Files.createTempDirectory("graft-ivf2").toString + "/index"
     val centroids = Similarity.trainCentroids(emb, k = 8, iters = 1)
