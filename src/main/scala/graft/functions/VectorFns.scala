@@ -46,7 +46,7 @@ object VectorFns {
     * are literal arrays baked into the plan — broadcast-free. */
   def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit): _*)
+      val plane = array(p.toIndexedSeq.map(lit): _*)
       when(dot(v, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 

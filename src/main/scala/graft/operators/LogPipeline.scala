@@ -43,7 +43,7 @@ object LogPipeline {
 
   /** P5: keep only the configured columns (sinkColumns CSV semantics). */
   def pruneColumns(df: DataFrame, sinkColumns: String): DataFrame =
-    df.select(sinkColumns.split(",").map(c => col(c.trim)): _*)
+    df.select(sinkColumns.split(",").toIndexedSeq.map(c => col(c.trim)): _*)
 
   /** P6: derived calendar columns from the event timestamp. */
   def derivedDates(df: DataFrame, tsCol: String = "ts"): DataFrame =

@@ -169,7 +169,7 @@ object Similarity {
     val probedClusters = qProbes.select(col("cluster_id"))
       .distinct().collect().map(_.getLong(0))
     val lists = spark.read.parquet(path)
-      .filter(col("cluster_id").isin(probedClusters: _*))
+      .filter(col("cluster_id").isin(probedClusters.toIndexedSeq: _*))
     val scored = lists.join(broadcast(qProbes), Seq("cluster_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -25,7 +25,7 @@ object Sinks {
   /** K1: shape rows for a fixed Kafka topic — all columns JSON-packed into
     * `value`. */
   def kafkaValue(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** K1: write to one Kafka topic. */
   def toKafka(df: DataFrame, servers: String, topic: String,
@@ -42,7 +42,7 @@ object Sinks {
   def toKafkaDynamic(df: DataFrame, servers: String, topicCol: String,
       checkpoint: String): StreamingQuery =
     df.withColumn("topic", col(topicCol))
-      .select(col("topic"), to_json(struct(df.columns.filter(_ != topicCol).map(col): _*)).as("value"))
+      .select(col("topic"), to_json(struct(df.columns.toIndexedSeq.filter(_ != topicCol).map(col): _*)).as("value"))
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", servers)
