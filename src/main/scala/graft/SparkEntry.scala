@@ -268,6 +268,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ── K2: dynamic-topic producer shaping — per-row topic + JSON value
+    // (the payload bytes the reference's KafkaSerializationSchema emits)
+    "k2_dynamic_topic" -> ((s, dir) =>
+      graft.streaming.Sinks.dynamicTopicRows(
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "signup"))
+          .select(col("event_id"), col("user_id"),
+            concat(lit("dwd_"), col("event_type")).as("t")),
+        "t")
+        .orderBy(col("topic"), col("value"))),
+
     // ── T1: new/old-visitor flag (first-event-per-key)
     "t1_new_old_flag" -> ((s, dir) =>
       Sessionize.newOldFlag(Tables.events(s, dir))
@@ -879,6 +890,12 @@ object SparkEntry {
         |k AS (SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
         |SELECT doc_id, lang FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "k2_dynamic_topic" ->
+      """SELECT 'dwd_' || event_type AS topic,
+        |  CAST(json_object('event_id', event_id, 'user_id', user_id) AS VARCHAR) AS value
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |ORDER BY topic, value""".stripMargin,
 
     "t1_new_old_flag" ->
       """WITH f AS (SELECT user_id,

@@ -37,12 +37,19 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .start()
 
-  /** K2: dynamic topic — the sink routes each row by its `topic` column
-    * (dwd/BaseDBApp.java:93-98's KafkaSerializationSchema analogue). */
+  /** K2 row shaping: per-row topic from `topicCol`, remaining columns
+    * JSON-packed into `value` — the KafkaSerializationSchema analogue as a
+    * pure function (dwd/BaseDBApp.java:93-98). */
+  def dynamicTopicRows(df: DataFrame, topicCol: String): DataFrame =
+    df.withColumn("topic", col(topicCol))
+      .select(col("topic"),
+        to_json(struct(df.columns.toIndexedSeq.filter(_ != topicCol).map(col): _*))
+          .as("value"))
+
+  /** K2: dynamic topic — the sink routes each row by its `topic` column. */
   def toKafkaDynamic(df: DataFrame, servers: String, topicCol: String,
       checkpoint: String): StreamingQuery =
-    df.withColumn("topic", col(topicCol))
-      .select(col("topic"), to_json(struct(df.columns.toIndexedSeq.filter(_ != topicCol).map(col): _*)).as("value"))
+    dynamicTopicRows(df, topicCol)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", servers)
