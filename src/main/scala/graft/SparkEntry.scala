@@ -638,19 +638,19 @@ object SparkEntry {
     // transitive closure of the ngram near-dup pairs; cluster = min
     // reachable doc id
     "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id,
+      """WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id,
         |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
         |  FROM documents),
-        |sh AS (SELECT doc_id,
+        |sh AS MATERIALIZED (SELECT doc_id,
         |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
         |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
         |  FROM toks),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |p AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-        |pairs AS (SELECT doc_a, doc_b FROM p
+        |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM p
         |  WHERE CAST(i AS DOUBLE)/(la + lb - i) >= 0.5),
-        |e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |e AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
         |  UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
         |reach AS (
         |  SELECT s, d FROM e
