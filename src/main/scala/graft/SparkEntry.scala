@@ -755,8 +755,8 @@ object SparkEntry {
         |         THEN 1 ELSE 0 END AS nw
         |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |h AS (SELECT user_id, event_id, us,
-        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |                  ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       MAX(us) - MIN(us) AS span_us, MIN(event_id) AS first_event
@@ -829,7 +829,7 @@ object SparkEntry {
         |      + 0.3*(1.0 - least(punct*5.0, 1.0))
         |      + 0.3*least(sw*5.0, 1.0) AS quality
         |  FROM m)
-        |SELECT lang, COUNT(*) AS docs, SUM(n_tokens) AS tokens,
+        |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens,
         |  floor((CAST(SUM(CAST(quality AS DECIMAL(18,12))) AS DOUBLE)/COUNT(*))*1000000)/1000000 AS mean_quality,
         |  COUNT(DISTINCT md5(text)) AS distinct_docs
         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,

@@ -155,39 +155,81 @@ object Dedup {
       minCommon: Int = 1): DataFrame = {
     // Inverted index without a posting-list self-join: group the postings
     // by shingle hash (a long join key instead of the shingle string),
-    // drop degenerate high-DF shingles (skew guard), emit within-bucket
-    // pairs and count shared shingles per pair. The per-pair count IS the
-    // intersection size (buckets are distinct shingles), so jaccard =
-    // common/(|A|+|B|-common) needs only a narrow (doc_id, set size) table
-    // — no re-shingling, no array_intersect over candidate pairs (measured
-    // 3x on the verify stage at sf0.1). With minCommon=1 the result is
-    // EXACT vs the all-pairs oracle: any pair with jaccard > 0 shares at
-    // least one sub-maxDf shingle. (A capped shingle would undercount
-    // `common`; the cap exists purely as the quadratic-skew guard and is
-    // sized far above organic document frequencies.)
-    val sizes = documents
-      .select(col("doc_id"),
-        size(array_distinct(call_function("graft_shingles",
-          col("text"), lit(shingleLen)))).as("n_sh"))
-    val buckets = documents
+    // emit within-bucket pairs and count shared shingles per pair. The
+    // per-pair count IS the intersection size (buckets are distinct
+    // shingles), so jaccard = common/(|A|+|B|-common) needs only a narrow
+    // (doc_id, set size) table — no re-shingling, no array_intersect over
+    // candidate pairs (measured 3x on the verify stage at sf0.1).
+    //
+    // maxDf skew guard, made exact: shingles with df > maxDf (boilerplate)
+    // would create quadratic posting-list blow-ups, so they are excluded
+    // from pair COUNTING — but a capped shingle shared by a pair would then
+    // undercount `common` and silently drop true pairs near minJaccard.
+    // Guard: count each doc's capped shingles (c). A pair can miss at most
+    // least(c_a, c_b) common shingles, so any pair whose upper-bound
+    // jaccard (common + m)/(la + lb - common - m) clears minJaccard while
+    // its lower bound doesn't is re-verified through the exact
+    // verifyJaccard path. On organic corpora no bucket is capped, the
+    // borderline set is empty, and the plan degenerates to the pure
+    // bucket-count path. Pairs sharing ONLY capped shingles still surface
+    // via star pairing over the capped buckets (connectivity preserved for
+    // clustering; full enumeration of boilerplate-only pairs is the one
+    // documented non-goal — it is the quadratic case the cap exists to
+    // prevent).
+    val postings = documents
       .select(col("doc_id"),
         explode(array_distinct(call_function("graft_shingles",
           col("text"), lit(shingleLen)))).as("sh"))
-      .groupBy(xxhash64(col("sh")).as("shh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+    val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val byShingle = postings
+      .groupBy(col("shh"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
-    val pairs = buckets
+      .filter(size(col("ids")) > 1)
+    val okBuckets = byShingle.filter(size(col("ids")) <= maxDf)
+    val cappedBuckets = byShingle.filter(size(col("ids")) > maxDf)
+    // per-doc count of shingles living in capped buckets (0 when none)
+    val cappedCnt = cappedBuckets
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val counted = okBuckets
       .select(explode(pairCombinations(col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
       .filter(col("common") >= minCommon)
-    pairs
+    // star pairing over capped buckets: O(B) candidates that keep
+    // boilerplate-only duplicate clusters connected without B^2 pairs
+    val starCands = cappedBuckets
+      .select(element_at(col("ids"), 1).as("doc_a"),
+        explode(slice(col("ids"), lit(2), size(col("ids")))).as("doc_b"))
+      .distinct()
+      .join(counted.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+    val scored = counted
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("la")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("lb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("common").cast("double") / (col("la") + col("lb") - col("common")))
-          .as("jaccard"))
+      .join(cappedCnt.select(col("doc_id").as("doc_a"), col("c").as("ca")),
+        Seq("doc_a"), "left")
+      .join(cappedCnt.select(col("doc_id").as("doc_b"), col("c").as("cb")),
+        Seq("doc_b"), "left")
+      .withColumn("m", least(coalesce(col("ca"), lit(0L)), coalesce(col("cb"), lit(0L))))
+      .withColumn("j_lo",
+        col("common").cast("double") / (col("la") + col("lb") - col("common")))
+      .withColumn("j_hi",
+        (col("common") + col("m")).cast("double") /
+          (col("la") + col("lb") - col("common") - col("m")))
+    val certain = scored
+      .filter(col("j_lo") >= minJaccard && col("m") === 0)
+      .select(col("doc_a"), col("doc_b"), col("j_lo").as("jaccard"))
+    // any pair a capped shingle could have affected — either borderline
+    // (j_lo < t <= j_hi) or already-passing but with an undercounted value
+    // (m > 0) — gets the exact jaccard
+    val uncertain = scored
+      .filter(col("m") > 0 && col("j_hi") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .unionByName(starCands)
+    val reverified = verifyJaccard(documents, uncertain, shingleLen)
       .filter(col("jaccard") >= minJaccard)
+    certain.unionByName(reverified)
   }
 
   /** Connected components over dedup pairs — the "resolve pairs into
@@ -213,15 +255,28 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("lbl").as("dlbl")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("dlbl")).as("nlbl"))
+      // the changed flag is computed IN the update select and materialized
+      // with the labels by the same localCheckpoint job; the convergence
+      // probe is then a narrow scan of the cached blocks — no second
+      // join-and-recompute action per round
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("chg")).isEmpty
+      labels = next.select("node", "lbl")
       round += 1
     }
+    // Partially-propagated labels are silently WRONG (two docs in one
+    // duplicate component end up in different clusters), so a diameter
+    // above maxIters must fail loudly, not return. Near-clique duplicate
+    // components converge in 2-3 rounds; chain-shaped transitive near-dup
+    // components are exactly where this trips.
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.clusters did not converge within maxIters=$maxIters rounds; " +
+          "the pair graph has a component with diameter > maxIters — raise maxIters")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -38,6 +38,56 @@ class DedupSpec extends SparkSpec {
     assert(r((1L, 2L)) === 1.0)
   }
 
+  test("ngram jaccard stays exact when the maxDf cap bites") {
+    // 12 docs all sharing the same long boilerplate prefix → every prefix
+    // shingle has df=12; with maxDf=5 all of them are capped. Pairs must
+    // still come back with EXACT jaccard via the re-verify path, matching
+    // the uncapped run bit for bit.
+    val boiler = "all rights reserved copyright notice terms of service apply to this page"
+    val skewed = (1L to 12L).map(i => (i, s"$boiler unique tail number $i"))
+      .toDF("doc_id", "text")
+    val key = (d: org.apache.spark.sql.Row) =>
+      (d.getAs[Long]("doc_a"), d.getAs[Long]("doc_b"))
+    val capped = Dedup.ngramJaccardPairs(skewed, minJaccard = 0.5, maxDf = 5L)
+      .collect().map(r => key(r) -> r.getAs[Double]("jaccard")).toMap
+    val uncapped = Dedup.ngramJaccardPairs(skewed, minJaccard = 0.5, maxDf = 1000L)
+      .collect().map(r => key(r) -> r.getAs[Double]("jaccard")).toMap
+    assert(uncapped.nonEmpty)
+    // star pairing enumerates (1, b) pairs exactly; any extra pair the
+    // counting path surfaced must carry the exact jaccard value
+    capped.foreach { case (k, j) => assert(uncapped(k) === j, s"pair $k") }
+    (2L to 12L).foreach(b => assert(capped.contains((1L, b)), s"star pair (1,$b)"))
+  }
+
+  test("ngram jaccard re-verifies borderline pairs a capped shingle could flip") {
+    // two docs share one low-df shingle AND one capped shingle; counting
+    // alone undercounts jaccard below the threshold — the guard must
+    // recover the pair with its exact value
+    val common = "alpha beta gamma" // low-df shingle shared by docs 1,2 only
+    val boiler = "zzz yyy xxx"      // shingle shared by ALL docs → capped at maxDf=5
+    val docs = Seq(
+      (1L, s"$common $boiler"),
+      (2L, s"$common $boiler")
+    ) ++ (3L to 9L).map(i => (i, s"$boiler tail$i unrelated$i filler$i"))
+    val df = docs.toDF("doc_id", "text")
+    val r = Dedup.ngramJaccardPairs(df, minJaccard = 0.9, maxDf = 5L)
+      .collect().map(x => ((x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")),
+        x.getAs[Double]("jaccard"))).toMap
+    assert(r.get((1L, 2L)).contains(1.0)) // exact dup recovered at jaccard 1.0
+  }
+
+  test("clusters fails loudly instead of returning partial labels") {
+    // a 6-node chain has diameter 5 > maxIters=2 → must throw, not emit
+    // split clusters
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](Dedup.clusters(chain, maxIters = 2).collect())
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain converges to one cluster
+    val ok = Dedup.clusters(chain, maxIters = 10)
+      .select("cluster_id").distinct().collect()
+    assert(ok.length === 1)
+  }
+
   test("simhash: identical docs at hamming 0") {
     val r = Dedup.simhashPairs(docs, maxHamming = 3)
       .collect().map(x => ((x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")),

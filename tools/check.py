@@ -38,6 +38,21 @@ def compare(name, spark_df, duck_df):
     bad = []
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes raw cell reprs, so an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB HUGEINT -> fetchdf float64)
+        # hash-fails even when values are numerically equal. Flag dtype-class
+        # mismatches instead of silently coercing, so local PASS predicts the
+        # driver's verdict.
+        def _cls(dt):
+            s = str(dt)
+            if s.startswith(("int", "uint", "Int", "UInt")):
+                return "int"
+            if s.startswith(("float", "Float")):
+                return "float"
+            return "other"
+        if {_cls(av.dtype), _cls(bv.dtype)} == {"int", "float"}:
+            bad.append((c, "DIFF", f"dtype class spark={av.dtype} vs oracle={bv.dtype} (driver hash would fail)"))
+            continue
         if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
             av = pd.to_numeric(av, errors="coerce").astype(float)
             bv = pd.to_numeric(bv, errors="coerce").astype(float)
