@@ -360,22 +360,28 @@ object SparkEntry {
       Dedup.clusters(Dedup.ngramJaccardPairs(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
-    // ── Dedup: MinHash+LSH (rows-only: hash family is engine-side)
+    // ── Dedup: MinHash+LSH — the portable-hash twin (md5-lower-64 family,
+    // string band keys), so the DuckDB oracle recomputes the exact same
+    // candidate set. maxBucket lifted above any sf0.01 bucket so the gate
+    // compares full enumeration (the star-fallback guard has its own spec).
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLsh(Tables.documents(s, dir))
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      Dedup.minhashLshPortable(Tables.documents(s, dir), maxBucket = 1000000)
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    // ── Dedup: SimHash (rows-only)
+    // ── Dedup: SimHash — portable twin (md5-lower-64 bit votes)
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 8)
+      Dedup.simhashPairsPortable(Tables.documents(s, dir), maxHamming = 8,
+          maxBucket = 1000000)
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    // ── Dedup: embedding near-dup via hyperplane buckets (rows-only)
+    // ── Dedup: embedding near-dup via hyperplane buckets (planes are baked
+    // into the oracle SQL as literals; floor-truncate, not round)
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(
-        Tables.embeddings(s, dir), VectorFns.randomPlanes(3, 64), minCosine = 0.4)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+        Tables.embeddings(s, dir), VectorFns.randomPlanes(3, 64), minCosine = 0.4,
+        maxBucket = 1000000)
+        .select(col("vec_a"), col("vec_b"),
+          (floor(col("cos") * 1e4) / 1e4).as("cos"))
         .orderBy(col("vec_a"), col("vec_b"))),
 
     // ── Similarity: exact brute-force cosine top-k
@@ -591,6 +597,26 @@ object SparkEntry {
           count(lit(1)).as("windows"))
         .orderBy(col("event_type")))
   )
+
+  /** The affine MinHash permutation family as a DuckDB VALUES list —
+    * the SAME constants graft_minhash_bands_p bakes into its signatures
+    * (HashFns.permutations), so the oracle recomputes identical sketches. */
+  private def permValuesSql(numPerms: Int): String =
+    graft.functions.HashFns.permutations(numPerms).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }
+      .mkString(", ")
+
+  /** Hyperplane-bucket SQL with the plane coordinates baked in as double
+    * literals (Double.toString round-trips exactly; DuckDB's parser is
+    * correctly rounded). The dot product is UNROLLED left-to-right so the
+    * float accumulation order matches graft_dot's sequential loop. */
+  private def bucketSql(planes: Seq[Array[Double]], emb: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zipWithIndex
+        .map { case (v, d) => s"CAST($emb[${d + 1}] AS DOUBLE)*($v)" }
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
   def oracleSql: Map[String, String] = Map(
@@ -1032,6 +1058,86 @@ object SparkEntry {
         |FROM p WHERE CAST(i AS DOUBLE)/(la + lb - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Recomputes graft_minhash_bands_p verbatim: md5-lower-64 % P element
+    // hashes, the identical affine family (constants interpolated below),
+    // band key = comma-joined signature slice, then exact set-jaccard
+    // verification of the banded candidates.
+    "dedup_minhash_lsh" ->
+      s"""WITH perms(i, a, b) AS (VALUES ${permValuesSql(64)}),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+        |  FROM toks),
+        |hv AS (SELECT doc_id, CAST(md5_number_lower(sv) % 2147483647 AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(s) AS sv FROM sh)),
+        |mh AS (SELECT doc_id, p.i AS i,
+        |    MIN((CAST(p.a AS BIGINT) * hv.h + p.b) % 2147483647) AS m
+        |  FROM hv CROSS JOIN perms p GROUP BY doc_id, p.i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+        |  FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+        |    AND a.doc_id < b.doc_id),
+        |p2 AS (SELECT c.doc_a, c.doc_b, len(list_intersect(sa.s, sb.s)) AS i2,
+        |    len(sa.s) AS la, len(sb.s) AS lb
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+        |    JOIN sh sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, CAST(i2 AS DOUBLE)/(la + lb - i2) AS jaccard
+        |FROM p2 WHERE CAST(i2 AS DOUBLE)/(la + lb - i2) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Recomputes graft_simhash_p verbatim: per-shingle md5-lower-64 bit
+    // votes (duplicates kept — no list_distinct), two unsigned 32-bit
+    // halves, 4x16-bit bands, hamming = popcount of the half xors.
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |rsh AS (SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END AS s
+        |  FROM toks),
+        |hv AS (SELECT doc_id, md5_number_lower(sv) AS h
+        |  FROM (SELECT doc_id, unnest(s) AS sv FROM rsh)),
+        |bits AS (SELECT doc_id, b,
+        |    CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM hv CROSS JOIN range(64) t(b) GROUP BY doc_id, b),
+        |fp AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN bit = 1 AND b < 32 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN bit = 1 AND b >= 32 THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, lo, hi, r.band AS band,
+        |    CASE r.band WHEN 0 THEN lo & 65535 WHEN 1 THEN lo >> 16
+        |                WHEN 2 THEN hi & 65535 ELSE hi >> 16 END AS key
+        |  FROM fp CROSS JOIN range(4) r(band)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Hyperplane buckets with the exact plane literals the gate uses;
+    // cosine floor-truncated (not rounded) to 4 decimals on both sides.
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |    ${bucketSql(VectorFns.randomPlanes(3, 64), "embedding")} AS bucket
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, floor(c*10000)/10000 AS cos
+        |FROM p WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 5),
@@ -1041,6 +1147,26 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY cos DESC, neighbor_id) AS rank FROM s)
         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_r
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Recomputes lshTopK verbatim: hyperplane buckets from the gate's
+    // plane literals, multi-probe = own bucket + each single-bit flip,
+    // then cosine rank over the cohabitant set.
+    "sim_topk_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |    ${bucketSql(VectorFns.randomPlanes(8, 64), "embedding")} AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS b0
+        |  FROM e WHERE vec_id < 5),
+        |pr AS (SELECT query_id, qe,
+        |    unnest([b0, ${(0 until 8).map(i => s"xor(b0, ${1L << i})").mkString(", ")}]) AS probe
+        |  FROM q),
+        |s AS (SELECT DISTINCT query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM pr JOIN e ON e.bucket = pr.probe AND e.vec_id <> pr.query_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "text_quality" ->

@@ -46,6 +46,32 @@ object Sketches {
   }
 }
 
+/** Engine-portable hash primitive: little-endian low 8 bytes of md5 as a
+  * (bit-pattern) 64-bit value — exactly DuckDB's `md5_number_lower` and
+  * Python's `struct.unpack('<Q', md5(x).digest()[8:])[0]`. The native twin
+  * of HashFns.md5Lower64; used by the *Portable sketches so signatures and
+  * band keys can be recomputed verbatim by any engine. */
+object PortableHash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def lower64(s: String): Long = {
+    val d = md.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var x = 0L
+    var i = 15
+    while (i >= 8) { x = (x << 8) | (bytes(i) & 0xFFL); i -= 1 }
+    x
+  }
+
+  /** lower64 mod m under UNSIGNED semantics (DuckDB: UBIGINT % m). */
+  def lower64Mod(s: String, m: Long): Long =
+    java.lang.Long.remainderUnsigned(lower64(s), m)
+}
+
 /** Word n-gram shingles in one pass: tokenize + slide, parity with
   * TextFns.shingles (short docs collapse to one joined shingle). SQL:
   * graft_shingles(text, n). */
@@ -134,6 +160,127 @@ case class MinHashBands(child: Expression, shingleLen: Int, numPerms: Int,
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** Engine-portable MinHash + LSH bands in one pass. Differences from
+  * [[MinHashBands]] (the fast engine-internal twin): element hashes are
+  * md5-lower-64 mod P (PortableHash — recomputable as DuckDB
+  * `md5_number_lower(s) % P`), and the band key is the comma-joined
+  * signature slice ITSELF (a string needs no cross-engine hash contract).
+  * Output: array<struct<band:int, key:string>>.
+  * SQL: graft_minhash_bands_p(text, n, k, bands). */
+case class MinHashBandsPortable(child: Expression, shingleLen: Int,
+    numPerms: Int, bands: Int) extends UnaryExpression with CodegenFallback {
+  require(numPerms % bands == 0, "numPerms must divide into bands")
+
+  private val rows = numPerms / bands
+  @transient private lazy val perms =
+    graft.functions.HashFns.permutations(numPerms).toArray
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("key", StringType, nullable = false))))
+  override def prettyName: String = "graft_minhash_bands_p"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = Sketches.tokenize(input.asInstanceOf[UTF8String].toString)
+    val n = shingleLen
+    val shingles: Array[String] =
+      if (toks.length < n) Array(toks.mkString(" "))
+      else Array.tabulate(toks.length - n + 1) { i =>
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        sb.toString
+      }
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val h = PortableHash.lower64Mod(shingles(i), Sketches.P)
+      var j = 0
+      while (j < numPerms) {
+        val v = (perms(j)._1 * h + perms(j)._2) % Sketches.P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder()
+      var r = 0
+      while (r < rows) {
+        if (r > 0) sb.append(',')
+        sb.append(sig(b * rows + r))
+        r += 1
+      }
+      out(b) = InternalRow(b, UTF8String.fromString(sb.toString))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsPortable =
+    copy(child = newChild)
+}
+
+/** Engine-portable 64-bit SimHash, split into two unsigned 32-bit halves
+  * (struct<lo:long, hi:long>, each in [0, 2^32)) so any engine can rebuild
+  * it without signed-shift pitfalls. Votes come from the 64 bits of the
+  * md5-lower-64 shingle hash (DuckDB: `(md5_number_lower(s) >> b) & 1`).
+  * SQL: graft_simhash_p(text, n). */
+case class SimHashPortable(child: Expression, shingleLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lo", LongType, nullable = false),
+    StructField("hi", LongType, nullable = false)))
+  override def prettyName: String = "graft_simhash_p"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = Sketches.tokenize(input.asInstanceOf[UTF8String].toString)
+    val votes = new Array[Long](64)
+    def vote(s: String): Unit = {
+      val h = PortableHash.lower64(s)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    val n = shingleLen
+    if (toks.length < n) vote(toks.mkString(" "))
+    else {
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        vote(sb.toString)
+        i += 1
+      }
+    }
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 32) { if (votes(b) > 0) lo |= (1L << b); b += 1 }
+    while (b < 64) { if (votes(b) > 0) hi |= (1L << (b - 32)); b += 1 }
+    InternalRow(lo, hi)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashPortable =
     copy(child = newChild)
 }
 

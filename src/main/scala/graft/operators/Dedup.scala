@@ -103,6 +103,31 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Engine-portable MinHash+LSH twin of [[minhashLsh]]: md5-lower-64
+    * element hashes and plain-string band keys (graft_minhash_bands_p), so
+    * an external engine (the DuckDB oracle) can recompute the exact same
+    * candidate set from the same affine permutation family. Same plan
+    * shape and shuffle budget as the fast path; defaults tuned so the
+    * (1/b)^(1/r) collision threshold sits at minJaccard. */
+  def minhashLshPortable(
+      documents: DataFrame,
+      shingleLen: Int = 3,
+      numPerms: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numPerms % bands == 0)
+    val sigs = documents
+      .select(col("doc_id"),
+        explode(call_function("graft_minhash_bands_p",
+          col("text"), lit(shingleLen), lit(numPerms), lit(bands))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val candidates = bucketPairs(sigs, Seq("band", "key"), col("doc_id"), maxBucket)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    verifyJaccard(documents, candidates, shingleLen)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Exact shingle-set Jaccard for given candidate pairs (joins the pair
     * list against per-doc shingle sets twice; join strategy left to
     * Catalyst/AQE — at harness scale the shingle side converts to a
@@ -140,6 +165,29 @@ object Dedup {
     bucketPairs(banded, Seq("band", "key"), col("m"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Engine-portable SimHash twin of [[simhashPairs]]: the fingerprint is
+    * two unsigned 32-bit halves built from md5-lower-64 shingle-hash bit
+    * votes (graft_simhash_p), banded 4×16-bit, hamming = popcount of the
+    * xors — every step recomputable verbatim in the DuckDB oracle. */
+  def simhashPairsPortable(documents: DataFrame, maxHamming: Int = 3,
+      shingleLen: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val fp = documents.select(col("doc_id"),
+      call_function("graft_simhash_p", col("text"), lit(shingleLen)).as("fp"))
+    val banded = fp.select(
+      struct(col("doc_id"), col("fp.lo").as("lo"), col("fp.hi").as("hi")).as("m"),
+      explode(array(
+        struct(lit(0).as("band"), col("fp.lo").bitwiseAND(lit(0xFFFFL)).as("key")),
+        struct(lit(1).as("band"), shiftright(col("fp.lo"), 16).as("key")),
+        struct(lit(2).as("band"), col("fp.hi").bitwiseAND(lit(0xFFFFL)).as("key")),
+        struct(lit(3).as("band"), shiftright(col("fp.hi"), 16).as("key")))).as("b"))
+      .select(col("m"), col("b.band"), col("b.key"))
+    bucketPairs(banded, Seq("band", "key"), col("m"), maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+          bit_count(col("a.hi").bitwiseXOR(col("b.hi")))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -283,12 +331,12 @@ object Dedup {
   /** Embedding near-dup: cosine above threshold among hyperplane-bucket
     * cohabitants (see Similarity.lshBuckets for the bucket construction). */
   def embeddingNearDup(embeddings: DataFrame, planes: Seq[Array[Double]],
-      minCosine: Double = 0.95): DataFrame = {
+      minCosine: Double = 0.95, maxBucket: Int = 1000): DataFrame = {
     import graft.functions.VectorFns._
     val bucketed = embeddings.select(
       struct(col("vec_id"), col("embedding")).as("m"),
       hyperplaneBucket(col("embedding"), planes).as("bucket"))
-    bucketPairs(bucketed, Seq("bucket"), col("m"))
+    bucketPairs(bucketed, Seq("bucket"), col("m"), maxBucket)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine(col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= minCosine)

@@ -22,16 +22,28 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact top-k by cosine: broadcast the (small) query set against the
-    * corpus, rank per query. Excludes self-matches. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(
-      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val scored = corpus.join(q, col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+    * corpus, rank per query. Excludes self-matches. Ranking goes through
+    * the bounded TopK aggregator (see [[rankTopK]]) — the scale path. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    rankTopK(scoreAgainst(corpus, queries), k)
+
+  /** Window-formulation twin of [[bruteForceTopK]] — reference semantics
+    * for the parity spec only. Shuffles and SORTS every scored row per
+    * query; do not use at corpus scale. */
+  private[graft] def bruteForceTopKWindow(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scoreAgainst(corpus, queries)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def scoreAgainst(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    corpus.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
   }
 
   /** LSH-bucketed ANN: score only vectors sharing the query's hyperplane
@@ -52,9 +64,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q_emb"), col("embedding")).as("cos"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Distributed k-means coarse quantizer: deterministic init (first k by
@@ -101,42 +111,39 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(min_by(col("cluster_id"), struct(col("d2"), col("cluster_id"))).as("cluster_id"))
 
-  /** Exact top-k via the bounded TopK aggregator — the scale path: the
-    * window formulation in [[bruteForceTopK]] shuffles and sorts EVERY
-    * scored (query, candidate) row; this one reduces each partition to k
-    * rows per query before the exchange (ObjectHashAggregate, map-side
-    * partials). Same ordering and tie policy; SimilaritySpec pins
-    * equality. */
-  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(
-      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val topk = udaf(graft.functions.TopK.agg(k))
-    corpus.join(q, col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
-      .groupBy(col("query_id"))
-      .agg(topk(col("cos"), col("neighbor_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col._2").as("neighbor_id"), col("col._1").as("cos"))
-  }
-
-  /** Query-side probe selection: each query's nProbe nearest centroids. */
+  /** Query-side probe selection: each query's nProbe nearest centroids.
+    * Bounded TopK over (-d2, cluster_id) — score desc on the negated
+    * distance = d2 asc, tie on cluster_id asc, identical to the old
+    * row_number ordering, without sorting k rows per query. */
   private def probes(queries: DataFrame, centroids: DataFrame,
-      nProbe: Int): DataFrame =
+      nProbe: Int): DataFrame = {
+    val topk = udaf(graft.functions.TopK.agg(nProbe))
     queries.crossJoin(broadcast(centroids))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("cluster_id"), l2sq(col("embedding"), col("centroid")).as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cluster_id"))))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cluster_id"))
+      .groupBy(col("query_id"))
+      .agg(topk(-col("d2"), col("cluster_id")).as("top"),
+        first(col("q_emb")).as("q_emb"))
+      .select(col("query_id"), col("q_emb"),
+        explode(col("top._2")).as("cluster_id"))
+  }
 
-  /** Rank bucket-cohabitant scores to top-k per query. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+  /** Rank (query_id, neighbor_id, cos) scores to top-k per query through
+    * the bounded TopK aggregator: each partition reduces to at most k rows
+    * per query BEFORE the exchange (ObjectHashAggregate with map-side
+    * partials), so the shuffle carries k×partitions rows per query instead
+    * of the full scored candidate set — the dominant ANN cost at corpus
+    * scale. Same ordering/tie policy (cos desc, neighbor_id asc) as the
+    * window formulation; SimilaritySpec pins row-for-row equality. */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(graft.functions.TopK.agg(k))
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** IVF search: probe the nProbe nearest centroids per query, scan only
     * those lists. */

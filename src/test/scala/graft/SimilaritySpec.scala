@@ -28,17 +28,30 @@ class SimilaritySpec extends SparkSpec {
 
   test("TopK aggregator == window row_number top-k (same rows, same order)") {
     val queries = emb.filter(col("vec_id") < 5)
-    val win = Similarity.bruteForceTopK(emb, queries, k = 5)
+    val win = Similarity.bruteForceTopKWindow(emb, queries, k = 5)
       .select("query_id", "rank", "neighbor_id")
       .as[(Long, Int, Long)].collect().sorted
-    val agg = Similarity.bruteForceTopKAgg(emb, queries, k = 5)
+    val agg = Similarity.bruteForceTopK(emb, queries, k = 5)
       .select("query_id", "rank", "neighbor_id")
       .as[(Long, Int, Long)].collect().sorted
     assert(agg === win)
-    // and the plan is an aggregation, not a per-group sort
-    val plan = Similarity.bruteForceTopKAgg(emb, queries, k = 5)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("ObjectHashAggregate"), plan.take(600))
+  }
+
+  test("all top-k paths rank via ObjectHashAggregate, not a per-group sort") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val centroids = Similarity.trainCentroids(emb, k = 8, iters = 1)
+      .localCheckpoint(true)
+    val plans = Map(
+      "brute" -> Similarity.bruteForceTopK(emb, queries, k = 5),
+      "lsh" -> Similarity.lshTopK(emb, queries, k = 5,
+        graft.functions.VectorFns.randomPlanes(8, 64)),
+      "ivf" -> Similarity.ivfTopK(emb, queries, k = 5, centroids, nProbe = 2)
+    ).view.mapValues(_.queryExecution.executedPlan.toString)
+    plans.foreach { case (name, plan) =>
+      assert(plan.contains("ObjectHashAggregate"), s"$name: ${plan.take(600)}")
+      assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+        s"$name still ranks via a window: ${plan.take(600)}")
+    }
   }
 
   test("index scan is pruned to the probed cluster partitions") {
