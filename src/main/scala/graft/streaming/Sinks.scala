@@ -75,16 +75,23 @@ object Sinks {
     * parquet: latest row per key wins; table auto-created on first batch.
     * The read-union-overwrite is safe because dim tables are small by
     * contract (they broadcast in joins); a lakehouse MERGE is the drop-in
-    * upgrade when the store supports it. */
+    * upgrade when the store supports it.
+    *
+    * `buckets > 0` switches the store to a hash-bucketed layout
+    * (partitioned by `__bucket = hash(key) % buckets`): each micro-batch
+    * reads and rewrites ONLY the buckets its keys fall in — O(batch)
+    * instead of O(table) per upsert, the layout that keeps this sink
+    * viable when a "dim" table grows past broadcast size. */
   def dimUpsert(df: DataFrame, path: String, keyCol: String, checkpoint: String,
       versionCol: Option[String] = None,
-      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+      buckets: Int = 0): StreamingQuery =
     df.writeStream
       .outputMode("update")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        upsertBatch(batch, path, keyCol, versionCol)
+        upsertBatch(batch, path, keyCol, versionCol, buckets)
       }
       .start()
 
@@ -92,27 +99,61 @@ object Sinks {
     * is decided by `versionCol` (an event-time/version column from the CDC
     * envelope) when one exists; without it the winner WITHIN a batch is
     * arbitrary — partition order is not arrival order, so two same-key
-    * updates in one batch have no defined relative order. Incoming rows
-    * always beat previously-stored rows. */
+    * updates in one batch have no defined relative order.
+    *
+    * Replay contract: with a versionCol, the STORED row's version competes
+    * too — a re-delivered older change can never regress a newer stored
+    * row, so any replay (same batch, reordered segments, the CDC
+    * snapshot-then-stream overlap) converges to max-version-per-key; ties
+    * go to the incoming row. Without a versionCol there is no cross-batch
+    * ordering to appeal to, and incoming beats stored. */
   private[graft] def upsertBatch(batch: DataFrame, path: String, keyCol: String,
-      versionCol: Option[String] = None): Unit = {
+      versionCol: Option[String] = None, buckets: Int = 0): Unit = {
     val spark = batch.sparkSession
-    val incoming = versionCol match {
+    val bucketed = buckets > 0
+    val incoming0 = versionCol match {
       case Some(v) => batch.withColumn("__v", col(v).cast("long"))
       case None    => batch.withColumn("__v", lit(0L))
     }
+    val incoming = (if (bucketed)
+        incoming0.withColumn("__bucket", pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+      else incoming0).withColumn("__src", lit(1))
     val existing =
-      try spark.read.parquet(path).withColumn("__v", lit(Long.MinValue))
-      catch { case _: Exception => spark.createDataFrame(
+      try {
+        val stored0 = spark.read.parquet(path)
+        // partition-column inference yields int; align with the long we write
+        val stored = if (bucketed) stored0.withColumn("__bucket", col("__bucket").cast("long"))
+          else stored0
+        val pruned = if (bucketed) {
+          // the probe list is O(buckets) ints — driver-side by design, like
+          // any index lookup; it prunes both the read and the rewrite
+          val touched = incoming.select(col("__bucket")).distinct()
+            .collect().map(_.getLong(0))
+          stored.filter(col("__bucket").isin(touched.toIndexedSeq: _*))
+        } else stored
+        val versioned = versionCol match {
+          case Some(v) if pruned.columns.contains(v) =>
+            pruned.withColumn("__v", col(v).cast("long"))
+          case _ => pruned.withColumn("__v", lit(Long.MinValue))
+        }
+        versioned.withColumn("__src", lit(0))
+      } catch { case _: Exception => spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], incoming.schema) }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col("__v").desc)
+      .partitionBy(col(keyCol)).orderBy(col("__v").desc, col("__src").desc)
     val merged = existing.unionByName(incoming)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__v")
+      .drop("__rn", "__v", "__src")
       .localCheckpoint(true) // break lineage off the files being overwritten
-    merged.write.mode(SaveMode.Overwrite).parquet(path)
+    if (bucketed)
+      // dynamic overwrite replaces only the partitions present in `merged`
+      // = the touched buckets; untouched bucket files are never rewritten
+      merged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket").parquet(path)
+    else
+      merged.write.mode(SaveMode.Overwrite).parquet(path)
   }
 
   /** K6: console sink (the reference's .print() debug taps). */

@@ -62,6 +62,52 @@ object Sources {
       .withColumn("type",
         when(col("type") === "create", lit("insert")).otherwise(col("type")))
 
+  /** S3 initial mode, phase 1: a snapshot table as insert envelopes —
+    * byte-compatible with cdcDecode output, so snapshot rows flow through
+    * the exact same decode/route/upsert path as incremental changes
+    * (Flink CDC StartupOptions.initial(): full snapshot first, then the
+    * binlog — ods/Flink_CDCWithCustomerSchema_Ods.java:50-59). */
+  def cdcSnapshotEnvelopes(snapshot: DataFrame, database: String,
+      tableName: String): DataFrame =
+    snapshot.select(
+      lit(database).as("database"),
+      lit(tableName).as("tableName"),
+      lit(null).cast("string").as("before"),
+      to_json(struct(snapshot.columns.toIndexedSeq.map(col): _*)).as("after"),
+      lit("insert").as("type"))
+
+  /** Decode the `after` payload of one table's upsert envelopes (inserts +
+    * updates; deletes are the delete-filter's job, P3). */
+  def cdcAfter(envelopes: DataFrame, tableName: String,
+      payloadSchema: StructType): DataFrame =
+    envelopes
+      .filter(col("tableName") === tableName &&
+        col("type").isin("insert", "update"))
+      .select(from_json(col("after"), payloadSchema).as("r"))
+      .select(col("r.*"))
+
+  /** S3 initial mode, both phases: apply the snapshot to the dim store
+    * (through the same envelope decode), then start the incremental
+    * envelope stream into the same store. The phase boundary needs no
+    * coordination: Sinks.upsertBatch is (key, version)-idempotent, so
+    * binlog rows already reflected in the snapshot — or re-delivered on
+    * replay — converge instead of regressing. `raw` is the incremental
+    * envelope transport (kafka value strings / file stream / MemoryStream).
+    */
+  def cdcInitialToDim(snapshot: DataFrame, database: String, table: String,
+      raw: DataFrame, payloadSchema: StructType, path: String, keyCol: String,
+      versionCol: String, checkpoint: String,
+      buckets: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val snapRows = cdcAfter(
+      cdcDecode(cdcSnapshotEnvelopes(snapshot, database, table)
+        .select(to_json(struct(col("database"), col("tableName"), col("before"),
+          col("after"), col("type"))).as("value"))),
+      table, payloadSchema)
+    Sinks.upsertBatch(snapRows, path, keyCol, Some(versionCol), buckets)
+    Sinks.dimUpsert(cdcAfter(cdcDecode(raw), table, payloadSchema),
+      path, keyCol, checkpoint, Some(versionCol), buckets = buckets)
+  }
+
   /** Events table as a file stream — the harness stand-in for the
     * ods_base_log Kafka topic. Schema must be declared (streaming cannot
     * infer); ts arrives as raw nanos (see Tables.events) and is floored to

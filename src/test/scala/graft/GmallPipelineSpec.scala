@@ -156,4 +156,27 @@ class GmallPipelineSpec extends SparkSpec {
     assert(ServingApi.gmv(stats, 20201215).doubleValue() === 99.50)
     assert(ServingApi.gmv(stats, 20201216).doubleValue() === 0.0)
   }
+
+  test("published serving store partition-prunes the dated gmv query") {
+    val path = java.nio.file.Files.createTempDirectory("graft-serving").toString + "/product_stats"
+    val stats = Seq(
+      ("2020-12-15 02:40:00", java.math.BigDecimal.valueOf(99.50)),
+      ("2020-12-15 03:00:00", java.math.BigDecimal.valueOf(0.50)),
+      ("2020-12-16 01:00:00", java.math.BigDecimal.valueOf(7.25)))
+      .toDF("stt", "order_amount")
+    ServingApi.writeStats(stats, path)
+    // one directory per day materialized
+    val dts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("dt=")).map(_.getName).sorted
+    assert(dts === Array("dt=20201215", "dt=20201216"))
+    val q = ServingApi.gmvAt(spark, path, 20201215)
+    // the filter lands on the partition column: pruning happens at file
+    // level, BEFORE any row is deserialized — no full scan at 100 TB
+    val scan = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("dt") && !scan.contains("PartitionFilters: []"), scan)
+    assert(q.as[java.math.BigDecimal].head().doubleValue() === 100.00)
+    assert(ServingApi.gmvAt(spark, path, 20201217).as[java.math.BigDecimal]
+      .head().doubleValue() === 0.0)
+  }
 }

@@ -17,20 +17,113 @@ class SinksSpec extends SparkSpec {
     assert(r === Map(1L -> "alice", 2L -> "robert", 3L -> "carol"))
   }
 
-  test("dim upsert: versionCol decides the winner within one batch (K4)") {
+  test("dim upsert: versionCol decides the winner within AND across batches (K4)") {
     val path = Files.createTempDirectory("graft-dimv").toString + "/dim"
     // same key twice in one batch, higher version listed first — arrival
     // order must NOT matter, only the version column
     val b = Seq((1L, "newer", 20L), (1L, "older", 10L), (2L, "only", 5L))
       .toDF("id", "name", "ver")
     Sinks.upsertBatch(b, path, "id", Some("ver"))
-    // a later batch with a lower version still wins over the stored row
-    // (incoming beats existing; cross-batch version ordering is the CDC
-    // transport's contract, not the sink's)
-    val b2 = Seq((2L, "update", 1L)).toDF("id", "name", "ver")
-    Sinks.upsertBatch(b2, path, "id", Some("ver"))
+    // a later batch with a LOWER version must NOT regress the stored row —
+    // this is what makes CDC replay (re-delivered old binlog segments)
+    // converge instead of flapping
+    val stale = Seq((2L, "stale", 1L)).toDF("id", "name", "ver")
+    Sinks.upsertBatch(stale, path, "id", Some("ver"))
+    // and a higher version does win
+    val fresh = Seq((2L, "fresh", 9L)).toDF("id", "name", "ver")
+    Sinks.upsertBatch(fresh, path, "id", Some("ver"))
     val r = spark.read.parquet(path).select("id", "name").as[(Long, String)].collect().toMap
-    assert(r === Map(1L -> "newer", 2L -> "update"))
+    assert(r === Map(1L -> "newer", 2L -> "fresh"))
+  }
+
+  test("bucketed dim upsert rewrites only the touched buckets (K4 at scale)") {
+    import scala.jdk.CollectionConverters._
+    val path = Files.createTempDirectory("graft-dimb").toString + "/dim"
+    val b1 = (1L to 64L).map(i => (i, s"v$i", 1L)).toDF("id", "name", "ver")
+    Sinks.upsertBatch(b1, path, "id", Some("ver"), buckets = 8)
+    def bucketFiles(): Map[String, Map[String, Long]] =
+      java.nio.file.Files.list(java.nio.file.Paths.get(path)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("__bucket="))
+        .map { d =>
+          d.getFileName.toString ->
+            java.nio.file.Files.list(d).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(f => f.getFileName.toString ->
+                java.nio.file.Files.getLastModifiedTime(f).toMillis).toMap
+        }.toMap
+    val before = bucketFiles()
+    assert(before.size === 8) // all 8 bucket partitions materialized
+    // one-key update: only that key's bucket may change
+    val b2 = Seq((7L, "updated", 2L)).toDF("id", "name", "ver")
+    Sinks.upsertBatch(b2, path, "id", Some("ver"), buckets = 8)
+    val after = bucketFiles()
+    val touched = before.keys.filter(k => before(k) != after(k)).toSet
+    assert(touched.size === 1, s"expected 1 rewritten bucket, got $touched")
+    // untouched buckets keep the exact same files with the same mtimes
+    (before.keySet - touched.head).foreach(k => assert(before(k) === after(k), k))
+    val r = spark.read.parquet(path).select("id", "name").as[(Long, String)].collect().toMap
+    assert(r(7L) === "updated" && r(8L) === "v8" && r.size === 64)
+  }
+
+  test("CDC initial mode: snapshot + incremental + replay converges to batch truth (S3)") {
+    import graft.streaming.Sources
+    import org.apache.spark.sql.types._
+    val path = Files.createTempDirectory("graft-cdc").toString + "/dim"
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("ver", LongType)))
+    // snapshot at version 10
+    val snapshot = Seq((1L, "a10", 10L), (2L, "b10", 10L), (3L, "c10", 10L))
+      .toDF("id", "name", "ver")
+    val snapRows = Sources.cdcAfter(
+      Sources.cdcDecode(
+        Sources.cdcSnapshotEnvelopes(snapshot, "gmall", "dim")
+          .select(to_json(struct(col("database"), col("tableName"), col("before"),
+            col("after"), col("type"))).as("value"))),
+      "dim", schema)
+    Sinks.upsertBatch(snapRows, path, "id", Some("ver"))
+    // incremental binlog AFTER the snapshot point — including one change
+    // (ver=9) that is OLDER than the snapshot: the initial-mode overlap,
+    // which must not regress row 2
+    def env(id: Long, name: String, ver: Long, op: String) =
+      (s"""{"database":"gmall","tableName":"dim","before":null,""" +
+        s""""after":"{\\"id\\":$id,\\"name\\":\\"$name\\",\\"ver\\":$ver}","type":"$op"}""")
+    val inc = Seq(env(2L, "b9-late", 9L, "update"), env(3L, "c12", 12L, "update"),
+      env(4L, "d11", 11L, "create")).toDF("value")
+    val incRows = Sources.cdcAfter(Sources.cdcDecode(inc), "dim", schema)
+    Sinks.upsertBatch(incRows, path, "id", Some("ver"))
+    // replay the SAME incremental segment (at-least-once transport)
+    Sinks.upsertBatch(incRows, path, "id", Some("ver"))
+    val truth = Map(1L -> "a10", 2L -> "b10", 3L -> "c12", 4L -> "d11")
+    val got = spark.read.parquet(path).select("id", "name").as[(Long, String)].collect().toMap
+    assert(got === truth)
+  }
+
+  test("cdcInitialToDim runs both phases through one store (S3 end-to-end)") {
+    import graft.streaming.Sources
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-cdc2").toString
+    val path = s"$root/dim"
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("ver", LongType)))
+    val snapshot = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "name", "ver")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = Sources.cdcInitialToDim(snapshot, "gmall", "dim",
+      mem.toDF().select(col("value")), schema, path, "id", "ver",
+      s"$root/ckpt")
+    try {
+      // snapshot phase applied synchronously before the stream started
+      val afterSnap = spark.read.parquet(path).select("id").as[Long].collect().toSet
+      assert(afterSnap === Set(1L, 2L))
+      mem.addData(
+        """{"database":"gmall","tableName":"dim","before":null,"after":"{\"id\":2,\"name\":\"b2\",\"ver\":2}","type":"update"}""",
+        """{"database":"gmall","tableName":"dim","before":null,"after":"{\"id\":3,\"name\":\"c\",\"ver\":2}","type":"create"}""")
+      q.processAllAvailable()
+      val got = spark.read.parquet(path).select("id", "name").as[(Long, String)]
+        .collect().toMap
+      assert(got === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    } finally q.stop()
   }
 
   test("kafkaValue packs all columns into a JSON value column (K1)") {

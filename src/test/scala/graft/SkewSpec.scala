@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+
+/** Skew-stress fixtures: every skew guard in the engine proven on a
+  * deliberately hot-keyed dataset, not just organic (unskewed) test data.
+  * Complements DedupSpec's bucketPairs star-fallback test and the
+  * ngram-jaccard capped-bucket tests (the dedup-side skew guards).
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 100k rows, 10% of them on one hot key — the "one mass key dwarfs the
+  // rest" shape that makes an unsalted shuffle join straggle
+  private def hotLeft = spark.range(100000).select(
+    when(col("id") % 10 === 0, lit(777L)).otherwise(col("id")).as("k"),
+    col("id").as("v"))
+
+  private def right = spark.range(1000).select(
+    col("id").as("k"), (col("id") * 2).as("w"))
+
+  test("saltedJoin matches the plain join bit-for-bit on a hot-key fixture") {
+    val t0 = System.nanoTime()
+    val plain = hotLeft.join(right, "k")
+      .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
+      .as[(Long, Long)].head()
+    val salted = Joins.saltedJoin(hotLeft, right, "k", buckets = 8)
+      .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
+      .as[(Long, Long)].head()
+    assert(salted === plain)
+    assert(plain._1 === 10900L) // 10001 hot-key rows + 899 organic matches
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(elapsedSec < 60.0, f"skew fixture took $elapsedSec%.1fs")
+  }
+
+  test("saltedJoin actually spreads the hot key over multiple reducers") {
+    // AQE's partition coalescing would legitimately merge these small test
+    // partitions back together; disable it to observe the raw spread
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val parts = Joins.saltedJoin(hotLeft, right, "k", buckets = 8)
+        .filter(col("k") === 777L)
+        .select(spark_partition_id().as("p"))
+        .distinct().count()
+      // 8 salts hash into 32 shuffle partitions; a straggler-free spread
+      // puts the hot key in several distinct reducers instead of one
+      assert(parts >= 4, s"hot key landed in only $parts partition(s)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("AQE splits the skewed partition in an unsalted sort-merge join") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // enough reducers that the hot key's partition stands out against
+      // the organic median, and no coalescing to blur it
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val q = hotLeft.join(right, "k")
+      // materialize THIS DataFrame so its adaptive plan is final (count()
+      // would plan a separate, aggregated query)
+      assert(q.collect().length === 10900)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(1200))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
