@@ -292,6 +292,28 @@ object SparkEntry {
         .select(col("user_id"), col("dt"), col("event_id"))
         .orderBy(col("user_id"), col("dt"))),
 
+    // ── CEP: generalized pattern matching (Flink CEP surface) — 3-step
+    // strict funnel view→click→purchase within 2h; matches AND timed-out
+    // partials (the CEP side output), batch-truth end-of-data semantics
+    "cep_funnel" -> ((s, dir) =>
+      graft.streaming.Cep.runBatch(Tables.events(s, dir), cepFunnelPattern)
+        .select(col("user_id"), col("first_event_id"), col("last_event_id"),
+          col("steps_matched"), col("matched").cast("int").as("matched_i"))
+        .orderBy(col("user_id"), col("first_event_id"))),
+
+    // ── CEP streaming: the same pattern through flatMapGroupsWithState
+    // with event-time timeouts; open windows at the final watermark stay
+    // pending (same cutoff rule as every stream_* gate)
+    "stream_cep_funnel" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.Cep.run(
+          graft.streaming.Sources.eventsStream(s, dir)
+            .withWatermark("ts", "0 seconds"),
+          cepFunnelPattern))
+        .select(col("user_id"), col("first_event_id"), col("last_event_id"),
+          col("steps_matched"), col("matched").cast("int").as("matched_i"))
+        .orderBy(col("user_id"), col("first_event_id"))),
+
     // ── T3: bounce detection (no successor within 1800s)
     "t3_bounce" -> ((s, dir) =>
       Sessionize.bounces(Tables.events(s, dir), gapSec = 1800L)
@@ -597,6 +619,13 @@ object SparkEntry {
           count(lit(1)).as("windows"))
         .orderBy(col("event_type")))
   )
+
+  /** The gate CEP pattern: a strict 3-step conversion funnel. */
+  private def cepFunnelPattern: graft.streaming.Cep.Pattern =
+    graft.streaming.Cep.Pattern.begin("view")(_.event_type == "view")
+      .next("click")(_.event_type == "click")
+      .next("purchase")(_.event_type == "purchase")
+      .within(7200L)
 
   /** The affine MinHash permutation family as a DuckDB VALUES list —
     * the SAME constants graft_minhash_bands_p bakes into its signatures
@@ -948,6 +977,68 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS bounce_ct FROM g
         |WHERE nxt IS NULL OR nxt - us > 1800000000
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Strict contiguity means step j must match the j-th FOLLOWING event,
+    // so the whole DFA collapses to lead() shifts. Each start event has
+    // exactly one outcome: full match; timeout after 1 step (no successor
+    // or successor beyond the window); timeout after 2; or silent death
+    // (an in-window successor that fails its step) — the branches below
+    // are mutually exclusive.
+    "cep_funnel" ->
+      """WITH f AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT user_id, event_id, us, event_type,
+        |    lead(event_type,1) OVER w AS t1, lead(event_id,1) OVER w AS id1,
+        |    lead(us,1) OVER w AS us1,
+        |    lead(event_type,2) OVER w AS t2, lead(event_id,2) OVER w AS id2,
+        |    lead(us,2) OVER w AS us2
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |m AS (
+        |  SELECT user_id, event_id AS first_event_id, id2 AS last_event_id,
+        |         3 AS steps_matched, 1 AS matched_i
+        |  FROM g WHERE event_type='view' AND t1='click' AND us1-us <= 7200000000
+        |          AND t2='purchase' AND us2-us <= 7200000000
+        |  UNION ALL
+        |  SELECT user_id, event_id, event_id, 1, 0
+        |  FROM g WHERE event_type='view' AND (us1 IS NULL OR us1-us > 7200000000)
+        |  UNION ALL
+        |  SELECT user_id, event_id, id1, 2, 0
+        |  FROM g WHERE event_type='view' AND t1='click' AND us1-us <= 7200000000
+        |          AND (us2 IS NULL OR us2-us > 7200000000))
+        |SELECT user_id, first_event_id, last_event_id, steps_matched, matched_i
+        |FROM m ORDER BY user_id, first_event_id""".stripMargin,
+
+    // Streaming twin: identical except the no-successor timeouts only emit
+    // once the final watermark (floor(max_us/1000), 0s delay) passes the
+    // partial's deadline; beyond-window successors emit unconditionally
+    // (their arrival already advanced the watermark past the deadline).
+    "stream_cep_funnel" ->
+      """WITH f AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |mx AS (SELECT max(us) AS mu FROM f),
+        |g AS (SELECT user_id, event_id, us, event_type,
+        |    lead(event_type,1) OVER w AS t1, lead(event_id,1) OVER w AS id1,
+        |    lead(us,1) OVER w AS us1,
+        |    lead(event_type,2) OVER w AS t2, lead(event_id,2) OVER w AS id2,
+        |    lead(us,2) OVER w AS us2
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |m AS (
+        |  SELECT user_id, event_id AS first_event_id, id2 AS last_event_id,
+        |         3 AS steps_matched, 1 AS matched_i
+        |  FROM g WHERE event_type='view' AND t1='click' AND us1-us <= 7200000000
+        |          AND t2='purchase' AND us2-us <= 7200000000
+        |  UNION ALL
+        |  SELECT g.user_id, event_id, event_id, 1, 0
+        |  FROM g, mx WHERE event_type='view'
+        |   AND ((us1 IS NULL AND (us + 7200000000)//1000 < mu//1000)
+        |     OR (us1 IS NOT NULL AND us1-us > 7200000000))
+        |  UNION ALL
+        |  SELECT g.user_id, event_id, id1, 2, 0
+        |  FROM g, mx WHERE event_type='view' AND t1='click' AND us1-us <= 7200000000
+        |   AND ((us2 IS NULL AND (us + 7200000000)//1000 < mu//1000)
+        |     OR (us2 IS NOT NULL AND us2-us > 7200000000)))
+        |SELECT user_id, first_event_id, last_event_id, steps_matched, matched_i
+        |FROM m ORDER BY user_id, first_event_id""".stripMargin,
 
     "stream_t1_new_old" ->
       """WITH f AS (SELECT user_id,

@@ -32,7 +32,7 @@ object StatefulStreams {
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String, dt: String)
 
-  private def toEvents(df: DataFrame): Dataset[Event] = {
+  private[streaming] def toEvents(df: DataFrame): Dataset[Event] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select("event_id", "ts", "user_id", "event_type", "value", "props").as[Event]
@@ -40,10 +40,10 @@ object StatefulStreams {
 
   /** Microsecond event time (Timestamp.getTime floors to ms — comparing in
     * ms would disagree with the µs-exact batch oracle on sub-ms gaps). */
-  private def micros(t: java.sql.Timestamp): Long =
+  private[streaming] def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
-  private def sorted(it: Iterator[Event]): Seq[Event] =
+  private[streaming] def sorted(it: Iterator[Event]): Seq[Event] =
     it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
 
   /** T1 (dwd/BaseLogApp.java:66-95): first-ever event per key is flagged

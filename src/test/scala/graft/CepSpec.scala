@@ -1,0 +1,86 @@
+package graft
+
+import graft.streaming.{Cep, Sources, StatefulStreams, StreamRunner}
+import org.apache.spark.sql.functions._
+
+class CepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def funnel = Cep.Pattern.begin("view")(_.event_type == "view")
+    .next("click")(_.event_type == "click")
+    .next("purchase")(_.event_type == "purchase")
+    .within(7200L)
+
+  test("streaming CEP == batch CEP under the final-watermark cutoff") {
+    val events = Tables.events(spark, dir)
+    val wmMs = events.agg(max(unix_micros(col("ts")))).as[Long].head() / 1000L
+    val stream = StreamRunner.collect(
+        Cep.run(Sources.eventsStream(spark, dir).withWatermark("ts", "0 seconds"),
+          funnel))
+      .select("user_id", "first_event_id", "last_event_id", "steps_matched", "matched")
+      .as[(Long, Long, Long, Int, Boolean)].collect().sorted
+    val batch = Cep.runBatch(events, funnel, cutoffMs = Some(wmMs))
+      .select("user_id", "first_event_id", "last_event_id", "steps_matched", "matched")
+      .as[(Long, Long, Long, Int, Boolean)].collect().sorted
+    assert(stream.nonEmpty)
+    assert(stream === batch)
+    assert(stream.exists(_._5), "expected at least one full match")
+    assert(stream.exists(!_._5), "expected at least one timed-out partial")
+  }
+
+  test("the bounce pattern reproduces StatefulStreams.bounces exactly") {
+    // begin(any).next(any).within(gap): a 1-matched partial that times out
+    // IS a bounce (no successor within gap) — the generalized machine must
+    // reproduce the hand-written one event for event
+    val anyEvent = (_: StatefulStreams.Event) => true
+    val p = Cep.Pattern.begin("first")(anyEvent).next("second")(anyEvent).within(1800L)
+    val viaCep = StreamRunner.collect(
+        Cep.run(Sources.eventsStream(spark, dir).withWatermark("ts", "0 seconds"), p))
+      .filter(!col("matched"))
+      .select(col("user_id"), col("first_event_id").as("event_id"))
+      .as[(Long, Long)].collect().sorted
+    val viaBounces = StreamRunner.collect(
+        StatefulStreams.bounces(
+          Sources.eventsStream(spark, dir).withWatermark("ts", "0 seconds"),
+          gapSec = 1800L))
+      .select("user_id", "event_id").as[(Long, Long)].collect().sorted
+    assert(viaCep === viaBounces)
+    assert(viaCep.nonEmpty)
+  }
+
+  test("relaxed contiguity (followedBy) skips non-matching events; strict dies") {
+    def ev(id: Long, sec: Long, t: String) = StatefulStreams.Event(
+      id, new java.sql.Timestamp(sec * 1000L), 1L, t, 0.0, "{}")
+    val evs = Seq(ev(1, 0, "a"), ev(2, 10, "x"), ev(3, 20, "b")).toDS().toDF()
+    val strict = Cep.Pattern.begin("a")(_.event_type == "a")
+      .next("b")(_.event_type == "b").within(100L)
+    val relaxed = Cep.Pattern.begin("a")(_.event_type == "a")
+      .followedBy("b")(_.event_type == "b").within(100L)
+    // strict: the x at t=10 kills the partial — no match, no timeout
+    assert(Cep.runBatch(evs, strict).count() === 0L)
+    // relaxed: x is skipped, a→b matches
+    val r = Cep.runBatch(evs, relaxed)
+      .select("first_event_id", "last_event_id", "matched")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(r === Seq((1L, 3L, true)))
+  }
+
+  test("maxPartials force-expires the oldest partials (hot-key state bound)") {
+    // begin(any) with relaxed step that never fires: every event opens a
+    // partial that lives until the window closes — unbounded without a cap
+    def ev(id: Long) = StatefulStreams.Event(
+      id, new java.sql.Timestamp(id * 1000L), 1L, "a", 0.0, "{}")
+    val evs = (1L to 50L).map(ev).toDS().toDF()
+    val p = Cep.Pattern.begin("a")(_.event_type == "a")
+      .followedBy("never")(_.event_type == "zzz").within(100000L)
+      .copy(maxPartials = 10)
+    val out = Cep.runBatch(evs, p).select("first_event_id", "matched")
+      .as[(Long, Boolean)].collect()
+    assert(out.forall(!_._2))
+    assert(out.length === 50) // 40 force-expired + 10 end-of-data tails
+    // the force-expired ones are the OLDEST starts
+    assert(out.map(_._1).sorted === (1L to 50L).toArray)
+  }
+}
