@@ -15,7 +15,8 @@ object Bench {
     // 5-20x slower than in isolation before this).
     def reset(): Unit = {
       spark.catalog.listTables().collect()
-        .filter(_.name.startsWith("graft_stream_"))
+        .filter(t => t.name.startsWith("graft_stream_") ||
+          t.name.startsWith("docs_") || t.name.startsWith("ev_sql_"))
         .foreach(t => spark.catalog.dropTempView(t.name))
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()

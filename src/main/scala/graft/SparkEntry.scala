@@ -66,10 +66,14 @@ object SparkEntry {
     "a3_keyword_lateral" -> ((s, dir) => {
       val view = s"docs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       Tables.documents(s, dir).createOrReplaceTempView(view)
-      s.sql(
+      val df = s.sql(
         s"""SELECT keyword, count(*) AS ct
            |FROM $view LATERAL VIEW graft_tokenize(text) t AS keyword
            |GROUP BY keyword ORDER BY keyword""".stripMargin)
+      // Dataset analysis is eager, so the view is already resolved into the
+      // plan — drop it now so repeated invocations don't grow the catalog
+      s.catalog.dropTempView(view)
+      df
     }),
 
     // ── A4: ProvinceStats — geo rollup with distinct counts over BHJ dims
@@ -310,6 +314,29 @@ object SparkEntry {
           graft.streaming.Sources.eventsStream(s, dir)
             .withWatermark("ts", "0 seconds"),
           cepFunnelPattern))
+        .select(col("user_id"), col("first_event_id"), col("last_event_id"),
+          col("steps_matched"), col("matched").cast("int").as("matched_i"))
+        .orderBy(col("user_id"), col("first_event_id"))),
+
+    // ── CEP relaxed: followedBy (skip non-matching) funnel over a 24h
+    // window — the fixture COMPLETES this one (the 2h strict funnel above
+    // only ever times out), so the matched=true completion arm of
+    // Cep.advance is oracle-verified end-to-end here
+    "cep_funnel_relaxed" -> ((s, dir) =>
+      graft.streaming.Cep.runBatch(Tables.events(s, dir), cepRelaxedPattern)
+        .select(col("user_id"), col("first_event_id"), col("last_event_id"),
+          col("steps_matched"), col("matched").cast("int").as("matched_i"))
+        .orderBy(col("user_id"), col("first_event_id"))),
+
+    // ── CEP relaxed, streaming twin: completions emit on arrival of the
+    // completing event; timeouts emit on in-advance expiry (a same-key
+    // event past the deadline) or the final-watermark cutoff
+    "stream_cep_funnel_relaxed" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.Cep.run(
+          graft.streaming.Sources.eventsStream(s, dir)
+            .withWatermark("ts", "0 seconds"),
+          cepRelaxedPattern))
         .select(col("user_id"), col("first_event_id"), col("last_event_id"),
           col("steps_matched"), col("matched").cast("int").as("matched_i"))
         .orderBy(col("user_id"), col("first_event_id"))),
@@ -598,7 +625,7 @@ object SparkEntry {
       graft.streaming.Sources.eventsStream(s, dir)
         .withWatermark("ts", "2 seconds")
         .createOrReplaceTempView(view)
-      graft.streaming.StreamRunner.collect(
+      val out = graft.streaming.StreamRunner.collect(
         s.sql(
           s"""SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
              |       event_type, pmod(user_id, 4) AS cohort, count(*) AS pv,
@@ -608,6 +635,10 @@ object SparkEntry {
              |GROUP BY window(ts, '60 seconds'), event_type, pmod(user_id, 4)""".stripMargin),
         outputMode = "complete")
         .orderBy(col("stt"), col("event_type"), col("cohort"))
+      // the bounded run is complete, so the streaming view is dead weight —
+      // drop it to keep the catalog flat across repeated invocations
+      s.catalog.dropTempView(view)
+      out
     }),
 
     // ── K3/A5: serve over materialized stats (two-level agg)
@@ -626,6 +657,17 @@ object SparkEntry {
       .next("click")(_.event_type == "click")
       .next("purchase")(_.event_type == "purchase")
       .within(7200L)
+
+  /** Relaxed-contiguity funnel (Flink `followedBy`): each partial consumes
+    * the FIRST in-window matching event per step and skips the rest. 24h
+    * window because the fixture's median inter-event gap is hours — this
+    * is the pattern the data can complete, making matched=true rows
+    * oracle-checkable (the strict 2h funnel never completes on it). */
+  private def cepRelaxedPattern: graft.streaming.Cep.Pattern =
+    graft.streaming.Cep.Pattern.begin("view")(_.event_type == "view")
+      .followedBy("click")(_.event_type == "click")
+      .followedBy("purchase")(_.event_type == "purchase")
+      .within(86400L)
 
   /** The affine MinHash permutation family as a DuckDB VALUES list —
     * the SAME constants graft_minhash_bands_p bakes into its signatures
@@ -1039,6 +1081,77 @@ object SparkEntry {
         |     OR (us2 IS NOT NULL AND us2-us > 7200000000)))
         |SELECT user_id, first_event_id, last_event_id, steps_matched, matched_i
         |FROM m ORDER BY user_id, first_event_id""".stripMargin,
+
+    // Relaxed contiguity: each view-partial consumes the FIRST in-window
+    // click after it, then the FIRST in-window purchase after that click
+    // (noSkip: every view opens its own independent partial, so per-view
+    // LATERAL lookups are exact). "After" is the DFA's processing order:
+    // (us, event_id) lexicographic. Window is measured from the view.
+    "cep_funnel_relaxed" ->
+      """WITH f AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT * FROM f WHERE event_type='view'),
+        |m AS (
+        |  SELECT v.user_id, v.event_id AS first_event_id, v.us AS vus,
+        |         c.cid, p.pid
+        |  FROM v
+        |  LEFT JOIN LATERAL (
+        |    SELECT c.event_id AS cid, c.us AS cus FROM f c
+        |    WHERE c.user_id = v.user_id AND c.event_type = 'click'
+        |      AND (c.us > v.us OR (c.us = v.us AND c.event_id > v.event_id))
+        |      AND c.us - v.us <= 86400000000
+        |    ORDER BY c.us, c.event_id LIMIT 1) c ON true
+        |  LEFT JOIN LATERAL (
+        |    SELECT p.event_id AS pid FROM f p
+        |    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |      AND (p.us > c.cus OR (p.us = c.cus AND p.event_id > c.cid))
+        |      AND p.us - v.us <= 86400000000
+        |    ORDER BY p.us, p.event_id LIMIT 1) p ON true)
+        |SELECT user_id, first_event_id,
+        |  CASE WHEN pid IS NOT NULL THEN pid
+        |       WHEN cid IS NOT NULL THEN cid ELSE first_event_id END AS last_event_id,
+        |  CASE WHEN pid IS NOT NULL THEN 3
+        |       WHEN cid IS NOT NULL THEN 2 ELSE 1 END AS steps_matched,
+        |  CASE WHEN pid IS NOT NULL THEN 1 ELSE 0 END AS matched_i
+        |FROM m ORDER BY user_id, first_event_id""".stripMargin,
+
+    // Streaming twin: completions always emit (on arrival); a timed-out
+    // partial emits iff some same-key event lands past its deadline
+    // (in-advance expiry inside Cep.advance) OR the final watermark
+    // (floor(max_us/1000) ms, 0s delay) passed the deadline.
+    "stream_cep_funnel_relaxed" ->
+      """WITH f AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |mx AS (SELECT max(us) AS mu FROM f),
+        |v AS (SELECT * FROM f WHERE event_type='view'),
+        |m AS (
+        |  SELECT v.user_id, v.event_id AS first_event_id, v.us AS vus,
+        |         c.cid, p.pid
+        |  FROM v
+        |  LEFT JOIN LATERAL (
+        |    SELECT c.event_id AS cid, c.us AS cus FROM f c
+        |    WHERE c.user_id = v.user_id AND c.event_type = 'click'
+        |      AND (c.us > v.us OR (c.us = v.us AND c.event_id > v.event_id))
+        |      AND c.us - v.us <= 86400000000
+        |    ORDER BY c.us, c.event_id LIMIT 1) c ON true
+        |  LEFT JOIN LATERAL (
+        |    SELECT p.event_id AS pid FROM f p
+        |    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |      AND (p.us > c.cus OR (p.us = c.cus AND p.event_id > c.cid))
+        |      AND p.us - v.us <= 86400000000
+        |    ORDER BY p.us, p.event_id LIMIT 1) p ON true)
+        |SELECT m.user_id, m.first_event_id,
+        |  CASE WHEN pid IS NOT NULL THEN pid
+        |       WHEN cid IS NOT NULL THEN cid ELSE first_event_id END AS last_event_id,
+        |  CASE WHEN pid IS NOT NULL THEN 3
+        |       WHEN cid IS NOT NULL THEN 2 ELSE 1 END AS steps_matched,
+        |  CASE WHEN pid IS NOT NULL THEN 1 ELSE 0 END AS matched_i
+        |FROM m, mx
+        |WHERE pid IS NOT NULL
+        |   OR EXISTS (SELECT 1 FROM f e WHERE e.user_id = m.user_id
+        |              AND e.us > m.vus + 86400000000)
+        |   OR (m.vus + 86400000000)//1000 < mu//1000
+        |ORDER BY m.user_id, m.first_event_id""".stripMargin,
 
     "stream_t1_new_old" ->
       """WITH f AS (SELECT user_id,

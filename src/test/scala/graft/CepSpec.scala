@@ -13,7 +13,13 @@ class CepSpec extends SparkSpec {
     .next("purchase")(_.event_type == "purchase")
     .within(7200L)
 
-  test("streaming CEP == batch CEP under the final-watermark cutoff") {
+  // The fixture's median inter-event gap is hours, so a strict
+  // (immediately-adjacent) 2h funnel never completes on it — DuckDB
+  // lead()-adjacency finds ZERO view→click→purchase runs at sf0.001 and
+  // sf0.01. The strict test therefore asserts parity + timeouts only; the
+  // relaxed 24h funnel below is the pattern the fixture CAN complete and
+  // carries the positive-match assertions.
+  test("strict funnel: streaming CEP == batch CEP under the final-watermark cutoff") {
     val events = Tables.events(spark, dir)
     val wmMs = events.agg(max(unix_micros(col("ts")))).as[Long].head() / 1000L
     val stream = StreamRunner.collect(
@@ -26,8 +32,29 @@ class CepSpec extends SparkSpec {
       .as[(Long, Long, Long, Int, Boolean)].collect().sorted
     assert(stream.nonEmpty)
     assert(stream === batch)
+    assert(stream.exists(!_._5), "expected at least one timed-out partial")
+  }
+
+  test("relaxed 24h funnel completes on the fixture: parity + positive matches") {
+    val relaxed = Cep.Pattern.begin("view")(_.event_type == "view")
+      .followedBy("click")(_.event_type == "click")
+      .followedBy("purchase")(_.event_type == "purchase")
+      .within(86400L)
+    val events = Tables.events(spark, dir)
+    val wmMs = events.agg(max(unix_micros(col("ts")))).as[Long].head() / 1000L
+    val stream = StreamRunner.collect(
+        Cep.run(Sources.eventsStream(spark, dir).withWatermark("ts", "0 seconds"),
+          relaxed))
+      .select("user_id", "first_event_id", "last_event_id", "steps_matched", "matched")
+      .as[(Long, Long, Long, Int, Boolean)].collect().sorted
+    val batch = Cep.runBatch(events, relaxed, cutoffMs = Some(wmMs))
+      .select("user_id", "first_event_id", "last_event_id", "steps_matched", "matched")
+      .as[(Long, Long, Long, Int, Boolean)].collect().sorted
+    assert(stream === batch)
     assert(stream.exists(_._5), "expected at least one full match")
     assert(stream.exists(!_._5), "expected at least one timed-out partial")
+    // the completion arm emits all three steps with the purchase as last
+    assert(stream.filter(_._5).forall(_._4 == 3))
   }
 
   test("the bounce pattern reproduces StatefulStreams.bounces exactly") {
@@ -65,6 +92,43 @@ class CepSpec extends SparkSpec {
       .select("first_event_id", "last_event_id", "matched")
       .as[(Long, Long, Boolean)].collect().toSeq
     assert(r === Seq((1L, 3L, true)))
+  }
+
+  test("streaming hot key: maxPartials bounds state through the real stream path") {
+    // 5000 never-completing partials on ONE key (plus organic keys) driven
+    // through the actual flatMapGroupsWithState streaming path. within is
+    // far beyond the fixture's span, so NO watermark timeout ever fires:
+    // without the cap the output would be empty (everything pending).
+    // With maxPartials=10 each arrival force-expires the oldest partial
+    // beyond 10 — so the stream must emit exactly the 4990 OLDEST starts,
+    // in watermark (start-time) order, and the batch twin must agree.
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-cep-hot").toString
+    val rawDir = Files.createTempDirectory("graft-cep-hot-raw").toString
+    val hot = (1L to 5000L).map(i => (i, i * 1000000000L, 777L, "a", 0.0, "{}"))
+    val organic = (1L to 50L).map(i =>
+      (5000L + i, i * 97L * 1000000000L, i, "x", 0.0, "{}"))
+    (hot ++ organic).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$rawDir/raw")
+    val part = Files.list(Paths.get(s"$rawDir/raw")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.move(Paths.get(part), Paths.get(s"$root/events.parquet"))
+
+    val p = Cep.Pattern.begin("a")(_.event_type == "a")
+      .followedBy("never")(_.event_type == "zzz").within(1000000L)
+      .copy(maxPartials = 10)
+    val stream = StreamRunner.collect(
+        Cep.run(Sources.eventsStream(spark, root).withWatermark("ts", "0 seconds"), p))
+      .select("user_id", "first_event_id", "matched")
+      .as[(Long, Long, Boolean)].collect()
+    assert(stream.length === 4990)
+    assert(stream.forall(!_._3))
+    assert(stream.map(_._2).sorted === (1L to 4990L).toArray)
+    val batch = Cep.runBatch(Tables.events(spark, root), p,
+        cutoffMs = Some(5000L * 1000L))
+      .select("user_id", "first_event_id", "matched")
+      .as[(Long, Long, Boolean)].collect()
+    assert(stream.sorted === batch.sorted)
   }
 
   test("maxPartials force-expires the oldest partials (hot-key state bound)") {
