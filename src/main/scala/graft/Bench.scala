@@ -24,7 +24,12 @@ object Bench {
     }
     // (sec, succeeded) per query — a throwing query must NOT masquerade as
     // a healthy timing
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration knob (unset for the driver): restrict to named queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       reset()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

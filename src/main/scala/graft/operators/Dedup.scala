@@ -282,17 +282,35 @@ object Dedup {
 
   /** Connected components over dedup pairs — the "resolve pairs into
     * duplicate clusters" step that completes a dedup pipeline (keep one
-    * doc per cluster). Iterative min-label propagation: each round every
-    * node adopts the smallest label among itself and its neighbors; two
-    * shuffles per round, O(component diameter) rounds. Duplicate clusters
-    * are near-cliques in practice (diameter 1-2), so this converges in a
-    * couple of rounds; the driver-side loop is O(rounds), data stays
-    * distributed. Returns (doc_id, cluster_id = min doc id reachable). */
-  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs
+    * doc per cluster). Iterative min-label propagation with POINTER
+    * DOUBLING: each round every node adopts the smallest of (its label,
+    * its neighbors' labels, its label's label). The shortcut hop halves
+    * chain depth every round, so convergence is O(log diameter) rounds
+    * instead of O(diameter) — near-clique duplicate clusters still finish
+    * in 2-3 rounds, and chain-shaped transitive near-dup components (the
+    * worst case connected-components exists for) no longer scale rounds
+    * with chain length. Three shuffles per round, data stays distributed;
+    * the driver-side loop is O(rounds) only.
+    *
+    * Small-graph fast path: a dedup pair set is orders of magnitude
+    * smaller than its corpus (it holds only near-duplicates), so below
+    * `driverMaxEdges` (default 4M ≈ 64MB of longs — trivial for any
+    * driver) the edges come back to the driver for a union-find instead:
+    * exact same labels, none of the per-round scheduling latency the
+    * iterative path pays on tiny graphs. A 100TB corpus with billions of
+    * pairs exceeds the cap and takes the distributed loop.
+    * Returns (doc_id, cluster_id = min doc id reachable). */
+  def clusters(pairs: DataFrame, maxIters: Int = 20,
+      driverMaxEdges: Long = 1L << 22): DataFrame = {
+    // materialize the pair computation ONCE: upstream dedup pipelines
+    // (ngram shingling, minhash banding) are the expensive part, and the
+    // symmetrizing union below would otherwise run them twice — and every
+    // propagation round would re-read the un-cached lineage
+    val p0 = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    if (p0.count() <= driverMaxEdges) return clustersDriver(p0)
+    val edges = p0
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true) // reused every round: don't recompute the pairs
+      .unionByName(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
@@ -303,14 +321,23 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("lbl").as("dlbl")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("dlbl")).as("nlbl"))
+      // pointer-doubling hop: the label of my label. Labels are node ids
+      // (invariant: lbl is a node in the same component, lbl <= node), so
+      // the self-join resolves; min-labeled roots have lbl2 = lbl.
+      val shortcut = labels.select(col("lbl").as("hop"), col("node"))
+        .join(labels.select(col("node").as("hop"), col("lbl").as("lbl2")), "hop")
+        .select(col("node"), col("lbl2"))
       // the changed flag is computed IN the update select and materialized
       // with the labels by the same localCheckpoint job; the convergence
       // probe is then a narrow scan of the cached blocks — no second
       // join-and-recompute action per round
       val next = labels.join(nbrMin, Seq("node"), "left")
+        .join(shortcut, Seq("node"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl")),
+            coalesce(col("lbl2"), col("lbl"))).as("lbl"),
+          (least(coalesce(col("nlbl"), col("lbl")),
+            coalesce(col("lbl2"), col("lbl"))) < col("lbl")).as("chg"))
         .localCheckpoint(true)
       converged = next.filter(col("chg")).isEmpty
       labels = next.select("node", "lbl")
@@ -326,6 +353,33 @@ object Dedup {
         s"Dedup.clusters did not converge within maxIters=$maxIters rounds; " +
           "the pair graph has a component with diameter > maxIters — raise maxIters")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Driver union-find for small pair graphs (see [[clusters]]): union by
+    * min id with path compression, so each root IS its component's
+    * minimum — identical labels to the distributed loop (DedupSpec pins
+    * the parity). */
+  private def clustersDriver(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      // attach the larger root under the smaller: roots stay minima
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.sorted.map(k => (k, find(k)))
+      .toDF("doc_id", "cluster_id")
   }
 
   /** Embedding near-dup: cosine above threshold among hyperplane-bucket

@@ -79,13 +79,47 @@ class DedupSpec extends SparkSpec {
   test("clusters fails loudly instead of returning partial labels") {
     // a 6-node chain has diameter 5 > maxIters=2 → must throw, not emit
     // split clusters
+    // driverMaxEdges = 0 pins the DISTRIBUTED loop (the driver union-find
+    // has no iteration cap to trip)
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val e = intercept[IllegalStateException](Dedup.clusters(chain, maxIters = 2).collect())
+    val e = intercept[IllegalStateException](
+      Dedup.clusters(chain, maxIters = 2, driverMaxEdges = 0L).collect())
     assert(e.getMessage.contains("did not converge"))
     // and with enough rounds the same chain converges to one cluster
-    val ok = Dedup.clusters(chain, maxIters = 10)
+    val ok = Dedup.clusters(chain, maxIters = 10, driverMaxEdges = 0L)
       .select("cluster_id").distinct().collect()
     assert(ok.length === 1)
+  }
+
+  test("clusters converges in O(log diameter) rounds on a long chain") {
+    // a 200-node chain (diameter 199): plain min-label propagation needs
+    // ~199 rounds — pointer doubling must land it well inside 15. Two
+    // chains + an isolated pair keep the multi-component bookkeeping
+    // honest. driverMaxEdges = 0 pins the distributed loop.
+    val chainA = (1L to 199L).map(i => (i, i + 1))
+    val chainB = (1001L to 1099L).map(i => (i, i + 1))
+    val pairs = (chainA ++ chainB :+ ((5000L, 5001L))).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs, maxIters = 15, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 200L).forall(got(_) == 1L))
+    assert((1001L to 1100L).forall(got(_) == 1001L))
+    assert(got(5000L) === 5000L && got(5001L) === 5000L)
+  }
+
+  test("driver union-find fast path == distributed loop, label for label") {
+    // mixed shapes: chain, clique, stars, isolated pair — the two paths
+    // must agree exactly (the gate takes the driver path on small pair
+    // sets; its correctness rides on this parity)
+    val pairs = ((1L to 30L).map(i => (i, i + 1)) ++
+      (for (a <- 100L to 105L; b <- a + 1 to 105L) yield (a, b)) ++
+      Seq((200L, 201L), (200L, 202L), (200L, 203L), (300L, 301L)))
+      .toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().sorted
+    val viaLoop = Dedup.clusters(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().sorted
+    assert(viaDriver === viaLoop)
+    assert(viaDriver.nonEmpty)
   }
 
   test("simhash: identical docs at hamming 0") {
