@@ -452,12 +452,51 @@ object SparkEntry {
     }),
 
     // ── Similarity: IVF ANN with distributed k-means (rows-only)
+    // One-sided containment oracle: the k-means path stays engine-side
+    // (centroids are data-dependent, so DuckDB can't re-derive the emitted
+    // neighbor SET), but every per-query INVARIANT is hash-checked against
+    // constants DuckDB computes independently: exactly k results, k
+    // distinct neighbors, dense ranks 1..k, every emitted cosine equal to
+    // the exact pairwise cosine (the cosine expression itself is
+    // full-oracle-verified by sim_topk_brute), no self-pairs, and ranks
+    // ordered by (cos desc, neighbor_id asc). A wrong-distance, dup,
+    // self-match, or mis-rank bug breaks a count and hash-fails the gate.
     "sim_topk_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
       val centroids = Similarity.trainCentroids(emb, k = 16, iters = 2)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, centroids, nProbe = 4)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
+      val ivf = Similarity.ivfTopK(emb, queries, k = 5, centroids, nProbe = 4)
+      val exact = ivf
+        .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+        .withColumn("cos_exact",
+          graft.functions.VectorFns.cosine(col("qe"), col("ne")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      val flagged = exact
+        .withColumn("prev_cos", lag(col("cos"), 1).over(w))
+        .withColumn("prev_nbr", lag(col("neighbor_id"), 1).over(w))
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (col("cos") === col("cos_exact") &&
+            col("neighbor_id") =!= col("query_id")).as("valid"),
+          (col("prev_cos").isNull || col("prev_cos") > col("cos") ||
+            (col("prev_cos") === col("cos") &&
+              col("prev_nbr") < col("neighbor_id"))).as("ordered"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(flagged.groupBy("query_id").agg(
+          count(lit(1)).as("n_results"),
+          count_distinct(col("neighbor_id")).as("n_distinct"),
+          count_distinct(when(col("rank").between(1, 5), col("rank"))).as("n_ranks"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("rank") > 1 && col("ordered"), 1L).otherwise(0L)).as("n_ordered")),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_results"), lit(0L)).as("n_results"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(col("n_ranks"), lit(0L)).as("n_ranks"),
+          coalesce(col("n_valid"), lit(0L)).as("n_valid"),
+          coalesce(col("n_ordered"), lit(0L)).as("n_ordered"))
+        .orderBy(col("query_id"))
     }),
 
     // ── Text: quality scoring — single-pass native profile expression
@@ -1352,6 +1391,18 @@ object SparkEntry {
         |        ORDER BY cos DESC, neighbor_id) AS rank FROM s)
         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_r
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // One-sided containment (the emitted neighbor SET is engine-side —
+    // data-dependent k-means — but its invariants aren't): the Spark gate
+    // recomputes, per query, how many of its emitted rows carry an exact
+    // pairwise cosine / distinct neighbors / dense ordered ranks; the
+    // oracle pins those counts at the constants a correct top-5 must hit.
+    "sim_topk_ivf" ->
+      """SELECT vec_id AS query_id,
+        |  CAST(5 AS BIGINT) AS n_results, CAST(5 AS BIGINT) AS n_distinct,
+        |  CAST(5 AS BIGINT) AS n_ranks, CAST(5 AS BIGINT) AS n_valid,
+        |  CAST(4 AS BIGINT) AS n_ordered
+        |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""".stripMargin,
 
     // Recomputes lshTopK verbatim: hyperplane buckets from the gate's
     // plane literals, multi-probe = own bucket + each single-bit flip,
