@@ -222,6 +222,52 @@ object SparkEntry {
       TfIdf.topTerms(Tables.documents(s, dir), k = 2)
         .orderBy(col("doc_id"), col("rnk"))),
 
+    // ── Text: fixed-token-window chunking with stride (context-window
+    // prep) — pure scan-side expression, zero shuffle
+    "text_chunk" -> ((s, dir) =>
+      Chunking.chunk(Tables.documents(s, dir), window = 32, stride = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // ── Text: sequence packing — contiguous token-budget bins per shard
+    // (deterministic layout, shards independent ⇒ parallelism = shards)
+    "pack_sequences" -> ((s, dir) =>
+      Chunking.packSequences(Tables.documents(s, dir), budget = 256, shards = 8)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("doc_ct"), sum(col("n_toks")).as("tok_ct"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("pack_id"))),
+
+    // ── Text: duplicate-3-gram repetition ratio (Gopher-style repetition
+    // quality signal), floor-truncated for engine parity
+    "text_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(graft.functions.TextFns.shingles(
+            graft.functions.TextFns.tokensWs(col("text")), 3)).cast("long").as("n_grams"),
+          truncate6(graft.functions.TextFns.repetitionRatio(col("text"), 3)).as("rep_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // ── Text: PII scrubbing. The fixture has no organic PII, so the gate
+    // deterministically injects a doc_id-derived email + phone before
+    // scrubbing — the regex path is exercised byte-for-byte on every row
+    // and the oracle replays the same injection + replacement.
+    "text_pii_scrub" -> ((s, dir) => {
+      val inj = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or call "),
+        format_string("555-%03d-%04d",
+          pmod(col("doc_id"), lit(1000L)), pmod(col("doc_id"), lit(10000L))))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), inj.as("inj"))
+        .select(col("doc_id"),
+          graft.functions.TextFns.piiScrub(col("inj")).as("scrubbed"),
+          size(regexp_extract_all(col("inj"),
+            lit(graft.functions.TextFns.EmailRe), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(col("inj"),
+            lit(graft.functions.TextFns.PhoneRe), lit(0))).cast("long").as("n_phone"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── A8: exact percentiles (interpolated) per group; percentile_approx
     // (t-digest, one pass, mergeable) is the 100 TB path for the same call
     "a8_percentiles" -> ((s, dir) =>
@@ -927,6 +973,71 @@ object SparkEntry {
         |  FROM tf JOIN df ON tf.term = df.term)
         |SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 2
         |ORDER BY doc_id, rnk""".stripMargin,
+
+    // Chunk starts are every stride multiple below the token count (one
+    // empty chunk for an empty doc); list_slice / slice both clamp the
+    // window at the token-array end, so tail chunks agree.
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |    unnest(range(0, greatest(len(toks), 1), 16)) AS start FROM t)
+        |SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_toks,
+        |  array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Same contiguous-fill rule: a doc belongs to the bin its starting
+    // token offset falls in, laid out in doc_id order within each shard.
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x <> '')) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT shard, CAST((cum - n_toks) // 256 AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS doc_ct, CAST(sum(n_toks) AS BIGINT) AS tok_ct,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same 3-gram construction as the dedup oracles; ratio division is a
+    // single IEEE op on small ints — bit-identical across engines, then
+    // floor-truncated.
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END AS s
+        |  FROM toks)
+        |SELECT doc_id, CAST(len(s) AS BIGINT) AS n_grams,
+        |  CASE WHEN len(s) <= 1 THEN 0.0
+        |    ELSE floor((1.0 - CAST(len(list_distinct(s)) AS DOUBLE)/len(s))*1000000)/1000000
+        |  END AS rep_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // Replays the injection and the scrub with RE2 equivalents of the
+    // Java patterns (restricted syntax — see TextFns.EmailRe/PhoneRe).
+    "text_pii_scrub" ->
+      """WITH i AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or call '
+        |      || printf('555-%03d-%04d', doc_id % 1000, doc_id % 10000) AS inj
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(inj,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(inj,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(inj,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
+        |FROM i ORDER BY doc_id""".stripMargin,
 
     "a8_percentiles" ->
       """SELECT l_returnflag,

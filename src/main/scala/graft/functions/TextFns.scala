@@ -153,4 +153,28 @@ object TextFns {
       shiftleft(track(1000003L), 31).bitwiseOR(track(998244353L))
     }
   }
+
+  /** Duplicate word-n-gram fraction (the Gopher-style repetition signal):
+    * 1 - distinct/total over the doc's n-gram shingles. 0 for docs too
+    * short to form more than one shingle-slot view of themselves. Pure
+    * per-row expression (scan-side). */
+  def repetitionRatio(text: Column, n: Int = 3): Column =
+    ExprUtil.bind(shingles(tokensWs(text), n)) { sh =>
+      when(size(sh) <= 1, lit(0.0))
+        .otherwise(lit(1.0) -
+          size(array_distinct(sh)).cast("double") / size(sh))
+    }
+
+  /** Email / phone pattern used by [[piiScrub]] — deliberately restricted
+    * to syntax with identical semantics in Java regex and RE2 (char
+    * classes, bounded quantifiers, \b), so a DuckDB oracle replays the
+    * scrub byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrubbing for training corpora: replace email addresses and
+    * phone-shaped numbers with typed placeholder tags. Narrow, scan-side;
+    * extend by chaining more regexp_replace stages. */
+  def piiScrub(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 }
