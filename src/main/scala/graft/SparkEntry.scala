@@ -455,6 +455,21 @@ object SparkEntry {
       Dedup.clusters(Dedup.ngramJaccardPairs(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
 
+    // ── Dedup pipeline END-TO-END: corpus → ngram near-dup pairs →
+    // connected components → drop non-canonical members → surviving
+    // corpus, reported per language. The full "dedup a crawl" flow
+    // through one oracle.
+    "pipe_dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = Dedup.clusters(Dedup.ngramJaccardPairs(docs))
+      Dedup.keepCanonical(docs, labels)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs_kept"),
+          sum(col("n_chars")).as("chars_kept"),
+          count_distinct(col("source")).as("sources"))
+        .orderBy(col("lang"))
+    }),
+
     // ── Dedup: MinHash+LSH — the portable-hash twin (md5-lower-64 family,
     // string band keys), so the DuckDB oracle recomputes the exact same
     // candidate set. maxBucket lifted above any sf0.01 bucket so the gate
@@ -819,6 +834,37 @@ object SparkEntry {
 
     // transitive closure of the ngram near-dup pairs; cluster = min
     // reachable doc id
+    // End-to-end survivors: same transitive-closure labels as
+    // dedup_clusters, then keep min-id members + unpaired docs.
+    "pipe_dedup_survivors" ->
+      """WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+        |  FROM toks),
+        |p AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM p
+        |  WHERE CAST(i AS DOUBLE)/(la + lb - i) >= 0.5),
+        |e AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
+        |reach AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+        |lbl AS (SELECT s AS doc_id, least(s, MIN(d)) AS cluster_id
+        |  FROM reach GROUP BY s),
+        |keep AS (SELECT doc.* FROM documents doc LEFT JOIN lbl
+        |    ON doc.doc_id = lbl.doc_id
+        |  WHERE lbl.doc_id IS NULL OR lbl.cluster_id = doc.doc_id)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS sources
+        |FROM keep GROUP BY lang ORDER BY lang""".stripMargin,
+
     "dedup_clusters" ->
       """WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id,
         |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t

@@ -355,6 +355,16 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Complete the dedup pipeline: given cluster labels from [[clusters]],
+    * keep each cluster's canonical (min-id) document plus every unpaired
+    * document. One anti-join against the dropped set — which is |cluster
+    * members| − |clusters|, tiny next to the corpus, so AQE broadcasts
+    * it; the corpus itself never shuffles. */
+  def keepCanonical(documents: DataFrame, labels: DataFrame): DataFrame =
+    documents.join(
+      labels.filter(col("cluster_id") =!= col("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** Driver union-find for small pair graphs (see [[clusters]]): union by
     * min id with path compression, so each root IS its component's
     * minimum — identical labels to the distributed loop (DedupSpec pins

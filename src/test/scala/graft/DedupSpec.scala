@@ -106,6 +106,16 @@ class DedupSpec extends SparkSpec {
     assert(got(5000L) === 5000L && got(5001L) === 5000L)
   }
 
+  test("keepCanonical keeps min-id cluster members and unpaired docs") {
+    val corpus = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (9L, "z"))
+      .toDF("doc_id", "text")
+    // 1~2~3 one cluster (keep 1); 4 and 9 unpaired (kept)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepCanonical(corpus, Dedup.clusters(pairs))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 4L, 9L))
+  }
+
   test("driver union-find fast path == distributed loop, label for label") {
     // mixed shapes: chain, clique, stars, isolated pair — the two paths
     // must agree exactly (the gate takes the driver path on small pair
