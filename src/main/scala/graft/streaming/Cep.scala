@@ -47,6 +47,17 @@ object Cep {
       copy(steps = steps :+ Step(name, pred, Strict))
     def followedBy(name: String)(pred: Event => Boolean): Pattern =
       copy(steps = steps :+ Step(name, pred, Relaxed))
+    /** Flink's `times(n)` quantifier: the LAST step must occur n times
+      * (under its own contiguity — strict repeats for `next`/`begin`
+      * steps, gap-tolerant for `followedBy`). Pure expansion sugar: the
+      * DFA sees n copies of the step, so state stays O(pattern). */
+    def times(n: Int): Pattern = {
+      require(steps.nonEmpty, "times() needs a preceding step")
+      require(n >= 1, "times(n) needs n >= 1")
+      val last = steps.last
+      copy(steps = steps ++ Vector.tabulate(n - 1)(i =>
+        last.copy(name = s"${last.name}#${i + 2}")))
+    }
     def within(sec: Long): Pattern = copy(withinSec = sec)
     private[Cep] def withinUs: Long = withinSec * 1000000L
   }

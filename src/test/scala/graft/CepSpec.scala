@@ -131,6 +131,31 @@ class CepSpec extends SparkSpec {
     assert(stream.sorted === batch.sorted)
   }
 
+  test("times(n) quantifier: n strict repeats, noSkip overlapping starts") {
+    def ev(id: Long, sec: Long, t: String) = StatefulStreams.Event(
+      id, new java.sql.Timestamp(sec * 1000L), 1L, t, 0.0, "{}")
+    val evs = Seq(ev(1, 0, "a"), ev(2, 10, "a"), ev(3, 20, "a"), ev(4, 30, "b"))
+      .toDS().toDF()
+    val p = Cep.Pattern.begin("a")(_.event_type == "a").times(3).within(100L)
+    val r = Cep.runBatch(evs, p)
+      .select("first_event_id", "last_event_id", "steps_matched", "matched")
+      .as[(Long, Long, Int, Boolean)].collect().sortBy(_._1).toSeq
+    // noSkip: the run of three a's completes from event 1; the partials
+    // opened at events 2 and 3 die on the strict-mismatching b
+    assert(r === Seq((1L, 3L, 3, true)))
+    // relaxed repeats skip the interloper: a x a a completes
+    val evs2 = Seq(ev(1, 0, "a"), ev(2, 10, "x"), ev(3, 20, "a"), ev(4, 30, "a"))
+      .toDS().toDF()
+    val p2 = Cep.Pattern.begin("first")(_.event_type == "a")
+      .followedBy("more")(_.event_type == "a").times(2).within(100L)
+    val r2 = Cep.runBatch(evs2, p2).filter(col("matched"))
+      .select("first_event_id", "last_event_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // begin at 1: skips x, consumes a@3, a@4 -> match 1..4
+    // begin at 3: consumes a@4, then times out (1 more 'a' needed)
+    assert(r2 === Seq((1L, 4L)))
+  }
+
   test("maxPartials force-expires the oldest partials (hot-key state bound)") {
     // begin(any) with relaxed step that never fires: every event opens a
     // partial that lives until the window closes — unbounded without a cap

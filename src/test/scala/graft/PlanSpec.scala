@@ -95,4 +95,36 @@ class PlanSpec extends SparkSpec {
     val p = plan("a7_rollup")
     assert(p.contains("Expand"), p.take(800))
   }
+
+  test("chunk: pure scan-side expression — zero Exchange, zero Join") {
+    val p = graft.operators.Chunking
+      .chunk(Tables.documents(spark, dir), window = 32, stride = 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("packSequences: exactly one exchange (the per-shard window)") {
+    val p = graft.operators.Chunking
+      .packSequences(Tables.documents(spark, dir), budget = 256, shards = 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(1500))
+    assert(p.contains("Window"))
+    // partitioned by shard, never a single-partition global window
+    assert(!p.linesIterator.exists(l => l.contains("Window") && l.contains("SinglePartition")),
+      p.take(1500))
+  }
+
+  test("keepCanonical: dropped set broadcasts; corpus side never shuffles") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val labels = Seq((2L, 1L), (3L, 1L), (5L, 5L)).toDF("doc_id", "cluster_id")
+    val p = graft.operators.Dedup
+      .keepCanonical(Tables.documents(spark, dir), labels)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
