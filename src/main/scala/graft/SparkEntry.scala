@@ -318,6 +318,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ── Pipeline: benchmark decontamination — drop training docs sharing
+    // any word 8-gram with the (deterministically sampled) eval set; the
+    // eval shingle set broadcasts, the corpus never shuffles. The eval
+    // sample deliberately overlaps train (the %101 slice stays in train),
+    // so the DROP arm is exercised on real rows, not just the keep arm.
+    "pipe_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(97L)) === 0 ||
+        pmod(col("doc_id"), lit(101L)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      val clean = Pretrain.decontaminate(train, evalSet, shingleLen = 8)
+      train.groupBy(col("lang")).agg(count(lit(1)).as("docs_train"))
+        .join(clean.groupBy(col("lang")).agg(count(lit(1)).as("docs_clean"),
+          sum(col("n_chars")).as("chars_clean")), Seq("lang"), "left")
+        .select(col("lang"), col("docs_train"),
+          coalesce(col("docs_clean"), lit(0L)).as("docs_clean"),
+          coalesce(col("chars_clean"), lit(0L)).as("chars_clean"))
+        .orderBy(col("lang"))
+    }),
+
     // ── K2: dynamic-topic producer shaping — per-row topic + JSON value
     // (the payload bytes the reference's KafkaSerializationSchema emits)
     "k2_dynamic_topic" -> ((s, dir) =>
@@ -1146,6 +1166,32 @@ object SparkEntry {
         |SELECT user_id, stt_us, n_events FROM sess, mx
         |WHERE (last_us + 1800000000)//1000 <= mu//1000
         |ORDER BY user_id, stt_us""".stripMargin,
+
+    // Same 8-gram construction Spark-side (graft_shingles) and here
+    // (list comprehension); overlap on the shingle STRING set — the
+    // xxhash64 bucketing Spark uses is a pure join-key encoding.
+    "pipe_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, lang, n_chars,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, lang, n_chars,
+        |    list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)] END) AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
+        |  WHERE doc_id % 97 = 0 OR doc_id % 101 = 0),
+        |tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |trg AS (SELECT doc_id, unnest(s) AS g FROM tr),
+        |bad AS (SELECT DISTINCT trg.doc_id FROM trg JOIN ev USING (g)),
+        |keep AS (SELECT tr.doc_id, tr.lang, tr.n_chars FROM tr
+        |  LEFT JOIN bad ON tr.doc_id = bad.doc_id WHERE bad.doc_id IS NULL),
+        |t2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs_train FROM tr GROUP BY lang),
+        |k2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs_clean,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars_clean FROM keep GROUP BY lang)
+        |SELECT t2.lang, docs_train,
+        |  COALESCE(docs_clean, CAST(0 AS BIGINT)) AS docs_clean,
+        |  COALESCE(chars_clean, CAST(0 AS BIGINT)) AS chars_clean
+        |FROM t2 LEFT JOIN k2 ON t2.lang = k2.lang ORDER BY t2.lang""".stripMargin,
 
     // mirrors TextFns.qualityScore + graft_langid + tokensWs + exact-keeper
     // — the same formulas as the text_quality / text_langid oracles

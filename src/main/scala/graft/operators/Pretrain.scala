@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFns._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,5 +44,30 @@ object Pretrain {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
+
+  /** Benchmark decontamination: drop every training document sharing at
+    * least one word `shingleLen`-gram with the eval corpus (the standard
+    * n-gram overlap rule; 8+ grams in practice so organic prose doesn't
+    * collide by accident).
+    *
+    * Scale shape: eval sets are small by nature, so the distinct eval
+    * shingle-hash set BROADCASTS; the training side is one narrow
+    * explode + broadcast semi-join + broadcast anti-join — the corpus
+    * itself never shuffles, which is what makes this runnable as a cheap
+    * final pass over 100 TB. Shingle hashing (xxhash64) matches the
+    * dedup inverted-index convention. */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
+      shingleLen: Int = 8): DataFrame = {
+    def sh(df: DataFrame, cols: Column*): DataFrame = df.select(
+      cols :+ explode(array_distinct(call_function("graft_shingles",
+        col("text"), lit(shingleLen)))).as("__sh"): _*)
+    val evalGrams = sh(evalDocs)
+      .select(xxhash64(col("__sh")).as("__shh")).distinct()
+    val contaminated = sh(corpus, col("doc_id"))
+      .select(col("doc_id"), xxhash64(col("__sh")).as("__shh"))
+      .join(broadcast(evalGrams), "__shh")
+      .select("doc_id").distinct()
+    corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
   }
 }

@@ -80,4 +80,23 @@ class OperatorsSpec extends SparkSpec {
     val out = Pretrain.filterCorpus(docs).select("doc_id").as[Long].collect().sorted
     assert(out.toSeq === Seq(1L, 5L))
   }
+
+  test("decontaminate drops docs sharing an n-gram with the eval set") {
+    val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x alpha beta gamma y z"),        // contains eval 3-gram -> dropped
+      (2L, "alpha gamma beta totally other"),// same words, different order -> kept
+      (3L, "completely unrelated text here") // kept
+    ).toDF("doc_id", "text")
+    val clean = Pretrain.decontaminate(train, evalSet, shingleLen = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean.toSeq === Seq(2L, 3L))
+    // short eval doc (< n tokens) contaminates only exact-text matches
+    val evalShort = Seq((101L, "tiny doc")).toDF("doc_id", "text")
+    val train2 = Seq((1L, "tiny doc"), (2L, "tiny doc extended further on and on"))
+      .toDF("doc_id", "text")
+    val clean2 = Pretrain.decontaminate(train2, evalShort, shingleLen = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean2.toSeq === Seq(2L))
+  }
 }
