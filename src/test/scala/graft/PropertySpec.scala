@@ -96,4 +96,68 @@ class PropertySpec extends SparkSpec {
       assert(sig.select(size(col("sig"))).as[Int].collect().forall(_ === 16))
     }
   }
+
+  test("chunking covers every token; stride==window reconstructs exactly") {
+    forAll(docGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val toks = df.select(col("doc_id"),
+        graft.functions.TextFns.tokenCount(col("text")).as("n")).as[(Long, Long)]
+        .collect().toMap
+      // non-overlapping chunks partition the token stream: per-doc n_toks
+      // sums to the token count and chunk texts concatenate to the doc
+      val parts = graft.operators.Chunking.chunk(df, window = 4, stride = 4)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_toks")).as("s"),
+          concat_ws(" ", collect_list(col("chunk_text"))).as("glued"))
+        .as[(Long, Long, String)].collect()
+      parts.foreach { case (id, s, glued) =>
+        assert(s === toks(id))
+        val orig = docs.toMap.apply(id).trim.toLowerCase
+          .split("\\s+").filter(_.nonEmpty).mkString(" ")
+        assert(glued.trim === orig)
+      }
+    }
+  }
+
+  test("packSequences: bins never exceed budget + one doc; ids partition cleanly") {
+    forAll(docGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = graft.operators.Chunking.packSequences(df, budget = 8, shards = 3)
+        .select("doc_id", "shard", "pack_id", "n_toks")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(out.length === docs.length) // every doc assigned exactly once
+      val maxDoc = out.map(_._4).max
+      out.groupBy(t => (t._2, t._3)).foreach { case (_, rows) =>
+        // a bin holds docs whose STARTS are inside it, so it can spill by
+        // at most one doc's tail past the budget
+        assert(rows.map(_._4).sum <= 8 + maxDoc)
+      }
+    }
+  }
+
+  test("repetitionRatio stays in [0, 1) and is 0 for all-distinct n-grams") {
+    forAll(docGen) { docs =>
+      val r = docs.toDF("doc_id", "text")
+        .select(graft.functions.TextFns.repetitionRatio(col("text"), 3).as("r"))
+        .as[Double].collect()
+      assert(r.forall(x => x >= 0.0 && x < 1.0))
+    }
+    val distinct = Seq((1L, "one two three four five six seven")).toDF("doc_id", "text")
+      .select(graft.functions.TextFns.repetitionRatio(col("text"), 3).as("r"))
+      .as[Double].head()
+    assert(distinct === 0.0)
+  }
+
+  test("decontaminate is anti-monotone: a larger eval set never keeps more docs") {
+    forAll(docGen, n = 3) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val evalSmall = df.filter(col("doc_id") % 5 === 0)
+      val evalBig = df.filter(col("doc_id") % 5 === 0 || col("doc_id") % 7 === 0)
+      val keptSmall = graft.operators.Pretrain
+        .decontaminate(df, evalSmall, shingleLen = 2).count()
+      val keptBig = graft.operators.Pretrain
+        .decontaminate(df, evalBig, shingleLen = 2).count()
+      assert(keptBig <= keptSmall)
+    }
+  }
 }
