@@ -115,6 +115,18 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("decontaminate: eval shingles + contaminated ids broadcast — no " +
+    "SortMergeJoin, corpus side never exchanges for the joins") {
+    val docs = Tables.documents(spark, dir)
+    val p = graft.operators.Pretrain
+      .decontaminate(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), shingleLen = 8)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("keepCanonical: dropped set broadcasts; corpus side never shuffles") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
