@@ -131,6 +131,52 @@ class CepSpec extends SparkSpec {
     assert(stream.sorted === batch.sorted)
   }
 
+  test("CEP state carries across micro-batches: partial opened in batch 1 " +
+    "completes in batch 3; watermark timeout fires between batches") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    def ev(id: Long, user: Long, sec: Long, t: String) = StatefulStreams.Event(
+      id, new java.sql.Timestamp(sec * 1000L), user, t, 0.0, "{}")
+    def runBatches(batches: Seq[Seq[StatefulStreams.Event]])(
+        f: DataFrame => DataFrame): DataFrame = {
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[StatefulStreams.Event]
+      val name = s"cep_mb_${System.nanoTime()}"
+      val q = f(ms.toDF().withWatermark("ts", "0 seconds"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation",
+          s"${System.getProperty("java.io.tmpdir")}/graft-test-$name")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name)
+    }
+    val relaxed = Cep.Pattern.begin("view")(_.event_type == "view")
+      .followedBy("click")(_.event_type == "click")
+      .followedBy("purchase")(_.event_type == "purchase")
+      .within(1000L)
+    // user 1: view@10 (batch 1) ... click@50 (batch 2) ... purchase@90
+    // (batch 3) -> the partial must survive TWO batch boundaries and
+    // complete. user 2: view@20, never followed up; the watermark
+    // reaching 20+1000 < 2000 (batch 4's event time) must time it out.
+    val out = runBatches(Seq(
+      Seq(ev(1, 1, 10, "view"), ev(2, 2, 20, "view")),
+      Seq(ev(3, 1, 50, "click")),
+      Seq(ev(4, 1, 90, "purchase")),
+      Seq(ev(5, 3, 2000, "view"))))(df => Cep.run(df, relaxed))
+      .select("user_id", "first_event_id", "last_event_id", "steps_matched", "matched")
+      .as[(Long, Long, Long, Int, Boolean)].collect().sortBy(_._2).toSeq
+    assert(out.contains((1L, 1L, 4L, 3, true)),
+      s"cross-batch completion missing: $out")
+    assert(out.contains((2L, 2L, 2L, 1, false)),
+      s"watermark timeout missing: $out")
+    // user 3's view is still inside its window at the final watermark:
+    // pending, not emitted
+    assert(!out.exists(_._1 == 3L), s"pending partial leaked: $out")
+  }
+
   test("times(n) quantifier: n strict repeats, noSkip overlapping starts") {
     def ev(id: Long, sec: Long, t: String) = StatefulStreams.Event(
       id, new java.sql.Timestamp(sec * 1000L), 1L, t, 0.0, "{}")
