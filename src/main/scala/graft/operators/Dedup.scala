@@ -294,8 +294,9 @@ object Dedup {
     *
     * Small-graph fast path: a dedup pair set is orders of magnitude
     * smaller than its corpus (it holds only near-duplicates), so below
-    * `driverMaxEdges` (default 4M ≈ 64MB of longs — trivial for any
-    * driver) the edges come back to the driver for a union-find instead:
+    * `driverMaxEdges` (default 4M edges — a few hundred MB of boxed JVM
+    * objects at the cap, well inside any real driver's heap) the edges
+    * come back to the driver for a union-find instead:
     * exact same labels, none of the per-round scheduling latency the
     * iterative path pays on tiny graphs. A 100TB corpus with billions of
     * pairs exceeds the cap and takes the distributed loop.
