@@ -202,6 +202,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ── Sampling: temperature-flattened language mixture (alpha=0.5 ≡
+    // T=2) — per-lang keep rates sqrt(n_min/n_lang), md5-hash accept.
+    // thr audits the realized rate (out of 10000) per stratum.
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureMixture(
+        Tables.documents(s, dir), col("lang"), col("doc_id"), alpha = 0.5)
+        .groupBy(col("lang"))
+        .agg(max(col("__thr")).as("thr"),
+          count(lit(1)).as("docs_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy(col("lang"))),
+
     // ── Embeddings: scalar transform pack (norms, moments, extrema)
     "emb_scalar_pack" -> ((s, dir) => {
       def e = transform(col("embedding"), _.cast("double"))
@@ -1015,6 +1027,20 @@ object SparkEntry {
         |WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 <
         |  (CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 1000 ELSE 2500 END)
         |ORDER BY doc_id""".stripMargin,
+
+    // thresholds recomputed from the data with the same IEEE-exact sqrt
+    // chain (double divide → sqrt → *10000 → floor) as the Spark side
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(n) AS minn FROM c),
+        |t AS (SELECT lang,
+        |    CAST(FLOOR(SQRT(CAST(minn AS DOUBLE)/CAST(n AS DOUBLE))*10000) AS BIGINT) AS thr
+        |  FROM c, m)
+        |SELECT d.lang, MAX(t.thr) AS thr, COUNT(*) AS docs_kept,
+        |       CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+        |FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000 < t.thr
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "emb_scalar_pack" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

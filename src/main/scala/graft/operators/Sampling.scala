@@ -37,6 +37,45 @@ object Sampling {
       .reduce(_ unionByName _)
   }
 
+  /** Temperature-flattened mixture — the multilingual-LM "sample with
+    * temperature" recipe, realized by pure downsampling. Target stratum
+    * proportions q_s ∝ p_s^alpha flatten the empirical distribution p_s;
+    * dividing out p_s and normalizing so the max rate is 1 gives keep
+    * rates r_s = (n_min / n_s)^(1-alpha): the rarest stratum keeps
+    * everything, heavy strata are thinned toward the flattened mix.
+    * alpha=1 keeps all rows; alpha=0.5 is the common T=2 setting.
+    *
+    * Row decisions are the same deterministic md5-hash accept as
+    * [[hashSample]]. Rates derive from a per-stratum count aggregate —
+    * vocabulary-sized, so at 100 TB the plan is: one small shuffle to
+    * count strata, broadcast the (stratum, threshold) table back, and a
+    * narrow filter on the big side. No wide shuffle touches the corpus.
+    *
+    * alpha=0.5 routes through IEEE-exact `sqrt`, so the accept decision
+    * is bit-reproducible across engines (the DuckDB oracle recomputes
+    * identical thresholds); other alphas go through `pow` (1-ulp
+    * libm), portable in practice but not certified at floor boundaries.
+    * The output keeps `__thr` — the stratum's accept threshold out of
+    * 10000 — so callers (and the gate) can audit the realized rates. */
+  def temperatureMixture(
+      df: DataFrame,
+      stratumCol: Column,
+      keyCol: Column,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(stratumCol.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__minn"))
+    val ratio = col("__minn").cast("double") / col("__n").cast("double")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1 - alpha)
+    val thresholds = counts.crossJoin(minN)
+      .select(col("__stratum"),
+        floor(rate * Buckets).cast("long").as("__thr"))
+    df.join(broadcast(thresholds), stratumCol === col("__stratum"))
+      .filter(HashFns.md5Lower64Mod(keyCol.cast("string"), Buckets) < col("__thr"))
+      .drop("__stratum")
+  }
+
   /** Stratified deterministic sample: per-stratum rates (stratum column →
     * rate in [0,1]); strata absent from the map fall back to
     * `defaultRate`. Rates are baked into the plan as a literal map — no

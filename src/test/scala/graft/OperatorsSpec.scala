@@ -47,6 +47,25 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(byS.getOrElse("c", 0L) - 500L) < 100L) // default 0.5
   }
 
+  test("temperature mixture: rarest stratum keeps all, rates follow sqrt(n_min/n)") {
+    // strata: a=16 rows, b=4 rows → alpha=0.5 rates: a=sqrt(4/16)=0.5, b=1.0
+    val df = ((1 to 16).map(i => (i.toLong, "a")) ++ (101 to 104).map(i => (i.toLong, "b")))
+      .toDF("id", "s")
+    val kept = Sampling.temperatureMixture(df, col("s"), col("id"), alpha = 0.5)
+    val thr = kept.select(col("s"), col("__thr")).distinct()
+      .as[(String, Long)].collect().toMap
+    assert(thr("b") === 10000L) // rarest stratum: rate 1.0
+    assert(thr("a") === 5000L)  // sqrt(4/16) * 10000
+    // all 4 'b' rows survive; selection is deterministic under repartition
+    assert(kept.filter(col("s") === "b").count() === 4L)
+    val again = Sampling.temperatureMixture(df.repartition(7), col("s"), col("id"))
+    assert(again.select("id").as[Long].collect().sorted ===
+      kept.select("id").as[Long].collect().sorted)
+    // alpha=1 is the identity mixture: every threshold is 10000
+    val all = Sampling.temperatureMixture(df, col("s"), col("id"), alpha = 1.0)
+    assert(all.count() === 20L)
+  }
+
   test("mixture: per-source rates compose deterministic hash sampling") {
     val a = (1 to 1000).map(i => (i.toLong, "a")).toDF("id", "src")
     val b = (1 to 1000).map(i => (i.toLong + 10000, "b")).toDF("id", "src")
