@@ -214,6 +214,18 @@ object SparkEntry {
           sum(col("n_chars")).as("chars_kept"))
         .orderBy(col("lang"))),
 
+    // ── Sampling: second certified alpha (0.25 ≡ T=4/3 flattening) — the
+    // exponent 0.75 decomposes to sqrt(r)*sqrt(sqrt(r)), every step
+    // IEEE-exact, so T≠2 settings don't rest on uncertified libm pow
+    "sample_temperature_a25" -> ((s, dir) =>
+      Sampling.temperatureMixture(
+        Tables.documents(s, dir), col("lang"), col("doc_id"), alpha = 0.25)
+        .groupBy(col("lang"))
+        .agg(max(col("__thr")).as("thr"),
+          count(lit(1)).as("docs_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy(col("lang"))),
+
     // ── Embeddings: scalar transform pack (norms, moments, extrema)
     "emb_scalar_pack" -> ((s, dir) => {
       def e = transform(col("embedding"), _.cast("double"))
@@ -633,10 +645,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // ── A1 at 100 TB: HLL distinct (approx_count_distinct) — constant
-    // memory per group, associative merges (rows-only: HLL estimates are
-    // engine-specific)
+    // memory per group, associative merges. HLL estimates are
+    // engine-specific, so the gate emits a per-group ERROR-BOUND verdict
+    // (|hll - exact| <= max(2, 3*rsd*exact)) next to the exact columns;
+    // the oracle asserts the verdict is 1 everywhere — a checked bound,
+    // not a rows-only count (ApproxSpec pins the bound in-JVM too).
     "a1_product_stats_approx" -> ((s, dir) =>
-      Stats.productStatsApprox(Tables.events(s, dir))
+      Stats.productStatsApproxChecked(Tables.events(s, dir))
         .orderBy(col("stt"), col("event_type"))),
 
     // ── Multimodal: frame sampling over sequence media. The offsets array
@@ -800,6 +815,10 @@ object SparkEntry {
       .followedBy("click")(_.event_type == "click")
       .followedBy("purchase")(_.event_type == "purchase")
       .within(86400L)
+      // the DuckDB oracle models UNBOUNDED concurrent partials; lift the
+      // hot-key force-expiry guard far above any per-user view count so the
+      // oracle's assumption is pinned by construction, not by fixture luck
+      .copy(maxPartials = 1 << 20)
 
   /** The affine MinHash permutation family as a DuckDB VALUES list —
     * the SAME constants graft_minhash_bands_p bakes into its signatures
@@ -843,6 +862,20 @@ object SparkEntry {
         |       event_type, COUNT(*) AS ct,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount,
         |       COUNT(DISTINCT user_id) AS user_ct
+        |FROM w GROUP BY us, event_type ORDER BY us, event_type""".stripMargin,
+
+    // The HLL twin's checked bound: the oracle recomputes every EXACT
+    // column and asserts within_bound = 1 for every group — if any HLL
+    // estimate drifts outside 3x its configured standard error, the
+    // engine emits 0 there and the gate hash-fails.
+    "a1_product_stats_approx" ->
+      """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//10000000)*10000000 AS us,
+        |                  event_type, value, user_id FROM events)
+        |SELECT strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       event_type, COUNT(*) AS ct,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount,
+        |       COUNT(DISTINCT user_id) AS user_ct,
+        |       CAST(1 AS INT) AS within_bound
         |FROM w GROUP BY us, event_type ORDER BY us, event_type""".stripMargin,
 
     "a2_visitor_stats" ->
@@ -1035,6 +1068,22 @@ object SparkEntry {
         |m AS (SELECT MIN(n) AS minn FROM c),
         |t AS (SELECT lang,
         |    CAST(FLOOR(SQRT(CAST(minn AS DOUBLE)/CAST(n AS DOUBLE))*10000) AS BIGINT) AS thr
+        |  FROM c, m)
+        |SELECT d.lang, MAX(t.thr) AS thr, COUNT(*) AS docs_kept,
+        |       CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+        |FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000 < t.thr
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // alpha=0.25: exponent 0.75 = 1/2 + 1/4 — same sqrt(r)*sqrt(sqrt(r))
+    // op sequence as Sampling.dyadicRate, every step correctly rounded,
+    // so the thresholds are bit-identical across engines
+    "sample_temperature_a25" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(n) AS minn FROM c),
+        |t AS (SELECT lang,
+        |    CAST(FLOOR(SQRT(CAST(minn AS DOUBLE)/CAST(n AS DOUBLE))
+        |      * SQRT(SQRT(CAST(minn AS DOUBLE)/CAST(n AS DOUBLE)))*10000) AS BIGINT) AS thr
         |  FROM c, m)
         |SELECT d.lang, MAX(t.thr) AS thr, COUNT(*) AS docs_kept,
         |       CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept

@@ -57,6 +57,9 @@ object Chunking {
         tokenCount(col("text")).cast("long").as("n_toks"))
       .withColumn("cum", sum(col("n_toks")).over(w))
       .select(col("doc_id"), col("shard"), col("n_toks"),
-        ((col("cum") - col("n_toks")) / budget).cast("long").as("pack_id"))
+        // integer `div`, not double `/`: exact bin assignment at any
+        // cumulative token count (double division loses integer precision
+        // past 2^53 tokens/shard and would diverge from the layout contract)
+        expr(s"(cum - n_toks) div ${budget.toLong}").as("pack_id"))
   }
 }

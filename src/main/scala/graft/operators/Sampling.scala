@@ -51,12 +51,18 @@ object Sampling {
     * count strata, broadcast the (stratum, threshold) table back, and a
     * narrow filter on the big side. No wide shuffle touches the corpus.
     *
-    * alpha=0.5 routes through IEEE-exact `sqrt`, so the accept decision
-    * is bit-reproducible across engines (the DuckDB oracle recomputes
-    * identical thresholds); other alphas go through `pow` (1-ulp
-    * libm), portable in practice but not certified at floor boundaries.
+    * Dyadic alphas (1-alpha = m/2^k, e.g. 0.5, 0.25, 0.75, 0.125) route
+    * through a product of IEEE-exact `sqrt` chains ([[dyadicRate]]), so
+    * the accept decision is bit-reproducible across engines (the DuckDB
+    * oracle recomputes identical thresholds from the same op sequence);
+    * non-dyadic alphas fall back to `pow` (1-ulp libm), portable in
+    * practice but not certified at floor boundaries.
     * The output keeps `__thr` — the stratum's accept threshold out of
-    * 10000 — so callers (and the gate) can audit the realized rates. */
+    * 10000 — so callers (and the gate) can audit the realized rates.
+    *
+    * Rows whose stratum is NULL form their own stratum: the join below is
+    * null-safe (`<=>`), so they are thinned at the NULL stratum's own
+    * rate rather than silently dropped. */
   def temperatureMixture(
       df: DataFrame,
       stratumCol: Column,
@@ -67,13 +73,32 @@ object Sampling {
       .agg(count(lit(1)).as("__n"))
     val minN = counts.agg(min(col("__n")).as("__minn"))
     val ratio = col("__minn").cast("double") / col("__n").cast("double")
-    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1 - alpha)
+    val rate = dyadicRate(ratio, 1 - alpha).getOrElse(pow(ratio, 1 - alpha))
     val thresholds = counts.crossJoin(minN)
       .select(col("__stratum"),
         floor(rate * Buckets).cast("long").as("__thr"))
-    df.join(broadcast(thresholds), stratumCol === col("__stratum"))
+    df.join(broadcast(thresholds), stratumCol <=> col("__stratum"))
       .filter(HashFns.md5Lower64Mod(keyCol.cast("string"), Buckets) < col("__thr"))
       .drop("__stratum")
+  }
+
+  /** x^e as a left-to-right product of repeated-sqrt terms when e is a
+    * dyadic rational m/2^k (k <= 6): e = Σ 2^-k_i  ⇒  x^e = Π sqrt^{k_i}(x),
+    * ascending k_i. Every step (sqrt, *) is correctly rounded under
+    * IEEE-754, so any engine replaying the same op sequence reproduces the
+    * result bit-for-bit — unlike libm `pow`. None when e is not dyadic. */
+  private[operators] def dyadicRate(x: Column, e: Double): Option[Column] = {
+    if (e == 0.0) return Some(lit(1.0))
+    if (e == 1.0) return Some(x)
+    val scaled = e * 64 // 2^6
+    if (scaled != math.floor(scaled) || e < 0 || e > 1) return None
+    val bits = scaled.toLong // e = bits / 64
+    val terms = (1 to 6).flatMap { k =>
+      if ((bits & (64L >> k)) != 0L)
+        Some((1 to k).foldLeft(x)((c, _) => sqrt(c)))
+      else None
+    }
+    Some(terms.reduceLeft(_ * _))
   }
 
   /** Stratified deterministic sample: per-stratum rates (stratum column →

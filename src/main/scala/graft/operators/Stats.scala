@@ -49,6 +49,30 @@ object Stats {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("amount"),
         approx_count_distinct(col("user_id")).as("user_ct_approx"))
 
+  /** The HLL twin's correctness gate: computes the exact distinct
+    * ALONGSIDE the sketch (exact is the in-gate anchor; the deployed 100 TB
+    * operator is [[productStatsApprox]], which never pays for exact) and
+    * emits a per-group error-bound verdict. The DuckDB oracle recomputes
+    * the exact columns and asserts `within_bound = 1`, so a silent HLL
+    * regression (wrong hash, lost sketch merge, rsd drift) hash-fails the
+    * gate instead of hiding behind a rows-only check. Bound: 3x the
+    * configured standard error (rsd), floored at 2 absolute for tiny
+    * groups where the sparse encoding is exact. */
+  def productStatsApproxChecked(events: DataFrame, windowSec: Int = 10,
+      rsd: Double = 0.05): DataFrame =
+    events
+      .groupBy(stt(col("ts"), windowSec).as("stt"), col("event_type"))
+      .agg(
+        count(lit(1)).as("ct"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("amount"),
+        count_distinct(col("user_id")).as("user_ct"),
+        approx_count_distinct(col("user_id"), rsd).as("__approx"))
+      .select(col("stt"), col("event_type"), col("ct"), col("amount"),
+        col("user_ct"),
+        (abs(col("__approx") - col("user_ct")).cast("double") <=
+          greatest(lit(2.0), lit(3 * rsd) * col("user_ct").cast("double")))
+          .cast("int").as("within_bound"))
+
   /** A2: multi-key visitor cube cell (window x type x user bucket). */
   def visitorStats(events: DataFrame, windowSec: Int = 60): DataFrame =
     events
