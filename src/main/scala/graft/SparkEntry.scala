@@ -431,6 +431,40 @@ object SparkEntry {
           col("steps_matched"), col("matched").cast("int").as("matched_i"))
         .orderBy(col("user_id"), col("first_event_id"))),
 
+    // ── CEP quantifier: begin(click).oneOrMore — reluctant unbounded loop
+    // under strict (consecutive) contiguity. Emits every time-bounded
+    // sub-run of each consecutive-click run; by construction there is no
+    // timeout arm (the first repetition already satisfies the minimum, so
+    // every live branch has emitted and expires silently) — the oracle is
+    // the full gaps-and-islands pair set, all matched
+    "cep_clicks_burst" -> ((s, dir) =>
+      graft.streaming.Cep.runBatch(Tables.events(s, dir), cepBurstPattern)
+        .select(col("user_id"), col("first_event_id"), col("last_event_id"),
+          col("steps_matched"), col("matched").cast("int").as("matched_i"))
+        .orderBy(col("user_id"), col("first_event_id"), col("last_event_id"))),
+
+    // ── CEP quantifier, streaming twin: every emission is a completion at
+    // event arrival (no timeout side at all), so the stream output equals
+    // the batch output with NO watermark-cutoff clause in the oracle
+    "stream_cep_clicks_burst" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.Cep.run(
+          graft.streaming.Sources.eventsStream(s, dir)
+            .withWatermark("ts", "0 seconds"),
+          cepBurstPattern))
+        .select(col("user_id"), col("first_event_id"), col("last_event_id"),
+          col("steps_matched"), col("matched").cast("int").as("matched_i"))
+        .orderBy(col("user_id"), col("first_event_id"), col("last_event_id"))),
+
+    // ── CEP optional step: view → click? → purchase over 24h. The middle
+    // step may be skipped entirely (the purchase can complete straight
+    // from the view); both timeout shapes (bare view, view+click) fire
+    "cep_optional_funnel" -> ((s, dir) =>
+      graft.streaming.Cep.runBatch(Tables.events(s, dir), cepOptionalPattern)
+        .select(col("user_id"), col("first_event_id"), col("last_event_id"),
+          col("steps_matched"), col("matched").cast("int").as("matched_i"))
+        .orderBy(col("user_id"), col("first_event_id"))),
+
     // ── T3: bounce detection (no successor within 1800s)
     "t3_bounce" -> ((s, dir) =>
       Sessionize.bounces(Tables.events(s, dir), gapSec = 1800L)
@@ -818,6 +852,23 @@ object SparkEntry {
       // the DuckDB oracle models UNBOUNDED concurrent partials; lift the
       // hot-key force-expiry guard far above any per-user view count so the
       // oracle's assumption is pinned by construction, not by fixture luck
+      .copy(maxPartials = 1 << 20)
+
+  /** Quantifier gate: reluctant unbounded loop (Flink `oneOrMore`) over a
+    * strictly-consecutive click run — every time-bounded sub-run emits. */
+  private def cepBurstPattern: graft.streaming.Cep.Pattern =
+    graft.streaming.Cep.Pattern.begin("click")(_.event_type == "click")
+      .oneOrMore.within(86400L)
+      .copy(maxPartials = 1 << 20)
+
+  /** Optional-step gate: view → click? → purchase (Flink `optional`) —
+    * the purchase may complete straight from the view, skipping the
+    * optional click position. */
+  private def cepOptionalPattern: graft.streaming.Cep.Pattern =
+    graft.streaming.Cep.Pattern.begin("view")(_.event_type == "view")
+      .followedBy("click")(_.event_type == "click").optional
+      .followedBy("purchase")(_.event_type == "purchase")
+      .within(86400L)
       .copy(maxPartials = 1 << 20)
 
   /** The affine MinHash permutation family as a DuckDB VALUES list —
@@ -1469,6 +1520,80 @@ object SparkEntry {
         |              AND e.us > m.vus + 86400000000)
         |   OR (m.vus + 86400000000)//1000 < mu//1000
         |ORDER BY m.user_id, m.first_event_id""".stripMargin,
+
+    // oneOrMore over strict contiguity = gaps-and-islands: every pair
+    // (a, b) inside one consecutive-click island with b no more than 24h
+    // after a is an emitted sub-run (reluctant loop + noSkip seeds); there
+    // is no timeout arm, so batch and stream share this oracle
+    "cep_clicks_burst" ->
+      """WITH f AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, us, rn,
+        |    rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS isl
+        |  FROM f WHERE event_type = 'click')
+        |SELECT a.user_id, a.event_id AS first_event_id, b.event_id AS last_event_id,
+        |       CAST(b.rn - a.rn + 1 AS INT) AS steps_matched,
+        |       CAST(1 AS INT) AS matched_i
+        |FROM c a JOIN c b
+        |  ON a.user_id = b.user_id AND a.isl = b.isl AND b.rn >= a.rn
+        |  AND b.us - a.us <= 86400000000
+        |ORDER BY a.user_id, first_event_id, last_event_id""".stripMargin,
+
+    "stream_cep_clicks_burst" ->
+      """WITH f AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, us, rn,
+        |    rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS isl
+        |  FROM f WHERE event_type = 'click')
+        |SELECT a.user_id, a.event_id AS first_event_id, b.event_id AS last_event_id,
+        |       CAST(b.rn - a.rn + 1 AS INT) AS steps_matched,
+        |       CAST(1 AS INT) AS matched_i
+        |FROM c a JOIN c b
+        |  ON a.user_id = b.user_id AND a.isl = b.isl AND b.rn >= a.rn
+        |  AND b.us - a.us <= 86400000000
+        |ORDER BY a.user_id, first_event_id, last_event_id""".stripMargin,
+
+    // optional middle step, deterministic first-match semantics: the first
+    // click-or-purchase within the window decides the path — a purchase
+    // completes straight from the view (steps 2), a click advances to the
+    // optional position and awaits a purchase (steps 3 / timeout 2)
+    "cep_optional_funnel" ->
+      """WITH f AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT * FROM f WHERE event_type='view'),
+        |m AS (
+        |  SELECT v.user_id, v.event_id AS first_event_id, v.us AS vus,
+        |         e1.e1id, e1.e1type, e1.e1us, p2.pid
+        |  FROM v
+        |  LEFT JOIN LATERAL (
+        |    SELECT e.event_id AS e1id, e.event_type AS e1type, e.us AS e1us
+        |    FROM f e
+        |    WHERE e.user_id = v.user_id AND e.event_type IN ('click','purchase')
+        |      AND (e.us > v.us OR (e.us = v.us AND e.event_id > v.event_id))
+        |      AND e.us - v.us <= 86400000000
+        |    ORDER BY e.us, e.event_id LIMIT 1) e1 ON true
+        |  LEFT JOIN LATERAL (
+        |    SELECT p.event_id AS pid FROM f p
+        |    WHERE p.user_id = v.user_id AND e1.e1type = 'click'
+        |      AND p.event_type = 'purchase'
+        |      AND (p.us > e1.e1us OR (p.us = e1.e1us AND p.event_id > e1.e1id))
+        |      AND p.us - v.us <= 86400000000
+        |    ORDER BY p.us, p.event_id LIMIT 1) p2 ON true)
+        |SELECT user_id, first_event_id,
+        |  CASE WHEN e1type = 'purchase' THEN e1id
+        |       WHEN pid IS NOT NULL THEN pid
+        |       WHEN e1id IS NOT NULL THEN e1id ELSE first_event_id END AS last_event_id,
+        |  CASE WHEN e1type = 'purchase' THEN 2
+        |       WHEN pid IS NOT NULL THEN 3
+        |       WHEN e1id IS NOT NULL THEN 2 ELSE 1 END AS steps_matched,
+        |  CASE WHEN e1type = 'purchase' OR pid IS NOT NULL THEN 1 ELSE 0 END AS matched_i
+        |FROM m ORDER BY user_id, first_event_id""".stripMargin,
 
     "stream_t1_new_old" ->
       """WITH f AS (SELECT user_id,

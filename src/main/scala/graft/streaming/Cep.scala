@@ -5,10 +5,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Generalized CEP — the Flink CEP surface the reference programs against
   * (`Pattern.begin(..).next(..).within(..)` + timed-out-partials side
-  * output, dwm/UserJumpDetailApp.java:65-96) as one keyed DFA over
+  * output, dwm/UserJumpDetailApp.java:65-96) as one keyed NFA over
   * `flatMapGroupsWithState`, so a user with a pattern the reference never
-  * shipped (different steps, more of them, relaxed contiguity) doesn't
-  * have to hand-write a new state machine.
+  * shipped (different steps, more of them, relaxed contiguity,
+  * quantifiers) doesn't have to hand-write a new state machine.
   *
   * Semantics (matching Flink CEP):
   *  - `next` = strict contiguity: the immediately-following event must
@@ -17,18 +17,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - `within` = the last step must land within `withinSec` of the first
   *    event; a partial that can no longer complete is emitted on the
   *    timed-out side (`matched = false`, like Flink's timeout output).
-  *  - No after-match skip: every event may start a new partial (Flink's
-  *    default noSkip strategy).
+  *  - Quantifiers on the last-added step: `times(n)` (exactly n),
+  *    `timesOrMore(n)`, `oneOrMore` (unbounded), `optional` (may be
+  *    skipped; the FINAL step may not be optional). Repeats loop under the
+  *    step's own contiguity — a `next`/`begin` step repeats consecutively
+  *    (Flink `consecutive()`), a `followedBy` step repeats gap-tolerantly
+  *    (Flink's relaxed default). Unbounded quantifiers are RELUCTANT
+  *    (Flink's non-greedy default): a match is emitted as soon as the
+  *    minimum count lands, and again at each further extension, so `a+`
+  *    over `a1 a2` emits [a1], [a1 a2] — and [a2] via noSkip.
+  *  - After-match skip: default noSkip (every event may start a new
+  *    partial). `.skipPastLastEvent` = Flink's SKIP_PAST_LAST_EVENT:
+  *    once a match completes, every live partial (all started at or
+  *    before the match's last event) is discarded silently and the
+  *    completing event cannot seed a new partial.
   *
-  * Scale: state per key is the list of live partials, each O(1). Strict
-  * steps bound that list at O(pattern length); relaxed patterns are
-  * bounded by `maxPartials` (oldest partials force-expire onto the
-  * timeout side — the state-blowup guard for hot keys). One shuffle (the
-  * groupByKey), event-time timeouts prune state by watermark — the same
-  * cost model as the hand-written bounce machine.
+  * Scale: state per key is the list of live partial branches. Strict
+  * steps bound that list at O(pattern length); relaxed patterns and
+  * unbounded quantifiers are bounded by `maxPartials` (oldest partials
+  * force-expire onto the timeout side — the state-blowup guard for hot
+  * keys). One shuffle (the groupByKey), event-time timeouts prune state
+  * by watermark — the same cost model as the hand-written bounce machine.
   *
   * Batch/stream parity: both [[run]] and [[runBatch]] drive the SAME
-  * [[advance]] DFA, so the batch twin is the oracle for the streaming
+  * [[advance]] NFA, so the batch twin is the oracle for the streaming
   * path by construction (CepSpec pins it; the bounce pattern reproduces
   * StatefulStreams.bounces exactly).
   */
@@ -39,25 +51,40 @@ object Cep {
   case object Strict extends Contiguity
   case object Relaxed extends Contiguity
 
-  case class Step(name: String, pred: Event => Boolean, contiguity: Contiguity)
+  /** One pattern position. `minReps`/`maxReps` quantify how many events
+    * the step consumes (1/1 = plain step, 0/1 = optional, n/∞ =
+    * timesOrMore); repeats beyond the first loop under `contiguity`. */
+  case class Step(name: String, pred: Event => Boolean, contiguity: Contiguity,
+      minReps: Int = 1, maxReps: Int = 1)
 
   case class Pattern(steps: Vector[Step], withinSec: Long = 0L,
-      maxPartials: Int = 128) {
+      maxPartials: Int = 128, skipPast: Boolean = false) {
     def next(name: String)(pred: Event => Boolean): Pattern =
       copy(steps = steps :+ Step(name, pred, Strict))
     def followedBy(name: String)(pred: Event => Boolean): Pattern =
       copy(steps = steps :+ Step(name, pred, Relaxed))
-    /** Flink's `times(n)` quantifier: the LAST step must occur n times
-      * (under its own contiguity — strict repeats for `next`/`begin`
-      * steps, gap-tolerant for `followedBy`). Pure expansion sugar: the
-      * DFA sees n copies of the step, so state stays O(pattern). */
-    def times(n: Int): Pattern = {
-      require(steps.nonEmpty, "times() needs a preceding step")
-      require(n >= 1, "times(n) needs n >= 1")
-      val last = steps.last
-      copy(steps = steps ++ Vector.tabulate(n - 1)(i =>
-        last.copy(name = s"${last.name}#${i + 2}")))
+    private def mutateLast(f: Step => Step): Pattern = {
+      require(steps.nonEmpty, "quantifier needs a preceding step")
+      copy(steps = steps.init :+ f(steps.last))
     }
+    /** Flink's `times(n)`: the last step must occur exactly n times. */
+    def times(n: Int): Pattern = {
+      require(n >= 1, "times(n) needs n >= 1")
+      mutateLast(_.copy(minReps = n, maxReps = n))
+    }
+    /** Flink's `timesOrMore(n)`: at least n occurrences, reluctant. */
+    def timesOrMore(n: Int): Pattern = {
+      require(n >= 1, "timesOrMore(n) needs n >= 1")
+      mutateLast(_.copy(minReps = n, maxReps = Int.MaxValue))
+    }
+    /** Flink's `oneOrMore`: at least one occurrence, reluctant. */
+    def oneOrMore: Pattern = timesOrMore(1)
+    /** Flink's `optional`: the last-added step may be skipped entirely.
+      * The pattern's FINAL step must not be optional (run/runBatch
+      * enforce it) — a trailing maybe-step makes completion ambiguous. */
+    def optional: Pattern = mutateLast(_.copy(minReps = 0))
+    /** Flink's AfterMatchSkipStrategy.skipPastLastEvent. */
+    def skipPastLastEvent: Pattern = copy(skipPast = true)
     def within(sec: Long): Pattern = copy(withinSec = sec)
     private[Cep] def withinUs: Long = withinSec * 1000000L
   }
@@ -67,16 +94,25 @@ object Cep {
       Pattern(Vector(Step(name, pred, Strict)))
   }
 
-  /** One emission: a completed match (`matched = true`, all steps) or a
-    * timed-out partial (`matched = false`, `steps_matched` < pattern
-    * length — Flink's timeout side output). */
+  /** One emission: a completed match (`matched = true`) or a timed-out
+    * partial (`matched = false` — Flink's timeout side output).
+    * `steps_matched` counts EVENTS consumed (= steps for unquantified
+    * patterns; includes every loop repetition for quantified ones). */
   case class CepMatch(user_id: Long, first_event_id: Long, last_event_id: Long,
       start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp,
       steps_matched: Int, matched: Boolean)
 
-  /** A live partial match (the keyed state element). */
+  /** A live partial branch (the keyed state element). `stepIdx`/`reps` =
+    * position in the pattern and repetitions consumed there; `closed` =
+    * the current step's loop may not extend further (the Flink proceed
+    * branch); `gap` = an event was skipped since the last consume (strict
+    * transitions require !gap); `emitted` = this branch already produced
+    * a match (a reluctant-loop continuation) so it must never surface on
+    * the timeout side. */
   case class Partial(firstId: Long, startUs: Long, startTs: java.sql.Timestamp,
-      lastId: Long, lastTs: java.sql.Timestamp, nMatched: Int)
+      lastId: Long, lastTs: java.sql.Timestamp, nMatched: Int,
+      stepIdx: Int = 0, reps: Int = 1, closed: Boolean = false,
+      gap: Boolean = false, emitted: Boolean = false)
 
   private def timeoutOf(p: Partial, uid: Long): CepMatch =
     CepMatch(uid, p.firstId, p.lastId, p.startTs, p.lastTs, p.nMatched, matched = false)
@@ -84,41 +120,104 @@ object Cep {
   private def matchOf(p: Partial, uid: Long): CepMatch =
     CepMatch(uid, p.firstId, p.lastId, p.startTs, p.lastTs, p.nMatched, matched = true)
 
-  /** Advance the DFA over one SORTED slice of a key's events. A partial
-    * whose window has closed times out; otherwise the awaited step either
-    * consumes the event (completing the match on the last step), ignores
-    * it (relaxed), or kills the partial (strict). Every event may then
-    * open a new partial. Returns (emissions, surviving partials). */
+  private def requireValid(pattern: Pattern): Unit = {
+    require(pattern.withinSec > 0, "pattern needs .within(sec)")
+    require(pattern.steps.nonEmpty)
+    require(pattern.steps.last.minReps >= 1,
+      "the final step may not be optional (trailing maybe-step is ambiguous)")
+  }
+
+  /** Advance the NFA over one SORTED slice of a key's events. A partial
+    * whose window has closed times out (silently if it already matched);
+    * otherwise the event may extend the current step's loop, advance
+    * across the optional chain to a later step (branching where both
+    * apply), be skipped (relaxed), or kill the branch (strict). Every
+    * event may then open a new partial (noSkip), unless a completion
+    * plus `skipPastLastEvent` wiped the slate. Returns (emissions,
+    * surviving partials). */
   private[streaming] def advance(pattern: Pattern, partials0: List[Partial],
       evs: Seq[Event]): (List[CepMatch], List[Partial]) = {
     val withinUs = pattern.withinUs
-    val k = pattern.steps.length
+    val steps = pattern.steps
+    val k = steps.length
     val out = scala.collection.mutable.ListBuffer.empty[CepMatch]
     var partials = partials0
     evs.foreach { e =>
       val us = micros(e.ts)
       val (expired, alive) = partials.partition(p => us - p.startUs > withinUs)
-      expired.foreach(p => out += timeoutOf(p, e.user_id))
-      partials = alive.flatMap { p =>
-        val step = pattern.steps(p.nMatched)
-        if (step.pred(e)) {
-          val np = p.copy(lastId = e.event_id, lastTs = e.ts, nMatched = p.nMatched + 1)
-          if (np.nMatched == k) { out += matchOf(np, e.user_id); None }
-          else Some(np)
-        } else step.contiguity match {
-          case Strict  => None
-          case Relaxed => Some(p)
+      expired.filterNot(_.emitted).foreach(p => out += timeoutOf(p, e.user_id))
+      var matchedHere = false
+      val next = scala.collection.mutable.ListBuffer.empty[Partial]
+      // p just consumed e: emit if the pattern completed (reluctant — the
+      // branch survives to extend an unbounded final loop), else keep.
+      def land(p: Partial): Unit = {
+        val s = steps(p.stepIdx)
+        if (p.stepIdx == k - 1 && p.reps >= s.minReps) {
+          out += matchOf(p, e.user_id); matchedHere = true
+          if (p.reps < s.maxReps) next += p.copy(emitted = true)
+        } else next += p
+      }
+      alive.foreach { p =>
+        val s = steps(p.stepIdx)
+        var consumedExtend = false
+        var consumedAdvance = false
+        // extend the current step's loop (entry and repeats both run
+        // under the step's own contiguity; strict requires no gap)
+        if (!p.closed && p.reps < s.maxReps &&
+            (s.contiguity == Relaxed || !p.gap) && s.pred(e)) {
+          consumedExtend = true
+          land(p.copy(lastId = e.event_id, lastTs = e.ts,
+            nMatched = p.nMatched + 1, reps = p.reps + 1, gap = false))
+        }
+        // advance to a later step: reachable = the next step, plus any
+        // further steps whose predecessors are all optional (minReps 0)
+        var advanceRelaxedViable = false
+        if (p.reps >= s.minReps) {
+          var j = p.stepIdx + 1
+          var reachable = true
+          while (reachable && j < k) {
+            val sj = steps(j)
+            if (sj.contiguity == Relaxed) advanceRelaxedViable = true
+            if ((sj.contiguity == Relaxed || !p.gap) && sj.pred(e)) {
+              consumedAdvance = true
+              land(p.copy(lastId = e.event_id, lastTs = e.ts,
+                nMatched = p.nMatched + 1, stepIdx = j, reps = 1,
+                closed = false, gap = false))
+            }
+            reachable = sj.minReps == 0
+            j += 1
+          }
+        }
+        if (consumedExtend || consumedAdvance) {
+          // Flink's proceed branch: the loop also may stop here and await
+          // the next step relaxed-ly (only viable when some reachable
+          // step tolerates gaps; a strict-only proceed dies on the spot)
+          if (consumedExtend && !consumedAdvance && advanceRelaxedViable)
+            next += p.copy(closed = true, gap = true)
+        } else {
+          // nothing consumed: survive iff some awaited position is
+          // relaxed (loop extension or a reachable later step)
+          val extendRelaxedViable = !p.closed && p.reps < s.maxReps &&
+            s.contiguity == Relaxed
+          if (extendRelaxedViable || advanceRelaxedViable)
+            next += p.copy(gap = true)
+          // else: strict violation — the branch dies silently
         }
       }
-      if (pattern.steps(0).pred(e)) {
-        val p0 = Partial(e.event_id, us, e.ts, e.event_id, e.ts, 1)
-        if (k == 1) out += matchOf(p0, e.user_id) else partials = partials :+ p0
+      // noSkip: every event may seed a new partial — unless a completed
+      // match with skipPastLastEvent claims this event
+      if (steps(0).pred(e) && !(pattern.skipPast && matchedHere))
+        land(Partial(e.event_id, us, e.ts, e.event_id, e.ts, 1))
+      var res =
+        if (pattern.skipPast && matchedHere) Nil  // skip past the match's end
+        else next.toList.distinct
+      if (res.length > pattern.maxPartials) {
+        val drop = res.length - pattern.maxPartials
+        res.take(drop).filterNot(_.emitted)
+          .foreach(p => out += timeoutOf(p, e.user_id))
+        res = res.drop(drop)
       }
-      if (partials.length > pattern.maxPartials) {
-        val drop = partials.length - pattern.maxPartials
-        partials.take(drop).foreach(p => out += timeoutOf(p, e.user_id))
-        partials = partials.drop(drop)
-      }
+      partials = res
     }
     (out.toList, partials)
   }
@@ -128,8 +227,7 @@ object Cep {
     * StatefulStreams.bounces). Keys whose partials' windows are still
     * open at the final watermark stay pending — live-stream semantics. */
   def run(events: DataFrame, pattern: Pattern): DataFrame = {
-    require(pattern.withinSec > 0, "pattern needs .within(sec)")
-    require(pattern.steps.nonEmpty)
+    requireValid(pattern)
     val spark = events.sparkSession
     import spark.implicits._
     val withinUs = pattern.withinUs
@@ -146,7 +244,7 @@ object Cep {
               state.update(alive)
               state.setTimeoutTimestamp(alive.map(p => (p.startUs + withinUs) / 1000L).min)
             }
-            expired.map(timeoutOf(_, uid)).iterator
+            expired.filterNot(_.emitted).map(timeoutOf(_, uid)).iterator
           } else {
             val (out, partials) =
               advance(pattern, state.getOption.getOrElse(Nil), sorted(it))
@@ -161,14 +259,15 @@ object Cep {
       .toDF()
   }
 
-  /** Batch twin: the same DFA over each key's full history. End-of-data
+  /** Batch twin: the same NFA over each key's full history. End-of-data
     * handling for still-open partials: with `cutoffMs = None` (batch
     * truth) every unfinished partial times out; with `Some(wm)` (stream
     * parity) only partials whose deadline the final watermark passed —
-    * the same rule every stream_* gate oracle applies. */
+    * the same rule every stream_* gate oracle applies. Branches that
+    * already emitted a match never surface as timeouts. */
   def runBatch(events: DataFrame, pattern: Pattern,
       cutoffMs: Option[Long] = None): DataFrame = {
-    require(pattern.withinSec > 0, "pattern needs .within(sec)")
+    requireValid(pattern)
     val spark = events.sparkSession
     import spark.implicits._
     val withinUs = pattern.withinUs
@@ -177,6 +276,7 @@ object Cep {
       .flatMapGroups { (uid: Long, it: Iterator[Event]) =>
         val (out, partials) = advance(pattern, Nil, sorted(it))
         val tails = partials
+          .filterNot(_.emitted)
           .filter(p => cutoffMs.forall(wm => (p.startUs + withinUs) / 1000L < wm))
           .map(timeoutOf(_, uid))
         (out ++ tails).iterator

@@ -202,6 +202,105 @@ class CepSpec extends SparkSpec {
     assert(r2 === Seq((1L, 4L)))
   }
 
+  test("oneOrMore is reluctant: every sub-run of a consecutive run emits; no timeouts") {
+    def ev(id: Long, sec: Long, t: String) = StatefulStreams.Event(
+      id, new java.sql.Timestamp(sec * 1000L), 1L, t, 0.0, "{}")
+    val evs = Seq(ev(1, 0, "a"), ev(2, 10, "a"), ev(3, 20, "x"), ev(4, 30, "a"))
+      .toDS().toDF()
+    val p = Cep.Pattern.begin("a")(_.event_type == "a").oneOrMore.within(100L)
+    val r = Cep.runBatch(evs, p)
+      .select("first_event_id", "last_event_id", "steps_matched", "matched")
+      .as[(Long, Long, Int, Boolean)].collect().sorted.toSeq
+    // reluctant: [1], [1 2], and (noSkip) [2]; the x breaks the strict run
+    // silently (the broken branches had already emitted); [4] restarts
+    assert(r === Seq((1L, 1L, 1, true), (1L, 2L, 2, true), (2L, 2L, 1, true),
+      (4L, 4L, 1, true)))
+  }
+
+  test("timesOrMore(2): emits at the minimum then each extension; strict break " +
+    "is silent, trailing lone start times out") {
+    def ev(id: Long, sec: Long, t: String) = StatefulStreams.Event(
+      id, new java.sql.Timestamp(sec * 1000L), 1L, t, 0.0, "{}")
+    val evs = Seq(ev(1, 0, "a"), ev(2, 10, "a"), ev(3, 20, "b"), ev(4, 30, "a"))
+      .toDS().toDF()
+    val p = Cep.Pattern.begin("a")(_.event_type == "a").timesOrMore(2).within(100L)
+    val r = Cep.runBatch(evs, p)
+      .select("first_event_id", "last_event_id", "steps_matched", "matched")
+      .as[(Long, Long, Int, Boolean)].collect().sorted.toSeq
+    // [1 2] reaches the minimum; the partial seeded at 2 (reps=1) dies
+    // SILENTLY on the strict-mismatching b (contiguity violation, not a
+    // window expiry); the trailing lone a at 4 times out at end-of-data
+    assert(r === Seq((1L, 2L, 2, true), (4L, 4L, 1, false)))
+  }
+
+  test("optional middle step: skipped when a later step's event arrives first; " +
+    "a trailing optional step is rejected") {
+    def ev(id: Long, user: Long, sec: Long, t: String) = StatefulStreams.Event(
+      id, new java.sql.Timestamp(sec * 1000L), user, t, 0.0, "{}")
+    val evs = Seq(
+      ev(1, 1, 0, "v"), ev(2, 1, 10, "c"), ev(3, 1, 20, "p"),   // v c p
+      ev(11, 2, 0, "v"), ev(12, 2, 10, "x"), ev(13, 2, 20, "p"), // v x p
+      ev(21, 3, 0, "v"), ev(22, 3, 10, "c"),                     // v c .
+      ev(31, 4, 0, "v"),                                         // v . .
+      ev(41, 5, 0, "v"), ev(42, 5, 10, "p"), ev(43, 5, 20, "c")  // v p c
+    ).toDS().toDF()
+    val p = Cep.Pattern.begin("v")(_.event_type == "v")
+      .followedBy("c")(_.event_type == "c").optional
+      .followedBy("p")(_.event_type == "p").within(100L)
+    val r = Cep.runBatch(evs, p)
+      .select("user_id", "first_event_id", "last_event_id", "steps_matched", "matched")
+      .as[(Long, Long, Long, Int, Boolean)].collect().sortBy(_._2).toSeq
+    assert(r === Seq(
+      (1L, 1L, 3L, 3, true),    // optional step taken
+      (2L, 11L, 13L, 2, true),  // optional step skipped (x ignored, relaxed)
+      (3L, 21L, 22L, 2, false), // v+c but no p: times out with both consumed
+      (4L, 31L, 31L, 1, false), // bare v times out
+      (5L, 41L, 42L, 2, true))) // p first: completes past the optional c
+    val trailing = Cep.Pattern.begin("v")(_.event_type == "v")
+      .followedBy("c")(_.event_type == "c").optional.within(100L)
+    assertThrows[IllegalArgumentException] { Cep.runBatch(evs, trailing) }
+  }
+
+  test("skipPastLastEvent discards live partials when a match completes") {
+    def ev(id: Long, sec: Long, t: String) = StatefulStreams.Event(
+      id, new java.sql.Timestamp(sec * 1000L), 1L, t, 0.0, "{}")
+    val evs = Seq(ev(1, 0, "a"), ev(2, 5, "a"), ev(3, 10, "a")).toDS().toDF()
+    val base = Cep.Pattern.begin("a")(_.event_type == "a").timesOrMore(2).within(100L)
+    def outOf(p: Cep.Pattern) = Cep.runBatch(evs, p)
+      .select("first_event_id", "last_event_id", "steps_matched", "matched")
+      .as[(Long, Long, Int, Boolean)].collect().sorted.toSeq
+    // noSkip: [1 2] matches, then extends to [1 2 3]; the overlapping seed
+    // at 2 reaches [2 3]; the seed at 3 is left partial -> timeout
+    assert(outOf(base) === Seq((1L, 2L, 2, true), (1L, 3L, 3, true),
+      (2L, 3L, 2, true), (3L, 3L, 1, false)))
+    // skipPast: the [1 2] completion wipes the slate (including the seed
+    // at 2 and the completing event's own re-seed); 3 starts fresh
+    assert(outOf(base.skipPastLastEvent) ===
+      Seq((1L, 2L, 2, true), (3L, 3L, 1, false)))
+  }
+
+  test("quantified patterns: streaming == batch under the final-watermark cutoff") {
+    val events = Tables.events(spark, dir)
+    val wmMs = events.agg(max(unix_micros(col("ts")))).as[Long].head() / 1000L
+    val burst = Cep.Pattern.begin("click")(_.event_type == "click")
+      .oneOrMore.within(86400L)
+    val optFunnel = Cep.Pattern.begin("view")(_.event_type == "view")
+      .followedBy("click")(_.event_type == "click").optional
+      .followedBy("purchase")(_.event_type == "purchase").within(86400L)
+    for (p <- Seq(burst, optFunnel)) {
+      val stream = StreamRunner.collect(
+          Cep.run(Sources.eventsStream(spark, dir).withWatermark("ts", "0 seconds"), p))
+        .select("user_id", "first_event_id", "last_event_id", "steps_matched", "matched")
+        .as[(Long, Long, Long, Int, Boolean)].collect().sorted
+      val batch = Cep.runBatch(events, p, cutoffMs = Some(wmMs))
+        .select("user_id", "first_event_id", "last_event_id", "steps_matched", "matched")
+        .as[(Long, Long, Long, Int, Boolean)].collect().sorted
+      assert(stream.nonEmpty)
+      assert(stream === batch)
+      assert(stream.exists(_._5), "expected at least one match")
+    }
+  }
+
   test("maxPartials force-expires the oldest partials (hot-key state bound)") {
     // begin(any) with relaxed step that never fires: every event opens a
     // partial that lives until the window closes — unbounded without a cap
