@@ -35,12 +35,35 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, (v, ok)) => "\"" + k + "\":" + (if (ok) v else -1.0) }
-      .mkString("{", ",", "}")
+    // Full-precision per-query lines for humans/logs (the driver ignores
+    // these; they scroll off its 2000-char stdout tail window)
+    results.foreach { case (k, (v, ok)) =>
+      println(f"[bench] $k%-28s ${if (ok) f"$v%9.3f" else "FAILED"}")
+    }
     val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    def r2(v: Double): String = (math.rint(v * 100) / 100).toString
+    // The driver records only the LAST ~2000 chars of stdout, and sbt
+    // appends ~70 chars of its own after us — so the ONE metric line must
+    // stay well under that or its head is truncated and the driver's JSON
+    // parse nulls out (every round r1-r6 lost its bench numbers this way).
+    // 2-decimal values + short sf; if the query set ever outgrows the
+    // budget, drop the FASTEST queries from the map (their timings are the
+    // least informative) and say how many were omitted.
+    val sfShort = sfDir.split('/').last
+    def line(qmap: Seq[(String, String)], omitted: Int): String = {
+      val qs = qmap.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs$om,"failed":$failed,"sf":"$sfShort"}"""
+    }
+    val bySlowest = results.toSeq.sortBy { case (_, (v, _)) => -v }
+      .map { case (k, (v, ok)) => k -> (if (ok) r2(v) else "-1") }
+    var keep = bySlowest.length
+    while (keep > 1 && line(bySlowest.take(keep), bySlowest.length - keep).length > 1800)
+      keep -= 1
+    println(line(bySlowest.take(keep), bySlowest.length - keep))
     spark.stop()
   }
 }
