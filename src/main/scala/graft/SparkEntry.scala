@@ -304,6 +304,15 @@ object SparkEntry {
           count(lit(1)).as("ct"))
         .orderBy(col("l_returnflag"))),
 
+    // ── A8 at 100 TB: approx_percentile (mergeable one-pass sketch) with
+    // a CHECKED rank-error bound — each estimate must land inside the
+    // exact quantile bracket at p ± 3/accuracy; the oracle pins the
+    // verdict to 1 next to recomputed exact columns (same shape as the
+    // HLL gate a1_product_stats_approx)
+    "a8_percentiles_approx" -> ((s, dir) =>
+      Stats.percentilesApproxChecked(Tables.lineitem(s, dir))
+        .orderBy(col("l_returnflag"))),
+
     // ── Embeddings: symmetric int8 quantization (4x storage shrink for
     // ANN scans; floor-based so quantized vectors are engine-portable)
     "emb_quantize" -> ((s, dir) => {
@@ -555,6 +564,19 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPortable(Tables.documents(s, dir), maxBucket = 1000000)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── Dedup: incremental ingestion — the doc_id%5==0 slice plays the
+    // incoming batch, the rest the persisted corpus; incoming signatures
+    // probe the history band INDEX (history text is only re-read for the
+    // candidate sliver), so ingesting a batch never rescans the corpus
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      val history = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      Dedup.incrementalNearDups(incoming, history,
+          Dedup.minhashBandIndex(history))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     // ── Dedup: SimHash — portable twin (md5-lower-64 bit votes)
     "dedup_simhash" -> ((s, dir) =>
@@ -1239,6 +1261,17 @@ object SparkEntry {
         |  COUNT(*) AS ct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // the sketch twin's checked bound: exact columns recomputed, verdict
+    // pinned to 1 — if any approx_percentile estimate leaves its exact
+    // p ± 3/accuracy rank bracket the engine emits 0 and the hash fails
+    "a8_percentiles_approx" ->
+      """SELECT l_returnflag,
+        |  floor(quantile_cont(l_extendedprice, 0.25)*1000000)/1000000 AS p25,
+        |  floor(quantile_cont(l_extendedprice, 0.5)*1000000)/1000000 AS p50,
+        |  floor(quantile_cont(l_extendedprice, 0.75)*1000000)/1000000 AS p75,
+        |  COUNT(*) AS ct, CAST(1 AS INT) AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
@@ -1728,6 +1761,36 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
         |    AND a.doc_id < b.doc_id),
+        |p2 AS (SELECT c.doc_a, c.doc_b, len(list_intersect(sa.s, sb.s)) AS i2,
+        |    len(sa.s) AS la, len(sb.s) AS lb
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+        |    JOIN sh sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, CAST(i2 AS DOUBLE)/(la + lb - i2) AS jaccard
+        |FROM p2 WHERE CAST(i2 AS DOUBLE)/(la + lb - i2) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same portable sketch family; candidates restricted to incoming
+    // (doc_id%5=0) × history (doc_id%5<>0) band collisions
+    "dedup_incremental" ->
+      s"""WITH perms(i, a, b) AS (VALUES ${permValuesSql(64)}),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+        |  FROM toks),
+        |hv AS (SELECT doc_id, CAST(md5_number_lower(sv) % 2147483647 AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(s) AS sv FROM sh)),
+        |mh AS (SELECT doc_id, p.i AS i,
+        |    MIN((CAST(p.a AS BIGINT) * hv.h + p.b) % 2147483647) AS m
+        |  FROM hv CROSS JOIN perms p GROUP BY doc_id, p.i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+        |  FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
         |p2 AS (SELECT c.doc_a, c.doc_b, len(list_intersect(sa.s, sb.s)) AS i2,
         |    len(sa.s) AS la, len(sb.s) AS lb
         |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a

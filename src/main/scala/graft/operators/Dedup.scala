@@ -128,6 +128,44 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** The persistable MinHash band index of a corpus: one (doc_id, band,
+    * key) row per band — the O(bands × docs) footprint that incremental
+    * ingestion joins against instead of rescanning corpus text. Write it
+    * partitioned/bucketed by (band, key) and [[incrementalNearDups]]'s
+    * probe join co-locates for free. */
+  def minhashBandIndex(documents: DataFrame, shingleLen: Int = 3,
+      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    require(numPerms % bands == 0)
+    documents
+      .select(col("doc_id"),
+        explode(call_function("graft_minhash_bands_p",
+          col("text"), lit(shingleLen), lit(numPerms), lit(bands))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
+  /** Incremental ingestion dedup: flag each INCOMING document whose band
+    * signature collides with the persisted HISTORY index and whose exact
+    * shingle Jaccard against the collided history doc clears `minJaccard`.
+    *
+    * The 100 TB contract: history TEXT is never rescanned wholesale — the
+    * new batch's signatures probe the (band, key)-keyed index, and only
+    * the candidate history docs (a semi-join-pruned sliver) are re-read
+    * for exact verification. Ingesting 1 TB into a 100 TB corpus costs
+    * O(new batch) + O(index probe), not O(corpus). Intra-batch dups are
+    * the standard [[minhashLshPortable]] pass over the batch alone.
+    * (ref behavior: gmall has no dedup; this is the LLM-pipeline suite.) */
+  def incrementalNearDups(incoming: DataFrame, history: DataFrame,
+      historyIndex: DataFrame, shingleLen: Int = 3, numPerms: Int = 64,
+      bands: Int = 16, minJaccard: Double = 0.5): DataFrame = {
+    val probe = minhashBandIndex(incoming, shingleLen, numPerms, bands)
+    val cand = probe.as("n")
+      .join(historyIndex.as("h"), Seq("band", "key"))
+      .select(col("n.doc_id").as("doc_a"), col("h.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(incoming.unionByName(history), cand, shingleLen)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Exact shingle-set Jaccard for given candidate pairs (joins the pair
     * list against per-doc shingle sets twice; join strategy left to
     * Catalyst/AQE — at harness scale the shingle side converts to a

@@ -73,6 +73,38 @@ object Stats {
           greatest(lit(2.0), lit(3 * rsd) * col("user_ct").cast("double")))
           .cast("int").as("within_bound"))
 
+  /** A8's 100 TB path with a CHECKED bound: `approx_percentile` (one-pass
+    * mergeable quantile sketch, constant memory per group) next to the
+    * exact interpolated percentiles. The sketch guarantees rank error
+    * ≤ n/accuracy, so each estimate must land inside the exact quantile
+    * bracket at p ± 3/accuracy — the 3x slack absorbs the ≤1-rank wiggle
+    * between interpolation conventions at the bracket edges, mirroring
+    * the HLL twin's 3·rsd rule. The gate oracle recomputes the exact
+    * columns and pins within_bound = 1 everywhere. */
+  def percentilesApproxChecked(lineitem: DataFrame,
+      accuracy: Int = 1000): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75)
+    val eps = 3.0 / accuracy
+    def arr(qs: Seq[Double]) = qs.mkString("array(", ",", ")")
+    val checked = ps.indices.map { i =>
+      element_at(col("__ap"), i + 1) >= element_at(col("__lo"), i + 1) &&
+        element_at(col("__ap"), i + 1) <= element_at(col("__hi"), i + 1)
+    }.reduce(_ && _)
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"percentile(l_extendedprice, ${arr(ps)})").as("__ex"),
+        expr(s"percentile(l_extendedprice, ${arr(ps.map(_ - eps))})").as("__lo"),
+        expr(s"percentile(l_extendedprice, ${arr(ps.map(_ + eps))})").as("__hi"),
+        expr(s"approx_percentile(l_extendedprice, ${arr(ps)}, $accuracy)").as("__ap"),
+        count(lit(1)).as("ct"))
+      .select(col("l_returnflag"),
+        graft.functions.TextFns.truncate6(element_at(col("__ex"), 1)).as("p25"),
+        graft.functions.TextFns.truncate6(element_at(col("__ex"), 2)).as("p50"),
+        graft.functions.TextFns.truncate6(element_at(col("__ex"), 3)).as("p75"),
+        col("ct"), checked.cast("int").as("within_bound"))
+  }
+
   /** A2: multi-key visitor cube cell (window x type x user bucket). */
   def visitorStats(events: DataFrame, windowSec: Int = 60): DataFrame =
     events

@@ -34,6 +34,28 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.01, s"exact=$exact approx=$approx")
   }
 
+  test("percentilesApproxChecked: verdict 1 everywhere at accuracy 1000; " +
+    "exact columns match the exact gate; the bracket is non-vacuous") {
+    val l = Tables.lineitem(spark, dir)
+    val out = graft.operators.Stats.percentilesApproxChecked(l).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Int]("within_bound") == 1))
+    // the exact columns agree with the plain exact gate query
+    val exact = l.groupBy(col("l_returnflag"))
+      .agg(graft.functions.TextFns.truncate6(
+        expr("percentile(l_extendedprice, 0.5)")).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.foreach(r => assert(r.getAs[Double]("p50") === exact(r.getString(0))))
+    // the bracket does real work: on 10k distinct uniform values the
+    // p±3/1000 window spans only ~60 of them, so verdict=1 certifies the
+    // estimate to ~0.6% of the value range — not a vacuous bound
+    import spark.implicits._
+    val uni = (1 to 10000).map(_.toDouble)
+      .toDF("l_extendedprice").withColumn("l_returnflag", lit("X"))
+    val tight = graft.operators.Stats.percentilesApproxChecked(uni).collect()
+    assert(tight.length == 1 && tight.head.getAs[Int]("within_bound") == 1)
+  }
+
   test("productStatsApprox mirrors productStats on everything but the distinct") {
     val e = Tables.events(spark, dir)
     // per-window comparison: window amounts are exact (decimal-summed);

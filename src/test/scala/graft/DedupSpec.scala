@@ -31,6 +31,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("incremental dedup == the cross-subset of the full batch run") {
+    // fixture docs at sf0.001: the incoming slice (doc_id%5==0) probed
+    // against the history index must surface exactly the full batch run's
+    // cross-set pairs — no incoming×incoming, no history×history
+    val documents = Tables.documents(spark, "/root/testdata/sf0.001")
+    val incoming = documents.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+    val history = documents.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+    val inc = Dedup.incrementalNearDups(incoming, history,
+        Dedup.minhashBandIndex(history))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashLshPortable(documents, maxBucket = 1000000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val crossFromFull = full.collect {
+      case (a, b) if a % 5 == 0 && b % 5 != 0 => (a, b)
+      case (a, b) if b % 5 == 0 && a % 5 != 0 => (b, a)
+    }
+    assert(inc === crossFromFull)
+    assert(inc.nonEmpty)
+    assert(inc.forall { case (a, b) => a % 5 == 0 && b % 5 != 0 })
+  }
+
   test("ngram jaccard scores the exact dup at 1.0") {
     val r = Dedup.ngramJaccardPairs(docs).collect()
       .map(x => ((x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")), x.getAs[Double]("jaccard")))
