@@ -304,6 +304,22 @@ object SparkEntry {
           count(lit(1)).as("ct"))
         .orderBy(col("l_returnflag"))),
 
+    // ── A9: sliding (hopping) 60s/30s window — each event lands in two
+    // overlapping windows; the oracle expands events with a k∈{0,1}
+    // offset join and must agree window for window
+    "a9_sliding_window" -> ((s, dir) =>
+      Stats.slidingVisitorStats(Tables.events(s, dir))
+        .orderBy(col("stt"), col("event_type"))),
+
+    // ── A9 streaming twin: the same hopping windows through real
+    // Structured Streaming state (complete mode — every window emits)
+    "stream_a9_sliding_window" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.WindowedStreams.slidingVisitorStats(
+          graft.streaming.Sources.eventsStream(s, dir)),
+        outputMode = "complete")
+        .orderBy(col("stt"), col("event_type"))),
+
     // ── A8 at 100 TB: approx_percentile (mergeable one-pass sketch) with
     // a CHECKED rank-error bound — each estimate must land inside the
     // exact quantile bracket at p ± 3/accuracy; the oracle pins the
@@ -810,6 +826,27 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── J7 streaming: stream-stream LEFT OUTER interval join — matched
+    // pairs emit on arrival; a view with no click in [v_ts, v_ts+600s]
+    // emits null-padded once the watermark passes its window. The global
+    // watermark is the MIN across the two branch watermarks (view max vs
+    // click max event time), which the oracle's cutoff mirrors.
+    "stream_j7_interval_left" -> ((s, dir) => {
+      val ev = graft.streaming.Sources.eventsStream(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.WindowedStreams.intervalJoin(
+          views, clicks, "v_user", "c_user", "v_ts", "c_ts",
+          lowerSec = 0L, upperSec = 600L, joinType = "leftOuter"))
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(col("c_ts")).as("pair_ct"),
+          sum(when(col("c_ts").isNull, 1L).otherwise(0L)).as("unmatched_ct"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── T4 streaming: session_window agg. Sessions still open at the final
     // watermark stay pending (live-stream semantics; oracle mirrors the
     // cutoff).
@@ -1261,6 +1298,30 @@ object SparkEntry {
         |  COUNT(*) AS ct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // hopping-window expansion: every event belongs to the two 30s-aligned
+    // 60s windows covering it — floor(t/30s)*30s and the one before
+    "a9_sliding_window" ->
+      """WITH k AS (SELECT unnest(range(0, 2)) AS k),
+        |w AS (SELECT ((epoch_us(CAST(ts AS TIMESTAMP))//30000000) - k.k)*30000000 AS us,
+        |             event_type, user_id, value
+        |      FROM events, k)
+        |SELECT strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(make_timestamp(us + 60000000), '%Y-%m-%d %H:%M:%S') AS edt,
+        |       event_type, COUNT(*) AS pv, COUNT(DISTINCT user_id) AS uv,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+        |FROM w GROUP BY us, event_type ORDER BY us, event_type""".stripMargin,
+
+    "stream_a9_sliding_window" ->
+      """WITH k AS (SELECT unnest(range(0, 2)) AS k),
+        |w AS (SELECT ((epoch_us(CAST(ts AS TIMESTAMP))//30000000) - k.k)*30000000 AS us,
+        |             event_type, user_id, value
+        |      FROM events, k)
+        |SELECT strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(make_timestamp(us + 60000000), '%Y-%m-%d %H:%M:%S') AS edt,
+        |       event_type, COUNT(*) AS pv, COUNT(DISTINCT user_id) AS uv,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+        |FROM w GROUP BY us, event_type ORDER BY us, event_type""".stripMargin,
+
     // the sketch twin's checked bound: exact columns recomputed, verdict
     // pinned to 1 — if any approx_percentile estimate leaves its exact
     // p ± 3/accuracy rank bracket the engine emits 0 and the hash fails
@@ -1686,6 +1747,28 @@ object SparkEntry {
         |  ON v.user_id = c.user_id
         | AND c.c_ts >= v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 600 SECOND
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    // matched pairs always emit; a null-padded row requires the view's
+    // window end to be strictly behind the final MIN-of-branches watermark
+    "stream_j7_interval_left" ->
+      """WITH v AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS vus
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+        |      FROM events WHERE event_type = 'click'),
+        |mx AS (SELECT LEAST((SELECT max(vus) FROM v), (SELECT max(cus) FROM c)) AS mu),
+        |j AS (SELECT v.user_id, v.vus, c.cus
+        |      FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |        AND c.cus >= v.vus AND c.cus <= v.vus + 600000000),
+        |e AS (SELECT user_id,
+        |        CASE WHEN cus IS NOT NULL THEN 1 ELSE 0 END AS m,
+        |        CASE WHEN cus IS NULL
+        |          AND (vus + 600000000)//1000 < (SELECT mu//1000 FROM mx)
+        |          THEN 1 ELSE 0 END AS u
+        |      FROM j)
+        |SELECT user_id, CAST(SUM(m) AS BIGINT) AS pair_ct,
+        |       CAST(SUM(u) AS BIGINT) AS unmatched_ct
+        |FROM e GROUP BY user_id HAVING SUM(m) > 0 OR SUM(u) > 0
+        |ORDER BY user_id""".stripMargin,
 
     "p1_json_parse" ->
       """SELECT CAST(regexp_extract(props, '\d+') AS BIGINT) % 10 AS k_bucket, COUNT(*) AS ct

@@ -105,6 +105,26 @@ object Stats {
         col("ct"), checked.cast("int").as("within_bound"))
   }
 
+  /** Sliding (hopping) windows: each event lands in window/slide
+    * overlapping windows — Spark's `window(ts, win, slide)` expands rows
+    * BEFORE the aggregation, so shuffle volume multiplies by the overlap
+    * factor. At 100 TB keep slide ≥ window/4 (or aggregate per-slide
+    * tumbling panes first and roll panes up into windows — the pane trick
+    * — when a fine slide over a wide window is genuinely needed). */
+  def slidingVisitorStats(events: DataFrame, windowSec: Int = 60,
+      slideSec: Int = 30): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$windowSec seconds", s"$slideSec seconds"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("pv"),
+        count_distinct(col("user_id")).as("uv"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("dur_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("pv"), col("uv"), col("dur_sum"))
+
   /** A2: multi-key visitor cube cell (window x type x user bucket). */
   def visitorStats(events: DataFrame, windowSec: Int = 60): DataFrame =
     events

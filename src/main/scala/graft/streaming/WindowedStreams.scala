@@ -49,6 +49,26 @@ object WindowedStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         col("event_type"), col("cohort"), col("pv"), col("uv"), col("dur_sum"))
 
+  /** Sliding (hopping) streaming windows: each event feeds window/slide
+    * overlapping window states; watermark closes a window when it passes
+    * the window END (the latest-ending window an event touches keeps its
+    * state alive the longest). Same 100 TB caveat as the batch twin:
+    * shuffle and state multiply by the overlap factor. */
+  def slidingVisitorStats(events: DataFrame, windowSec: Int = 60,
+      slideSec: Int = 30, watermark: String = "2 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$windowSec seconds", s"$slideSec seconds"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("pv"),
+        size(collect_set(col("user_id"))).cast("long").as("uv"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("dur_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("pv"), col("uv"), col("dur_sum"))
+
   /** A3 streaming (dws/KeywordStatsApp.java): tokenizer UDTF analogue —
     * explode(tokens) is the LATERAL TABLE(SplitFunction) shape — then a
     * windowed count per keyword. */
@@ -88,10 +108,12 @@ object WindowedStreams {
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       lowerSec: Long, upperSec: Long,
-      watermark: String = "0 seconds"): DataFrame =
+      watermark: String = "0 seconds",
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermark).join(
       right.withWatermark(rightTs, watermark),
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lowerSec SECONDS") &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperSec SECONDS"))
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperSec SECONDS"),
+      joinType)
 }

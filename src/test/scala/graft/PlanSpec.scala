@@ -127,6 +127,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("dedup_incremental: equi-joins only — the index probe and both " +
+    "verify joins are keyed, never cartesian") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    // candidate distinct is a real pre-verify dedup (one aggregate on the
+    // pair keys) so a hot (band,key) bucket can't multiply verify work
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      p.take(1500))
+  }
+
   test("keepCanonical: dropped set broadcasts; corpus side never shuffles") {
     import org.apache.spark.sql.functions._
     val spark2 = spark

@@ -86,6 +86,35 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("stream-stream LEFT OUTER interval join: matches emit on arrival, " +
+    "unmatched lefts emit null-padded once the watermark passes their window") {
+    import org.apache.spark.sql.functions._
+    def split(df: DataFrame): (DataFrame, DataFrame) = (
+      df.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_id")),
+      df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts")))
+    // the global watermark is the MIN across both branch watermarks
+    // (multipleWatermarkPolicy=min), so the click branch must also see
+    // late events or it pins the watermark and no null row ever emits
+    val out = runBatches(Seq(
+      Seq(ev(1, 100, 10), ev(2, 200, 15)),          // two views open
+      Seq(ev(3, 100, 50, "click")),                 // match for view 1 (gap 40 <= 60)
+      Seq(ev(4, 300, 500), ev(5, 999, 500, "click")),
+      Seq(ev(6, 300, 600), ev(7, 999, 600, "click"))))(df => {
+      val (v, c) = split(df)
+      graft.streaming.WindowedStreams.intervalJoin(
+        v, c, "v_user", "c_user", "v_ts", "c_ts",
+        lowerSec = 0L, upperSec = 60L, joinType = "leftOuter")
+    }).select(col("v_id"), col("c_ts").isNull.as("unmatched"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    // view 1 matched; view 2's window [15, 75] closed once both branch
+    // watermarks passed it -> null-padded; view 4's [500, 560] closed by
+    // watermark 600; view 6 still open -> pending
+    assert(out === Set((1L, false), (2L, true), (4L, true)))
+  }
+
   test("T4 session_window: sessions merge across batches, close on watermark") {
     import org.apache.spark.sql.functions._
     val out = runBatches(Seq(
