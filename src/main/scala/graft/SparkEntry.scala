@@ -304,6 +304,20 @@ object SparkEntry {
           count(lit(1)).as("ct"))
         .orderBy(col("l_returnflag"))),
 
+    // ── K7: SCD2 dim history from a changelog — unchanged consecutive
+    // versions compact away; each change opens [ts, next change ts), the
+    // last version per key is open-ended. Pairs with j6_asof_join for
+    // time-travel enrichment; K4's upsert sink is the SCD1 twin.
+    "k7_scd2_history" -> ((s, dir) =>
+      graft.operators.Scd.scd2(Tables.events(s, dir),
+          keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+          attrCols = Seq("event_type"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("effective_from")).as("from_us"),
+          unix_micros(col("effective_to")).as("to_us"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("from_us"), col("event_id"))),
+
     // ── A9: sliding (hopping) 60s/30s window — each event lands in two
     // overlapping windows; the oracle expands events with a k∈{0,1}
     // offset join and must agree window for window
@@ -1297,6 +1311,22 @@ object SparkEntry {
         |  floor(quantile_cont(l_extendedprice, 0.75)*1000000)/1000000 AS p75,
         |  COUNT(*) AS ct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // change-compact then interval: only rows whose tracked attribute
+    // moved survive; lead() over the survivors closes each version
+    "k7_scd2_history" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events),
+        |v AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+        |f AS (SELECT user_id, event_id, event_type, us AS from_us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_us
+        |  FROM v)
+        |SELECT user_id, event_id, event_type, from_us, to_us,
+        |  CASE WHEN to_us IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM f ORDER BY user_id, from_us, event_id""".stripMargin,
 
     // hopping-window expansion: every event belongs to the two 30s-aligned
     // 60s windows covering it — floor(t/30s)*30s and the one before

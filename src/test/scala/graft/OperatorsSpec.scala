@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Pretrain, Sampling, Sessionize}
+import graft.operators.{Pretrain, Sampling, Scd, Sessionize}
 import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpec {
@@ -117,5 +117,33 @@ class OperatorsSpec extends SparkSpec {
     val clean2 = Pretrain.decontaminate(train2, evalShort, shingleLen = 3)
       .select("doc_id").as[Long].collect().sorted
     assert(clean2.toSeq === Seq(2L))
+  }
+
+  test("scd2 compacts unchanged versions and chains validity intervals") {
+    val log = Seq(
+      (1L, 0L, 1L, "a"),    // key 1: a opens
+      (2L, 10L, 1L, "a"),   //   unchanged -> compacted away
+      (3L, 20L, 1L, "b"),   //   change -> closes v1 at 20, opens v2
+      (4L, 30L, 1L, "b"),   //   unchanged -> compacted
+      (5L, 40L, 1L, "a"),   //   change back -> v3, current
+      (6L, 5L, 2L, "x"))    // key 2: single version, current
+      .toDF("event_id", "sec", "user_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val out = Scd.scd2(log, "user_id", "ts", "event_id", Seq("event_type"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("effective_from")).as("f"),
+        unix_micros(col("effective_to")).as("t"), col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(out === Seq(
+      (1L, 1L, 0L, Some(20000000L), 0),
+      (1L, 3L, 20000000L, Some(40000000L), 0),
+      (1L, 5L, 40000000L, None, 1),
+      (2L, 6L, 5000000L, None, 1)))
+    // intervals chain: each version's end == the next version's start
+    // (no gap, no overlap), exactly one current version per key
+    assert(out.count(_._5 == 1) === 2)
   }
 }

@@ -138,6 +138,15 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("k7_scd2_history: change-detect lag and interval lead share ONE " +
+    "exchange (same window partitioning, no join)") {
+    val p = plan("k7_scd2_history")
+    assert(!p.contains("Join"), p.take(1200))
+    // the two Window ops + the output sort: at most 2 exchanges total
+    // (key window + global orderBy), never 3
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(1500))
+  }
+
   test("keepCanonical: dropped set broadcasts; corpus side never shuffles") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
