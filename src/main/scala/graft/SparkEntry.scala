@@ -608,6 +608,22 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ── Dedup: incremental ingestion through REAL Structured Streaming —
+    // the incoming slice arrives as a stream and probes the static history
+    // index with stream-static joins only (text rides the probe, so no
+    // stream-stream join is needed); same oracle as the batch twin since
+    // every emission happens at arrival
+    "stream_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val history = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      graft.streaming.StreamRunner.collect(
+        Dedup.incrementalNearDupsStreamable(
+          graft.streaming.Sources.documentsStream(s, dir)
+            .filter(pmod(col("doc_id"), lit(5L)) === 0L),
+          history, Dedup.minhashBandIndex(history)))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ── Dedup: SimHash — portable twin (md5-lower-64 bit votes)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairsPortable(Tables.documents(s, dir), maxHamming = 8,
@@ -1883,7 +1899,37 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // same portable sketch family; candidates restricted to incoming
-    // (doc_id%5=0) × history (doc_id%5<>0) band collisions
+    // (doc_id%5=0) × history (doc_id%5<>0) band collisions. The streaming
+    // twin emits everything at arrival (stream-static inner joins only),
+    // so it shares this oracle verbatim.
+    "stream_dedup_incremental" ->
+      s"""WITH perms(i, a, b) AS (VALUES ${permValuesSql(64)}),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+        |  FROM toks),
+        |hv AS (SELECT doc_id, CAST(md5_number_lower(sv) % 2147483647 AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(s) AS sv FROM sh)),
+        |mh AS (SELECT doc_id, p.i AS i,
+        |    MIN((CAST(p.a AS BIGINT) * hv.h + p.b) % 2147483647) AS m
+        |  FROM hv CROSS JOIN perms p GROUP BY doc_id, p.i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+        |  FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+        |p2 AS (SELECT c.doc_a, c.doc_b, len(list_intersect(sa.s, sb.s)) AS i2,
+        |    len(sa.s) AS la, len(sb.s) AS lb
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+        |    JOIN sh sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, CAST(i2 AS DOUBLE)/(la + lb - i2) AS jaccard
+        |FROM p2 WHERE CAST(i2 AS DOUBLE)/(la + lb - i2) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_incremental" ->
       s"""WITH perms(i, a, b) AS (VALUES ${permValuesSql(64)}),
         |toks AS (SELECT doc_id,

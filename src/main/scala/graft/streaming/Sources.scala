@@ -112,6 +112,23 @@ object Sources {
     * ods_base_log Kafka topic. Schema must be declared (streaming cannot
     * infer); ts arrives as raw nanos (see Tables.events) and is floored to
     * micros. */
+  /** Documents table as a file stream — the ingestion-side stand-in for a
+    * new-corpus-batch topic (no event-time column; consumers are
+    * stream-static joins that need no watermark). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftExtensions.ensureRegistered(spark)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftExtensions.ensureRegistered(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

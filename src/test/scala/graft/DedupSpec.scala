@@ -52,6 +52,21 @@ class DedupSpec extends SparkSpec {
     assert(inc.forall { case (a, b) => a % 5 == 0 && b % 5 != 0 })
   }
 
+  test("streamable incremental dedup == batch incremental dedup (pair for pair)") {
+    val documents = Tables.documents(spark, "/root/testdata/sf0.001")
+    val incoming = documents.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+    val history = documents.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+    val idx = Dedup.minhashBandIndex(history)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val batch = collect(Dedup.incrementalNearDups(incoming, history, idx))
+    val streamShape = collect(
+      Dedup.incrementalNearDupsStreamable(incoming, history, idx))
+    assert(streamShape === batch)
+    assert(streamShape.nonEmpty)
+  }
+
   test("ngram jaccard scores the exact dup at 1.0") {
     val r = Dedup.ngramJaccardPairs(docs).collect()
       .map(x => ((x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")), x.getAs[Double]("jaccard")))
