@@ -160,4 +160,59 @@ class PropertySpec extends SparkSpec {
       assert(keptBig <= keptSmall)
     }
   }
+
+  test("scd2 invariants: intervals per key chain gap-free, exactly one " +
+    "current version, and version count == number of attribute changes") {
+    val logGen: Gen[List[(Long, Long, String)]] = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.choose(1L, 4L)
+        attr <- Gen.oneOf("a", "b", "c")
+      } yield (key, attr))
+    } yield rows.zipWithIndex.map { case ((k, a), i) => (i.toLong, k, a) }
+    forAll(logGen) { rows =>
+      val log = rows.toDF("event_id", "user_id", "event_type")
+        .withColumn("ts", timestamp_seconds(col("event_id") * 10))
+      val out = graft.operators.Scd
+        .scd2(log, "user_id", "ts", "event_id", Seq("event_type"))
+        .select(col("user_id"),
+          unix_micros(col("effective_from")).as("f"),
+          unix_micros(col("effective_to")).as("t"),
+          col("is_current"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]), r.getInt(3)))
+      out.groupBy(_._1).foreach { case (_, vs) =>
+        val sorted = vs.sortBy(_._2)
+        // chain: each interval's end is the next interval's start
+        sorted.sliding(2).foreach {
+          case Array((_, _, Some(t), _), (_, f2, _, _)) => assert(t === f2)
+          case _ => ()
+        }
+        assert(sorted.count(_._4 == 1) === 1)       // one current version
+        assert(sorted.last._3.isEmpty)              // and it is open-ended
+      }
+      // version count per key == 1 + number of consecutive attr changes
+      val expect = rows.groupBy(_._2).map { case (k, rs) =>
+        val attrs = rs.sortBy(_._1).map(_._3)
+        k -> (1 + attrs.sliding(2).count {
+          case List(a, b) => a != b
+          case _ => false
+        })
+      }
+      assert(out.groupBy(_._1).view.mapValues(_.length).toMap === expect)
+    }
+  }
+
+  test("sliding windows conserve mass: total pv == overlap factor x events") {
+    forAll(Gen.choose(1, 60)) { n =>
+      val events = (1 to n).map(i =>
+        (i.toLong, new java.sql.Timestamp(1600000000000L + i * 7321L),
+          i.toLong % 5, if (i % 2 == 0) "view" else "click", i * 1.5, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val total = Stats.slidingVisitorStats(events, windowSec = 60, slideSec = 30)
+        .agg(sum(col("pv"))).as[Long].head()
+      assert(total === 2L * n) // every event lands in exactly 2 windows
+    }
+  }
 }
