@@ -205,9 +205,19 @@ object Cep {
         }
       }
       // noSkip: every event may seed a new partial — unless a completed
-      // match with skipPastLastEvent claims this event
-      if (steps(0).pred(e) && !(pattern.skipPast && matchedHere))
-        land(Partial(e.event_id, us, e.ts, e.event_id, e.ts, 1))
+      // match with skipPastLastEvent claims this event. Seeds may enter at
+      // any step reachable through a LEADING optional chain (an optional
+      // first step means the pattern can start at the step after it).
+      if (!(pattern.skipPast && matchedHere)) {
+        var j = 0
+        var reachable = true
+        while (reachable && j < k) {
+          if (steps(j).pred(e))
+            land(Partial(e.event_id, us, e.ts, e.event_id, e.ts, 1, stepIdx = j))
+          reachable = steps(j).minReps == 0
+          j += 1
+        }
+      }
       var res =
         if (pattern.skipPast && matchedHere) Nil  // skip past the match's end
         else next.toList.distinct

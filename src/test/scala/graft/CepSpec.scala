@@ -261,6 +261,23 @@ class CepSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] { Cep.runBatch(evs, trailing) }
   }
 
+  test("optional FIRST step: the pattern may start at the step after it") {
+    def ev(id: Long, sec: Long, t: String) = StatefulStreams.Event(
+      id, new java.sql.Timestamp(sec * 1000L), 1L, t, 0.0, "{}")
+    val p = Cep.Pattern.begin("a")(_.event_type == "a").optional
+      .followedBy("b")(_.event_type == "b").within(100L)
+    // a lone b matches with just the non-optional step
+    val r1 = Cep.runBatch(Seq(ev(1, 0, "b")).toDS().toDF(), p)
+      .select("first_event_id", "last_event_id", "steps_matched", "matched")
+      .as[(Long, Long, Int, Boolean)].collect().toSeq
+    assert(r1 === Seq((1L, 1L, 1, true)))
+    // a b -> both the 2-step [a b] and (noSkip seed at b) the 1-step [b]
+    val r2 = Cep.runBatch(Seq(ev(1, 0, "a"), ev(2, 10, "b")).toDS().toDF(), p)
+      .select("first_event_id", "last_event_id", "steps_matched", "matched")
+      .as[(Long, Long, Int, Boolean)].collect().sorted.toSeq
+    assert(r2 === Seq((1L, 2L, 2, true), (2L, 2L, 1, true)))
+  }
+
   test("skipPastLastEvent discards live partials when a match completes") {
     def ev(id: Long, sec: Long, t: String) = StatefulStreams.Event(
       id, new java.sql.Timestamp(sec * 1000L), 1L, t, 0.0, "{}")
