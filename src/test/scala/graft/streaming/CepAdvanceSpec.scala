@@ -50,7 +50,9 @@ class CepAdvanceSpec extends AnyFunSuite {
         p.steps(0).copy(minReps = 0)))
       case _ => p
     }
-    p.within(within).copy(maxPartials = maxP)
+    val skip = gen(Gen.oneOf(true, false), seed + 19)
+    val done = p.within(within).copy(maxPartials = maxP)
+    if (skip) done.skipPastLastEvent else done
   }
 
   private def buildEvents(seed: Long): Vector[Event] = {
