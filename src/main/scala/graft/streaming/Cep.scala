@@ -31,6 +31,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    once a match completes, every live partial (all started at or
   *    before the match's last event) is discarded silently and the
   *    completing event cannot seed a new partial.
+  *  - Deliberate divergence from Flink: the optional chain is
+  *    DETERMINISTIC first-match — when an event satisfies an optional
+  *    step, the branch takes it and does not also fork a skipped-it
+  *    twin (Flink's epsilon edges would emit both [v,c,p] and [v,p]
+  *    from v c p). Epsilon forking is the branch-explosion failure mode
+  *    that kills CEP state on hot keys; the skip path still exists
+  *    whenever a later step's event arrives first (see SCALE.md).
+  *    Patterns may START inside a leading optional chain (an optional
+  *    first step means a match can begin at the step after it).
   *
   * Scale: state per key is the list of live partial branches. Strict
   * steps bound that list at O(pattern length); relaxed patterns and
