@@ -504,6 +504,18 @@ object SparkEntry {
           col("steps_matched"), col("matched").cast("int").as("matched_i"))
         .orderBy(col("user_id"), col("first_event_id"))),
 
+    // ── CEP optional step, streaming twin: completions emit on arrival;
+    // timeouts on in-advance expiry or the final-watermark cutoff
+    "stream_cep_optional_funnel" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.Cep.run(
+          graft.streaming.Sources.eventsStream(s, dir)
+            .withWatermark("ts", "0 seconds"),
+          cepOptionalPattern))
+        .select(col("user_id"), col("first_event_id"), col("last_event_id"),
+          col("steps_matched"), col("matched").cast("int").as("matched_i"))
+        .orderBy(col("user_id"), col("first_event_id"))),
+
     // ── T3: bounce detection (no successor within 1800s)
     "t3_bounce" -> ((s, dir) =>
       Sessionize.bounces(Tables.events(s, dir), gapSec = 1800L)
@@ -1734,6 +1746,47 @@ object SparkEntry {
         |       WHEN e1id IS NOT NULL THEN 2 ELSE 1 END AS steps_matched,
         |  CASE WHEN e1type = 'purchase' OR pid IS NOT NULL THEN 1 ELSE 0 END AS matched_i
         |FROM m ORDER BY user_id, first_event_id""".stripMargin,
+
+    // streaming twin: completions always emit; a timed-out partial emits
+    // iff some same-key event lands past its deadline (in-advance expiry
+    // inside Cep.advance) OR the final watermark passed the deadline
+    "stream_cep_optional_funnel" ->
+      """WITH f AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |mx AS (SELECT max(us) AS mu FROM f),
+        |v AS (SELECT * FROM f WHERE event_type='view'),
+        |m AS (
+        |  SELECT v.user_id, v.event_id AS first_event_id, v.us AS vus,
+        |         e1.e1id, e1.e1type, e1.e1us, p2.pid
+        |  FROM v
+        |  LEFT JOIN LATERAL (
+        |    SELECT e.event_id AS e1id, e.event_type AS e1type, e.us AS e1us
+        |    FROM f e
+        |    WHERE e.user_id = v.user_id AND e.event_type IN ('click','purchase')
+        |      AND (e.us > v.us OR (e.us = v.us AND e.event_id > v.event_id))
+        |      AND e.us - v.us <= 86400000000
+        |    ORDER BY e.us, e.event_id LIMIT 1) e1 ON true
+        |  LEFT JOIN LATERAL (
+        |    SELECT p.event_id AS pid FROM f p
+        |    WHERE p.user_id = v.user_id AND e1.e1type = 'click'
+        |      AND p.event_type = 'purchase'
+        |      AND (p.us > e1.e1us OR (p.us = e1.e1us AND p.event_id > e1.e1id))
+        |      AND p.us - v.us <= 86400000000
+        |    ORDER BY p.us, p.event_id LIMIT 1) p2 ON true)
+        |SELECT m.user_id, m.first_event_id,
+        |  CASE WHEN e1type = 'purchase' THEN e1id
+        |       WHEN pid IS NOT NULL THEN pid
+        |       WHEN e1id IS NOT NULL THEN e1id ELSE first_event_id END AS last_event_id,
+        |  CASE WHEN e1type = 'purchase' THEN 2
+        |       WHEN pid IS NOT NULL THEN 3
+        |       WHEN e1id IS NOT NULL THEN 2 ELSE 1 END AS steps_matched,
+        |  CASE WHEN e1type = 'purchase' OR pid IS NOT NULL THEN 1 ELSE 0 END AS matched_i
+        |FROM m, mx
+        |WHERE e1type = 'purchase' OR pid IS NOT NULL
+        |   OR EXISTS (SELECT 1 FROM f e WHERE e.user_id = m.user_id
+        |              AND e.us > m.vus + 86400000000)
+        |   OR (m.vus + 86400000000)//1000 < mu//1000
+        |ORDER BY m.user_id, m.first_event_id""".stripMargin,
 
     "stream_t1_new_old" ->
       """WITH f AS (SELECT user_id,
