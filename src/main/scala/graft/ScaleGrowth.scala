@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, Stats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth evidence run: synthesize an R× blow-up of the sf corpus
+  * (deterministic — no RNG) and measure how the headline operators' cost
+  * grows with data size. Local[32] cannot prove cluster behavior, but it
+  * CAN catch hidden super-linear work (an all-pairs join, a driver loop
+  * scaling with rows, a propagation loop scaling rounds with size) long
+  * before a real cluster does: a healthy operator here grows ~R× in time
+  * and its structural counters (pair count, propagation rounds) grow as
+  * designed (pairs ~R×, rounds ~O(log diameter) = flat).
+  *
+  * Blow-up construction (structure-preserving):
+  * - documents: R replica families; family i maps text through a rotation
+  *   of a 10-letter alphabet (`translate`, bijective per family). Shingle
+  *   equality is preserved WITHIN a family and destroyed across families,
+  *   so the near-dup pair graph of the R× corpus is exactly R disjoint
+  *   copies of the 1× graph — pair count scales R×, cluster structure is
+  *   preserved, and no artificial mass-duplicate cluster is created.
+  * - embeddings/events: id-offset replicas (cost of scan/agg/topk is
+  *   data-size-driven, not value-driven).
+  *
+  * Both scales read from freshly-written parquet (replica-0 only for 1×)
+  * so the comparison is parquet-scan vs parquet-scan, not warm-cache vs
+  * cold. The op set runs once untimed first (JIT/codegen warmup), then
+  * timed at 1×, then timed at R×. Prints a markdown table for SCALE.md.
+  */
+object ScaleGrowth {
+
+  private val Alphabet = "etaonirshd"
+  private val Offset = 1000000000L
+
+  private def rot(i: Int): String = Alphabet.drop(i % 10) + Alphabet.take(i % 10)
+
+  private def replicate(df: DataFrame, r: Int, build: Int => DataFrame): DataFrame =
+    (0 until r).map(build).reduce(_ unionByName _)
+
+  def synth(spark: SparkSession, sfDir: String, outDir: String, r: Int): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    replicate(docs, r, i => docs.select(
+        (col("doc_id") + lit(i * Offset)).as("doc_id"),
+        translate(col("text"), Alphabet, rot(i)).as("text"),
+        col("lang"), col("source"), col("n_chars")))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = Tables.embeddings(spark, sfDir)
+    replicate(emb, r, i => emb.select(
+        (col("vec_id") + lit(i * Offset)).as("vec_id"),
+        col("embedding"), col("label")))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    val ev = Tables.events(spark, sfDir)
+    replicate(ev, r, i => ev.select(
+        (col("event_id") + lit(i * Offset)).as("event_id"), col("ts"),
+        (col("user_id") + lit(i * Offset)).as("user_id"),
+        col("event_type"), col("value"), col("props")))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
+  /** The measured suite: name -> (dir => row count). Each op consumes the
+    * synthesized parquet via the same Tables accessors the gates use. */
+  private def ops(spark: SparkSession): Seq[(String, String => (Long, String))] = Seq(
+    "ngram_pairs" -> { dir =>
+      val n = Dedup.ngramJaccardPairs(Tables.documents(spark, dir)).count()
+      (n, s"pairs=$n")
+    },
+    "clusters_distributed" -> { dir =>
+      // pairs pre-materialized outside the timer: this row measures the
+      // propagation loop, whose round count is the structural claim
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, dir))
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val n = Dedup.clusters(pairs, driverMaxEdges = 0L).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (n, f"rounds=${Dedup.lastClusterRounds} loopSec=$sec%.2f")
+    },
+    "clusters_auto_tier" -> { dir =>
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, dir))
+        .localCheckpoint(true)
+      val n = Dedup.clusters(pairs).count()
+      (n, s"path=${Dedup.lastClustersPath}")
+    },
+    "minhash_lsh" -> { dir =>
+      val n = Dedup.minhashLshPortable(Tables.documents(spark, dir)).count()
+      (n, s"pairs=$n")
+    },
+    "simhash" -> { dir =>
+      val n = Dedup.simhashPairs(Tables.documents(spark, dir)).count()
+      (n, s"pairs=$n")
+    },
+    "ann_brute_top5" -> { dir =>
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+      (Similarity.bruteForceTopK(emb, queries, 5).count(), "")
+    },
+    "ann_ivf_top5" -> { dir =>
+      val emb = Tables.embeddings(spark, dir)
+      val centroids = Similarity.trainCentroids(emb, k = 16, iters = 2)
+      val queries = emb.filter(col("vec_id") < 5)
+      (Similarity.ivfTopK(emb, queries, 5, centroids).count(), "")
+    },
+    "text_profile_scan" -> { dir =>
+      import graft.functions.TextFns
+      val n = Tables.documents(spark, dir)
+        .select(TextFns.qualityScore(col("text")).as("q"),
+          TextFns.langId(col("text")).as("l"))
+        .groupBy(col("l")).agg(avg(col("q"))).count()
+      (n, "")
+    },
+    "window_agg_products" -> { dir =>
+      // synthesized events carry a real timestamp column (Spark-written),
+      // unlike the driver's int64-nanos layout Tables.events adapts — read
+      // the synthesized parquet directly
+      (Stats.productStats(spark.read.parquet(s"$dir/events.parquet")).count(), "")
+    })
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val r = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val spark = Sessions.tuned("local[32]", "32")
+    val d1 = s"$base/x1"
+    val dR = s"$base/x$r"
+    synth(spark, sfDir, d1, 1)
+    synth(spark, sfDir, dR, r)
+    val suite = ops(spark)
+    // untimed warmup pass at 1× (JIT + codegen), then timed 1×, timed R×
+    suite.foreach { case (_, f) => f(d1) }
+    def timed(dir: String) = suite.map { case (name, f) =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val (n, note) = f(dir)
+      (name, (System.nanoTime() - t0) / 1e9, n, note)
+    }
+    val at1 = timed(d1)
+    val atR = timed(dR)
+    println(s"| op | 1x sec | ${r}x sec | time ratio | 1x rows | ${r}x rows | notes (${r}x) |")
+    println("|---|---|---|---|---|---|---|")
+    at1.zip(atR).foreach { case ((name, t1, n1, note1), (_, tR, nR, noteR)) =>
+      val n1s = if (note1.isEmpty) "" else s" ($note1)"
+      println(f"| $name | $t1%.2f | $tR%.2f | ${tR / t1}%.1fx | $n1$n1s | $nR ($noteR) | |")
+    }
+    spark.stop()
+  }
+}

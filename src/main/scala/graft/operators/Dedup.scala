@@ -380,6 +380,13 @@ object Dedup {
     * iterative path pays on tiny graphs. A 100TB corpus with billions of
     * pairs exceeds the cap and takes the distributed loop.
     * Returns (doc_id, cluster_id = min doc id reachable). */
+  /** Observability for specs and the scale-growth probe: which tier the
+    * last [[clusters]] call took ("driver" | "distributed") and, for the
+    * distributed loop, how many propagation rounds it ran. Diagnostic
+    * only — not part of the operator contract. */
+  @volatile private[graft] var lastClustersPath: String = ""
+  @volatile private[graft] var lastClusterRounds: Int = 0
+
   def clusters(pairs: DataFrame, maxIters: Int = 20,
       driverMaxEdges: Long = 1L << 22): DataFrame = {
     // materialize the pair computation ONCE: upstream dedup pipelines
@@ -387,7 +394,11 @@ object Dedup {
     // symmetrizing union below would otherwise run them twice — and every
     // propagation round would re-read the un-cached lineage
     val p0 = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    if (p0.count() <= driverMaxEdges) return clustersDriver(p0)
+    if (p0.count() <= driverMaxEdges) {
+      lastClustersPath = "driver"; lastClusterRounds = 0
+      return clustersDriver(p0)
+    }
+    lastClustersPath = "distributed"
     val edges = p0
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -422,6 +433,7 @@ object Dedup {
       converged = next.filter(col("chg")).isEmpty
       labels = next.select("node", "lbl")
       round += 1
+      lastClusterRounds = round
     }
     // Partially-propagated labels are silently WRONG (two docs in one
     // duplicate component end up in different clusters), so a diameter

@@ -168,6 +168,22 @@ class DedupSpec extends SparkSpec {
     assert(viaDriver.nonEmpty)
   }
 
+  test("edge cap flips driver fast path over to the distributed loop") {
+    // the tier decision is edge-count vs driverMaxEdges, through the one
+    // public entry: at or under the cap → driver union-find; one edge over
+    // → distributed propagation. Same labels either side of the flip.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("doc_a", "doc_b") // 5 edges
+    val under = Dedup.clusters(pairs, driverMaxEdges = 5L)
+      .as[(Long, Long)].collect().sorted
+    assert(Dedup.lastClustersPath === "driver")
+    val over = Dedup.clusters(pairs, driverMaxEdges = 4L)
+      .as[(Long, Long)].collect().sorted
+    assert(Dedup.lastClustersPath === "distributed")
+    assert(Dedup.lastClusterRounds > 0)
+    assert(under === over)
+  }
+
   test("simhash: identical docs at hamming 0") {
     val r = Dedup.simhashPairs(docs, maxHamming = 3)
       .collect().map(x => ((x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")),
