@@ -83,6 +83,58 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // ── TPC-H Q3 shape: selective dim filter → 3-way join → grouped
+    // revenue → top-N. The filtered customer side is small at sf scales —
+    // left to AQE's dynamic broadcast rather than forced (at 100 TB
+    // customer is fact-sized; forcing a broadcast would be wrong there).
+    // Top-N is fully tie-broken (revenue, date, orderkey) so LIMIT is
+    // deterministic across engines.
+    "q3_order_revenue" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_date"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ── TPC-H Q5 shape: 6-way join down the region→nation→supplier spine
+    // with a customer-nation co-location constraint. nation⨝region is
+    // O(25) rows — broadcast unconditionally (correct at any scale); the
+    // fact-side joins shuffle on their keys and AQE handles the rest.
+    "q5_region_volume" -> ((s, dir) => {
+      val nat = Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // ── A1: ProductStats — 10s tumbling window, counters + exact distinct
     "a1_product_stats" -> ((s, dir) =>
       Stats.productStats(Tables.events(s, dir)).orderBy(col("stt"), col("event_type"))),
@@ -1043,6 +1095,29 @@ object SparkEntry {
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_order_revenue" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_date, o_orderpriority
+        |ORDER BY revenue DESC, o_date, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "a1_product_stats" ->
       """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//10000000)*10000000 AS us,

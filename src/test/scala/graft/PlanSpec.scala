@@ -33,6 +33,22 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
   }
 
+  test("q3/q5: multi-way joins stay equi-keyed — no cartesian anywhere, " +
+    "and both date filters are pushed to the scans") {
+    val p3 = plan("q3_order_revenue")
+    assert(!p3.contains("CartesianProduct") && !p3.contains("BroadcastNestedLoopJoin"),
+      p3.take(800))
+    // the o_orderdate / l_shipdate predicates must reach the parquet scans
+    assert(p3.contains("PushedFilters") &&
+      p3.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("o_orderdate")))
+    assert(p3.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_shipdate")))
+    val p5 = plan("q5_region_volume")
+    assert(!p5.contains("CartesianProduct") && !p5.contains("BroadcastNestedLoopJoin"),
+      p5.take(800))
+    // the O(25)-row nation⨝region side is broadcast
+    assert(p5.contains("BroadcastHashJoin"), p5.take(800))
+  }
+
   test("j1_interval_join: equi key drives a real join, band is residual " +
     "(no nested-loop cartesian)") {
     val p = plan("j1_interval_join")
