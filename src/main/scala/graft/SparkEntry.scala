@@ -689,6 +689,13 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ── Dedup: repeated-span profile — per-doc count/fraction of distinct
+    // 8-word spans that also occur in another document (exact-substring
+    // dedup signal, set-wise). Linear: hash-agg + key join, no pairs.
+    "dedup_span_frac" -> ((s, dir) =>
+      Dedup.spanDupStats(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // ── Dedup: MinHash+LSH — the portable-hash twin (md5-lower-64 family,
     // string band keys), so the DuckDB oracle recomputes the exact same
     // candidate set. maxBucket lifted above any sf0.01 bucket so the gate
@@ -2016,6 +2023,25 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    // Same tokenize+shingle idiom as the jaccard oracle at span length 8;
+    // dup_frac is a single division of exact ints (bit-identical across
+    // engines).
+    "dedup_span_frac" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)] END) AS s
+        |  FROM toks),
+        |u AS (SELECT doc_id, unnest(s) AS sv FROM sh),
+        |df AS (SELECT sv FROM u GROUP BY sv HAVING COUNT(*) >= 2)
+        |SELECT u.doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN df.sv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+        |  CAST(SUM(CASE WHEN df.sv IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS dup_frac
+        |FROM u LEFT JOIN df ON u.sv = df.sv
+        |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id,

@@ -359,6 +359,38 @@ object Dedup {
     certain.unionByName(reverified)
   }
 
+  /** Cross-document repeated-span profile — the set-wise re-expression of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": repeated ≥k-token spans are the
+    * strongest memorization signal). Per document: how many of its
+    * distinct word-`spanLen`-gram spans occur in at least one OTHER
+    * document, and the fraction of the doc that is such duplicated
+    * material. Filter on `dup_frac` to drop template-heavy docs, or join
+    * the shared-span table back to locate the spans themselves.
+    *
+    * Scale shape: spans are hashed scan-side (long keys), doc frequency
+    * is ONE hash aggregation, and the shared-span set joins back by key —
+    * no pair enumeration anywhere, so a boilerplate span shared by a
+    * million docs costs one agg cell, not 10^12 pairs (the trap the
+    * suffix-array formulation of EXACTSUBSTR exists to avoid; set-wise +
+    * hash-agg sidesteps it natively). Spans are distinct per doc
+    * (array_distinct), so a span's row count IS its doc frequency. */
+  def spanDupStats(documents: DataFrame, spanLen: Int = 8): DataFrame = {
+    val spans = documents.select(col("doc_id"),
+      explode(array_distinct(call_function("graft_shingles",
+        col("text"), lit(spanLen)))).as("sp"))
+      .select(col("doc_id"), xxhash64(col("sp")).as("sph"))
+    val shared = spans.groupBy(col("sph"))
+      .agg(count(lit(1)).as("span_df"))
+      .filter(col("span_df") >= 2)
+    spans.join(shared, Seq("sph"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_df").isNotNull, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_frac",
+        col("dup_spans").cast("double") / col("n_spans"))
+  }
+
   /** Connected components over dedup pairs — the "resolve pairs into
     * duplicate clusters" step that completes a dedup pipeline (keep one
     * doc per cluster). Iterative min-label propagation with POINTER

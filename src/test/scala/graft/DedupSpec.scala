@@ -184,6 +184,25 @@ class DedupSpec extends SparkSpec {
     assert(under === over)
   }
 
+  test("spanDupStats counts exactly the spans shared with another doc") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h x1 y1"), // spans: [a..h], [b..h x1], [c..x1 y1]
+      (2L, "a b c d e f g h x2 y2"), // shares only [a..h] with doc 1
+      (3L, "p q r s t u v w"),       // exactly one span, unique
+      (4L, "tiny doc"),              // <8 words → collapses to whole text
+      (5L, "tiny doc")               // exact short dup of 4
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDupStats(corpus).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_spans"), x.getAs[Long]("dup_spans"),
+          x.getAs[Double]("dup_frac")))).toMap
+    assert(r(1L) === ((3L, 1L, 1.0 / 3)))
+    assert(r(2L) === ((3L, 1L, 1.0 / 3)))
+    assert(r(3L) === ((1L, 0L, 0.0)))
+    assert(r(4L) === ((1L, 1L, 1.0)))
+    assert(r(5L) === ((1L, 1L, 1.0)))
+  }
+
   test("simhash: identical docs at hamming 0") {
     val r = Dedup.simhashPairs(docs, maxHamming = 3)
       .collect().map(x => ((x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")),
