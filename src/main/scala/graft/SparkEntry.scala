@@ -135,6 +135,23 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ── TPC-H Q4 shape: EXISTS → left-semi join (equi key + date
+    // residual). The semi join emits each order at most once regardless
+    // of how many lineitems qualify — the dedup the EXISTS contract
+    // requires, with no distinct pass.
+    "q4_priority_semi" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      ord.join(Tables.lineitem(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '90' DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ── A1: ProductStats — 10s tumbling window, counters + exact distinct
     "a1_product_stats" -> ((s, dir) =>
       Stats.productStats(Tables.events(s, dir)).orderBy(col("stt"), col("event_type"))),
@@ -1125,6 +1142,16 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q4_priority_semi" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "a1_product_stats" ->
       """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//10000000)*10000000 AS us,
