@@ -713,6 +713,18 @@ object SparkEntry {
       Dedup.spanDupStats(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // ── Pipeline: dedup-cluster-atomic train/valid/test splits — near-dup
+    // clusters are assigned whole, so no near-duplicate straddles a
+    // train/eval boundary. Reported per (split, lang).
+    "pipe_split_leakage" -> ((s, dir) => {
+      val labels = Dedup.clusters(sharedNgramPairs(s, dir))
+      Sampling.leakageSafeSplits(Tables.documents(s, dir), labels,
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     // ── Dedup: MinHash+LSH — the portable-hash twin (md5-lower-64 family,
     // string band keys), so the DuckDB oracle recomputes the exact same
     // candidate set. maxBucket lifted above any sf0.01 bucket so the gate
@@ -2050,6 +2062,38 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    // Clusters via the same recursive-CTE closure as the dedup_clusters
+    // oracle; split assignment replays the md5-low-64 bucket ranges
+    // (cuts 8000/9000/10000) on the cluster key.
+    "pipe_split_leakage" ->
+      """WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+        |  FROM toks),
+        |p AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM p
+        |  WHERE CAST(i AS DOUBLE)/(la + lb - i) >= 0.5),
+        |e AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
+        |reach AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+        |lab AS (SELECT s AS doc_id, least(s, MIN(d)) AS cluster_id
+        |  FROM reach GROUP BY s),
+        |k AS (SELECT d.lang, d.n_chars,
+        |    md5_number_lower(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)) % 10000 AS b
+        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)
+        |SELECT CASE WHEN b < 8000 THEN 'train'
+        |            WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split,
+        |       lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM k GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     // Same tokenize+shingle idiom as the jaccard oracle at span length 8;
     // dup_frac is a single division of exact ints (bit-identical across

@@ -118,4 +118,40 @@ object Sampling {
       HashFns.md5Lower64Mod(keyCol.cast("string"), Buckets) <
         coalesce(element_at(rateMap, stratumCol), lit((defaultRate * Buckets).toLong)))
   }
+
+  /** Dedup-aware train/validation/test splits: each near-dup CLUSTER is
+    * assigned atomically to one split by the portable hash of its cluster
+    * label (docs outside the pair graph are their own cluster), so two
+    * near-duplicate documents can never land on opposite sides of a
+    * train/eval boundary. Corpus-level dedup alone does not give this:
+    * survivors of distinct-but-similar clusters, or a pipeline that keeps
+    * all members, still leak eval content into training unless the SPLIT
+    * is cluster-atomic. Standard practice splits by URL/domain for the
+    * same reason; cluster labels subsume that when near-dup detection is
+    * content-based.
+    *
+    * `splits` are (name, weight) with weights summing to 1; assignment is
+    * by cumulative hash-bucket ranges, so it is deterministic,
+    * partition-independent, and engine-portable (md5 low-64, the same
+    * primitive as [[hashSample]]). The labels side is a pair-graph-sized
+    * table (tiny vs corpus — the [[graft.operators.Dedup.clusters]]
+    * boundedness argument), so the join broadcasts and the corpus never
+    * shuffles. */
+  def leakageSafeSplits(documents: DataFrame, labels: DataFrame,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * Buckets))
+    val keyed = documents
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("__ck", coalesce(col("cluster_id"), col("doc_id")))
+    val b = HashFns.md5Lower64Mod(col("__ck").cast("string"), Buckets)
+    val assign = splits.zip(cuts).dropRight(1).reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (acc, ((name, _), t)) => when(b < t, name).otherwise(acc)
+      }
+    keyed.withColumn("split", assign).drop("__ck", "cluster_id")
+  }
 }

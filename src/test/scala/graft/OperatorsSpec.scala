@@ -47,6 +47,32 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(byS.getOrElse("c", 0L) - 500L) < 100L) // default 0.5
   }
 
+  test("leakageSafeSplits: clusters are split-atomic, unpaired docs hash alone") {
+    val docs = (1L to 400L).map(i => (i, s"lang${i % 2}", i * 10))
+      .toDF("doc_id", "lang", "n_chars")
+    // clusters: {1..5} labeled 1, {10..12} labeled 10; everyone else unpaired
+    val labels = ((1L to 5L).map(i => (i, 1L)) ++ (10L to 12L).map(i => (i, 10L)))
+      .toDF("doc_id", "cluster_id")
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val out = Sampling.leakageSafeSplits(docs, labels, splits)
+    // cluster atomicity: every member of a cluster lands in the same split
+    val c1 = out.filter(col("doc_id").between(1L, 5L))
+      .select("split").distinct().collect()
+    val c10 = out.filter(col("doc_id").between(10L, 12L))
+      .select("split").distinct().collect()
+    assert(c1.length === 1 && c10.length === 1)
+    // weights roughly honored (hash-uniform over ~395 cluster keys)
+    val bySplit = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit("train") > 250L && bySplit.size === 3)
+    // deterministic under repartition
+    val again = Sampling.leakageSafeSplits(docs.repartition(13), labels, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().sorted
+    assert(again === out.select("doc_id", "split").as[(Long, String)].collect().sorted)
+    // degenerate weights rejected
+    intercept[IllegalArgumentException](
+      Sampling.leakageSafeSplits(docs, labels, Seq("a" -> 0.5)))
+  }
+
   test("temperature mixture: rarest stratum keeps all, rates follow sqrt(n_min/n)") {
     // strata: a=16 rows, b=4 rows → alpha=0.5 rates: a=sqrt(4/16)=0.5, b=1.0
     val df = ((1 to 16).map(i => (i.toLong, "a")) ++ (101 to 104).map(i => (i.toLong, "b")))
