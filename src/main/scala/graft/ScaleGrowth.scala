@@ -89,6 +89,11 @@ object ScaleGrowth {
       val n = Dedup.simhashPairs(Tables.documents(spark, dir)).count()
       (n, s"pairs=$n")
     },
+    "span_dup_profile" -> { dir =>
+      val r = Dedup.spanDupStats(Tables.documents(spark, dir))
+        .agg(sum(col("dup_spans")).as("d"), count(lit(1)).as("n")).collect()(0)
+      (r.getAs[Long]("n"), s"dupSpans=${r.getAs[Long]("d")}")
+    },
     "ann_brute_top5" -> { dir =>
       val emb = Tables.embeddings(spark, dir)
       val queries = emb.filter(col("vec_id") < 5)

@@ -49,6 +49,22 @@ class PlanSpec extends SparkSpec {
     assert(p5.contains("BroadcastHashJoin"), p5.take(800))
   }
 
+  test("dedup_span_frac: pure hash-agg + key join — no pair enumeration, " +
+    "no cartesian") {
+    val p = plan("dedup_span_frac")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      p.take(800))
+  }
+
+  test("pipe_split_leakage: the labels side broadcasts — the corpus is " +
+    "never shuffled for split assignment") {
+    val p = plan("pipe_split_leakage")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("j1_interval_join: equi key drives a real join, band is residual " +
     "(no nested-loop cartesian)") {
     val p = plan("j1_interval_join")
