@@ -140,6 +140,26 @@ object ScaleGrowth {
     }
     val at1 = timed(d1)
     val atR = timed(dR)
+    // Above-cap tier proof at real pair volume: 5M edges (> the 4M-edge
+    // driver cap) through the PUBLIC entry with the DEFAULT cap — segmented
+    // chains of 128 (the chain shape is the CC worst case; pointer doubling
+    // must finish in ~log2(128) rounds). Asserts the auto tier flips to the
+    // distributed loop and labels are correct (each segment collapses to
+    // its head).
+    val edges = spark.range(5L * 1000 * 1000)
+      .selectExpr("id AS doc_a", "id + 1 AS doc_b")
+      .filter(pmod(col("doc_a"), lit(128L)) =!= 127L)
+    val t0 = System.nanoTime()
+    val labels = Dedup.clusters(edges, maxIters = 20)
+    val wrong = labels.filter(col("cluster_id") =!=
+      (col("doc_id") - pmod(col("doc_id"), lit(128L)))).count()
+    val capSec = (System.nanoTime() - t0) / 1e9
+    require(Dedup.lastClustersPath == "distributed",
+      s"expected distributed tier above the cap, got ${Dedup.lastClustersPath}")
+    require(wrong == 0L, s"$wrong nodes mislabeled")
+    println(f"| clusters_above_cap | — | $capSec%.2f | — | — | 5,000,000-edge " +
+      f"128-chains graph (> 4M cap): path=${Dedup.lastClustersPath} " +
+      f"rounds=${Dedup.lastClusterRounds}, labels exact | |")
     println(s"| op | 1x sec | ${r}x sec | time ratio | 1x rows | ${r}x rows | notes (${r}x) |")
     println("|---|---|---|---|---|---|---|")
     at1.zip(atR).foreach { case ((name, t1, n1, note1), (_, tR, nR, noteR)) =>
