@@ -725,6 +725,19 @@ object SparkEntry {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // ── Pipeline: decontamination REPORT — per (doc, eval set) distinct
+    // 8-gram hit counts across TWO eval sets; the attribution/audit twin
+    // of pipe_decontaminate's boolean drop.
+    "pipe_decontaminate_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0 &&
+        pmod(col("doc_id"), lit(101L)) =!= 0)
+      Pretrain.decontaminateReport(train, Seq(
+          "holdout_a" -> docs.filter(pmod(col("doc_id"), lit(97L)) === 0),
+          "holdout_b" -> docs.filter(pmod(col("doc_id"), lit(101L)) === 0)))
+        .orderBy(col("doc_id"), col("eval_set"))
+    }),
+
     // ── Dedup: MinHash+LSH — the portable-hash twin (md5-lower-64 family,
     // string band keys), so the DuckDB oracle recomputes the exact same
     // candidate set. maxBucket lifted above any sf0.01 bucket so the gate
@@ -2062,6 +2075,27 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    // Both sides' gram sets are distinct per (doc)/(set), so the join's
+    // per-(doc,set) row count IS the distinct shared-gram count.
+    "pipe_decontaminate_report" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)] END) AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT eval_set, g FROM (
+        |    SELECT 'holdout_a' AS eval_set, unnest(s) AS g FROM sh WHERE doc_id % 97 = 0
+        |    UNION ALL
+        |    SELECT 'holdout_b' AS eval_set, unnest(s) AS g FROM sh WHERE doc_id % 101 = 0)),
+        |tr AS (SELECT doc_id, unnest(s) AS g FROM sh
+        |  WHERE doc_id % 97 <> 0 AND doc_id % 101 <> 0)
+        |SELECT tr.doc_id, ev.eval_set, COUNT(*) AS grams_hit
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY tr.doc_id, ev.eval_set
+        |ORDER BY tr.doc_id, ev.eval_set""".stripMargin,
 
     // Clusters via the same recursive-CTE closure as the dedup_clusters
     // oracle; split assignment replays the md5-low-64 bucket ranges

@@ -70,4 +70,34 @@ object Pretrain {
       .select("doc_id").distinct()
     corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
   }
+
+  /** Multi-eval-set decontamination with attribution: for every training
+    * doc overlapping any eval set, WHICH set and how many distinct
+    * offending grams. The attribution is what [[decontaminate]]'s boolean
+    * drop cannot give a pipeline: a doc tripping a held-out benchmark is
+    * dropped, one tripping a low-stakes internal set may only be flagged,
+    * and per-set hit counts are the audit that distinguishes real eval
+    * leakage from boilerplate collisions (1 shared gram vs hundreds).
+    *
+    * Same scale shape as [[decontaminate]]: all eval gram tables are
+    * small → one broadcast union tagged by set name; the corpus scans
+    * once and never shuffles wide (the output groupBy is on contaminated
+    * (doc, set) pairs — a sliver). Returns (doc_id, eval_set, grams_hit). */
+  def decontaminateReport(corpus: DataFrame,
+      evalSets: Seq[(String, DataFrame)], shingleLen: Int = 8): DataFrame = {
+    require(evalSets.nonEmpty, "need at least one eval set")
+    val grams = evalSets.map { case (name, df) =>
+      df.select(explode(array_distinct(call_function("graft_shingles",
+          col("text"), lit(shingleLen)))).as("__sh"))
+        .select(lit(name).as("eval_set"), xxhash64(col("__sh")).as("__shh"))
+        .distinct()
+    }.reduce(_ unionByName _)
+    corpus.select(col("doc_id"),
+        explode(array_distinct(call_function("graft_shingles",
+          col("text"), lit(shingleLen)))).as("__sh"))
+      .select(col("doc_id"), xxhash64(col("__sh")).as("__shh"))
+      .join(broadcast(grams), "__shh")
+      .groupBy(col("doc_id"), col("eval_set"))
+      .agg(count(lit(1)).as("grams_hit"))
+  }
 }

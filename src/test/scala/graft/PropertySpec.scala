@@ -39,6 +39,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("splits are cluster-atomic for ANY pair graph (no near-dup leakage)") {
+    // random pair graphs → clusters → leakageSafeSplits: every connected
+    // component must land in exactly one split, whatever the graph shape
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      pairs <- Gen.listOfN(n, for {
+        a <- Gen.choose(1L, 60L); b <- Gen.choose(1L, 60L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield pairs.distinct
+    forAll(graphGen) { pairs =>
+      val docs = (1L to 60L).map(i => (i, s"l${i % 3}", i))
+        .toDF("doc_id", "lang", "n_chars")
+      val labels =
+        if (pairs.isEmpty) Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+        else Dedup.clusters(pairs.toDF("doc_a", "doc_b"))
+      val out = graft.operators.Sampling.leakageSafeSplits(docs, labels,
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      val splitOf = out.select("doc_id", "split").as[(Long, String)]
+        .collect().toMap
+      // union-find over the raw pairs gives component membership to check
+      // against — independent of the clusters implementation
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val byComponent = (1L to 60L).groupBy(find)
+      byComponent.values.foreach { members =>
+        assert(members.map(splitOf).toSet.size === 1,
+          s"component $members straddles splits")
+      }
+    }
+  }
+
   test("windowed agg is partitioning-invariant (map-side combine correctness)") {
     forAll(Gen.choose(1, 40)) { n =>
       val events = (1 to n).map(i =>
