@@ -775,6 +775,24 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ── Pipeline streaming: ingestion-time decontamination — every
+    // arriving corpus batch is scrubbed against the (static, broadcast)
+    // eval gram set via foreachBatch; decontamination is per-doc pure, so
+    // batch-local application is exact under any batch boundaries. Clean
+    // survivors reported per language.
+    "stream_pipe_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(97L)) === 0 ||
+        pmod(col("doc_id"), lit(101L)) === 0)
+      val incoming = graft.streaming.Sources.documentsStream(s, dir)
+        .filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      graft.streaming.StreamRunner.collectBatches(incoming)(b =>
+          Pretrain.decontaminate(b, evalSet))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs_clean"), sum(col("n_chars")).as("chars_clean"))
+        .orderBy(col("lang"))
+    }),
+
     // ── Dedup: SimHash — portable twin (md5-lower-64 bit votes)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairsPortable(Tables.documents(s, dir), maxHamming = 8,
@@ -2075,6 +2093,28 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    // The streaming run is batch-local foreachBatch decontamination —
+    // per-doc pure, so it shares the batch formulation's truth: same
+    // eval set, clean-side survivors per language.
+    "stream_pipe_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, lang, n_chars,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, lang, n_chars,
+        |    list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)] END) AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
+        |  WHERE doc_id % 97 = 0 OR doc_id % 101 = 0),
+        |tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |trg AS (SELECT doc_id, unnest(s) AS g FROM tr),
+        |bad AS (SELECT DISTINCT trg.doc_id FROM trg JOIN ev USING (g))
+        |SELECT tr.lang, COUNT(*) AS docs_clean,
+        |       CAST(SUM(tr.n_chars) AS BIGINT) AS chars_clean
+        |FROM tr LEFT JOIN bad ON tr.doc_id = bad.doc_id
+        |WHERE bad.doc_id IS NULL
+        |GROUP BY tr.lang ORDER BY tr.lang""".stripMargin,
 
     // Both sides' gram sets are distinct per (doc)/(set), so the join's
     // per-(doc,set) row count IS the distinct shared-gram count.

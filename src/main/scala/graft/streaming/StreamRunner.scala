@@ -55,4 +55,40 @@ object StreamRunner {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     spark.table(name)
   }
+
+  /** Like [[collect]] but through `foreachBatch`, applying a BATCH
+    * transform to each micro-batch — the streaming execution shape for
+    * per-row/per-doc-pure pipeline stages (decontamination, filtering)
+    * whose logic is a plain `DataFrame => DataFrame`. Batch-local
+    * application is exact for such stages whatever the batch boundaries.
+    * Results accumulate on the driver like the memory sink [[collect]]
+    * uses — a bounded-run harness helper, not a production sink (live
+    * deployments write each transformed batch through Sinks.* instead). */
+  def collectBatches(stream: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    val id = n.incrementAndGet()
+    val ckpt = s"$ckptRoot/graft-ckpt-$id-${System.nanoTime()}"
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[
+      Array[org.apache.spark.sql.Row]]()
+    @volatile var schema: org.apache.spark.sql.types.StructType = null
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val r = f(b)
+          schema = r.schema
+          acc.add(r.collect())
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    require(schema != null, "collectBatches: the stream produced no batches")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    acc.forEach(a => a.foreach(rows.add))
+    spark.createDataFrame(rows, schema)
+  }
 }
