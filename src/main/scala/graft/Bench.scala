@@ -27,7 +27,11 @@ object Bench {
     // local-iteration knob (unset for the driver): restrict to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries
+    // sorted execution order: Map iteration order shifts when gates are
+    // added, which silently moves shared-cost attribution (e.g. which
+    // dedup gate warms the shared pair memo) between rounds — sorting
+    // pins it
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       reset()
@@ -42,7 +46,7 @@ object Bench {
     }
     val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.map(_._1).sum
+    val total = results.map(_._2._1).sum
     def r2(v: Double): String = (math.rint(v * 100) / 100).toString
     // The driver records only the LAST ~2000 chars of stdout, and sbt
     // appends ~70 chars of its own after us — so the ONE metric line must
