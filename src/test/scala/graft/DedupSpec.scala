@@ -203,6 +203,18 @@ class DedupSpec extends SparkSpec {
     assert(r(5L) === ((1L, 1L, 1.0)))
   }
 
+  test("spanDupStats: empty/whitespace docs collapse to one shared span") {
+    // tokenize('') = [] → the <n fallback emits the single '' shingle, so
+    // empty docs are mutual duplicates (dup_frac 1.0) — same in the DuckDB
+    // oracle (array_to_string of the empty list). A lone nonempty doc
+    // stays clean.
+    val corpus = Seq((1L, ""), (2L, "   "), (3L, "solo unique words here"))
+      .toDF("doc_id", "text")
+    val r = Dedup.spanDupStats(corpus).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("dup_frac")).toMap
+    assert(r(1L) === 1.0 && r(2L) === 1.0 && r(3L) === 0.0)
+  }
+
   test("simhash: identical docs at hamming 0") {
     val r = Dedup.simhashPairs(docs, maxHamming = 3)
       .collect().map(x => ((x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")),
