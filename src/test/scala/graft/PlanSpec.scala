@@ -47,6 +47,13 @@ class PlanSpec extends SparkSpec {
       p5.take(800))
     // the O(25)-row nation⨝region side is broadcast
     assert(p5.contains("BroadcastHashJoin"), p5.take(800))
+    // Q4's EXISTS compiles to a real semi join (order rows emitted at most
+    // once, no distinct pass) with the date filter at the orders scan
+    val p4 = plan("q4_priority_semi")
+    assert(p4.contains("LeftSemi"), p4.take(800))
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"))
+    assert(p4.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")), p4.take(800))
   }
 
   test("dedup_span_frac: pure hash-agg + key join — no pair enumeration, " +

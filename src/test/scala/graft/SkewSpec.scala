@@ -20,6 +20,22 @@ class SkewSpec extends SparkSpec {
   private def right = spark.range(1000).select(
     col("id").as("k"), (col("id") * 2).as("w"))
 
+  test("spanDupStats: a boilerplate span in EVERY doc stays one agg cell") {
+    // worst case for span profiling: one 8-gram shared by the whole
+    // corpus. Pair-wise formulations go quadratic here (2000^2); the
+    // hash-agg formulation must return exact counts — each doc has the
+    // boilerplate span (dup) plus its unique tail span (clean).
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (1L to 2000L).map(i => (i, s"$boiler tail$i"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Dedup.spanDupStats(docs)
+    // spans per doc: 9 tokens → 2 distinct 8-gram spans; exactly 1 is the
+    // shared boilerplate prefix
+    val bad = r.filter(col("n_spans") =!= 2 || col("dup_spans") =!= 1).count()
+    assert(bad === 0L)
+    assert(r.count() === 2000L)
+  }
+
   test("saltedJoin matches the plain join bit-for-bit on a hot-key fixture") {
     val t0 = System.nanoTime()
     val plain = hotLeft.join(right, "k")
