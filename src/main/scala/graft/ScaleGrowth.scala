@@ -157,7 +157,7 @@ object ScaleGrowth {
     require(Dedup.lastClustersPath == "distributed",
       s"expected distributed tier above the cap, got ${Dedup.lastClustersPath}")
     require(wrong == 0L, s"$wrong nodes mislabeled")
-    println(f"| clusters_above_cap | — | $capSec%.2f | — | — | 5,000,000-edge " +
+    println(f"| clusters_above_cap | n/a | $capSec%.2f | n/a | n/a | 5,000,000-edge " +
       f"128-chains graph (> 4M cap): path=${Dedup.lastClustersPath} " +
       f"rounds=${Dedup.lastClusterRounds}, labels exact | |")
     println(s"| op | 1x sec | ${r}x sec | time ratio | 1x rows | ${r}x rows | notes (${r}x) |")

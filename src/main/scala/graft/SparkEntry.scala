@@ -152,6 +152,23 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── NOT EXISTS → left-anti join: orders none of whose lineitems
+    // shipped within 30 days. Completes the semi (q4) / anti join-shape
+    // pair as a direct gate (left_anti otherwise appears only inside the
+    // decontaminate / keepCanonical pipelines).
+    "q6_priority_anti" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      ord.join(Tables.lineitem(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL '30' DAY"),
+          "left_anti")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ── A1: ProductStats — 10s tumbling window, counters + exact distinct
     "a1_product_stats" -> ((s, dir) =>
       Stats.productStats(Tables.events(s, dir)).orderBy(col("stt"), col("event_type"))),
@@ -1194,6 +1211,16 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_priority_anti" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey
+        |                    AND l_shipdate <= o_orderdate + INTERVAL 30 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "a1_product_stats" ->

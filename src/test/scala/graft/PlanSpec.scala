@@ -54,6 +54,10 @@ class PlanSpec extends SparkSpec {
     assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"))
     assert(p4.linesIterator.exists(l =>
       l.contains("PushedFilters") && l.contains("o_orderdate")), p4.take(800))
+    // ... and NOT EXISTS to a real anti join, same discipline
+    val p6 = plan("q6_priority_anti")
+    assert(p6.contains("LeftAnti"), p6.take(800))
+    assert(!p6.contains("CartesianProduct") && !p6.contains("BroadcastNestedLoopJoin"))
   }
 
   test("dedup_span_frac: pure hash-agg + key join — no pair enumeration, " +
