@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   * designed (pairs ~R×, rounds ~O(log diameter) = flat).
   *
   * Blow-up construction (structure-preserving):
-  * - documents: R replica families; family i maps text through a rotation
-  *   of a 10-letter alphabet (`translate`, bijective per family). Shingle
-  *   equality is preserved WITHIN a family and destroyed across families,
-  *   so the near-dup pair graph of the R× corpus is exactly R disjoint
-  *   copies of the 1× graph — pair count scales R×, cluster structure is
-  *   preserved, and no artificial mass-duplicate cluster is created.
+  * - documents: R replica families; family i maps text through a Caesar
+  *   rotation of the full a-z/A-Z alphabet (`translate`, bijective per
+  *   family). Shingle equality is preserved WITHIN a family; across
+  *   families any shingle containing a letter differs, so the pair graph
+  *   of the R× corpus is R disjoint copies of the 1× graph up to
+  *   letter-free (all-digit/punctuation) shingles — possible in
+  *   principle, absent in the measured corpus (the pairs = R× counter in
+  *   the table is the witness). Pair count scales R×, cluster structure
+  *   is preserved, and no artificial mass-duplicate cluster is created.
   * - embeddings/events: id-offset replicas (cost of scan/agg/topk is
   *   data-size-driven, not value-driven).
   *
@@ -30,10 +33,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGrowth {
 
-  private val Alphabet = "etaonirshd"
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Alphabet = Lower + Lower.toUpperCase
   private val Offset = 1000000000L
 
-  private def rot(i: Int): String = Alphabet.drop(i % 10) + Alphabet.take(i % 10)
+  /** Caesar-rotate both cases by i (bijective; rot(0) = identity so
+    * replica 0 is the untouched source corpus). */
+  private def rot(i: Int): String = {
+    val k = i % 26
+    Lower.drop(k) + Lower.take(k) +
+      Lower.toUpperCase.drop(k) + Lower.toUpperCase.take(k)
+  }
 
   private def replicate(df: DataFrame, r: Int, build: Int => DataFrame): DataFrame =
     (0 until r).map(build).reduce(_ unionByName _)
@@ -58,54 +68,67 @@ object ScaleGrowth {
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
-  /** The measured suite: name -> (dir => row count). Each op consumes the
-    * synthesized parquet via the same Tables accessors the gates use. */
-  private def ops(spark: SparkSession): Seq[(String, String => (Long, String))] = Seq(
-    "ngram_pairs" -> { dir =>
+  /** The measured suite: name -> (dir => (claimedSec, rows, note)). Each
+    * op times its OWN claimed computation — for most that is the whole
+    * closure, but ops with an untimed prep phase (e.g. the distributed
+    * cluster loop, whose pair scan is measured by `ngram_pairs` already)
+    * exclude the prep, so the table's time column always matches the
+    * row's structural claim. */
+  private def ops(spark: SparkSession): Seq[(String, String => (Double, Long, String))] = {
+    def whole(f: String => (Long, String)): String => (Double, Long, String) = { dir =>
+      val t0 = System.nanoTime()
+      val (n, note) = f(dir)
+      ((System.nanoTime() - t0) / 1e9, n, note)
+    }
+    Seq(
+    "ngram_pairs" -> whole { dir =>
       val n = Dedup.ngramJaccardPairs(Tables.documents(spark, dir)).count()
       (n, s"pairs=$n")
     },
     "clusters_distributed" -> { dir =>
-      // pairs pre-materialized outside the timer: this row measures the
-      // propagation loop, whose round count is the structural claim
+      // pairs pre-materialized OUTSIDE the timed span: this row measures
+      // the propagation loop only, whose round count is the structural
+      // claim (the scan cost is the ngram_pairs row)
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, dir))
         .localCheckpoint(true)
       val t0 = System.nanoTime()
       val n = Dedup.clusters(pairs, driverMaxEdges = 0L).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      (n, f"rounds=${Dedup.lastClusterRounds} loopSec=$sec%.2f")
+      (sec, n, s"rounds=${Dedup.lastClusterRounds} (time excl. pair scan)")
     },
     "clusters_auto_tier" -> { dir =>
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, dir))
         .localCheckpoint(true)
+      val t0 = System.nanoTime()
       val n = Dedup.clusters(pairs).count()
-      (n, s"path=${Dedup.lastClustersPath}")
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, n, s"path=${Dedup.lastClustersPath} (time excl. pair scan)")
     },
-    "minhash_lsh" -> { dir =>
+    "minhash_lsh" -> whole { dir =>
       val n = Dedup.minhashLshPortable(Tables.documents(spark, dir)).count()
       (n, s"pairs=$n")
     },
-    "simhash" -> { dir =>
+    "simhash" -> whole { dir =>
       val n = Dedup.simhashPairs(Tables.documents(spark, dir)).count()
       (n, s"pairs=$n")
     },
-    "span_dup_profile" -> { dir =>
+    "span_dup_profile" -> whole { dir =>
       val r = Dedup.spanDupStats(Tables.documents(spark, dir))
         .agg(sum(col("dup_spans")).as("d"), count(lit(1)).as("n")).collect()(0)
       (r.getAs[Long]("n"), s"dupSpans=${r.getAs[Long]("d")}")
     },
-    "ann_brute_top5" -> { dir =>
+    "ann_brute_top5" -> whole { dir =>
       val emb = Tables.embeddings(spark, dir)
       val queries = emb.filter(col("vec_id") < 5)
       (Similarity.bruteForceTopK(emb, queries, 5).count(), "")
     },
-    "ann_ivf_top5" -> { dir =>
+    "ann_ivf_top5" -> whole { dir =>
       val emb = Tables.embeddings(spark, dir)
       val centroids = Similarity.trainCentroids(emb, k = 16, iters = 2)
       val queries = emb.filter(col("vec_id") < 5)
       (Similarity.ivfTopK(emb, queries, 5, centroids).count(), "")
     },
-    "text_profile_scan" -> { dir =>
+    "text_profile_scan" -> whole { dir =>
       import graft.functions.TextFns
       val n = Tables.documents(spark, dir)
         .select(TextFns.qualityScore(col("text")).as("q"),
@@ -113,12 +136,39 @@ object ScaleGrowth {
         .groupBy(col("l")).agg(avg(col("q"))).count()
       (n, "")
     },
-    "window_agg_products" -> { dir =>
+    "window_agg_products" -> whole { dir =>
       // synthesized events carry a real timestamp column (Spark-written),
       // unlike the driver's int64-nanos layout Tables.events adapts — read
       // the synthesized parquet directly
       (Stats.productStats(spark.read.parquet(s"$dir/events.parquet")).count(), "")
+    },
+    // Streaming rows: the same growth question for the streaming exec
+    // path — micro-batch scheduling, watermark advance, and STATE-STORE
+    // commit cost. Healthy growth: windowed-agg state is keyed by
+    // (window × event_type) — bounded, flat across R — so its time should
+    // grow ~R× with input only; FMGWS dedup state is keyed per USER, so
+    // its state rows (= output rows here) are the structural counter and
+    // must grow R× while per-row cost stays flat.
+    "stream_window_products" -> whole { dir =>
+      val n = graft.streaming.StreamRunner.collect(
+        graft.streaming.WindowedStreams.productStats(synthEventsStream(spark, dir)),
+        outputMode = "complete").count()
+      (n, "state keys = window x type (flat across R)")
+    },
+    "stream_uv_dedup_state" -> whole { dir =>
+      val n = graft.streaming.StreamRunner.collect(
+        graft.streaming.StatefulStreams.uvDedup(synthEventsStream(spark, dir))).count()
+      (n, "FMGWS state rows = distinct users (grows Rx)")
     })
+  }
+
+  /** Bounded stream over the SYNTHESIZED events parquet (real timestamp
+    * column — schema taken from the parquet footer, not the driver's
+    * int64-nanos layout that Sources.eventsStream adapts). */
+  private def synthEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,9 +184,8 @@ object ScaleGrowth {
     suite.foreach { case (_, f) => f(d1) }
     def timed(dir: String) = suite.map { case (name, f) =>
       System.gc()
-      val t0 = System.nanoTime()
-      val (n, note) = f(dir)
-      (name, (System.nanoTime() - t0) / 1e9, n, note)
+      val (sec, n, note) = f(dir)
+      (name, sec, n, note)
     }
     val at1 = timed(d1)
     val atR = timed(dR)

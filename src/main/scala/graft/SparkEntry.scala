@@ -37,10 +37,12 @@ object SparkEntry {
     * memo holds the collected rows and rebuilds a LocalRelation per call:
     * immune to inter-query cache hygiene (unpersist/clearCache) and to
     * the lost-block failure a cross-query localCheckpoint would risk.
-    * Graphs above `MemoMaxPairs` are never memoized — the caller just
-    * recomputes, which is also the at-scale posture (persist to storage,
-    * not driver memory). Values are exact Rows, so oracle hashes are
-    * unchanged. */
+    * Graphs above `MemoMaxPairs` are never memoized — and, crucially,
+    * never fully materialized on the driver either: the probe collects at
+    * most cap+1 rows (`head(cap+1)`), so an above-cap pair graph costs one
+    * bounded scan and the caller gets the lazy DataFrame back — the
+    * at-scale posture (persist to storage, not driver memory). Values are
+    * exact Rows, so oracle hashes are unchanged. */
   private val MemoMaxPairs = 1 << 22
   private val ngramPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[
@@ -55,7 +57,9 @@ object SparkEntry {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       case None =>
         val df = Dedup.ngramJaccardPairs(Tables.documents(s, dir))
-        val rows = df.collect()
+        // head(cap+1) bounds driver memory: Spark stops fetching once it
+        // has cap+1 rows, so an above-cap graph never lands on the driver
+        val rows = df.head(MemoMaxPairs + 1)
         if (rows.length <= MemoMaxPairs) {
           ngramPairsMemo.put(key, (df.schema, rows))
           s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
@@ -168,6 +172,100 @@ object SparkEntry {
         .agg(count(lit(1)).as("order_count"))
         .orderBy(col("o_orderpriority"))
     }),
+
+    // ── TPC-H Q7 shape: two-nation volume shipping — the supplier-nation
+    // × customer-nation cross-filter join. nation is O(25) rows →
+    // broadcast both legs unconditionally (correct at any scale); the
+    // lineitem⨝orders⨝customer/supplier spine shuffles on its keys.
+    "q7_nation_volume" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_natkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_natkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_natkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_natkey"))
+        .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
+          (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // ── J8: salted equi-join — the targeted skew recipe as a direct gate.
+    // The salt only changes DISTRIBUTION (hot l_orderkey spread over 8
+    // reducers; orders replicated ×8), so the joined/aggregated result is
+    // identical to the plain join the oracle runs — that identity IS the
+    // correctness claim. SkewSpec pins that the physical join key actually
+    // includes the salt and spreads the hot key.
+    "j8_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Joins.saltedJoin(li, ord, "l_orderkey", buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("ct"),
+          sum(col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ── A10: CUBE — all grouping-set combinations of (priority, year)
+    // in one pass (partial-agg friendly: Spark expands grouping sets
+    // map-side, one shuffle). Subtotal rows surface as 'ALL' via
+    // coalesce so the oracle compare never hashes a grouping-null.
+    "a10_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(count(lit(1)).as("ct"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_year").cast("string"), lit("ALL")).as("o_year"),
+          col("ct"), col("total"))
+        .orderBy(col("priority"), col("o_year"))),
+
+    // ── A11: LAG window — per-user inter-event gaps (the session-gap
+    // primitive as an analytic function). Exact integer microsecond sums
+    // + ONE final division keep the double bit-identical across engines;
+    // (user, ts, event_id) ordering makes LAG deterministic under ties.
+    "a11_event_deltas" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("gap_ct"),
+          sum(col("gap_us")).as("gap_sum_us"),
+          max(col("gap_us")).as("gap_max_us"))
+        .withColumn("avg_gap_sec",
+          col("gap_sum_us").cast("double") / (lit(1000000.0) * col("gap_ct")))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── Fixed-k deterministic sample: exactly k docs by smallest portable
+    // content hash — "take exactly N uniformly, reproducibly" (hashSample
+    // gives a rate, not a count). A distributed TakeOrdered (top-k per
+    // partition → merge k·P rows) — no full sort, no full shuffle.
+    "sample_fixed_k" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          graft.functions.HashFns.md5Lower64Mod(col("doc_id").cast("string"),
+            1L << 40).as("hk"))
+        .orderBy(col("hk"), col("doc_id"))
+        .limit(500)),
 
     // ── A1: ProductStats — 10s tumbling window, counters + exact distinct
     "a1_product_stats" -> ((s, dir) =>
@@ -1222,6 +1320,52 @@ object SparkEntry {
         |                  WHERE l_orderkey = o_orderkey
         |                    AND l_shipdate <= o_orderdate + INTERVAL 30 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY') OR
+        |       (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "j8_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "a10_cube" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+        |  COUNT(*) AS ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+        |ORDER BY priority, o_year""".stripMargin,
+
+    "a11_event_deltas" ->
+      """WITH f AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT user_id,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+        |  FROM f)
+        |SELECT user_id, COUNT(*) AS gap_ct,
+        |  CAST(SUM(gap_us) AS BIGINT) AS gap_sum_us,
+        |  MAX(gap_us) AS gap_max_us,
+        |  CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE) / (1000000.0 * COUNT(*)) AS avg_gap_sec
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "sample_fixed_k" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 1099511627776 AS BIGINT) AS hk
+        |FROM documents ORDER BY hk, doc_id LIMIT 500""".stripMargin,
 
     "a1_product_stats" ->
       """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//10000000)*10000000 AS us,

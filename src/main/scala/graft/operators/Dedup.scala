@@ -413,11 +413,17 @@ object Dedup {
     * pairs exceeds the cap and takes the distributed loop.
     * Returns (doc_id, cluster_id = min doc id reachable). */
   /** Observability for specs and the scale-growth probe: which tier the
-    * last [[clusters]] call took ("driver" | "distributed") and, for the
-    * distributed loop, how many propagation rounds it ran. Diagnostic
-    * only — not part of the operator contract. */
-  @volatile private[graft] var lastClustersPath: String = ""
-  @volatile private[graft] var lastClusterRounds: Int = 0
+    * last [[clusters]] call ON THIS THREAD took ("driver" | "distributed")
+    * and, for the distributed loop, how many propagation rounds it ran.
+    * Thread-local so concurrent clusters() calls (parallel suites, future
+    * concurrent gate execution) cannot observe each other's diagnostics.
+    * Diagnostic only — not part of the operator contract. */
+  private val clustersPathTL = ThreadLocal.withInitial[String](() => "")
+  private val clusterRoundsTL = ThreadLocal.withInitial[Integer](() => 0)
+  private[graft] def lastClustersPath: String = clustersPathTL.get()
+  private[graft] def lastClustersPath_=(v: String): Unit = clustersPathTL.set(v)
+  private[graft] def lastClusterRounds: Int = clusterRoundsTL.get()
+  private[graft] def lastClusterRounds_=(v: Int): Unit = clusterRoundsTL.set(v)
 
   def clusters(pairs: DataFrame, maxIters: Int = 20,
       driverMaxEdges: Long = 1L << 22): DataFrame = {

@@ -133,19 +133,33 @@ object Sampling {
     * `splits` are (name, weight) with weights summing to 1; assignment is
     * by cumulative hash-bucket ranges, so it is deterministic,
     * partition-independent, and engine-portable (md5 low-64, the same
-    * primitive as [[hashSample]]). The labels side is a pair-graph-sized
-    * table (tiny vs corpus — the [[graft.operators.Dedup.clusters]]
-    * boundedness argument), so the join broadcasts and the corpus never
-    * shuffles. */
+    * primitive as [[hashSample]]). The labels side is USUALLY a
+    * pair-graph-sized table (tiny vs corpus — the
+    * [[graft.operators.Dedup.clusters]] boundedness argument), so the
+    * join broadcasts below `broadcastMaxLabels` and the corpus never
+    * shuffles; above the cap (a pathologically duplicate-heavy corpus
+    * labels a large fraction of its docs) the hint is withheld and the
+    * join shuffles on doc_id instead of OOMing every executor with an
+    * oversized broadcast table. The cap probe is `limit(cap+1).count()` —
+    * early-stopping, nothing materialized on the driver; callers with an
+    * expensive labels lineage should persist it first (the dedup gates
+    * pass a LocalRelation / checkpointed labels, so the probe is free). */
   def leakageSafeSplits(documents: DataFrame, labels: DataFrame,
-      splits: Seq[(String, Double)]): DataFrame = {
+      splits: Seq[(String, Double)],
+      broadcastMaxLabels: Long = 1L << 22): DataFrame = {
     require(splits.nonEmpty, "need at least one split")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    require(broadcastMaxLabels > 0 && broadcastMaxLabels < Int.MaxValue,
+      s"broadcastMaxLabels must be in (0, Int.MaxValue), got $broadcastMaxLabels")
     val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => math.round(c * Buckets))
+    val labelsSide =
+      if (labels.limit((broadcastMaxLabels + 1).toInt).count() <= broadcastMaxLabels)
+        broadcast(labels)
+      else labels
     val keyed = documents
-      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(labelsSide, Seq("doc_id"), "left")
       .withColumn("__ck", coalesce(col("cluster_id"), col("doc_id")))
     val b = HashFns.md5Lower64Mod(col("__ck").cast("string"), Buckets)
     val assign = splits.zip(cuts).dropRight(1).reverse

@@ -94,6 +94,30 @@ object Cep {
     def optional: Pattern = mutateLast(_.copy(minReps = 0))
     /** Flink's AfterMatchSkipStrategy.skipPastLastEvent. */
     def skipPastLastEvent: Pattern = copy(skipPast = true)
+    /** Flink's SKIP_TO_FIRST — deliberately UNSUPPORTED, loudly. Its
+      * semantics ("drop partials that started before the first event of
+      * the named sub-pattern of the just-completed match") only
+      * distinguish themselves from noSkip/skipPastLastEvent when the
+      * engine forks epsilon branches, which this NFA deliberately does
+      * not (see the object doc: deterministic first-match optionals).
+      * Silently approximating would return wrong match sets; callers get
+      * an exception instead, with the rationale attached. */
+    def skipToFirst(stepName: String): Pattern =
+      throw new UnsupportedOperationException(
+        s"AfterMatchSkip SKIP_TO_FIRST('$stepName') is not supported: its " +
+          "semantics depend on Flink's epsilon-forking branch model, which " +
+          "this engine deliberately omits (deterministic first-match " +
+          "optionals — see Cep doc + SCALE.md). Use noSkip (default) or " +
+          "skipPastLastEvent.")
+    /** Flink's SKIP_TO_LAST — deliberately UNSUPPORTED, loudly (same
+      * rationale as [[skipToFirst]]). */
+    def skipToLast(stepName: String): Pattern =
+      throw new UnsupportedOperationException(
+        s"AfterMatchSkip SKIP_TO_LAST('$stepName') is not supported: its " +
+          "semantics depend on Flink's epsilon-forking branch model, which " +
+          "this engine deliberately omits (deterministic first-match " +
+          "optionals — see Cep doc + SCALE.md). Use noSkip (default) or " +
+          "skipPastLastEvent.")
     def within(sec: Long): Pattern = copy(withinSec = sec)
     private[Cep] def withinUs: Long = withinSec * 1000000L
   }

@@ -73,6 +73,30 @@ class OperatorsSpec extends SparkSpec {
       Sampling.leakageSafeSplits(docs, labels, Seq("a" -> 0.5)))
   }
 
+  test("leakageSafeSplits: labels join is size-tiered — hint forced below the cap, withheld above") {
+    val docs = (1L to 200L).map(i => (i, i * 10)).toDF("doc_id", "n_chars")
+    val labels = (1L to 50L).map(i => (i, 1L)).toDF("doc_id", "cluster_id")
+    val splits = Seq("train" -> 0.9, "test" -> 0.1)
+    // Disable the planner's own size-based broadcast so the plans show
+    // OUR decision: below the cap the forced hint still broadcasts; above
+    // it the hint is withheld and the join falls back to shuffle — at
+    // real scale that is Spark declining an executor-OOM-sized broadcast.
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val below = Sampling.leakageSafeSplits(docs, labels, splits)
+      assert(below.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val above = Sampling.leakageSafeSplits(docs, labels, splits,
+        broadcastMaxLabels = 10L)
+      val p = above.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p.take(800))
+      // same assignments on either tier — the cap changes distribution only
+      assert(above.select("doc_id", "split").as[(Long, String)].collect().sorted
+        === below.select("doc_id", "split").as[(Long, String)].collect().sorted)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("temperature mixture: rarest stratum keeps all, rates follow sqrt(n_min/n)") {
     // strata: a=16 rows, b=4 rows → alpha=0.5 rates: a=sqrt(4/16)=0.5, b=1.0
     val df = ((1 to 16).map(i => (i.toLong, "a")) ++ (101 to 104).map(i => (i.toLong, "b")))

@@ -190,6 +190,28 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(1500))
   }
 
+  test("q7_nation_volume: both nation legs broadcast; no cartesian") {
+    val p = plan("q7_nation_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("a10_cube: grouping sets expand map-side — one shuffle, partial agg before it") {
+    val p = plan("a10_cube")
+    assert(p.contains("Expand"), p.take(1200))
+    // partial HashAggregate below the exchange, final above — the
+    // map-side-combine shape that keeps a 100 TB cube to one shuffle
+    // (the sort for the final ORDER BY is a separate range exchange)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(1500))
+  }
+
+  test("sample_fixed_k: top-k is TakeOrdered, not a global sort") {
+    val p = plan("sample_fixed_k")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(1200))
+  }
+
   test("keepCanonical: dropped set broadcasts; corpus side never shuffles") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
