@@ -5,10 +5,29 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.tuned(s"local[$cpus]", cpus)
+    // local-iteration knob (unset for the driver): restrict to named queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // absorb session/JIT/codegen warmup so the first measured query isn't
     // charged for it
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // Per-PLAN warmup at the smallest sf: whichever query first touches a
+    // codegen/JIT path pays its compile cost — measured 1.6s of first-
+    // touch on a 0.3s query — and WHICH query pays moved whenever the
+    // iteration order changed (the r7 a3_keyword_stats 0.38→2.03 swing).
+    // Running every batch query once on sf0.001 (tiny, untimed) compiles
+    // every plan up front, so timed numbers are steady-state per-query
+    // cost. stream_* gates are excluded: each timed run re-executes its
+    // full micro-batch + checkpoint lifecycle regardless, and running 15
+    // streaming queries here would double bench wall-clock for paths the
+    // batch twins already compile.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (!name.startsWith("stream_") && only.forall(_.contains(name)))
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     // Inter-query hygiene (untimed): drop leftover memory-sink tables,
     // unpersist localCheckpoint blocks, and GC — one query's residue must
     // not tax the next query's timing (measured: the last bench query ran
@@ -24,9 +43,6 @@ object Bench {
     }
     // (sec, succeeded) per query — a throwing query must NOT masquerade as
     // a healthy timing
-    // local-iteration knob (unset for the driver): restrict to named queries
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     // sorted execution order: Map iteration order shifts when gates are
     // added, which silently moves shared-cost attribution (e.g. which
     // dedup gate warms the shared pair memo) between rounds — sorting
