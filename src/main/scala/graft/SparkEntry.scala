@@ -219,6 +219,60 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── J9: bloom-filter pre-join — the build side (urgent 1997 H1
+    // orders, ~4% of orders) is selective, so ~96% of lineitem rows
+    // cannot match; the bloom drops them BEFORE the join shuffle. False
+    // positives are removed by the exact join, so the oracle is the
+    // plain join — equality IS the claim (same contract as j8).
+    "j9_bloom_join" -> ((s, dir) => {
+      val build = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Joins.bloomPreFilteredJoin(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice")),
+          build, "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("ct"),
+          sum(col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ── TPC-H Q2 shape: correlated "best row per group" subquery,
+    // decorrelated into a window max + equality filter — ONE shuffle on
+    // the group key instead of a per-row rescan. Ties all kept (the
+    // EXISTS/= MAX contract), deterministic output.
+    "q2_top_supplier" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("n_nationkey"))
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .withColumn("max_bal", max(col("s_acctbal")).over(w))
+        .filter(col("s_acctbal") === col("max_bal"))
+        .select(col("n_name"), col("s_name"),
+          col("s_acctbal").cast("double").as("s_acctbal"))
+        .orderBy(col("n_name"), col("s_name"))
+    }),
+
+    // ── A12: PIVOT — wide per-category columns in one pass. The value
+    // list is EXPLICIT (the 5 TPC-H priorities): pivot without values
+    // costs an extra distinct scan and makes the output schema
+    // data-dependent — both wrong at 100 TB. One shuffle on the group
+    // key; per-category sums partial-agg map-side.
+    "a12_pivot" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high",
+          "3-MEDIUM" -> "p3_medium", "4-NOT SPECIFIED" -> "p4_notspec",
+          "5-LOW" -> "p5_low"))
+        .orderBy(col("o_year"))),
+
     // ── A10: CUBE — all grouping-set combinations of (priority, year)
     // in one pass (partial-agg friendly: Spark expands grouping sets
     // map-side, one shuffle). Subtotal rows surface as 'ALL' via
@@ -1341,6 +1395,31 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "j9_bloom_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q2_top_supplier" ->
+      """SELECT n_name, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+        |                   WHERE s2.s_nationkey = supplier.s_nationkey)
+        |ORDER BY n_name, s_name""".stripMargin,
+
+    "a12_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p1_urgent,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p2_high,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p3_medium,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p4_notspec,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p5_low
+        |FROM orders GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "a10_cube" ->
       """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,

@@ -117,4 +117,40 @@ object Joins {
       explode(array((0 until buckets).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Bloom-filter pre-join: build a Bloom filter over the build side's
+    * join keys (one aggregated pass), ship the few-MB sketch to every
+    * fact-scan task, and drop fact rows that cannot match BEFORE the join
+    * shuffle. At 100 TB the dominant join cost is shuffling rows that a
+    * selective build side will discard anyway; with fpp=1% the filter
+    * removes ~99% of them for megabytes of broadcast. False positives
+    * pass the filter and are eliminated by the EXACT join that follows,
+    * so the result is bit-identical to the plain join — the filter is
+    * pure shuffle-volume reduction, never a correctness dependency.
+    *
+    * This is the explicit form of Spark's own runtime bloom filter
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, which injects
+    * the same shape when a selective build side is detected); the
+    * explicit operator is for pipelines that KNOW the build side is
+    * selective — no reliance on optimizer heuristics, and the filter
+    * survives plan shapes the injection rule declines.
+    *
+    * `expectedKeys` sizes the filter (bits ∝ keys·ln(1/fpp)); oversizing
+    * is a few MB of slack, undersizing degrades fpp, never correctness.
+    * Long and string keys supported (the sketch hashes both natively). */
+  def bloomPreFilteredJoin(fact: DataFrame, build: DataFrame,
+      factKey: String, buildKey: String,
+      expectedKeys: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val spark = fact.sparkSession
+    val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val isLong = fact.schema(factKey).dataType ==
+      org.apache.spark.sql.types.LongType
+    val might =
+      if (isLong) udf((k: java.lang.Long) =>
+        k != null && bcast.value.mightContainLong(k))
+      else udf((k: String) => k != null && bcast.value.mightContainString(k))
+    val filtered = fact.filter(might(col(factKey)))
+    filtered.join(build, filtered(factKey) === build(buildKey))
+  }
 }

@@ -27,6 +27,33 @@ class JoinsSpec extends SparkSpec {
     assert(salts > 1) // the hot key no longer lands on a single reducer
   }
 
+  test("bloomPreFilteredJoin == plain join; the bloom actually drops non-matching rows") {
+    val fact = (1L to 20000L).map(i => (i, i * 2)).toDF("fk", "v")
+    // selective build: 1% of the fact keys
+    val build = (1L to 200L).map(i => (i * 100, s"b$i")).toDF("bk", "name")
+    val plain = fact.join(build, col("fk") === col("bk"))
+    val bloomed = Joins.bloomPreFilteredJoin(fact, build, "fk", "bk",
+      expectedKeys = 1000L)
+    assert(bloomed.select("fk", "v", "name").collect().map(_.toString).sorted
+      === plain.select("fk", "v", "name").collect().map(_.toString).sorted)
+    // the pre-filter alone keeps ~matches + fp: far fewer than the fact
+    val bf = build.stat.bloomFilter("bk", 1000L, 0.01)
+    val mc = udf((k: Long) => bf.mightContainLong(k))
+    val kept = fact.filter(mc(col("fk"))).count()
+    assert(kept < 2000L, s"bloom kept $kept of 20000 — no selectivity")
+    assert(kept >= 200L) // never drops a true match
+  }
+
+  test("bloomPreFilteredJoin handles string keys") {
+    val fact = (1 to 5000).map(i => (s"k$i", i)).toDF("fk", "v")
+    val build = (1 to 50).map(i => (s"k${i * 100}", i)).toDF("bk", "b")
+    val plain = fact.join(build, col("fk") === col("bk"))
+    val bloomed = Joins.bloomPreFilteredJoin(fact, build, "fk", "bk",
+      expectedKeys = 100L)
+    assert(bloomed.select("fk", "v", "b").collect().map(_.toString).sorted
+      === plain.select("fk", "v", "b").collect().map(_.toString).sorted)
+  }
+
   test("enrich keeps unmatched fact rows (left join, not the reference's drop)") {
     val facts = Seq((1L, 10.0), (2L, 20.0)).toDF("dim_id", "amount")
     val dim = Seq((1L, "known")).toDF("dim_id", "name")
