@@ -52,13 +52,20 @@ object Pretrain {
     * collide by accident).
     *
     * Scale shape: eval sets are small by nature, so the distinct eval
-    * shingle-hash set BROADCASTS; the training side is one narrow
-    * explode + broadcast semi-join + broadcast anti-join — the corpus
-    * itself never shuffles, which is what makes this runnable as a cheap
-    * final pass over 100 TB. Shingle hashing (xxhash64) matches the
-    * dedup inverted-index convention. */
+    * shingle-hash set BROADCASTS (bounded by eval corpus size — a
+    * contract, not a hope); the training side is one narrow explode +
+    * broadcast semi-join + anti-join — the corpus itself never shuffles,
+    * which is what makes this runnable as a cheap final pass over 100 TB.
+    * The contaminated-ids anti-join side is USUALLY a sliver, but a
+    * boilerplate eval gram can mark an arbitrary corpus fraction, so it
+    * gets the same size tier as `Sampling.leakageSafeSplits`: the sliver
+    * is materialized once (localCheckpoint — also keeps the shingle scan
+    * out of the join's broadcast exchange), broadcast below
+    * `broadcastMaxIds`, shuffled above it instead of OOMing executors.
+    * Shingle hashing (xxhash64) matches the dedup inverted-index
+    * convention. */
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
-      shingleLen: Int = 8): DataFrame = {
+      shingleLen: Int = 8, broadcastMaxIds: Long = 1L << 22): DataFrame = {
     def sh(df: DataFrame, cols: Column*): DataFrame = df.select(
       cols :+ explode(array_distinct(call_function("graft_shingles",
         col("text"), lit(shingleLen)))).as("__sh"): _*)
@@ -68,7 +75,11 @@ object Pretrain {
       .select(col("doc_id"), xxhash64(col("__sh")).as("__shh"))
       .join(broadcast(evalGrams), "__shh")
       .select("doc_id").distinct()
-    corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val antiSide =
+      if (contaminated.count() <= broadcastMaxIds) broadcast(contaminated)
+      else contaminated
+    corpus.join(antiSide, Seq("doc_id"), "left_anti")
   }
 
   /** Multi-eval-set decontamination with attribution: for every training

@@ -158,16 +158,31 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
-  test("decontaminate: eval shingles + contaminated ids broadcast — no " +
-    "SortMergeJoin, corpus side never exchanges for the joins") {
+  test("decontaminate: contaminated ids broadcast below the cap (anti-join " +
+    "side is the materialized sliver, not a shingle re-scan), shuffle above") {
     val docs = Tables.documents(spark, dir)
-    val p = graft.operators.Pretrain
+    val out = graft.operators.Pretrain
       .decontaminate(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0), shingleLen = 8)
-      .queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1500))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(p.contains("LeftAnti"), p.take(1500))
     assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // the anti side reads the checkpointed sliver, not the shingle scan
+    assert(p.contains("Scan ExistingRDD"), p.take(1500))
+    // above the cap the hint is withheld: no broadcast anti-join
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val tiered = graft.operators.Pretrain
+        .decontaminate(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0), shingleLen = 8,
+          broadcastMaxIds = 0L)
+      val p2 = tiered.queryExecution.executedPlan.toString
+      assert(!p2.contains("BroadcastHashJoin"), p2.take(1500))
+      assert(tiered.select("doc_id").collect().map(_.getLong(0)).sorted
+        === out.select("doc_id").collect().map(_.getLong(0)).sorted)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
   test("dedup_incremental: equi-joins only — the index probe and both " +
