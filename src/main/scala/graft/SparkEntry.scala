@@ -448,6 +448,57 @@ object SparkEntry {
         .orderBy(col("n_name"), col("rnk"))
     }),
 
+    // ── A13: the full analytic-rank suite over one window — rank,
+    // dense_rank, percent_rank, ntile in a single per-group sort pass
+    // (Spark fuses same-window functions into ONE Window operator: one
+    // key shuffle + one sort, however many functions ride it).
+    // Fully tie-broken ordering keeps every function deterministic;
+    // percent_rank is a single division of small exact ints →
+    // bit-identical across engines.
+    "a13_rank_suite" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val rev = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), col("o_custkey"))
+        .agg(sum(dec("o_totalprice")).cast("double").as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_name")).orderBy(col("revenue").desc, col("o_custkey"))
+      rev
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("prnk", percent_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .filter(col("rnk") <= 8)
+        .orderBy(col("n_name"), col("rnk"), col("o_custkey"))
+    }),
+
+    // ── Set operations: INTERSECT / EXCEPT (distinct semantics) — both
+    // compile to one aggregate + semi/anti join on the full row, one
+    // shuffle each. Customers active in both halves of 1997 / only H1.
+    "set_intersect" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val h1 = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val h2 = o.filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      h1.intersect(h2).orderBy(col("o_custkey"))
+    }),
+
+    "set_except" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val h1 = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val h2 = o.filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      h1.except(h2).orderBy(col("o_custkey"))
+    }),
+
     // ── A7: rollup (region -> nation -> grand total in one pass)
     "a7_rollup" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -1156,6 +1207,20 @@ object SparkEntry {
         .select(col("user_id"), col("dt"), col("event_id"))
         .orderBy(col("user_id"), col("dt"))),
 
+    // ── Engine-native streaming dedup: dropDuplicates runs as the
+    // dedicated StreamingDeduplicate physical operator (state = seen
+    // keys), distinct from the FMGWS path stream_t2 exercises. Emitting
+    // only the key columns makes "first arrival wins" deterministic;
+    // unbounded key state is the documented cost (the watermarked
+    // variant evicts, but its drop guarantee is then time-bounded —
+    // wrong for an exact-result gate).
+    "stream_dedup_ids" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.Sources.eventsStream(s, dir)
+          .dropDuplicates("user_id", "event_type")
+          .select(col("user_id"), col("event_type")))
+        .orderBy(col("user_id"), col("event_type"))),
+
     // ── T3 streaming: CEP bounce via event-time timeout. Keys whose final
     // event is within gapSec of the final watermark stay pending (live-
     // stream semantics); the oracle applies the same watermark cutoff.
@@ -1395,6 +1460,41 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "a13_rank_suite" ->
+      """WITH rev AS (
+        |  SELECT n_name, o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, o_custkey),
+        |r AS (
+        |  SELECT n_name, o_custkey, revenue,
+        |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |    percent_rank() OVER w AS prnk, ntile(4) OVER w AS quartile
+        |  FROM rev WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, o_custkey))
+        |SELECT * FROM r WHERE rnk <= 8
+        |ORDER BY n_name, rnk, o_custkey""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "stream_dedup_ids" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "j9_bloom_join" ->
       """SELECT o_orderpriority, COUNT(*) AS ct,

@@ -227,6 +227,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p.take(1200))
   }
 
+  test("a13_rank_suite: all four rank functions fuse into ONE Window operator") {
+    val p = plan("a13_rank_suite")
+    // same window spec → Spark computes rank/dense_rank/percent_rank/ntile
+    // in a single per-group sort pass; a second Window op would mean a
+    // redundant sort (the final ORDER BY is a separate range exchange)
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.size === 1, winLines.map(_.trim.take(120)).mkString("\n"))
+  }
+
   test("keepCanonical: dropped set broadcasts; corpus side never shuffles") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
