@@ -448,6 +448,24 @@ object SparkEntry {
         .orderBy(col("n_name"), col("rnk"))
     }),
 
+    // ── A14: best-row-per-group as a one-pass AGGREGATE — max_by with a
+    // composite bigint sort key (acctbal exact cents, suppkey tiebreak)
+    // instead of q2's window+filter: one partial-aggregating shuffle, no
+    // sort at all — the cheapest "top supplier per nation" plan at any
+    // scale. The bigint key makes tie-breaks identical across engines
+    // (DuckDB arg_max accepts scalar keys only).
+    "a14_argmax" -> ((s, dir) =>
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          max_by(col("s_name"),
+            (col("s_acctbal").cast("decimal(15,2)") * 100).cast("long") * 1000000L
+              - col("s_suppkey")).as("top_supplier"),
+          max(col("s_acctbal")).cast("double").as("max_bal"))
+        .orderBy(col("n_name"))),
+
     // ── A13: the full analytic-rank suite over one window — rank,
     // dense_rank, percent_rank, ntile in a single per-group sort pass
     // (Spark fuses same-window functions into ONE Window operator: one
@@ -1207,6 +1225,29 @@ object SparkEntry {
         .select(col("user_id"), col("dt"), col("event_id"))
         .orderBy(col("user_id"), col("dt"))),
 
+    // ── J3 streaming twin: stream-static broadcast enrichment — the
+    // live shape of the reference's dim lookup (each micro-batch joins
+    // the static dims as a broadcast hash lookup; no state, no
+    // watermark needed on the static side). Orders arrive as a bounded
+    // stream; customer/nation are static tables.
+    "stream_j3_enrich" -> ((s, dir) => {
+      val sch = s.read.option("pathGlobFilter", "orders.parquet")
+        .parquet(dir).schema
+      val oStream = s.readStream.schema(sch)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      val enriched = oStream
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("order_ct"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("amount"))
+      graft.streaming.StreamRunner.collect(enriched, outputMode = "complete")
+        .orderBy(col("n_name"))
+    }),
+
     // ── Engine-native streaming dedup: dropDuplicates runs as the
     // dedicated StreamingDeduplicate physical operator (state = seen
     // keys), distinct from the FMGWS path stream_t2 exercises. Emitting
@@ -1460,6 +1501,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "stream_j3_enrich" ->
+      """SELECT n_name, COUNT(*) AS order_ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "a14_argmax" ->
+      """SELECT n_name,
+        |  arg_max(s_name, CAST(CAST(s_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) * 1000000 - s_suppkey) AS top_supplier,
+        |  CAST(MAX(s_acctbal) AS DOUBLE) AS max_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "a13_rank_suite" ->
       """WITH rev AS (
