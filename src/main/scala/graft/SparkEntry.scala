@@ -1153,6 +1153,21 @@ object SparkEntry {
         .select(col("doc_id"), fingerprintPortable(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // ── Unicode NFC normalization (native `graft_nfc` expression, real
+    // doGenCode): canonicalize at ingest so composed/decomposed encodings
+    // fingerprint identically downstream. md5 of the normalized bytes is
+    // the cross-engine witness (DuckDB nfc_normalize is the same UAX #15
+    // form); already_nfc flags how much of the corpus the ASCII/early-exit
+    // fast path covers.
+    "text_normalize" -> ((s, dir) => {
+      graft.expressions.GraftExtensions.ensureRegistered(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(call_function("graft_nfc", col("text")).cast("binary")).as("nfc_md5"),
+          (call_function("graft_nfc", col("text")) === col("text")).as("already_nfc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── A1 at 100 TB: HLL distinct (approx_count_distinct) — constant
     // memory per group, associative merges. HLL estimates are
     // engine-specific, so the gate emits a per-group ERROR-BOUND verdict
@@ -1501,6 +1516,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+        |  nfc_normalize(text) = text AS already_nfc
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "stream_j3_enrich" ->
       """SELECT n_name, COUNT(*) AS order_ct,

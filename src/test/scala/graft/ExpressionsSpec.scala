@@ -111,6 +111,33 @@ class ExpressionsSpec extends SparkSpec {
     assert(native === hof)
   }
 
+  test("graft_nfc normalizes decomposed text, is null-safe, and stays in codegen") {
+    val composed = "\u00e9t\u00e9"          // été, precomposed
+    val decomposed = "e\u0301te\u0301"  // same text, combining acutes
+    val df = Seq(
+      (decomposed, 1L),
+      (composed, 2L),
+      ("plain ascii", 3L),
+      (null.asInstanceOf[String], 4L)).toDF("t", "id")
+    val out = df.select(col("id"),
+      call_function("graft_nfc", col("t")).as("n")).orderBy(col("id"))
+      .collect()
+    assert(out(0).getString(1) === composed)
+    assert(out(1).getString(1) === composed)
+    assert(out(2).getString(1) === "plain ascii")
+    assert(out(3).isNullAt(1))
+    // composed and decomposed collapse to one group after normalization
+    val groups = df.filter(col("t").isNotNull)
+      .groupBy(call_function("graft_nfc", col("t"))).count().count()
+    assert(groups === 2)
+    // real doGenCode: a non-foldable input keeps the projection inside a
+    // WholeStageCodegen span (a local Seq would constant-fold away)
+    val plan = spark.range(10)
+      .select(call_function("graft_nfc", concat(lit("x"), col("id"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(600))
+  }
+
   test("ensureRegistered makes queries work on a session without extensions") {
     val reg = spark.sessionState.functionRegistry
     import org.apache.spark.sql.catalyst.FunctionIdentifier
