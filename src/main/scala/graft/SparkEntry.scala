@@ -448,6 +448,45 @@ object SparkEntry {
         .orderBy(col("n_name"), col("rnk"))
     }),
 
+    // ── F1 extension: JSON path extraction on the raw props string —
+    // get_json_object is Spark's scan-side JSON accessor (no full parse,
+    // no schema needed); the agg proves numeric round-trip parity.
+    "f_json_path" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ct"), sum(col("k")).as("k_sum"),
+          sum(when(col("k") > 50, 1L).otherwise(0L)).as("k_hi"))
+        .orderBy(col("event_type"))),
+
+    // ── F-extension: regexp_extract — first digit-run per document
+    // (simple character-class pattern, identical semantics in Java regex
+    // and RE2; both engines return '' on no-match).
+    "f_regex_extract" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"))
+        .orderBy(col("doc_id"))),
+
+    // ── A15: RANGE window frame — events within the trailing hour of
+    // each event (peers by VALUE, not row position: ties in ts all join
+    // the frame, so the result is deterministic under any tie order).
+    // Output compacted to the per-user PEAK 1-hour burst. Scale shape:
+    // one hash exchange on user_id + per-partition sort — same budget as
+    // any analytic; the frame scan is linear per partition.
+    "a15_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("cnt_1h", count(lit(1)).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("cnt_1h")).as("peak_1h"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── A14: best-row-per-group as a one-pass AGGREGATE — max_by with a
     // composite bigint sort key (acctbal exact cents, suppkey tiebreak)
     // instead of q2's window+filter: one partial-aggregating shuffle, no
@@ -1528,6 +1567,25 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "f_json_path" ->
+      """SELECT event_type, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS k_hi
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "f_regex_extract" ->
+      """SELECT doc_id, regexp_extract(text, '([0-9]+)', 1) AS first_num
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "a15_range_frame" ->
+      """WITH f AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT user_id,
+        |    COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+        |                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS cnt_1h
+        |  FROM f)
+        |SELECT user_id, MAX(cnt_1h) AS peak_1h
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "a14_argmax" ->
       """SELECT n_name,
