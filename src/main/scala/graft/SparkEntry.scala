@@ -173,6 +173,22 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── TPC-H Q6 shape: pure filter + global aggregate — zero joins,
+    // zero groupBy shuffle (partial agg per partition → one-row merge).
+    // The three predicates push into the parquet scan (PlanSpec pins
+    // PushedFilters), so at 100 TB row groups outside the date year are
+    // never decompressed — the plan IS the I/O budget.
+    "q6f_filter_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_discount").cast("decimal(3,2)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("ct"))),
+
     // ── TPC-H Q7 shape: two-nation volume shipping — the supplier-nation
     // × customer-nation cross-filter join. nation is O(25) rows →
     // broadcast both legs unconditionally (correct at any scale); the
@@ -1534,6 +1550,15 @@ object SparkEntry {
         |                  WHERE l_orderkey = o_orderkey
         |                    AND l_shipdate <= o_orderdate + INTERVAL 30 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q6f_filter_agg" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS ct
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -205,6 +205,20 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(1500))
   }
 
+  test("q6f_filter_agg: predicates push into the parquet scan; no exchange beyond the one-row merge") {
+    val p = plan("q6f_filter_agg")
+    val scan = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    // all three predicate columns reach the scan as pushed filters
+    assert(scan.contains("l_shipdate") && scan.contains("l_discount") &&
+      scan.contains("l_quantity"), scan)
+    // global agg = partial per partition + SinglePartition merge — no
+    // hash exchange at all
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+    // only the needed columns are read
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_orderkey"), read)
+  }
+
   test("q7_nation_volume: both nation legs broadcast; no cartesian") {
     val p = plan("q7_nation_volume")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1500))
