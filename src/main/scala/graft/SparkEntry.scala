@@ -1318,6 +1318,28 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // ── J6 streaming twin: as-of enrichment per micro-batch — each batch
+    // of arriving facts joins the FULL dimension history (time-correct
+    // version pick), the semantics a point-lookup dim cache (the
+    // reference's Redis path) silently gets wrong for late or replayed
+    // events. Per-row pure against the static history, so batch-local
+    // application is exact under any batching; oracle = the batch ASOF
+    // truth, same as j6.
+    "stream_j6_asof" -> ((s, dir) => {
+      val sch = s.read.option("pathGlobFilter", "orders.parquet")
+        .parquet(dir).schema
+      val oStream = s.readStream.schema(sch)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val history = Tables.orders(s, dir)
+        .select(col("o_custkey").as("ck"), col("o_orderdate").as("od"))
+      graft.streaming.StreamRunner.collectBatches(oStream)(b =>
+        Joins.asOfJoin(b, history, "o_custkey", "ck", "o_orderdate", "od",
+          payload = Seq("od"), strict = true)
+          .select(col("o_orderkey"), col("asof.od").as("prev_date")))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ── Engine-native streaming dedup: dropDuplicates runs as the
     // dedicated StreamingDeduplicate physical operator (state = seen
     // keys), distinct from the FMGWS path stream_t2 exercises. Emitting
@@ -1862,6 +1884,12 @@ object SparkEntry {
         |GROUP BY sink_table ORDER BY sink_table""".stripMargin,
 
     "j6_asof_join" ->
+      """SELECT o1.o_orderkey, o2.o_orderdate AS prev_date
+        |FROM orders o1 ASOF LEFT JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey AND o1.o_orderdate > o2.o_orderdate
+        |ORDER BY o1.o_orderkey""".stripMargin,
+
+    "stream_j6_asof" ->
       """SELECT o1.o_orderkey, o2.o_orderdate AS prev_date
         |FROM orders o1 ASOF LEFT JOIN orders o2
         |  ON o1.o_custkey = o2.o_custkey AND o1.o_orderdate > o2.o_orderdate
