@@ -464,6 +464,25 @@ object SparkEntry {
         .orderBy(col("n_name"), col("rnk"))
     }),
 
+    // ── Data-quality constraint report (Quality.violations): row-local
+    // rules fold into ONE full scan (conditional sums — adding a rule
+    // adds an expression, not a pass); unique = one key shuffle;
+    // referential = tiered anti-probe. The two non-zero rows
+    // (unique(l_orderkey) counts multi-line orders as duplicates) prove
+    // the counting, the zero rows prove the fixture's invariants.
+    "dq_violations" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      Quality.violations(li, Seq(
+        Quality.NotNull("l_shipdate"),
+        Quality.Range("l_quantity", 1, 50),
+        Quality.Range("l_discount", 0.0, 0.1),
+        Quality.Matches("l_returnflag", "^[ANR]$"),
+        Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+        Quality.Unique(Seq("l_orderkey")),
+        Quality.RefIntegrity("l_orderkey", Tables.orders(s, dir), "o_orderkey")))
+        .orderBy(col("rule"))
+    }),
+
     // ── F1 extension: JSON path extraction on the raw props string —
     // get_json_object is Spark's scan-side JSON accessor (no full parse,
     // no schema needed); the agg proves numeric round-trip parity.
@@ -1614,6 +1633,25 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "dq_violations" ->
+      """SELECT 'not_null(l_shipdate)' AS rule,
+        |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM lineitem
+        |UNION ALL SELECT 'range(l_quantity,1.0,50.0)',
+        |  CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'range(l_discount,0.0,0.1)',
+        |  CAST(SUM(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'matches(l_returnflag)',
+        |  CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND NOT regexp_matches(l_returnflag, '^[ANR]$') THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+        |  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'unique(l_orderkey)',
+        |  CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'ref(l_orderkey)',
+        |  CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |ORDER BY rule""".stripMargin,
 
     "f_json_path" ->
       """SELECT event_type, COUNT(*) AS ct,

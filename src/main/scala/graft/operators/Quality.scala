@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints — the "validate before you
+  * train/serve on it" stage of a pipeline. Inspired by the public
+  * constraint-suite idea (Deequ's unit-tests-for-data): a rule set is
+  * declared once and evaluated into a (rule, violations) report the run
+  * can gate on.
+  *
+  * Execution shape, by rule class:
+  *  - Row-local rules (notNull, range, matches) compile to conditional
+  *    sums and fold into ONE full-scan aggregate — adding a rule adds an
+  *    expression, not a pass. At 100 TB the scan is the cost floor;
+  *    this stays exactly at the floor.
+  *  - `unique` needs a distinct count: one hash shuffle on the key.
+  *  - `refIntegrity` is a left-anti probe of the dimension: broadcast
+  *    below `broadcastMaxDim` (probe = early-stopping limit+count, the
+  *    leakageSafeSplits tier pattern), shuffle above.
+  * Each non-row-local rule is an independent aggregate; the report
+  * unions the single-row results (cheap — one row per rule). */
+object Quality {
+
+  sealed trait Rule { def name: String }
+  /** Violations = rows where `col` is null. */
+  final case class NotNull(col: String) extends Rule {
+    def name = s"not_null($col)"
+  }
+  /** Violations = non-null rows outside [min, max]. */
+  final case class Range(col: String, min: Double, max: Double) extends Rule {
+    def name = s"range($col,$min,$max)"
+  }
+  /** Violations = non-null rows not matching the anchored regex. */
+  final case class Matches(col: String, regex: String) extends Rule {
+    def name = s"matches($col)"
+  }
+  /** Violations = rows in excess of one per distinct key tuple. */
+  final case class Unique(cols: Seq[String]) extends Rule {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+  /** Violations = rows whose non-null `col` has no match in dim.`dimCol`. */
+  final case class RefIntegrity(col: String, dim: DataFrame, dimCol: String)
+      extends Rule {
+    def name = s"ref($col)"
+  }
+
+  /** Evaluate all rules; returns DataFrame(rule: String, violations: Long)
+    * with one row per rule, in no particular order. */
+  def violations(df: DataFrame, rules: Seq[Rule],
+      broadcastMaxDim: Long = 1L << 22): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    def cnt(pred: Column): Column =
+      sum(when(pred, 1L).otherwise(0L)).cast("long")
+
+    val rowLocal: Seq[(String, Column)] = rules.collect {
+      case r @ NotNull(c) => r.name -> cnt(col(c).isNull)
+      case r @ Range(c, lo, hi) =>
+        r.name -> cnt(col(c).isNotNull && (col(c) < lo || col(c) > hi))
+      case r @ Matches(c, re) =>
+        r.name -> cnt(col(c).isNotNull && !col(c).rlike(re))
+    }
+    val scanReport: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else Some {
+        val agg = df.agg(rowLocal.head._2.as("c0"),
+          rowLocal.tail.zipWithIndex.map { case ((_, e), i) => e.as(s"c${i + 1}") }: _*)
+        val row = agg // one row; stack to (rule, violations)
+        row.select(explode(map(
+          rowLocal.zipWithIndex.flatMap { case ((n, _), i) =>
+            Seq(lit(n), col(s"c$i")) }: _*)).as(Seq("rule", "violations")))
+      }
+
+    val others: Seq[DataFrame] = rules.collect {
+      case r @ Unique(cols0) =>
+        val keys = cols0.map(col)
+        df.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+          .agg((sum(col("__n")) - count(lit(1))).cast("long").as("violations"))
+          .select(lit(r.name).as("rule"), col("violations"))
+      case r @ RefIntegrity(c, dim, dimCol) =>
+        val keys = dim.select(col(dimCol)).distinct()
+        val side =
+          if (keys.limit((broadcastMaxDim + 1).toInt).count() <= broadcastMaxDim)
+            broadcast(keys)
+          else keys
+        df.filter(col(c).isNotNull)
+          .join(side, col(c) === side(dimCol), "left_anti")
+          .agg(count(lit(1)).cast("long").as("violations"))
+          .select(lit(r.name).as("rule"), col("violations"))
+    }
+
+    (scanReport.toSeq ++ others).reduce(_ unionByName _)
+  }
+}

@@ -150,6 +150,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 5L))
   }
 
+  test("Quality.violations counts each rule class exactly on a dirty fixture") {
+    import graft.operators.Quality
+    val df = Seq(
+      (1L, Some(5.0), "A"),
+      (2L, Some(99.0), "X"),   // range violation + matches violation
+      (2L, None, "N"),         // null violation + duplicate id
+      (9L, Some(1.0), "R")     // dangling ref (dim has 1,2)
+    ).toDF("id", "v", "flag")
+    val dim = Seq(1L, 2L).toDF("k")
+    val out = Quality.violations(df, Seq(
+        Quality.NotNull("v"),
+        Quality.Range("v", 0.0, 50.0),
+        Quality.Matches("flag", "^[ANR]$"),
+        Quality.Unique(Seq("id")),
+        Quality.RefIntegrity("id", dim, "k")))
+      .as[(String, Long)].collect().toMap
+    assert(out("not_null(v)") === 1L)
+    assert(out("range(v,0.0,50.0)") === 1L)
+    assert(out("matches(flag)") === 1L)
+    assert(out("unique(id)") === 1L)   // one row in excess of distinct
+    assert(out("ref(id)") === 1L)      // id=9 dangles
+    // row-local rules share ONE aggregate over one scan
+    val plan = Quality.violations(df,
+        Seq(Quality.NotNull("v"), Quality.Range("v", 0.0, 1.0),
+          Quality.Matches("flag", "a")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), plan.take(800))
+  }
+
   test("decontaminate drops docs sharing an n-gram with the eval set") {
     val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(
