@@ -289,6 +289,37 @@ object SparkEntry {
           "5-LOW" -> "p5_low"))
         .orderBy(col("o_year"))),
 
+    // ── A12b: UNPIVOT (melt) — the inverse reshape of a12's pivot: wide
+    // per-priority columns back to (year, priority, total) rows. Pure
+    // per-row expansion (Expand node) — zero additional shuffle beyond
+    // the pivot's own aggregate.
+    "a12b_unpivot" -> ((s, dir) => {
+      val wide = queries("a12_pivot")(s, dir)
+      wide.unpivot(
+          Array(col("o_year")),
+          Array(col("p1_urgent"), col("p2_high"), col("p3_medium"),
+            col("p4_notspec"), col("p5_low")),
+          "priority", "total")
+        .filter(col("total").isNotNull)
+        .orderBy(col("o_year"), col("priority"))
+    }),
+
+    // ── A16: higher statistical moments — stddev/variance (sample) +
+    // skewness/kurtosis per group. Merge-order float drift across
+    // engines is ~1e-12 relative; both sides truncate at 1e-6 (the
+    // established truncate6 idiom — floor, never round) so the compare
+    // is stable. DuckDB kurtosis is excess-kurtosis like Spark's.
+    "a16_moments" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          truncate6(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          truncate6(var_samp(col("l_quantity"))).as("var_qty"),
+          truncate6(skewness(col("l_quantity"))).as("skew_qty"),
+          truncate6(kurtosis(col("l_quantity"))).as("kurt_qty"),
+          count(lit(1)).as("ct"))
+        .orderBy(col("l_returnflag"))),
+
     // ── A10: CUBE — all grouping-set combinations of (priority, year)
     // in one pass (partial-agg friendly: Spark expands grouping sets
     // map-side, one shuffle). Subtotal rows surface as 'ALL' via
@@ -1738,6 +1769,30 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p4_notspec,
         |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p5_low
         |FROM orders GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "a12b_unpivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CASE o_orderpriority
+        |    WHEN '1-URGENT' THEN 'p1_urgent' WHEN '2-HIGH' THEN 'p2_high'
+        |    WHEN '3-MEDIUM' THEN 'p3_medium'
+        |    WHEN '4-NOT SPECIFIED' THEN 'p4_notspec'
+        |    WHEN '5-LOW' THEN 'p5_low' END AS priority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_year, priority
+        |ORDER BY o_year, priority""".stripMargin,
+
+    // Spark's skewness/kurtosis are POPULATION moments; DuckDB's skewness
+    // is bias-corrected (×√(n(n−1))/(n−2)) and its kurtosis_pop is the
+    // population excess — the oracle inverts the skew correction
+    // algebraically and uses kurtosis_pop directly.
+    "a16_moments" ->
+      """SELECT l_returnflag,
+        |  floor(stddev_samp(l_quantity)*1000000)/1000000 AS sd_qty,
+        |  floor(var_samp(l_quantity)*1000000)/1000000 AS var_qty,
+        |  floor((skewness(l_quantity) * (COUNT(*)-2) / sqrt(COUNT(*)*(COUNT(*)-1.0)))*1000000)/1000000 AS skew_qty,
+        |  floor(kurtosis_pop(l_quantity)*1000000)/1000000 AS kurt_qty,
+        |  COUNT(*) AS ct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "a10_cube" ->
       """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
