@@ -320,6 +320,31 @@ object SparkEntry {
           count(lit(1)).as("ct"))
         .orderBy(col("l_returnflag"))),
 
+    // ── A17: re-aggregatable HLL sketches (DataSketches binary) — the
+    // serving-layer pattern at 100 TB: store per-fine-grain SKETCHES, not
+    // distinct sets, and answer coarser rollups by hll_union_agg with NO
+    // fact re-scan (exact distincts cannot re-aggregate: distinct-of-
+    // union ≠ sum-of-distincts). Estimates are engine-specific, so the
+    // gate emits a checked error-bound verdict next to the exact count
+    // (a1_approx convention): lgK=12 ⇒ rsd ≈ 1.6%, bound 5·rsd.
+    "a17_hll_reagg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      val fine = o.groupBy(col("n_name"), col("o_orderpriority"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val coarse = fine.groupBy(col("n_name"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = o.groupBy(col("n_name"))
+        .agg(count_distinct(col("o_custkey")).as("exact_ct"))
+      coarse.join(exact, "n_name")
+        .select(col("n_name"), col("exact_ct"),
+          (abs(col("est") - col("exact_ct")) <=
+            greatest(lit(3.0), lit(0.08) * col("exact_ct")))
+            .cast("long").as("ok"))
+        .orderBy(col("n_name"))
+    }),
+
     // ── A10: CUBE — all grouping-set combinations of (priority, year)
     // in one pass (partial-agg friendly: Spark expands grouping sets
     // map-side, one shuffle). Subtotal rows surface as 'ALL' via
@@ -1769,6 +1794,12 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p4_notspec,
         |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p5_low
         |FROM orders GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "a17_hll_reagg" ->
+      """SELECT n_name, COUNT(DISTINCT o_custkey) AS exact_ct, 1 AS ok
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "a12b_unpivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
