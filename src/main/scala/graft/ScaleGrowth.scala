@@ -159,6 +159,23 @@ object ScaleGrowth {
       val n = graft.streaming.StreamRunner.collect(
         graft.streaming.StatefulStreams.uvDedup(synthEventsStream(spark, dir))).count()
       (n, "FMGWS state rows = distinct users (grows Rx)")
+    },
+    "dq_rules_scan" -> whole { dir =>
+      // row-local rules fold into ONE scan + unique's single shuffle —
+      // report rows stay constant (one per rule) at any corpus size
+      import graft.operators.Quality
+      val r = Quality.violations(Tables.documents(spark, dir), Seq(
+          Quality.NotNull("text"), Quality.Range("n_chars", 0, 1e9),
+          Quality.Matches("lang", "^[a-z]{2}$"),
+          Quality.Unique(Seq("doc_id")))).collect()
+      (r.length.toLong, s"rules=${r.length} (rows flat by design)")
+    },
+    "nfc_scan" -> whole { dir =>
+      graft.expressions.GraftExtensions.ensureRegistered(spark)
+      val n = Tables.documents(spark, dir)
+        .select(length(call_function("graft_nfc", col("text"))).as("l"))
+        .agg(sum(col("l"))).count()
+      (n, "codegen scan, zero shuffle")
     })
   }
 
