@@ -184,6 +184,27 @@ class DedupSpec extends SparkSpec {
     assert(under === over)
   }
 
+  test("tier diagnostics are thread-local: concurrent clusters() calls don't cross-contaminate") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def run(name: String, cap: Long): Thread = {
+      val t = new Thread(() => {
+        barrier.await()
+        Dedup.clusters(pairs, driverMaxEdges = cap).count()
+        results.put(name, Dedup.lastClustersPath)
+      })
+      t.start(); t
+    }
+    // one thread takes the driver tier, the other the distributed loop,
+    // racing; each must observe ITS OWN path afterwards
+    val a = run("driver", 10L)
+    val b = run("distributed", 0L)
+    a.join(120000); b.join(120000)
+    assert(results.get("driver") === "driver")
+    assert(results.get("distributed") === "distributed")
+  }
+
   test("spanDupStats counts exactly the spans shared with another doc") {
     val corpus = Seq(
       (1L, "a b c d e f g h x1 y1"), // spans: [a..h], [b..h x1], [c..x1 y1]
