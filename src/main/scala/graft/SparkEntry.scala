@@ -317,8 +317,23 @@ object SparkEntry {
           truncate6(var_samp(col("l_quantity"))).as("var_qty"),
           truncate6(skewness(col("l_quantity"))).as("skew_qty"),
           truncate6(kurtosis(col("l_quantity"))).as("kurt_qty"),
+          truncate6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          truncate6(covar_samp(col("l_quantity"), col("l_extendedprice")))
+            .as("covar_qp"),
           count(lit(1)).as("ct"))
         .orderBy(col("l_returnflag"))),
+
+    // ── A18: ordered string aggregation — sort_array(collect_list) +
+    // concat_ws is Spark's deterministic LISTAGG (collect_list alone is
+    // arrival-ordered = nondeterministic; the sort is the contract).
+    "a18_stringagg" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name"))))
+          .as("nations"), count(lit(1)).as("ct"))
+        .orderBy(col("r_name"))),
 
     // ── A17: re-aggregatable HLL sketches (DataSketches binary) — the
     // serving-layer pattern at 100 TB: store per-fine-grain SKETCHES, not
@@ -1822,8 +1837,16 @@ object SparkEntry {
         |  floor(var_samp(l_quantity)*1000000)/1000000 AS var_qty,
         |  floor((skewness(l_quantity) * (COUNT(*)-2) / sqrt(COUNT(*)*(COUNT(*)-1.0)))*1000000)/1000000 AS skew_qty,
         |  floor(kurtosis_pop(l_quantity)*1000000)/1000000 AS kurt_qty,
+        |  floor(corr(l_quantity, l_extendedprice)*1000000)/1000000 AS corr_qp,
+        |  floor(covar_samp(l_quantity, l_extendedprice)*1000000)/1000000 AS covar_qp,
         |  COUNT(*) AS ct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a18_stringagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS ct
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "a10_cube" ->
       """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
