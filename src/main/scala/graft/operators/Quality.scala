@@ -50,6 +50,8 @@ object Quality {
   def violations(df: DataFrame, rules: Seq[Rule],
       broadcastMaxDim: Long = 1L << 22): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
+    require(broadcastMaxDim > 0 && broadcastMaxDim < Int.MaxValue,
+      s"broadcastMaxDim must be in (0, Int.MaxValue), got $broadcastMaxDim")
     val spark = df.sparkSession
     import spark.implicits._
 
