@@ -137,7 +137,11 @@ object Joins {
     *
     * `expectedKeys` sizes the filter (bits ∝ keys·ln(1/fpp)); oversizing
     * is a few MB of slack, undersizing degrades fpp, never correctness.
-    * Long and string keys supported (the sketch hashes both natively). */
+    * Long and string keys supported (the sketch hashes both natively).
+    * The build side is computed twice (sketch pass + join); persist it
+    * first when its lineage is expensive — for the intended use (a
+    * selective dim) both passes are cheap relative to the fact scan
+    * they save. */
   def bloomPreFilteredJoin(fact: DataFrame, build: DataFrame,
       factKey: String, buildKey: String,
       expectedKeys: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
