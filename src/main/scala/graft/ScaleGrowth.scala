@@ -124,7 +124,10 @@ object ScaleGrowth {
     },
     "ann_ivf_top5" -> whole { dir =>
       val emb = Tables.embeddings(spark, dir)
-      val centroids = Similarity.trainCentroids(emb, k = 16, iters = 2)
+      // sampled quantizer training (the recommended path): Lloyd cost
+      // tracks the fixed-rate sample, so growth here is probe+scan driven
+      val centroids = Similarity.trainCentroids(emb, k = 16, iters = 2,
+        sampleRate = 0.5)
       val queries = emb.filter(col("vec_id") < 5)
       (Similarity.ivfTopK(emb, queries, 5, centroids).count(), "")
     },

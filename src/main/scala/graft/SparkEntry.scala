@@ -235,6 +235,32 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── J8b: TARGETED hot-key salting — the 100 TB refinement of j8.
+    // Only keys above a sampled frequency threshold are salted; the cold
+    // tail joins unsalted, so the right side replicates ×buckets for the
+    // hot slice only (JoinsSpec counts the salted legs). Fixture: lineitem
+    // keyed by return flag — "N" carries ~half the rows (genuinely hot at
+    // the 1/50 threshold), A/R ride the cold leg — against a per-flag dim.
+    // The oracle is the plain join: equality is the claim whatever the
+    // sampled hot set, exactly as with j8.
+    "j8b_salted_hot" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val dim = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_tax").cast("decimal(12,2)")).cast("double")
+          .as("flag_min_tax"))
+      val thresh = math.max(1L, li.count() / 50L)
+      Joins.saltedJoinTargeted(li, dim, "l_returnflag", buckets = 8,
+          sampleFraction = 0.05, hotMinSampleCount = thresh, maxHotKeys = 16)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("ct"),
+          sum(col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double").as("revenue"),
+          min(col("flag_min_tax")).as("flag_min_tax"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ── J9: bloom-filter pre-join — the build side (urgent 1997 H1
     // orders, ~4% of orders) is selective, so ~96% of lineitem rows
     // cannot match; the bloom drops them BEFORE the join shuffle. False
@@ -1223,7 +1249,11 @@ object SparkEntry {
     "sim_topk_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
-      val centroids = Similarity.trainCentroids(emb, k = 16, iters = 2)
+      // quantizer trained on a deterministic half-sample — the scale path
+      // (training cost follows the sample, not the corpus); the
+      // containment/validity oracle below is identical either way
+      val centroids = Similarity.trainCentroids(emb, k = 16, iters = 2,
+        sampleRate = 0.5)
       val ivf = Similarity.ivfTopK(emb, queries, k = 5, centroids, nProbe = 4)
       val exact = ivf
         .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
@@ -1692,6 +1722,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "j8b_salted_hot" ->
+      """WITH dim AS (
+        |  SELECT l_returnflag,
+        |    CAST(MIN(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS flag_min_tax
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  MIN(d.flag_min_tax) AS flag_min_tax
+        |FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,

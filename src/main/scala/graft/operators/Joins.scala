@@ -118,6 +118,81 @@ object Joins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Hot keys of `left` by sampled histogram: keys whose row count in a
+    * `sampleFraction` row sample reaches `hotMinSampleCount`. Collected to
+    * the driver (bounded — this is a handful of keys by construction);
+    * more than `maxHotKeys` survivors means the threshold is mis-set for
+    * the distribution and salting "only" the hot keys would replicate the
+    * right side for most of it, so that throws rather than degrades. */
+  private[graft] def hotKeys(left: DataFrame, key: String,
+      sampleFraction: Double, hotMinSampleCount: Long,
+      maxHotKeys: Int): Array[Any] = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val sampled =
+      if (sampleFraction >= 1.0) left.select(col(key))
+      else left.select(col(key)).sample(withReplacement = false,
+        sampleFraction, seed = 42L)
+    val hot = sampled.filter(col(key).isNotNull)
+      .groupBy(col(key)).count()
+      .filter(col("count") >= hotMinSampleCount)
+      .orderBy(col("count").desc, col(key))
+      .limit(maxHotKeys + 1)
+      .collect().map(_.get(0))
+    require(hot.length <= maxHotKeys,
+      s"more than $maxHotKeys keys exceed the hot threshold " +
+        s"$hotMinSampleCount at fraction $sampleFraction — that is not a " +
+        "skew tail; raise the threshold or use saltedJoin (salt everything)")
+    hot
+  }
+
+  /** The two salted legs for a known hot-key set: hot left rows get a
+    * uniform salt in [0, buckets); ONLY the right rows whose key is hot
+    * are replicated ×buckets. Exposed for the spec that pins the
+    * replication is confined to hot keys. */
+  private[graft] def saltedLegs(left: DataFrame, right: DataFrame,
+      key: String, buckets: Int, hot: Array[Any]): (DataFrame, DataFrame) = {
+    val isHot = col(key).isin(hot.toIndexedSeq: _*)
+    val hotLeft = left.filter(isHot).withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(buckets)).cast("int"))
+    val hotRight = right.filter(isHot).withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    (hotLeft, hotRight)
+  }
+
+  /** Targeted hot-key salting — the 100 TB form of [[saltedJoin]]: sample
+    * the left side's key histogram, salt ONLY keys above the frequency
+    * threshold, and union the unsalted rest. [[saltedJoin]] replicates the
+    * ENTIRE right side ×buckets to fix a handful of stragglers; here the
+    * replication cost is |right ∩ hot| × buckets — for the typical skew
+    * profile (~1% of keys carry the straggler mass) that is a ~100×
+    * smaller penalty for the same straggler fix.
+    *
+    * Inner-join semantics, bit-identical to `left.join(right, key)`
+    * whatever the sampled hot set turns out to be: membership in the hot
+    * set only moves a key between the salted and plain legs, never changes
+    * its matches (null keys match nothing in both formulations). The
+    * histogram pass scans the key column only (map-side partial agg), and
+    * the hot set ships as an `isin` literal — codegen'd to a hash-set
+    * probe on both branch filters. */
+  def saltedJoinTargeted(left: DataFrame, right: DataFrame, key: String,
+      buckets: Int, sampleFraction: Double = 0.05,
+      hotMinSampleCount: Long = 1000L, maxHotKeys: Int = 10000): DataFrame = {
+    require(buckets > 0)
+    val hot = hotKeys(left, key, sampleFraction, hotMinSampleCount, maxHotKeys)
+    if (hot.isEmpty) left.join(right, Seq(key))
+    else {
+      val isHot = col(key).isin(hot.toIndexedSeq: _*)
+      val (hotLeft, hotRight) = saltedLegs(left, right, key, buckets, hot)
+      val hotJoined = hotLeft.join(hotRight, Seq(key, "__salt")).drop("__salt")
+      // NOT(isHot) is null for null keys, so the filter drops them — which
+      // inner join semantics already guarantee contribute nothing.
+      val coldJoined = left.filter(!isHot).join(right.filter(!isHot), Seq(key))
+      hotJoined.unionByName(coldJoined)
+    }
+  }
+
   /** Bloom-filter pre-join: build a Bloom filter over the build side's
     * join keys (one aggregated pass), ship the few-MB sketch to every
     * fact-scan task, and drop fact rows that cannot match BEFORE the join
@@ -137,7 +212,16 @@ object Joins {
     *
     * `expectedKeys` sizes the filter (bits ∝ keys·ln(1/fpp)); oversizing
     * is a few MB of slack, undersizing degrades fpp, never correctness.
-    * Long and string keys supported (the sketch hashes both natively).
+    *
+    * Key types: any integral pair (both sides cast to bigint, so an int
+    * fact key probes the same long-hash space the builder inserted into),
+    * or string/string. Anything else throws — a silent class mismatch
+    * would make the filter reject every true match, turning "pure
+    * shuffle reduction" into an empty join. The probe itself is a native
+    * codegen'd expression ([[graft.expressions.BloomMightContain]]), so
+    * the pre-filter stays inside the scan's whole-stage-codegen span
+    * rather than breaking it the way a Scala UDF would.
+    *
     * The build side is computed twice (sketch pass + join); persist it
     * first when its lineage is expensive — for the intended use (a
     * selective dim) both passes are cheap relative to the fact scan
@@ -145,16 +229,33 @@ object Joins {
   def bloomPreFilteredJoin(fact: DataFrame, build: DataFrame,
       factKey: String, buildKey: String,
       expectedKeys: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
-    val spark = fact.sparkSession
-    val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
-    val bcast = spark.sparkContext.broadcast(bf)
-    val isLong = fact.schema(factKey).dataType ==
-      org.apache.spark.sql.types.LongType
-    val might =
-      if (isLong) udf((k: java.lang.Long) =>
-        k != null && bcast.value.mightContainLong(k))
-      else udf((k: String) => k != null && bcast.value.mightContainString(k))
-    val filtered = fact.filter(might(col(factKey)))
+    import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+    import org.apache.spark.sql.types._
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val fkt = fact.schema(factKey).dataType
+    val bkt = build.schema(buildKey).dataType
+    val probe: Column = (fkt, bkt) match {
+      case (f, b) if integral(f) && integral(b) =>
+        // build and probe both as bigint: stat.bloomFilter hashes integral
+        // keys as longs, so the explicit cast pins both sides to the same
+        // hash space whatever the narrower storage types are
+        val bf = build.select(col(buildKey).cast(LongType).as("__bk"))
+          .stat.bloomFilter("__bk", expectedKeys, fpp)
+        ExpressionUtils.column(graft.expressions.BloomMightContain(
+          ExpressionUtils.expression(col(factKey).cast(LongType)), bf))
+      case (StringType, StringType) =>
+        val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+        ExpressionUtils.column(graft.expressions.BloomMightContain(
+          ExpressionUtils.expression(col(factKey)), bf))
+      case (f, b) => throw new IllegalArgumentException(
+        "bloomPreFilteredJoin needs integral keys on both sides or string " +
+          s"keys on both sides; got fact.$factKey: ${f.catalogString}, " +
+          s"build.$buildKey: ${b.catalogString}")
+    }
+    val filtered = fact.filter(probe)
     filtered.join(build, filtered(factKey) === build(buildKey))
   }
 }

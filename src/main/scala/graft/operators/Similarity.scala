@@ -70,12 +70,34 @@ object Similarity {
   /** Distributed k-means coarse quantizer: deterministic init (first k by
     * id), `iters` Lloyd steps, each an assign (broadcast centroids) +
     * recompute (one shuffle on cluster id). Returns (cluster_id, centroid:
-    * array<double>). */
-  def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    * array<double>).
+    *
+    * `sampleRate` < 1 trains on a deterministic `Sampling.hashSample` of
+    * the corpus — the standard IVF recipe: the coarse quantizer only needs
+    * the density SHAPE of the data, which a sample captures, so training
+    * costs O(sample × iters) instead of `iters` full-corpus passes (at
+    * 100 TB the full-corpus Lloyd loop is the plan you would never run;
+    * a fraction of a percent of the corpus trains the same 4096-centroid
+    * quantizer). Assignment of the full corpus to the trained centroids
+    * (`assign` / `buildIvfIndex`) is unchanged — still one corpus pass.
+    * If the sample is too thin to carve k cells (< 4k vectors), training
+    * silently widens back to the full corpus rather than degenerating. */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 3,
+      sampleRate: Double = 1.0): DataFrame = {
+    require(sampleRate > 0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    val train =
+      if (sampleRate >= 1.0) corpus
+      else {
+        // pinned once: every Lloyd iteration re-reads the sample
+        val s = Sampling.hashSample(corpus, col("vec_id"), sampleRate)
+          .localCheckpoint(true)
+        if (s.count() >= 4L * k) s else corpus
+      }
     // deterministic init: first k by id. The k rows collapse into one agg
     // (no global row_number window — that shape moves all data to a single
     // partition and warns; here only k tiny rows ever reach one task)
-    var centroids = corpus.orderBy(col("vec_id")).limit(k)
+    var centroids = train.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("centroid"))
       .agg(array_sort(collect_list(struct(col("vec_id"), col("centroid")))).as("cs"))
       .select(posexplode(col("cs")))
@@ -85,8 +107,8 @@ object Similarity {
     for (_ <- 1 to iters) {
       // Mean per (cluster, position): posexplode + avg is the
       // constant-memory-per-group shape (no array buffering in the agg).
-      centroids = assign(corpus, centroids)
-        .join(corpus, "vec_id")
+      centroids = assign(train, centroids)
+        .join(train, "vec_id")
         .select(col("cluster_id"), posexplode(col("embedding")))
         .groupBy(col("cluster_id"), col("pos"))
         .agg(avg(col("col").cast("double")).as("m"))

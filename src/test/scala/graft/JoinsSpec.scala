@@ -54,6 +54,104 @@ class JoinsSpec extends SparkSpec {
       === plain.select("fk", "v", "b").collect().map(_.toString).sorted)
   }
 
+  test("bloomPreFilteredJoin routes narrow integral keys through the long " +
+    "hash space (no silent string-cast false-negatives)") {
+    // int keys: before the type fix these fell into the string UDF path,
+    // probing string hashes against a long-hashed filter -> empty join
+    val fact = (1 to 20000).map(i => (i, i * 2L)).toDF("fk", "v")
+    val build = (1 to 200).map(i => (i * 100, s"b$i")).toDF("bk", "name")
+    val plain = fact.join(build, col("fk") === col("bk"))
+    val bloomed = Joins.bloomPreFilteredJoin(fact, build, "fk", "bk",
+      expectedKeys = 1000L)
+    assert(plain.count() === 200L)
+    assert(bloomed.select("fk", "v", "name").collect().map(_.toString).sorted
+      === plain.select("fk", "v", "name").collect().map(_.toString).sorted)
+  }
+
+  test("bloomPreFilteredJoin throws on unsupported or mismatched key classes") {
+    val longFact = Seq((1L, 1)).toDF("fk", "v")
+    val strBuild = Seq(("1", 1)).toDF("bk", "b")
+    val dblFact = Seq((1.0, 1)).toDF("fk", "v")
+    val longBuild = Seq((1L, 1)).toDF("bk", "b")
+    intercept[IllegalArgumentException] {
+      Joins.bloomPreFilteredJoin(longFact, strBuild, "fk", "bk")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.bloomPreFilteredJoin(dblFact, longBuild, "fk", "bk")
+    }
+  }
+
+  test("bloom pre-filter is a native codegen'd expression, not a UDF barrier") {
+    // spark.range, not toDF: a LocalRelation fact side would let
+    // ConvertToLocalRelation evaluate the (deterministic) probe at
+    // optimization time and drop the Filter from the physical plan
+    val fact = spark.range(1L, 1001L)
+      .select(col("id").as("fk"), col("id").as("v"))
+    val build = (1L to 10L).map(i => (i * 50, i)).toDF("bk", "b")
+    val df = Joins.bloomPreFilteredJoin(fact, build, "fk", "bk",
+      expectedKeys = 100L)
+    df.collect() // materialize so AQE finalizes its codegen'd stages
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_might_contain"),
+      s"native bloom probe missing from plan:\n$plan")
+    // the Filter carrying the probe must sit INSIDE a whole-stage-codegen
+    // span (simpleString prefixes codegen'd nodes with "*(n)"); inspect
+    // only AQE's Final Plan — the Initial Plan echo is never annotated
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val filterLines = finalPlan.linesIterator
+      .filter(_.contains("graft_might_contain")).toSeq
+    assert(filterLines.nonEmpty && filterLines.forall(_.contains("*(")),
+      s"bloom probe filter not codegen'd:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF survived in plan:\n$plan")
+  }
+
+  test("saltedJoinTargeted == plain join; only hot-key right rows replicate") {
+    // key 1: 10k rows (hot); keys 2..101: 10 rows each (cold tail)
+    val left = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      (for (k <- 2 to 101; i <- 1 to 10) yield (k.toLong, i.toLong)))
+      .toDF("k", "lv")
+    val right = (1 to 120).map(i => (i.toLong, s"dim_$i")).toDF("k", "rv")
+    val plain = left.join(right, "k")
+    // sampleFraction=1.0 -> exact histogram, deterministic hot set
+    val out = Joins.saltedJoinTargeted(left, right, "k", buckets = 8,
+      sampleFraction = 1.0, hotMinSampleCount = 1000L)
+    assert(out.select("k", "lv", "rv").collect().map(_.toString).sorted
+      === plain.select("k", "lv", "rv").collect().map(_.toString).sorted)
+
+    val hot = Joins.hotKeys(left, "k", 1.0, 1000L, 100)
+    assert(hot.toSeq === Seq(1L)) // only the hot key qualifies
+    // replication is confined to the hot key: the salted right leg holds
+    // |right ∩ hot| x buckets rows, NOT |right| x buckets like saltedJoin
+    val (_, hotRight) = Joins.saltedLegs(left, right, "k", 8, hot)
+    assert(hotRight.count() === 8L)
+    // and the hot left leg actually spreads over several salt buckets
+    val (hotLeft, _) = Joins.saltedLegs(left, right, "k", 8, hot)
+    assert(hotLeft.select(count_distinct(col("__salt"))).as[Long].head() > 1)
+  }
+
+  test("saltedJoinTargeted with no hot keys degrades to the plain join " +
+    "(and null keys match nothing either way)") {
+    val left = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "n")).toDF("k", "lv")
+    val right = Seq((Some(1L), "r1"), (None, "rn")).toDF("k", "rv")
+    val plain = left.join(right, "k")
+    val out = Joins.saltedJoinTargeted(left, right, "k", buckets = 4,
+      sampleFraction = 1.0, hotMinSampleCount = 100L)
+    assert(out.collect().map(_.toString).sorted
+      === plain.collect().map(_.toString).sorted)
+    // with a threshold of 1 every key is hot: still the plain-join result
+    val allHot = Joins.saltedJoinTargeted(left, right, "k", buckets = 4,
+      sampleFraction = 1.0, hotMinSampleCount = 1L)
+    assert(allHot.collect().map(_.toString).sorted
+      === plain.collect().map(_.toString).sorted)
+  }
+
+  test("hotKeys throws when the threshold flags more than maxHotKeys") {
+    val left = (1 to 100).flatMap(k => Seq.fill(5)((k.toLong, k))).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Joins.hotKeys(left, "k", 1.0, 1L, maxHotKeys = 10)
+    }
+  }
+
   test("enrich keeps unmatched fact rows (left join, not the reference's drop)") {
     val facts = Seq((1L, 10.0), (2L, 20.0)).toDF("dim_id", "amount")
     val dim = Seq((1L, "known")).toDF("dim_id", "name")

@@ -54,6 +54,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sampled quantizer training yields a full, well-formed centroid set " +
+    "and a valid IVF search") {
+    val dims = emb.select(size(col("embedding"))).as[Int].head()
+    val centroids = Similarity.trainCentroids(emb, k = 8, iters = 1,
+      sampleRate = 0.5).localCheckpoint(true)
+    val rows = centroids.select(col("cluster_id"), size(col("centroid")))
+      .as[(Long, Int)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to 8L)) // k centroids, dense ids
+    assert(rows.forall(_._2 == dims)) // full embedding dimensionality
+    // deterministic: the hash sample is seed-free/content-addressed
+    val again = Similarity.trainCentroids(emb, k = 8, iters = 1,
+      sampleRate = 0.5)
+    assert(again.collect().map(_.toString).sorted
+      === centroids.collect().map(_.toString).sorted)
+    // the search contract holds on sample-trained centroids
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = Similarity.ivfTopK(emb, queries, k = 5, centroids, nProbe = 4)
+      .select("query_id", "rank").as[(Long, Int)].collect()
+    assert(out.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5) })
+  }
+
+  test("a too-thin sample falls back to full-corpus training (never fewer " +
+    "vectors than 4k)") {
+    // 500 vecs * 0.01 = ~5 sampled < 4*8: fallback must reproduce the
+    // full-corpus quantizer exactly
+    val sampled = Similarity.trainCentroids(emb, k = 8, iters = 1,
+      sampleRate = 0.01)
+    val full = Similarity.trainCentroids(emb, k = 8, iters = 1)
+    assert(sampled.collect().map(_.toString).sorted
+      === full.collect().map(_.toString).sorted)
+  }
+
   test("index scan is pruned to the probed cluster partitions") {
     val path = Files.createTempDirectory("graft-ivf2").toString + "/index"
     val centroids = Similarity.trainCentroids(emb, k = 8, iters = 1)
