@@ -1753,7 +1753,7 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
         |UNION ALL SELECT 'range(l_discount,0.0,0.1)',
         |  CAST(SUM(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
-        |UNION ALL SELECT 'matches(l_returnflag)',
+        |UNION ALL SELECT 'matches(l_returnflag,^[ANR]$)',
         |  CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND NOT regexp_matches(l_returnflag, '^[ANR]$') THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
         |UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
         |  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) FROM lineitem

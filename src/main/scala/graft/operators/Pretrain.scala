@@ -63,7 +63,15 @@ object Pretrain {
     * out of the join's broadcast exchange), broadcast below
     * `broadcastMaxIds`, shuffled above it instead of OOMing executors.
     * Shingle hashing (xxhash64) matches the dedup inverted-index
-    * convention. */
+    * convention.
+    *
+    * RESOURCE NOTE: the contaminated-ids sliver is localCheckpoint'ed
+    * EAGERLY on every call, and its storage blocks must outlive the
+    * returned (lazy) anti-join — so they are deliberately NOT unpersisted
+    * here and accumulate across repeated library calls in a long-lived
+    * session. Wrap repeated calls in [[decontaminateScoped]] to release
+    * them once the result is consumed (Bench's inter-query hygiene pass
+    * covers the gate path the same way). */
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
       shingleLen: Int = 8, broadcastMaxIds: Long = 1L << 22): DataFrame = {
     def sh(df: DataFrame, cols: Column*): DataFrame = df.select(
@@ -80,6 +88,27 @@ object Pretrain {
       if (contaminated.count() <= broadcastMaxIds) broadcast(contaminated)
       else contaminated
     corpus.join(antiSide, Seq("doc_id"), "left_anti")
+  }
+
+  /** [[decontaminate]] with bounded block lifetime: runs `consume` on the
+    * clean corpus, then unpersists every RDD block the call materialized
+    * (the contaminated-ids localCheckpoint), so repeated pipeline calls
+    * do not accumulate storage memory. `consume` must fully drain the
+    * result (write/collect/count) — the blocks are gone when it returns.
+    *
+    * Block tracking is a before/after diff of the session's persistent
+    * RDDs, which assumes no CONCURRENT persist activity on the same
+    * SparkSession during the call — the single-pipeline shape this stage
+    * runs in. */
+  def decontaminateScoped[T](corpus: DataFrame, evalDocs: DataFrame,
+      shingleLen: Int = 8, broadcastMaxIds: Long = 1L << 22)(
+      consume: DataFrame => T): T = {
+    val sc = corpus.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    try consume(decontaminate(corpus, evalDocs, shingleLen, broadcastMaxIds))
+    finally sc.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
   }
 
   /** Multi-eval-set decontamination with attribution: for every training

@@ -31,9 +31,11 @@ object Quality {
   final case class Range(col: String, min: Double, max: Double) extends Rule {
     def name = s"range($col,$min,$max)"
   }
-  /** Violations = non-null rows not matching the anchored regex. */
+  /** Violations = non-null rows not matching the anchored regex. The
+    * regex is part of the rule name: two different patterns on the same
+    * column are distinct rules and must report as distinct rows. */
   final case class Matches(col: String, regex: String) extends Rule {
-    def name = s"matches($col)"
+    def name = s"matches($col,$regex)"
   }
   /** Violations = rows in excess of one per distinct key tuple. */
   final case class Unique(cols: Seq[String]) extends Rule {
@@ -55,8 +57,10 @@ object Quality {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // coalesce: sum over an EMPTY relation is null, but "no rows" means
+    // zero violations, not an unknown count
     def cnt(pred: Column): Column =
-      sum(when(pred, 1L).otherwise(0L)).cast("long")
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).cast("long")
 
     val rowLocal: Seq[(String, Column)] = rules.collect {
       case r @ NotNull(c) => r.name -> cnt(col(c).isNull)
@@ -71,16 +75,23 @@ object Quality {
         val agg = df.agg(rowLocal.head._2.as("c0"),
           rowLocal.tail.zipWithIndex.map { case ((_, e), i) => e.as(s"c${i + 1}") }: _*)
         val row = agg // one row; stack to (rule, violations)
-        row.select(explode(map(
-          rowLocal.zipWithIndex.flatMap { case ((n, _), i) =>
-            Seq(lit(n), col(s"c$i")) }: _*)).as(Seq("rule", "violations")))
+        // array-of-struct, not map: a map literal keyed by rule name fails
+        // at runtime on duplicate names (mapKeyDedupPolicy=EXCEPTION) or
+        // silently drops a report row (LAST_WIN); duplicate-named rules
+        // are legal here and simply report as duplicate rows
+        row.select(explode(array(
+            rowLocal.zipWithIndex.map { case ((n, _), i) =>
+              struct(lit(n).as("rule"), col(s"c$i").as("violations")) }: _*))
+            .as("__r"))
+          .select(col("__r.rule"), col("__r.violations"))
       }
 
     val others: Seq[DataFrame] = rules.collect {
       case r @ Unique(cols0) =>
         val keys = cols0.map(col)
         df.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
-          .agg((sum(col("__n")) - count(lit(1))).cast("long").as("violations"))
+          .agg(coalesce(sum(col("__n")) - count(lit(1)), lit(0L))
+            .cast("long").as("violations"))
           .select(lit(r.name).as("rule"), col("violations"))
       case r @ RefIntegrity(c, dim, dimCol) =>
         val keys = dim.select(col(dimCol)).distinct()

@@ -168,7 +168,7 @@ class OperatorsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(out("not_null(v)") === 1L)
     assert(out("range(v,0.0,50.0)") === 1L)
-    assert(out("matches(flag)") === 1L)
+    assert(out("matches(flag,^[ANR]$)") === 1L)
     assert(out("unique(id)") === 1L)   // one row in excess of distinct
     assert(out("ref(id)") === 1L)      // id=9 dangles
     // row-local rules share ONE aggregate over one scan
@@ -177,6 +177,51 @@ class OperatorsSpec extends SparkSpec {
           Quality.Matches("flag", "a")))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Union"), plan.take(800))
+  }
+
+  test("Quality.violations: duplicate-shaped rules coexist and an empty " +
+    "input reports zeros, not nulls") {
+    import graft.operators.Quality
+    val df = Seq((1L, "ab"), (2L, "zz")).toDF("id", "flag")
+    // two regex rules on the SAME column: distinct names (regex included),
+    // and even genuinely identical rules must not trip map-key dedup
+    val out = Quality.violations(df, Seq(
+        Quality.Matches("flag", "^a.$"),
+        Quality.Matches("flag", "^z.$"),
+        Quality.NotNull("id"),
+        Quality.NotNull("id")))
+      .as[(String, Long)].collect()
+    assert(out.count(_._1.startsWith("matches(")) === 2)
+    assert(out.toMap.apply("matches(flag,^a.$)") === 1L)
+    assert(out.toMap.apply("matches(flag,^z.$)") === 1L)
+    assert(out.count(_._1 == "not_null(id)") === 2) // duplicates both report
+    // empty input: every rule class reports 0 violations
+    val empty = df.filter(lit(false))
+    val zeros = Quality.violations(empty, Seq(
+        Quality.NotNull("flag"),
+        Quality.Range("id", 0.0, 1.0),
+        Quality.Unique(Seq("id")),
+        Quality.RefIntegrity("id", Seq(1L).toDF("k"), "k")))
+      .as[(String, Long)].collect()
+    assert(zeros.length === 4)
+    assert(zeros.forall(_._2 == 0L), zeros.mkString(", "))
+  }
+
+  test("decontaminateScoped releases the checkpointed sliver blocks after " +
+    "the consumer drains the result") {
+    val sc = spark.sparkContext
+    val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq((1L, "x alpha beta gamma y z"),
+      (2L, "completely unrelated text here")).toDF("doc_id", "text")
+    val before = sc.getPersistentRDDs.keySet
+    val kept = Pretrain.decontaminateScoped(train, evalSet, shingleLen = 3) {
+      clean =>
+        // while consuming, the sliver IS materialized (blocks present)
+        assert(sc.getPersistentRDDs.keySet.size > before.size)
+        clean.select("doc_id").as[Long].collect().sorted
+    }
+    assert(kept.toSeq === Seq(2L))
+    assert(sc.getPersistentRDDs.keySet === before) // nothing retained
   }
 
   test("decontaminate drops docs sharing an n-gram with the eval set") {
