@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
 object Bench {
+
+  /** Per-stream-gate micro-batch accounting, summed over every progress
+    * event the gate's (bounded) run emitted. Splits the streaming
+    * lifecycle cost — state-store commit, WAL/offset commits, planning —
+    * from the data cost (addBatch), so a round-over-round drift in a
+    * stream gate is attributable instead of argued (stream timings swing
+    * with machine load precisely in these components). */
+  private final class StreamAgg {
+    var batches = 0L
+    var triggerMs = 0L
+    var addBatchMs = 0L
+    var walCommitMs = 0L
+    var commitOffsetsMs = 0L
+    var queryPlanningMs = 0L
+    var stateCommitMs = 0L
+    var stateRowsTotal = 0L // last observed total state rows
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,12 +42,18 @@ object Bench {
     // full micro-batch + checkpoint lifecycle regardless, and running 15
     // streaming queries here would double bench wall-clock for paths the
     // batch twins already compile.
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!name.startsWith("stream_") && only.forall(_.contains(name)))
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    else
+      // a silently-skipped warmup reintroduces the exact first-touch
+      // attribution nondeterminism the pass exists to remove — say so
+      println(s"[bench] WARM DIR ABSENT ($warmDir): per-plan warmup " +
+        "skipped; first-touch JIT cost lands on the first timed query")
     // Inter-query hygiene (untimed): drop leftover memory-sink tables,
     // unpersist localCheckpoint blocks, and GC — one query's residue must
     // not tax the next query's timing (measured: the last bench query ran
@@ -41,6 +67,40 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
+    // Streaming lifecycle listener: progress events are attributed to the
+    // gate being timed via `current` (gates run strictly sequentially).
+    val streamAgg = new java.util.concurrent.ConcurrentHashMap[String, StreamAgg]()
+    @volatile var current: String = null
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val gate = current
+        if (gate != null) {
+          val a = streamAgg.computeIfAbsent(gate, _ => new StreamAgg)
+          val d = e.progress.durationMs
+          def ms(k: String): Long =
+            Option(d.get(k)).map(_.longValue()).getOrElse(0L)
+          a.synchronized {
+            a.batches += 1
+            a.triggerMs += ms("triggerExecution")
+            a.addBatchMs += ms("addBatch")
+            a.walCommitMs += ms("walCommit")
+            a.commitOffsetsMs += ms("commitOffsets")
+            a.queryPlanningMs += ms("queryPlanning")
+            val ops = e.progress.stateOperators
+            if (ops != null && ops.nonEmpty) {
+              a.stateCommitMs += ops.map(_.commitTimeMs).sum
+              a.stateRowsTotal = ops.map(_.numRowsTotal).sum
+            }
+          }
+        }
+      }
+    }
+    spark.streams.addListener(listener)
     // (sec, succeeded) per query — a throwing query must NOT masquerade as
     // a healthy timing
     // sorted execution order: Map iteration order shifts when gates are
@@ -51,10 +111,13 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       reset()
+      current = name
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      current = null
       name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
+    spark.streams.removeListener(listener)
     // Full-precision per-query lines for humans/logs (the driver ignores
     // these; they scroll off its 2000-char stdout tail window)
     results.foreach { case (k, (v, ok)) =>
@@ -64,6 +127,8 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).sum
     def r2(v: Double): String = (math.rint(v * 100) / 100).toString
+    val sfShort = sfDir.split('/').last
+    writeFullArtifact(results, streamAgg, failed, total, sfShort)
     // The driver records only the LAST ~2000 chars of stdout, and sbt
     // appends ~70 chars of its own after us — so the ONE metric line must
     // stay well under that or its head is truncated and the driver's JSON
@@ -71,7 +136,6 @@ object Bench {
     // 2-decimal values + short sf; if the query set ever outgrows the
     // budget, drop the FASTEST queries from the map (their timings are the
     // least informative) and say how many were omitted.
-    val sfShort = sfDir.split('/').last
     def line(qmap: Seq[(String, String)], omitted: Int): String = {
       val qs = qmap.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -85,5 +149,52 @@ object Bench {
       keep -= 1
     println(line(bySlowest.take(keep), bySlowest.length - keep))
     spark.stop()
+  }
+
+  /** The COMPLETE per-query artifact the 1800-char metric line cannot
+    * carry: every timing at full precision, plus the per-stream-gate
+    * micro-batch duration breakdown. Written to `bench_full_r<N>.json`
+    * in the working directory (N = 1 + the highest committed BENCH_r
+    * round, so the artifact lands next to the round's driver files) and
+    * committed with the round — all 114+ timings stay diffable between
+    * rounds. `SPARK_GRAFT_BENCH_FULL` overrides the path (set it to
+    * /dev/null for throwaway local runs). */
+  private def writeFullArtifact(
+      results: Seq[(String, (Double, Boolean))],
+      streamAgg: java.util.concurrent.ConcurrentHashMap[String, StreamAgg],
+      failed: String, total: Double, sfShort: String): Unit = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", {
+      val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .map(_.getName)
+        .collect { case n if n.startsWith("BENCH_r") && n.endsWith(".json") =>
+          n.stripPrefix("BENCH_r").stripSuffix(".json") }
+        .flatMap(s => scala.util.Try(s.toInt).toOption)
+        .foldLeft(0)(math.max) + 1
+      f"bench_full_r$round%02d.json"
+    })
+    if (path == "/dev/null") return
+    def q3(v: Double): String = f"$v%.3f"
+    val queries = results.map { case (k, (v, ok)) =>
+      s""""$k":${if (ok) q3(v) else "-1"}""" }.mkString("{", ",", "}")
+    val streams = {
+      import scala.jdk.CollectionConverters._
+      streamAgg.asScala.toSeq.sortBy(_._1).map { case (k, a) =>
+        s""""$k":{"batches":${a.batches},"trigger_ms":${a.triggerMs},""" +
+          s""""add_batch_ms":${a.addBatchMs},"state_commit_ms":${a.stateCommitMs},""" +
+          s""""wal_commit_ms":${a.walCommitMs},"commit_offsets_ms":${a.commitOffsetsMs},""" +
+          s""""query_planning_ms":${a.queryPlanningMs},"state_rows":${a.stateRowsTotal}}"""
+      }.mkString("{", ",", "}")
+    }
+    val json =
+      s"""{"sf":"$sfShort","total_sec":${q3(total)},"failed":$failed,
+         |"queries":$queries,
+         |"streams":$streams}
+         |""".stripMargin
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+      println(s"[bench] full artifact: $path")
+    } catch { case e: Throwable =>
+      println(s"[bench] full artifact write failed ($path): $e")
+    }
   }
 }
