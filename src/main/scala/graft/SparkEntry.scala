@@ -1381,6 +1381,21 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes_out"))
         .orderBy(col("doc_id"))),
 
+    // ── Multimodal with a REAL codec in the loop: per-doc PNG fixture
+    // (deterministic dims + pixels from doc_id) → ImageIO decode →
+    // nearest-neighbor downscale → PNG encode → re-decode and compare
+    // every pixel to the formula. mismatches=0 is only reachable if the
+    // full decode→scale→encode round trip is lossless; the oracle
+    // recomputes the expected output dims from doc_id in SQL.
+    "mm_resize_png" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+      Multimodal.validatePngResize(
+          Multimodal.resizePng(Multimodal.pngMedia(ids), factor = 2),
+          factor = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Multimodal: stubbed per-partition feature extraction. Scalar
     // projections of the feature vector (dim; sum == payload byte count by
     // construction of the histogram stub) make the stage oracle-checkable.
@@ -3170,6 +3185,17 @@ object SparkEntry {
     "mm_resize" ->
       """SELECT doc_id, CAST((strlen(text) + 3) // 4 AS BIGINT) AS n_bytes_out
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // fixture dims are pure functions of doc_id (w=4+id%5, h=3+id%7);
+    // factor 2 → floor halves clamped at 1. mismatches=0 / has_payload
+    // pin the codec round trip itself.
+    "mm_resize_png" ->
+      """SELECT doc_id,
+        |  CAST(GREATEST(1, (4 + doc_id % 5) // 2) AS INTEGER) AS out_w,
+        |  CAST(GREATEST(1, (3 + doc_id % 7) // 2) AS INTEGER) AS out_h,
+        |  CAST(0 AS BIGINT) AS mismatches,
+        |  TRUE AS has_payload
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     // the stub feature is a 16-bin byte histogram of the utf-8 payload, so
     // dim == 16 and sum(bins) == byte length — both engine-independent

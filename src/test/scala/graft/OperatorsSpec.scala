@@ -137,6 +137,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out.getAs[org.apache.spark.sql.Row]("meta").getLong(0) === 3L)
   }
 
+  test("resizePng runs a real PNG decode→scale→encode round trip with " +
+    "exact nearest-neighbor pixels") {
+    import graft.multimodal.Multimodal
+    // ids chosen to hit both dims branches: id 0 → 4x3 (→2x1), id 13 →
+    // 7x9 (→3x4)
+    val ids = Seq(0L, 13L).toDF("doc_id")
+    val media = Multimodal.pngMedia(ids)
+    // the fixture really is PNG (magic bytes) with the declared dims
+    val fix = media.collect().map(r => r.getLong(0) -> r).toMap
+    val magic = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+    assert(fix.values.forall(
+      _.getAs[Array[Byte]]("payload").take(4).sameElements(magic)))
+    val resized = Multimodal.resizePng(media, factor = 2)
+    val out = resized.collect().map(r => r.getLong(0) ->
+      r.getAs[org.apache.spark.sql.Row]("meta")).toMap
+    assert((out(0L).getInt(0), out(0L).getInt(1)) === (2, 1))
+    assert((out(13L).getInt(0), out(13L).getInt(1)) === (3, 4))
+    // every output pixel equals its formula-recomputed source pixel
+    val v = Multimodal.validatePngResize(resized, factor = 2)
+      .select("doc_id", "mismatches", "has_payload")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (k, m, p) => k -> ((m, p)) }.toMap
+    assert(v === Map(0L -> ((0L, true)), 13L -> ((0L, true))))
+  }
+
   test("pretrain filter composes: lang + quality + token bounds + dedup keeper") {
     val en = "the quick brown fox jumps over the lazy dog and that is it " * 5
     val docs = Seq(
