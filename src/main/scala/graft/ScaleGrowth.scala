@@ -80,6 +80,19 @@ object ScaleGrowth {
       val (n, note) = f(dir)
       ((System.nanoTime() - t0) / 1e9, n, note)
     }
+    // run an op with the RocksDB state-store provider, restoring the
+    // session default (HDFSBackedStateStoreProvider) afterwards
+    def rocksDb(f: String => (Double, Long, String)): String => (Double, Long, String) = { dir =>
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val before = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try f(dir)
+      finally before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
     Seq(
     "ngram_pairs" -> whole { dir =>
       val n = Dedup.ngramJaccardPairs(Tables.documents(spark, dir)).count()
@@ -163,6 +176,28 @@ object ScaleGrowth {
         graft.streaming.StatefulStreams.uvDedup(synthEventsStream(spark, dir))).count()
       (n, "FMGWS state rows = distinct users (grows Rx)")
     },
+    "stream_session_state" -> whole { dir =>
+      val n = graft.streaming.StreamRunner.collect(
+        graft.streaming.WindowedStreams.sessionStats(
+          synthEventsStream(spark, dir), gapSec = 1800L)).count()
+      (n, "session-window state rows ~ users x sessions (grows Rx)")
+    },
+    // RocksDB twins of the two big-state rows: same computation under
+    // RocksDBStateStoreProvider — the provider a real deployment uses
+    // once state outgrows the executor heap. Healthy growth is the same
+    // shape as the HDFS-backed rows (state rows Rx, per-row cost flat);
+    // the absolute times chart the provider's commit overhead curve.
+    "stream_uv_dedup_rocksdb" -> rocksDb(whole { dir =>
+      val n = graft.streaming.StreamRunner.collect(
+        graft.streaming.StatefulStreams.uvDedup(synthEventsStream(spark, dir))).count()
+      (n, "uvDedup under RocksDB provider (rows grow Rx)")
+    }),
+    "stream_session_rocksdb" -> rocksDb(whole { dir =>
+      val n = graft.streaming.StreamRunner.collect(
+        graft.streaming.WindowedStreams.sessionStats(
+          synthEventsStream(spark, dir), gapSec = 1800L)).count()
+      (n, "sessionStats under RocksDB provider (rows grow Rx)")
+    }),
     "dq_rules_scan" -> whole { dir =>
       // row-local rules fold into ONE scan + unique's single shuffle —
       // report rows stay constant (one per rule) at any corpus size
