@@ -216,6 +216,49 @@ object SparkEntry {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
+    // ── TPC-H Q8 shape: national market share — a 7-table star join
+    // (fact + two filtered dims + customer/supplier legs + two nation
+    // roles + region) feeding a conditional-fraction aggregate. Dims
+    // broadcast (nation/region always; part/supplier by AQE size rule);
+    // the fact shuffles once per non-broadcast equi key. The share is
+    // exact-decimal numerator/denominator, ONE double division at the
+    // end — engine-portable (BASELINE.md parity idiom).
+    "q8_market_share" -> ((s, dir) => {
+      val nSupp = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_natkey"), col("n_name").as("supp_nation"))
+      val nCust = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_natkey"),
+          col("n_regionkey").as("c_regionkey"))
+      val rEur = Tables.region(s, dir)
+        .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))
+      val pMed = Tables.part(s, dir)
+        .filter(col("p_type") === "MEDIUM").select(col("p_partkey"))
+      val vol = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))
+      Tables.lineitem(s, dir)
+        .join(pMed, col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nCust), col("c_nationkey") === col("c_natkey"))
+        .join(broadcast(rEur), col("c_regionkey") === col("r_regionkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nSupp), col("s_nationkey") === col("s_natkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", vol)).cast("double")
+            .as("nation_volume"),
+          sum(vol).cast("double").as("total_volume"))
+        .select(col("o_year"),
+          coalesce(col("nation_volume"), lit(0.0)).as("nation_volume"),
+          col("total_volume"),
+          (coalesce(col("nation_volume"), lit(0.0)) / col("total_volume"))
+            .as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
     // ── J8: salted equi-join — the targeted skew recipe as a direct gate.
     // The salt only changes DISTRIBUTION (hot l_orderkey spread over 8
     // reducers; orders replicated ×8), so the joined/aggregated result is
@@ -1430,6 +1473,28 @@ object SparkEntry {
         .select(col("user_id"), col("dt"), col("event_id"))
         .orderBy(col("user_id"), col("dt"))),
 
+    // ── T2 streaming under the RocksDB state store: byte-identical
+    // semantics to stream_t2_uv_dedup (same oracle), run with the
+    // big-state provider a production deployment uses once state
+    // outgrows the executor heap — provider-independence proven through
+    // the DuckDB gate, not just a spec.
+    "stream_t2_uv_rocksdb" -> ((s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val before = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try graft.streaming.StreamRunner.collect(
+          graft.streaming.StatefulStreams.uvDedup(
+            graft.streaming.Sources.eventsStream(s, dir)))
+          .select(col("user_id"), col("dt"), col("event_id"))
+          .orderBy(col("user_id"), col("dt"))
+          .localCheckpoint(true) // materialize under the provider conf
+      finally before match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // ── J3 streaming twin: stream-static broadcast enrichment — the
     // live shape of the reference's dim lookup (each micro-batch joins
     // the static dims as a broadcast hash lookup; no state, no
@@ -1737,6 +1802,37 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH j AS (
+        |  SELECT year(o_orderdate) AS o_year, n1.n_name AS supp_nation,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(3,2))) AS vol
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'MEDIUM'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey)
+        |SELECT o_year,
+        |  COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol END)
+        |    AS DOUBLE), 0) AS nation_volume,
+        |  CAST(SUM(vol) AS DOUBLE) AS total_volume,
+        |  COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol END)
+        |    AS DOUBLE), 0) / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "stream_t2_uv_rocksdb" ->
+      """WITH f AS (SELECT user_id,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt, event_id,
+        |    row_number() OVER (PARTITION BY user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, dt, event_id FROM f WHERE rn = 1 ORDER BY user_id, dt""".stripMargin,
 
     "j8b_salted_hot" ->
       """WITH dim AS (
