@@ -281,27 +281,30 @@ object SparkEntry {
     // ── J8b: TARGETED hot-key salting — the 100 TB refinement of j8.
     // Only keys above a sampled frequency threshold are salted; the cold
     // tail joins unsalted, so the right side replicates ×buckets for the
-    // hot slice only (JoinsSpec counts the salted legs). Fixture: lineitem
-    // keyed by return flag — "N" carries ~half the rows (genuinely hot at
-    // the 1/50 threshold), A/R ride the cold leg — against a per-flag dim.
-    // The oracle is the plain join: equality is the claim whatever the
-    // sampled hot set, exactly as with j8.
+    // hot slice only (JoinsSpec counts the salted legs). The testdata's
+    // categorical columns are all uniform, so the fixture DERIVES a
+    // skewed key from l_orderkey (key 0 carries ~60% of rows, keys 6-9
+    // ~10% each); the 1%-of-rows sample threshold flags exactly key 0 at
+    // every sf, so the gate exercises BOTH legs. The oracle is the plain
+    // join: equality is the claim whatever the sampled hot set, exactly
+    // as with j8.
     "j8b_salted_hot" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_returnflag"), col("l_extendedprice"))
-      val dim = Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
+      val li = Tables.lineitem(s, dir).select(
+        when(pmod(col("l_orderkey"), lit(10L)) < 6, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(10L))).as("skew_k"),
+        col("l_extendedprice"), col("l_tax"))
+      val dim = li.groupBy(col("skew_k"))
         .agg(min(col("l_tax").cast("decimal(12,2)")).cast("double")
-          .as("flag_min_tax"))
-      val thresh = math.max(1L, li.count() / 50L)
-      Joins.saltedJoinTargeted(li, dim, "l_returnflag", buckets = 8,
+          .as("k_min_tax"))
+      val thresh = math.max(1L, li.count() / 100L)
+      Joins.saltedJoinTargeted(li.drop("l_tax"), dim, "skew_k", buckets = 8,
           sampleFraction = 0.05, hotMinSampleCount = thresh, maxHotKeys = 16)
-        .groupBy(col("l_returnflag"))
+        .groupBy(col("skew_k"))
         .agg(count(lit(1)).as("ct"),
           sum(col("l_extendedprice").cast("decimal(12,2)"))
             .cast("double").as("revenue"),
-          min(col("flag_min_tax")).as("flag_min_tax"))
-        .orderBy(col("l_returnflag"))
+          min(col("k_min_tax")).as("k_min_tax"))
+        .orderBy(col("skew_k"))
     }),
 
     // ── J9: bloom-filter pre-join — the build side (urgent 1997 H1
@@ -1835,15 +1838,20 @@ object SparkEntry {
         |SELECT user_id, dt, event_id FROM f WHERE rn = 1 ORDER BY user_id, dt""".stripMargin,
 
     "j8b_salted_hot" ->
-      """WITH dim AS (
-        |  SELECT l_returnflag,
-        |    CAST(MIN(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS flag_min_tax
-        |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l.l_returnflag, COUNT(*) AS ct,
+      """WITH l AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 6 THEN 0
+        |              ELSE l_orderkey % 10 END AS skew_k,
+        |    l_extendedprice, l_tax
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT skew_k,
+        |    CAST(MIN(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS k_min_tax
+        |  FROM l GROUP BY skew_k)
+        |SELECT l.skew_k, COUNT(*) AS ct,
         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
-        |  MIN(d.flag_min_tax) AS flag_min_tax
-        |FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
-        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+        |  MIN(d.k_min_tax) AS k_min_tax
+        |FROM l JOIN dim d ON l.skew_k = d.skew_k
+        |GROUP BY l.skew_k ORDER BY l.skew_k""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,

@@ -225,6 +225,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q8_market_share: nation/region legs broadcast; no cartesian; " +
+    "part filter prunes before the fact join") {
+    val p = plan("q8_market_share")
+    // nSupp + nCust + region are explicit broadcasts (3 BHJs minimum;
+    // AQE may promote part/supplier too)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the p_type filter reaches the part scan (pushed, not post-join)
+    val partScan = p.linesIterator
+      .find(l => l.contains("PushedFilters") && l.contains("p_type"))
+    assert(partScan.isDefined, p.take(2000))
+  }
+
+  test("j8b_salted_hot: the hot leg joins on (key, salt); the cold leg " +
+    "joins unsalted — both legs union") {
+    val p = plan("j8b_salted_hot")
+    assert(p.contains("Union"), p.take(1500))
+    assert(p.contains("__salt"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("a10_cube: grouping sets expand map-side — one shuffle, partial agg before it") {
     val p = plan("a10_cube")
     assert(p.contains("Expand"), p.take(1200))
