@@ -278,6 +278,72 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── TPC-H Q10 shape: returned-item revenue, top-20 customers — a
+    // selective fact filter, three-way join, grouped revenue, and a
+    // bounded ORDER BY ... LIMIT (TakeOrdered: k rows per partition →
+    // driver merge, never a global sort). Tie-break on c_custkey keeps
+    // the limit boundary deterministic across engines.
+    "q10_returned_customers" -> ((s, dir) => {
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-04-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ── TPC-H Q14 shape: promo revenue share — one month of the fact,
+    // part joined for its type, a conditional-fraction aggregate. Exact
+    // decimal numerator/denominator, ONE double division (the portable
+    // idiom); the filter prunes the fact scan before the join.
+    "q14_promo_share" -> ((s, dir) => {
+      val vol = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", vol)).cast("double")
+            .as("promo_revenue"),
+          sum(vol).cast("double").as("total_revenue"))
+        .select(
+          coalesce(col("promo_revenue"), lit(0.0)).as("promo_revenue"),
+          col("total_revenue"),
+          (lit(100.0) * coalesce(col("promo_revenue"), lit(0.0)) /
+            col("total_revenue")).as("promo_share"))
+    }),
+
+    // ── TPC-H Q19 shape: disjunction of (brand × size × quantity)
+    // brackets as the JOIN condition — the classic OR-of-ANDs plan
+    // challenge. The equi key still drives a hash join; the brackets
+    // evaluate as a residual, and the single-side conjuncts
+    // (brand/size on part, quantity on lineitem) are pushable.
+    "q19_or_brackets" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val pt = Tables.part(s, dir)
+      val bracket =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      li.join(pt, col("l_partkey") === col("p_partkey") && bracket)
+        .agg(count(lit(1)).as("ct"),
+          coalesce(sum(col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .cast("double"), lit(0.0)).as("revenue"))
+    }),
+
     // ── J8b: TARGETED hot-key salting — the 100 TB refinement of j8.
     // Only keys above a sampled frequency threshold are salted; the cold
     // tail joins unsalted, so the right side replicates ×buckets for the
@@ -1805,6 +1871,47 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH j AS (
+        |  SELECT p_type, CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(3,2))) AS vol
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT
+        |  COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol END)
+        |    AS DOUBLE), 0) AS promo_revenue,
+        |  CAST(SUM(vol) AS DOUBLE) AS total_revenue,
+        |  100.0 * COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol END)
+        |    AS DOUBLE), 0) / CAST(SUM(vol) AS DOUBLE) AS promo_share
+        |FROM j""".stripMargin,
+
+    "q19_or_brackets" ->
+      """SELECT COUNT(*) AS ct,
+        |  COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 0) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |          AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |          AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+        |          AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
 
     "q8_market_share" ->
       """WITH j AS (
