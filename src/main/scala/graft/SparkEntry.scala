@@ -278,6 +278,38 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── Embedding random projection (Johnson–Lindenstrauss dim
+    // reduction, 64→8): each output row is one (vector, plane) dot
+    // product — pure codegen'd scan-side arithmetic, zero shuffle.
+    // Both sides truncate to 6 decimals (floor, the established
+    // a16_moments idiom): a 64-term double dot product is NOT
+    // bit-portable — graft_dot accumulates strictly sequentially while
+    // DuckDB's kernels reassociate, a measured 1-ulp drift.
+    "emb_project" -> ((s, dir) => {
+      val planes = graft.functions.VectorFns.randomPlanes(8, 64)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(graft.functions.VectorFns.project(col("embedding"), planes)))
+        .select(col("vec_id"), col("pos").cast("long").as("plane"),
+          graft.functions.TextFns.truncate6(col("col")).as("proj"))
+        .orderBy(col("vec_id"), col("plane"))
+    }),
+
+    // ── Sequence-length histogram: docs/tokens per power-of-two token-
+    // count bucket — the length-distribution audit every pretraining mix
+    // needs (context-window fit, packing efficiency). The bucket is
+    // integer floor(log2) via binary-string length: exact integer math,
+    // no floating log2 boundary risk in either engine.
+    "text_len_hist" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(tokenCount(col("text")).cast("long").as("n"))
+        .select((length(bin(greatest(col("n"), lit(1L)))) - 1).cast("long")
+          .as("len_bucket"), col("n"))
+        .groupBy(col("len_bucket"))
+        .agg(count(lit(1)).as("docs"), sum(col("n")).as("tokens"),
+          min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+        .orderBy(col("len_bucket"))),
+
     // ── TPC-H Q10 shape: returned-item revenue, top-20 customers — a
     // selective fact filter, three-way join, grouped revenue, and a
     // bounded ORDER BY ... LIMIT (TakeOrdered: k rows per partition →
@@ -1785,8 +1817,37 @@ object SparkEntry {
       s"(CASE WHEN ($dot) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** One UNION-ALL branch per plane, via DuckDB's `list_dot_product`
+    * kernel — sequential double accumulation, bit-identical to
+    * `graft_dot` (the same kernel family the sim_topk cosine oracles
+    * pin). An explicit `a+b+c+...` SQL chain is NOT equivalent: DuckDB
+    * reassociates long addition chains and drifts a ulp. */
+  private def projSql(planes: Seq[Array[Double]], emb: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(_.toString).mkString("[", ", ", "]")
+      s"SELECT vec_id, CAST($i AS BIGINT) AS plane, " +
+        s"floor(list_dot_product(CAST($emb AS DOUBLE[]), CAST($arr AS DOUBLE[])) " +
+        "* 1e6) / 1e6 AS proj FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
   def oracleSql: Map[String, String] = Map(
+
+    "emb_project" ->
+      s"""WITH p AS (
+        |${projSql(graft.functions.VectorFns.randomPlanes(8, 64), "embedding")})
+        |SELECT vec_id, plane, proj FROM p ORDER BY vec_id, plane""".stripMargin,
+
+    "text_len_hist" ->
+      """WITH t AS (SELECT
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x <> '')) AS n
+        |  FROM documents)
+        |SELECT CAST(length(bin(CAST(GREATEST(n, 1) AS BIGINT))) - 1 AS BIGINT)
+        |    AS len_bucket,
+        |  COUNT(*) AS docs, CAST(SUM(n) AS BIGINT) AS tokens,
+        |  CAST(MIN(n) AS BIGINT) AS min_tokens, CAST(MAX(n) AS BIGINT) AS max_tokens
+        |FROM t GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -50,6 +50,14 @@ object VectorFns {
       when(dot(v, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Random projection: map a vector to `planes.size` dot products — the
+    * cheap linear dimensionality reduction (Johnson–Lindenstrauss) that
+    * shrinks embeddings before ANN candidate scans or as coarse features.
+    * Plane coefficients embed as array literals, so the whole projection
+    * is codegen'd arithmetic on the scan — zero shuffle, zero UDF. */
+  def project(v: Column, planes: Seq[Array[Double]]): Column =
+    array(planes.map(p => dot(v, array(p.toIndexedSeq.map(lit): _*))): _*)
+
   /** Symmetric int8 quantization: scale = max|x| per vector, elements map
     * to floor(x/scale*127) ∈ [-127, 127] (floor, not round — identical
     * IEEE op order in any engine, so quantized vectors are bit-portable).
