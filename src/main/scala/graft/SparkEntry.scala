@@ -278,6 +278,16 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── Balanced per-source cap: at most 10 docs per source by portable
+    // hash order — deterministic mix balancing; rn<=k rides Spark's
+    // WindowGroupLimit (partial top-k per partition before the
+    // exchange, spec-pinned).
+    "sample_cap_per_source" -> ((s, dir) =>
+      graft.operators.Sampling.capPerGroup(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          col("source"), col("doc_id"), k = 10)
+        .orderBy(col("source"), col("doc_id"))),
+
     // ── Embedding random projection (Johnson–Lindenstrauss dim
     // reduction, 64→8): each output row is one (vector, plane) dot
     // product — pure codegen'd scan-side arithmetic, zero shuffle.
@@ -1832,6 +1842,15 @@ object SparkEntry {
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
   def oracleSql: Map[String, String] = Map(
+
+    "sample_cap_per_source" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 AS BIGINT),
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin,
 
     "emb_project" ->
       s"""WITH p AS (

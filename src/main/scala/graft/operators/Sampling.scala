@@ -27,6 +27,23 @@ object Sampling {
       HashFns.md5Lower64Mod(keyCol.cast("string"), Buckets) < (rate * Buckets).toLong)
   }
 
+  /** Balanced per-group cap: keep at most `k` rows per group, selected by
+    * portable-hash order of `keyCol` (ties broken by the key itself) — the
+    * "no source dominates the mix" step of a pretraining recipe, fully
+    * deterministic and partition-independent where a per-group
+    * `df.sample` is neither. One shuffle on the group key; the `rn <= k`
+    * filter triggers Spark's WindowGroupLimit, so each partition reduces
+    * to k candidate rows per group BEFORE the exchange — a capped group's
+    * long tail never crosses the wire at corpus scale. */
+  def capPerGroup(df: DataFrame, groupCol: Column, keyCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(HashFns.md5Lower64Mod(keyCol.cast("string"), Buckets), keyCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Weighted dataset mixture: union N corpora, each hash-sampled at its
     * own rate — the "mix web/books/code at fixed proportions" step of a
     * pretraining data recipe. Deterministic per source (same hash-keyed

@@ -262,6 +262,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p.take(1200))
   }
 
+  test("sample_cap_per_source: rn<=k runs as WindowGroupLimit (partial " +
+    "top-k per partition before the exchange) and the selection is " +
+    "partition-independent") {
+    val p = plan("sample_cap_per_source")
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    // deterministic: repartitioning the input must not change the capped set
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val a = Sampling.capPerGroup(docs, col("source"), col("doc_id"), 10)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    val b = Sampling.capPerGroup(docs.repartition(7), col("source"),
+        col("doc_id"), 10)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    assert(a === b)
+    assert(a.length === 200) // 20 sources x 10
+  }
+
   test("a13_rank_suite: all four rank functions fuse into ONE Window operator") {
     val p = plan("a13_rank_suite")
     // same window spec → Spark computes rank/dense_rank/percent_rank/ntile
