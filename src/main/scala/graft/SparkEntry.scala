@@ -1651,6 +1651,32 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ── K7 streaming: SCD2 dim maintenance from a CDC-style stream.
+    // Each micro-batch merges into an accumulating changelog store
+    // (StreamRunner.foldBatches — the foreachBatch dim-sink shape); the
+    // SCD2 history derives from the final store, so the result is exact
+    // at ANY batch boundary or arrival order. Deliberately NOT compacted
+    // to the dim itself between batches: scd2(changed(prefix) ∪ batch)
+    // drops rows a LATE out-of-order row can make significant again
+    // (an unchanged row after a late insert re-opens a version), so the
+    // maintained store is the raw changelog — dims are small by the K4
+    // contract, and the per-batch recompute is the price of exactness
+    // under out-of-order CDC.
+    "stream_k7_scd2" -> ((s, dir) => {
+      val stream = graft.streaming.Sources.eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val changelog = graft.streaming.StreamRunner.foldBatches(stream)(
+        (st, b) => st.map(_.unionByName(b)).getOrElse(b))
+      graft.operators.Scd.scd2(changelog,
+          keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+          attrCols = Seq("event_type"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("effective_from")).as("from_us"),
+          unix_micros(col("effective_to")).as("to_us"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("from_us"), col("event_id"))
+    }),
+
     // ── Engine-native streaming dedup: dropDuplicates runs as the
     // dedicated StreamingDeduplicate physical operator (state = seen
     // keys), distinct from the FMGWS path stream_t2 exercises. Emitting
@@ -2562,6 +2588,22 @@ object SparkEntry {
 
     // change-compact then interval: only rows whose tracked attribute
     // moved survive; lead() over the survivors closes each version
+    // identical truth to k7: the streaming path only changes HOW the
+    // changelog accumulates, never the derived history
+    "stream_k7_scd2" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events),
+        |v AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+        |f AS (SELECT user_id, event_id, event_type, us AS from_us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_us
+        |  FROM v)
+        |SELECT user_id, event_id, event_type, from_us, to_us,
+        |  CASE WHEN to_us IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM f ORDER BY user_id, from_us, event_id""".stripMargin,
+
     "k7_scd2_history" ->
       """WITH o AS (SELECT user_id, event_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -91,4 +91,33 @@ object StreamRunner {
     acc.forEach(a => a.foreach(rows.add))
     spark.createDataFrame(rows, schema)
   }
+
+  /** Fold the (finite) stream's micro-batches through `step`, returning
+    * the final state — the accumulating-store shape behind foreachBatch
+    * dim maintenance: each batch merges into a state DataFrame a
+    * downstream view derives from. The state is localCheckpoint'ed per
+    * batch so lineage does not stack across batches (the blocks die with
+    * the session; Bench's hygiene pass also sweeps them). */
+  def foldBatches(stream: DataFrame)(
+      step: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    val id = n.incrementAndGet()
+    val ckpt = s"$ckptRoot/graft-ckpt-$id-${System.nanoTime()}"
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          state.set(step(Option(state.get), b).localCheckpoint(true))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    require(state.get != null, "foldBatches: the stream produced no batches")
+    state.get
+  }
 }

@@ -282,6 +282,21 @@ class PlanSpec extends SparkSpec {
     assert(a.length === 200) // 20 sources x 10
   }
 
+  test("q10_returned_customers: bounded ORDER BY+LIMIT runs as " +
+    "TakeOrdered, never a global sort") {
+    val p = plan("q10_returned_customers")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q14_promo_share: the ship-date month prunes the fact scan before " +
+    "the join") {
+    val p = plan("q14_promo_share")
+    val scan = p.linesIterator
+      .find(l => l.contains("PushedFilters") && l.contains("l_shipdate"))
+    assert(scan.isDefined, p.take(2000))
+  }
+
   test("a13_rank_suite: all four rank functions fuse into ONE Window operator") {
     val p = plan("a13_rank_suite")
     // same window spec → Spark computes rank/dense_rank/percent_rank/ntile

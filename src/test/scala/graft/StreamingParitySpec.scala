@@ -38,6 +38,42 @@ class StreamingParitySpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("foldBatches SCD2 maintenance: exact under OUT-OF-ORDER batches — " +
+    "the case dim-compacted state would corrupt") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val q = ms.toDF()
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        state.set(Option(state.get)
+          .map(_.unionByName(b)).getOrElse(b).localCheckpoint(true))
+        ()
+      }
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft-test-scd2-${System.nanoTime()}")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // batch 1: A@10, A@30 (the A@30 row is "unchanged" — compaction
+    // would drop it). batch 2: a LATE B@20 lands between them, making
+    // A@30 open a version again. Raw accumulation gets A,B,A; state
+    // compacted to the dim after batch 1 would emit A,B only.
+    Seq(
+      Seq(ev(1, 100, 10, "A"), ev(2, 100, 30, "A")),
+      Seq(ev(3, 100, 20, "B"))
+    ).foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    val hist = graft.operators.Scd.scd2(state.get,
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        attrCols = Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("is_current"))
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(hist.toSeq === Seq((1L, "A", 0), (2L, "A", 1), (3L, "B", 0)))
+  }
+
   test("T1 new/old flag: only the first-ever event is new, across batches") {
     val out = runBatches(Seq(
       Seq(ev(1, 100, 10), ev(2, 100, 20)),
