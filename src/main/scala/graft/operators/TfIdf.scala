@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object TfIdf {
 
+  /** Input size above which [[topTerms]] pins the TF table by default.
+    * Below it the recompute is cheaper than the cache write (measured at
+    * sf0.1, ~9 MB of documents: recompute wins by ~0.8 s); above it a
+    * second full tokenize+explode+aggregate pass over the corpus costs
+    * more than spilling the (much smaller) TF table once. 1 GiB is
+    * deliberately conservative — the crossover is well below it, but a
+    * wrong "persist" above 1 GiB costs a bounded cache write while a
+    * wrong "recompute" at corpus scale costs a full second scan. */
+  val PersistTfThresholdBytes: Long = 1L << 30
+
   /** Term frequency per (doc_id, term). */
   def termFreq(documents: DataFrame): DataFrame =
     documents
@@ -51,10 +61,26 @@ object TfIdf {
     * RESOURCE NOTE: the cached TF blocks must outlive the returned lazy
     * result, so they are not unpersisted here; long-lived sessions issue
     * `spark.catalog.clearCache()` (or unpersist via getPersistentRDDs)
-    * once the result is drained, as Bench's hygiene pass does. */
-  def topTerms(documents: DataFrame, k: Int): DataFrame = {
-    val tf = termFreq(documents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * once the result is drained, as Bench's hygiene pass does.
+    *
+    * `persistTf` defaults to SIZE-GATED because the cache write is not
+    * free: an in-JVM interleaved A/B (AbDrift, r10, 7 trials) measured
+    * persist at sf0.1 as a consistent LOSS — median 2.59 s vs 1.75 s
+    * without (every trial slower) — confirming the r9 driver-bench
+    * regression (1.63→2.16 s) was the persist, not load. At small input
+    * the cache write + block-manager bookkeeping cost more than the
+    * second tokenization scan they avoid; at corpus scale the second
+    * full scan dominates and the cache wins. `None` picks per input via
+    * Catalyst's file-size stats (no extra scan); `Some(b)` forces. */
+  def topTerms(documents: DataFrame, k: Int,
+      persistTf: Option[Boolean] = None): DataFrame = {
+    val doPersist = persistTf.getOrElse(
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes
+        >= PersistTfThresholdBytes)
+    val tfRaw = termFreq(documents)
+    val tf = if (doPersist)
+      tfRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tfRaw
     val df = docFreq(tf)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
