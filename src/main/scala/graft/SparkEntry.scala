@@ -1108,7 +1108,7 @@ object SparkEntry {
     "stream_cep_funnel" -> ((s, dir) =>
       graft.streaming.StreamRunner.collect(
         graft.streaming.Cep.run(
-          graft.streaming.Sources.eventsStream(s, dir)
+          graft.streaming.Sources.eventsStreamSplit(s, dir)
             .withWatermark("ts", "0 seconds"),
           cepFunnelPattern))
         .select(col("user_id"), col("first_event_id"), col("last_event_id"),
@@ -1131,7 +1131,7 @@ object SparkEntry {
     "stream_cep_funnel_relaxed" -> ((s, dir) =>
       graft.streaming.StreamRunner.collect(
         graft.streaming.Cep.run(
-          graft.streaming.Sources.eventsStream(s, dir)
+          graft.streaming.Sources.eventsStreamSplit(s, dir)
             .withWatermark("ts", "0 seconds"),
           cepRelaxedPattern))
         .select(col("user_id"), col("first_event_id"), col("last_event_id"),
@@ -1156,7 +1156,7 @@ object SparkEntry {
     "stream_cep_clicks_burst" -> ((s, dir) =>
       graft.streaming.StreamRunner.collect(
         graft.streaming.Cep.run(
-          graft.streaming.Sources.eventsStream(s, dir)
+          graft.streaming.Sources.eventsStreamSplit(s, dir)
             .withWatermark("ts", "0 seconds"),
           cepBurstPattern))
         .select(col("user_id"), col("first_event_id"), col("last_event_id"),
@@ -1177,7 +1177,7 @@ object SparkEntry {
     "stream_cep_optional_funnel" -> ((s, dir) =>
       graft.streaming.StreamRunner.collect(
         graft.streaming.Cep.run(
-          graft.streaming.Sources.eventsStream(s, dir)
+          graft.streaming.Sources.eventsStreamSplit(s, dir)
             .withWatermark("ts", "0 seconds"),
           cepOptionalPattern))
         .select(col("user_id"), col("first_event_id"), col("last_event_id"),
@@ -1566,12 +1566,18 @@ object SparkEntry {
     // Streaming execution (state stores, watermarks, event-time timeouts)
     // over a bounded file source with Trigger.AvailableNow. Proves the
     // streaming path — not just the batch twin — in the correctness gate.
+    // Stateful gates read eventsStreamSplit (4 ts-contiguous chunk files,
+    // maxFilesPerTrigger=1 ⇒ ≥4 micro-batches), so watermark advance,
+    // state reload and timeout firing are exercised ACROSS batch
+    // boundaries; the split preserves the single-batch result by
+    // construction (see Sources.eventsStreamSplit), so each gate keeps
+    // its oracle.
 
     // ── T1 streaming: flatMapGroupsWithState first-visit flag
     "stream_t1_new_old" -> ((s, dir) =>
       graft.streaming.StreamRunner.collect(
         graft.streaming.StatefulStreams.newOldFlag(
-          graft.streaming.Sources.eventsStream(s, dir)))
+          graft.streaming.Sources.eventsStreamSplit(s, dir)))
         .groupBy(col("is_new"))
         .agg(count(lit(1)).as("ct"), count_distinct(col("user_id")).as("user_ct"))
         .orderBy(col("is_new"))),
@@ -1580,7 +1586,7 @@ object SparkEntry {
     "stream_t2_uv_dedup" -> ((s, dir) =>
       graft.streaming.StreamRunner.collect(
         graft.streaming.StatefulStreams.uvDedup(
-          graft.streaming.Sources.eventsStream(s, dir)))
+          graft.streaming.Sources.eventsStreamSplit(s, dir)))
         .select(col("user_id"), col("dt"), col("event_id"))
         .orderBy(col("user_id"), col("dt"))),
 
@@ -1596,7 +1602,7 @@ object SparkEntry {
         "state.RocksDBStateStoreProvider")
       try graft.streaming.StreamRunner.collect(
           graft.streaming.StatefulStreams.uvDedup(
-            graft.streaming.Sources.eventsStream(s, dir)))
+            graft.streaming.Sources.eventsStreamSplit(s, dir)))
           .select(col("user_id"), col("dt"), col("event_id"))
           .orderBy(col("user_id"), col("dt"))
           .localCheckpoint(true) // materialize under the provider conf
@@ -1663,7 +1669,7 @@ object SparkEntry {
     // contract, and the per-batch recompute is the price of exactness
     // under out-of-order CDC.
     "stream_k7_scd2" -> ((s, dir) => {
-      val stream = graft.streaming.Sources.eventsStream(s, dir)
+      val stream = graft.streaming.Sources.eventsStreamSplit(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       val changelog = graft.streaming.StreamRunner.foldBatches(stream)(
         (st, b) => st.map(_.unionByName(b)).getOrElse(b))
@@ -1697,7 +1703,7 @@ object SparkEntry {
     "stream_t3_bounce" -> ((s, dir) =>
       graft.streaming.StreamRunner.collect(
         graft.streaming.StatefulStreams.bounces(
-          graft.streaming.Sources.eventsStream(s, dir)
+          graft.streaming.Sources.eventsStreamSplit(s, dir)
             .withWatermark("ts", "0 seconds"),
           gapSec = 1800L))
         .groupBy(col("user_id"))
@@ -1708,7 +1714,7 @@ object SparkEntry {
     "stream_a1_product_stats" -> ((s, dir) =>
       graft.streaming.StreamRunner.collect(
         graft.streaming.WindowedStreams.productStats(
-          graft.streaming.Sources.eventsStream(s, dir)),
+          graft.streaming.Sources.eventsStreamSplit(s, dir)),
         outputMode = "complete")
         .orderBy(col("stt"), col("event_type"))),
 

@@ -132,19 +132,118 @@ object Sources {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftExtensions.ensureRegistered(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
     spark.readStream
-      .schema(schema)
+      .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
       // integer floor division — same truncation as Tables.events (double
       // division is lossy above 2^53)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Multi-micro-batch twin of [[eventsStream]]: the same rows, pre-split
+    * into `parts` event-time-contiguous chunk files and read with
+    * `maxFilesPerTrigger=1`, so a bounded `Trigger.AvailableNow` run
+    * executes `parts` data micro-batches (plus the final watermark-flush
+    * batch) instead of one. This is what makes the stateful streaming
+    * gates exercise cross-batch state evolution — watermark ADVANCE
+    * between batches, state reload, event-time timeouts firing mid-stream
+    * — which a single-batch run structurally cannot.
+    *
+    * Result-equivalence argument (why the SAME DuckDB oracle applies):
+    * chunks are contiguous, disjoint ts ranges with ties kept in the
+    * earlier chunk (`ts > lo && ts <= hi`), and the file source processes
+    * them in order (strictly increasing modification times). The
+    * watermark after batch k is maxTs(chunk k) − delay, and every later
+    * row has ts STRICTLY greater than maxTs(chunk k), so no row is ever
+    * late — nothing is dropped mid-stream that the one-batch run kept.
+    * Event-time timeouts may fire in an EARLIER batch than before, but
+    * whether they fire is decided by the same final watermark, and a
+    * timeout firing before key k's next event e implies e was already
+    * more than the gap away (watermark ≤ e.ts − delay), so the state
+    * machine takes the same branch either way. Per-key event order is
+    * preserved (chunks are globally ts-ordered; operators sort each batch
+    * slice by (ts, event_id)).
+    */
+  def eventsStreamSplit(spark: SparkSession, dir: String,
+      parts: Int = 4): DataFrame = {
+    graft.expressions.GraftExtensions.ensureRegistered(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val splitDir = ensureEventsSplit(spark, dir, parts)
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val splitLock = new Object
+
+  /** Build (once per (dir, parts), cached on tmpfs) the ts-contiguous
+    * chunk files [[eventsStreamSplit]] streams. Chunk boundaries are
+    * EXACT ts quantiles (relativeError 0) mapped through a lossy double
+    * cast — lossiness is harmless because the same boundary value is used
+    * on both sides of each cut, so chunks stay disjoint and complete; all
+    * rows sharing a boundary ts land in the earlier chunk, which is what
+    * keeps later chunks strictly above every earlier watermark. Harness
+    * fixture prep, not a data path: one file per chunk via coalesce(1) is
+    * deliberate (micro-batch granularity IS the point). */
+  private def ensureEventsSplit(spark: SparkSession, dir: String,
+      parts: Int): String = splitLock.synchronized {
+    require(parts >= 2, s"parts must be >= 2, got $parts")
+    val root =
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val out = new java.io.File(s"$root/graft-events-split-$key-$parts")
+    def chunkFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+    if (out.isDirectory && chunkFiles(out).length == parts)
+      return out.getPath
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(out)
+    val build = new java.io.File(out.getPath + ".build")
+    rmTree(build)
+    build.mkdirs()
+    val raw = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
+    val probs = (1 until parts).map(_.toDouble / parts).toArray
+    val bounds = raw.select(col("ts").cast("double").as("tsd"))
+      .stat.approxQuantile("tsd", probs, 0.0)
+      .map(_.toLong).distinct.sorted
+    if (bounds.length != parts - 1)
+      throw new IllegalStateException(s"events ts quantiles collapsed " +
+        s"(${bounds.length + 1} distinct cuts for $parts chunks) — the " +
+        "fixture is too ts-degenerate to split; lower `parts`")
+    val cuts = (Long.MinValue +: bounds.toVector) :+ Long.MaxValue
+    val base = (System.currentTimeMillis() / 1000L) * 1000L
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val tmp = new java.io.File(build, s"c$i")
+      raw.filter(col("ts") > lo && col("ts") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = chunkFiles(tmp).headOption.getOrElse(
+        throw new IllegalStateException(s"split chunk $i produced no file " +
+          s"(ts range ($lo, $hi]) — boundary degeneracy?"))
+      val dest = new java.io.File(build, f"chunk-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      rmTree(tmp)
+      // file-source processing order = modification time; pin it
+      dest.setLastModified(base + i * 2000L)
+      ()
+    }
+    if (!build.renameTo(out))
+      throw new IllegalStateException(s"could not move $build to $out")
+    out.getPath
   }
 }
