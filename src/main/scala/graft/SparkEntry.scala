@@ -386,6 +386,109 @@ object SparkEntry {
             .cast("double"), lit(0.0)).as("revenue"))
     }),
 
+    // ── TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    // join (customers with no qualifying orders must survive as count 0)
+    // into a two-level aggregate. The orders-side predicate (stand-in for
+    // Q13's o_comment NOT LIKE; this fixture has no comment column) is
+    // applied BEFORE the join — for a left-outer join that is equivalent
+    // to a join-condition predicate and prunes the shuffle. All-integer
+    // result: engine-exact.
+    "q13_order_dist" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ── TPC-H Q18 shape: large-volume orders — a HAVING-filtered
+    // aggregate subquery (sum(l_quantity) > 300 keeps ~0.3% of orders)
+    // semi-joins the fact BEFORE the customer/lineitem joins, so the
+    // expensive joins see only the pruned order set; the tiny survivor
+    // list is broadcast (plan-pinned). Top-100 is TakeOrdered, never a
+    // global sort. l_quantity is integral, so the double sum is exact.
+    "q18_big_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+        .select(col("l_orderkey").as("big_okey"))
+      Tables.orders(s, dir)
+        .join(broadcast(big), col("o_orderkey") === col("big_okey"), "left_semi")
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ── TPC-H Q21 shape: suppliers who alone "failed" a multi-supplier
+    // order — EXISTS (another supplier in the order) as a LEFT SEMI join
+    // and NOT EXISTS (another FAILING supplier in the order) as a LEFT
+    // ANTI join, both equi-keyed on l_orderkey with the <> residual, so
+    // they plan as hash/merge joins, never cartesian (plan-pinned). The
+    // fixture has no receipt/commit dates; l_returnflag = 'R' stands in
+    // for Q21's "late" predicate — the join topology is identical.
+    "q21_wait_suppliers" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val otherFails = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      l1.join(others,
+          col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(otherFails,
+          col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"),
+          "left_anti")
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
+    // ── TPC-H Q22 shape: scalar subquery in the filter + NOT EXISTS.
+    // The positive-balance aggregate is ONE row cross-joined as a
+    // broadcast (plan-pinned BroadcastNestedLoopJoin — the scalar-
+    // subquery plan); the threshold compare multiplies by the count
+    // instead of dividing (c_acctbal × cnt > sum: exact decimal×int on
+    // both engines — an avg would put a reassociated double on the
+    // knife edge). NOT EXISTS (an urgent order; this fixture gives every
+    // customer orders, so Q22's "no orders at all" would be empty) is a
+    // LEFT ANTI join.
+    "q22_no_urgent" -> ((s, dir) => {
+      val nations = Seq(1L, 3L, 5L, 7L, 9L)
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_nationkey").isin(nations: _*))
+      val pos = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(12,2)")).as("tot"),
+          count(lit(1)).as("cnt"))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(pos))
+        .filter(col("c_acctbal").cast("decimal(12,2)") * col("cnt") > col("tot"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            .as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // ── J8b: TARGETED hot-key salting — the 100 TB refinement of j8.
     // Only keys above a sampled frequency threshold are salted; the cold
     // tail joins unsalted, so the right side replicates ×buckets for the
@@ -2024,6 +2127,62 @@ object SparkEntry {
         |          AND l_quantity BETWEEN 10 AND 20)
         |    OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
         |          AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+
+    "q13_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN (
+        |    SELECT o_orderkey, o_custkey FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT') o
+        |  ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q21_wait_suppliers" ->
+      """SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q22_no_urgent" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+        |  AND CAST(c_acctbal AS DECIMAL(12,2)) * (
+        |    SELECT COUNT(*) FROM customer
+        |    WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9))
+        |  > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
+        |    WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9))
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     "q8_market_share" ->
       """WITH j AS (

@@ -297,6 +297,44 @@ class PlanSpec extends SparkSpec {
     assert(scan.isDefined, p.take(2000))
   }
 
+  test("q13_order_dist: customers survive as LEFT OUTER; no cartesian") {
+    val p = plan("q13_order_dist")
+    assert(p.contains("LeftOuter"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("q18_big_orders: the HAVING subquery prunes via a broadcast semi " +
+    "join BEFORE the wide joins; top-100 is TakeOrdered") {
+    val p = plan("q18_big_orders")
+    // the sum(l_quantity)>300 survivor list joins orders as LeftSemi and
+    // is broadcast (it is tiny by construction)
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q21_wait_suppliers: EXISTS/NOT EXISTS plan as semi/anti hash-family " +
+    "joins on the order key — never cartesian") {
+    val p = plan("q21_wait_suppliers")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q22_no_urgent: the scalar aggregate is a ONE-ROW broadcast " +
+    "(BroadcastNestedLoopJoin is exactly the scalar-subquery plan here); " +
+    "NOT EXISTS is a real anti join") {
+    val p = plan("q22_no_urgent")
+    // exactly one BNLJ — the deliberate one-row scalar cross join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("a13_rank_suite: all four rank functions fuse into ONE Window operator") {
     val p = plan("a13_rank_suite")
     // same window spec → Spark computes rank/dense_rank/percent_rank/ntile
