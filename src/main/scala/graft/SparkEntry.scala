@@ -1813,6 +1813,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("bounce_ct"))
         .orderBy(col("user_id"))),
 
+    // ── T7 streaming: LATE-DATA DROP as an oracle gate (spec-only until
+    // r10). The round-robin split (chunk = event_id mod 4) makes every
+    // batch after the first carry rows behind the advanced watermark, so
+    // Spark's drop rule actually fires; the oracle REPLAYS that rule
+    // explicitly: wm before batch k = max event-time ms over batches < k
+    // minus the 600 s delay (ms floor, exactly EventTimeStats); a row is
+    // dropped when its window END (µs) <= wm*1000; a window emits (append
+    // mode) when its end <= the FINAL wm. Hash equality therefore proves
+    // the drop semantics themselves, batch vs stream.
+    "stream_t7_late_drop" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.Sources.eventsStreamShuffled(s, dir)
+          .withWatermark("ts", "600 seconds")
+          .groupBy(window(col("ts"), "3600 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("ct")))
+        .select(unix_micros(col("window.start")).as("stt_us"),
+          col("event_type"), col("ct"))
+        .orderBy(col("stt_us"), col("event_type"))),
+
     // ── A1 streaming: watermarked tumbling window agg, complete mode
     "stream_a1_product_stats" -> ((s, dir) =>
       graft.streaming.StreamRunner.collect(
@@ -3061,6 +3080,42 @@ object SparkEntry {
         |       WHEN cid IS NOT NULL THEN 2 ELSE 1 END AS steps_matched,
         |  CASE WHEN pid IS NOT NULL THEN 1 ELSE 0 END AS matched_i
         |FROM m ORDER BY user_id, first_event_id""".stripMargin,
+
+    // T7 late-data drop, replayed explicitly: chunk = event_id mod 4 (the
+    // round-robin split). Spark runs TWO watermarks per trigger
+    // (SPARK-24588 lineage): late-row DROPS use the PREVIOUS trigger's
+    // watermark (eventTimeWatermarkForLateEvents — verified empirically:
+    // batch 1 drops 0 rows despite an advanced current wm), while state
+    // EVICTION / append emission uses the current one. So the drop wm for
+    // batch k is max event-time ms over chunks <= k-2 minus 600000
+    // (EventTimeStats floors µs→ms; batches 0 and 1 drop nothing); a row
+    // is dropped when its hour-window END (µs) <= dropWm*1000; a window
+    // emits when its end <= the FINAL wm. The lag also guarantees no
+    // evicted window is ever re-created (eviction wm of batch k == drop
+    // wm of batch k+1), so append never duplicates. Integer math end to
+    // end.
+    "stream_t7_late_drop" ->
+      """WITH f AS (SELECT event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id % 4 AS chunk FROM events),
+        |cm AS (SELECT chunk, MAX(us // 1000) AS mx_ms FROM f GROUP BY chunk),
+        |wm AS (SELECT chunk,
+        |    MAX(mx_ms) OVER (ORDER BY chunk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 600000
+        |      AS wm_ms
+        |  FROM cm),
+        |kept AS (
+        |  SELECT (f.us // 3600000000) * 3600000000 AS stt_us, f.event_type
+        |  FROM f JOIN wm ON f.chunk = wm.chunk
+        |  WHERE wm.wm_ms IS NULL
+        |     OR ((f.us // 3600000000) * 3600000000 + 3600000000)
+        |        > wm.wm_ms * 1000),
+        |fin AS (SELECT (MAX(us // 1000) - 600000) * 1000 AS fwm_us FROM f)
+        |SELECT stt_us, event_type, COUNT(*) AS ct
+        |FROM kept, fin
+        |WHERE stt_us + 3600000000 <= fwm_us
+        |GROUP BY stt_us, event_type
+        |ORDER BY stt_us, event_type""".stripMargin,
 
     // Streaming twin: completions always emit (on arrival); a timed-out
     // partial emits iff some same-key event lands past its deadline

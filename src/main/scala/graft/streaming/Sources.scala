@@ -174,10 +174,26 @@ object Sources {
     * slice by (ts, event_id)).
     */
   def eventsStreamSplit(spark: SparkSession, dir: String,
-      parts: Int = 4): DataFrame = {
+      parts: Int = 4): DataFrame =
+    splitStream(spark, dir, parts, tsContiguous = true)
+
+  /** Out-of-order multi-batch twin: chunks are round-robin on event_id
+    * (chunk i = event_id mod parts), so every batch after the first
+    * carries rows BEHIND the advanced watermark — the fixture for the
+    * late-data-drop gate. Unlike [[eventsStreamSplit]] this does NOT
+    * preserve single-batch results for watermarked operators; that
+    * difference (what exactly gets dropped, per Spark's published
+    * watermark rule) is the thing `stream_t7_late_drop`'s oracle
+    * recomputes explicitly. */
+  def eventsStreamShuffled(spark: SparkSession, dir: String,
+      parts: Int = 4): DataFrame =
+    splitStream(spark, dir, parts, tsContiguous = false)
+
+  private def splitStream(spark: SparkSession, dir: String, parts: Int,
+      tsContiguous: Boolean): DataFrame = {
     graft.expressions.GraftExtensions.ensureRegistered(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val splitDir = ensureEventsSplit(spark, dir, parts)
+    val splitDir = ensureEventsSplit(spark, dir, parts, tsContiguous)
     spark.readStream
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
@@ -197,13 +213,14 @@ object Sources {
     * fixture prep, not a data path: one file per chunk via coalesce(1) is
     * deliberate (micro-batch granularity IS the point). */
   private def ensureEventsSplit(spark: SparkSession, dir: String,
-      parts: Int): String = splitLock.synchronized {
+      parts: Int, tsContiguous: Boolean): String = splitLock.synchronized {
     require(parts >= 2, s"parts must be >= 2, got $parts")
     val root =
       if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val out = new java.io.File(s"$root/graft-events-split-$key-$parts")
+    val mode = if (tsContiguous) "" else "-rr"
+    val out = new java.io.File(s"$root/graft-events-split-$key-$parts$mode")
     def chunkFiles(d: java.io.File): Array[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
@@ -218,23 +235,29 @@ object Sources {
     rmTree(build)
     build.mkdirs()
     val raw = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
-    val probs = (1 until parts).map(_.toDouble / parts).toArray
-    val bounds = raw.select(col("ts").cast("double").as("tsd"))
-      .stat.approxQuantile("tsd", probs, 0.0)
-      .map(_.toLong).distinct.sorted
-    if (bounds.length != parts - 1)
-      throw new IllegalStateException(s"events ts quantiles collapsed " +
-        s"(${bounds.length + 1} distinct cuts for $parts chunks) — the " +
-        "fixture is too ts-degenerate to split; lower `parts`")
-    val cuts = (Long.MinValue +: bounds.toVector) :+ Long.MaxValue
+    val chunkPreds: Seq[org.apache.spark.sql.Column] =
+      if (tsContiguous) {
+        val probs = (1 until parts).map(_.toDouble / parts).toArray
+        val bounds = raw.select(col("ts").cast("double").as("tsd"))
+          .stat.approxQuantile("tsd", probs, 0.0)
+          .map(_.toLong).distinct.sorted
+        if (bounds.length != parts - 1)
+          throw new IllegalStateException(s"events ts quantiles collapsed " +
+            s"(${bounds.length + 1} distinct cuts for $parts chunks) — the " +
+            "fixture is too ts-degenerate to split; lower `parts`")
+        val cuts = (Long.MinValue +: bounds.toVector) :+ Long.MaxValue
+        cuts.sliding(2).map { case Seq(lo, hi) =>
+          col("ts") > lo && col("ts") <= hi }.toSeq
+      } else
+        (0 until parts).map(i => pmod(col("event_id"), lit(parts.toLong)) === i)
     val base = (System.currentTimeMillis() / 1000L) * 1000L
-    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+    chunkPreds.zipWithIndex.foreach { case (pred, i) =>
       val tmp = new java.io.File(build, s"c$i")
-      raw.filter(col("ts") > lo && col("ts") <= hi)
+      raw.filter(pred)
         .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
       val part = chunkFiles(tmp).headOption.getOrElse(
         throw new IllegalStateException(s"split chunk $i produced no file " +
-          s"(ts range ($lo, $hi]) — boundary degeneracy?"))
+          "— empty chunk predicate?"))
       val dest = new java.io.File(build, f"chunk-$i%02d.parquet")
       java.nio.file.Files.move(part.toPath, dest.toPath)
       rmTree(tmp)
