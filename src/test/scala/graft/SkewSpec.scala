@@ -66,6 +66,59 @@ class SkewSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("j8b fixture: AQE skew-join fires on a plain shuffle join but NOT " +
+    "when the build side's partitioning comes from an aggregate — the " +
+    "decision rule SCALE.md §Skew records") {
+    val dir = "/root/testdata/sf0.001"
+    // the j8b derivation: 6 of 10 l_orderkey residues folded onto key 0
+    // (~60% of the fact on one key)
+    // repartition(8): AQE splits a skewed reduce partition along its
+    // MAP-output blocks — the sf0.001 single-file scan is one mapper, so
+    // without this the hot partition is one unsplittable block (a real
+    // 100 TB scan has thousands of mappers and never hits this)
+    val li = Tables.lineitem(spark, dir).select(
+      when(pmod(col("l_orderkey"), lit(10L)) < 6, lit(0L))
+        .otherwise(pmod(col("l_orderkey"), lit(10L))).as("skew_k"),
+      col("l_extendedprice")).repartition(8)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // (a) both children are PLAIN shuffle reads → OptimizeSkewedJoin
+      // splits the hot partition (skew=true in the final adaptive plan)
+      val dimPlain = spark.range(10).select(col("id").as("skew_k"),
+        (col("id") * 7).as("w"))
+      val qPlain = li.join(dimPlain, "skew_k")
+      val nPlain = qPlain.collect().length
+      val pPlain = qPlain.queryExecution.executedPlan.toString
+      assert(pPlain.contains("skew=true"), pPlain.take(1200))
+      // (b) the build side is an AGGREGATE over the same key: its output
+      // partitioning is produced by the agg, not a shuffle read AQE can
+      // re-arrange, so OptimizeSkewedJoin canNOT fire — the case where
+      // manual salting (which re-keys BEFORE the shuffle) still earns
+      // its keep in batch plans
+      val dimAgg = li.groupBy(col("skew_k")).agg(count(lit(1)).as("k_rows"))
+      val qAgg = li.join(dimAgg, "skew_k")
+      val nAgg = qAgg.collect().length
+      val pAgg = qAgg.queryExecution.executedPlan.toString
+      assert(!pAgg.contains("skew=true"), pAgg.take(1200))
+      assert(nAgg === nPlain) // same fact rows survive either join
+      // (c) saltedJoinTargeted agrees with the plain AQE-split join
+      val salted = Joins.saltedJoinTargeted(li, dimAgg, "skew_k", buckets = 8,
+        sampleFraction = 0.05, hotMinSampleCount = 10, maxHotKeys = 16)
+      assert(salted.count().toInt === nPlain)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits the skewed partition in an unsalted sort-merge join") {
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
