@@ -114,6 +114,12 @@ object Bench {
       current = name
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      // progress events ride the async listener bus; drain it (untimed
+      // would be wrong — the events ARE part of the gate's lifecycle, but
+      // dispatch latency is micro) before handing attribution to the next
+      // gate, or an in-flight event is dropped / mis-credited
+      if (name.startsWith("stream_"))
+        org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
       current = null
       name -> ((System.nanoTime() - t0) / 1e9, ok)
     }

@@ -123,7 +123,20 @@ object Joins {
     * the driver (bounded — this is a handful of keys by construction);
     * more than `maxHotKeys` survivors means the threshold is mis-set for
     * the distribution and salting "only" the hot keys would replicate the
-    * right side for most of it, so that throws rather than degrades. */
+    * right side for most of it, so that throws rather than degrades.
+    *
+    * The seed is fixed but `df.sample` membership is evaluated per
+    * PARTITION, so the sampled histogram — and therefore WHICH keys are
+    * flagged hot near the threshold — is only stable while the input's
+    * file layout / split planning is (the j8b gate's "flags exactly key 0
+    * at every sf" is an empirical property of the committed fixtures, not
+    * a guarantee). Correctness never depends on the hot set: the
+    * salted/cold union equals the plain join for ANY partition of the
+    * keys. A layout-independent selection would need a content-addressed
+    * row identity to hash (the HashFns idiom), which a generic join key
+    * cannot assume — keys hash whole-key, and hash-sampling BY KEY keeps
+    * or drops all of a key's rows, which is useless for a frequency
+    * estimate. */
   private[graft] def hotKeys(left: DataFrame, key: String,
       sampleFraction: Double, hotMinSampleCount: Long,
       maxHotKeys: Int): Array[Any] = {

@@ -31,7 +31,16 @@ object Sampling {
     * portable-hash order of `keyCol` (ties broken by the key itself) — the
     * "no source dominates the mix" step of a pretraining recipe, fully
     * deterministic and partition-independent where a per-group
-    * `df.sample` is neither. One shuffle on the group key; the `rn <= k`
+    * `df.sample` is neither.
+    *
+    * PRECONDITION for that determinism: `keyCol` is unique within each
+    * group (doc_id in the gate). Rows sharing a (hash, key) pair tie in
+    * the window order, and row_number breaks that tie by encounter
+    * order — partition-layout-dependent, so the kept set for a
+    * duplicate-key group can differ between runs. With a unique key the
+    * order is total and the selection is reproducible anywhere.
+    *
+    * One shuffle on the group key; the `rn <= k`
     * filter triggers Spark's WindowGroupLimit, so each partition reduces
     * to k candidate rows per group BEFORE the exchange — a capped group's
     * long tail never crosses the wire at corpus scale. */

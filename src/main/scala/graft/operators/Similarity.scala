@@ -86,28 +86,51 @@ object Similarity {
       sampleRate: Double = 1.0): DataFrame = {
     require(sampleRate > 0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1], got $sampleRate")
+    val sc = corpus.sparkSession.sparkContext
+    // Block lifetime: each localCheckpoint below is released as soon as
+    // its successor materializes (the before/after persistent-RDD diff —
+    // the decontaminateScoped idiom, same single-pipeline no-concurrent-
+    // persist assumption), so a call leaves behind ONLY the returned
+    // final centroids' blocks (which must outlive the lazy consumers;
+    // Bench's hygiene pass / spark.catalog.clearCache() reclaims those).
+    var releasable = Set.empty[Int]
+    def swapCheckpoint(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true) // eager — safe to drop inputs now
+      val fresh = (sc.getPersistentRDDs.keySet -- before).toSet
+      releasable.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      releasable = fresh
+      out
+    }
+    // sample lazily and COUNT first: the thin-sample fallback must not
+    // pay for (or leak) a checkpoint it will never read
+    var trainIds = Set.empty[Int]
     val train =
       if (sampleRate >= 1.0) corpus
       else {
-        // pinned once: every Lloyd iteration re-reads the sample
         val s = Sampling.hashSample(corpus, col("vec_id"), sampleRate)
-          .localCheckpoint(true)
-        if (s.count() >= 4L * k) s else corpus
+        if (s.count() >= 4L * k) {
+          // pinned once: every Lloyd iteration re-reads the sample
+          val before = sc.getPersistentRDDs.keySet
+          val pinned = s.localCheckpoint(true)
+          trainIds = (sc.getPersistentRDDs.keySet -- before).toSet
+          pinned
+        } else corpus
       }
     // deterministic init: first k by id. The k rows collapse into one agg
     // (no global row_number window — that shape moves all data to a single
     // partition and warns; here only k tiny rows ever reach one task)
-    var centroids = train.orderBy(col("vec_id")).limit(k)
+    var centroids = swapCheckpoint(train.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("centroid"))
       .agg(array_sort(collect_list(struct(col("vec_id"), col("centroid")))).as("cs"))
       .select(posexplode(col("cs")))
       .select((col("pos") + 1).cast("long").as("cluster_id"),
-        col("col.centroid").as("centroid"))
-      .localCheckpoint(true)
+        col("col.centroid").as("centroid")))
     for (_ <- 1 to iters) {
       // Mean per (cluster, position): posexplode + avg is the
       // constant-memory-per-group shape (no array buffering in the agg).
-      centroids = assign(train, centroids)
+      centroids = swapCheckpoint(assign(train, centroids)
         .join(train, "vec_id")
         .select(col("cluster_id"), posexplode(col("embedding")))
         .groupBy(col("cluster_id"), col("pos"))
@@ -115,9 +138,12 @@ object Similarity {
         .groupBy(col("cluster_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
-        .localCheckpoint(true)
+          s => s.getField("m")).as("centroid")))
     }
+    // the final Lloyd result is materialized — the training sample has no
+    // remaining reader
+    trainIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     centroids
   }
 
