@@ -43,6 +43,10 @@ object SparkEntry {
     * bounded scan and the caller gets the lazy DataFrame back — the
     * at-scale posture (persist to storage, not driver memory). Values are
     * exact Rows, so oracle hashes are unchanged. */
+  /** Harness hook (CurveSf1): drop the memo so a re-timed dedup gate pays
+    * its full pair scan again instead of reading the first trial's rows. */
+  private[graft] def clearNgramPairsMemo(): Unit = ngramPairsMemo.clear()
+
   private val MemoMaxPairs = 1 << 22
   private val ngramPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[
