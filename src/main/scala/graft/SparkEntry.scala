@@ -559,6 +559,165 @@ object SparkEntry {
         .orderBy(col("n_name"), col("s_name"))
     }),
 
+    // ── TPC-H Q9 shape: profit by (nation, year) through a 4-table join
+    // chain. The fact (lineitem) drives; part (name-filtered), supplier
+    // and nation are all vocabulary-sized → broadcast, so the fact
+    // shuffles ONCE, for the final group-by. `p_name LIKE '%widget%'` is
+    // a contains-match (no prefix) — it evaluates scan-side but cannot
+    // prune row groups; the plan pin checks the join order, not pushdown.
+    "q9_profit" -> ((s, dir) => {
+      val vol = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").contains("widget")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(sum(vol).cast("double").as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // ── TPC-H Q11 shape: group aggregate HAVING-compared against a
+    // GLOBAL scalar subquery (Q11's "important stock" fraction). The
+    // one-row global aggregate broadcasts (scalar-subquery plan); the
+    // compare multiplies by the group count instead of dividing — exact
+    // decimal×int on both engines (the q22 idiom). partsupp is absent
+    // from the fixture, so per-part lineitem value stands in for stock
+    // value; the HAVING-vs-scalar topology is identical.
+    "q11_important_parts" -> ((s, dir) => {
+      val vol = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(sum(vol).as("value_dec"))
+      val global = perPart.agg(sum(col("value_dec")).as("tot"),
+        count(lit(1)).as("nparts"))
+      perPart.crossJoin(broadcast(global))
+        .filter(col("value_dec") * col("nparts") > col("tot"))
+        .select(col("l_partkey"), col("value_dec").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // ── TPC-H Q12 shape: join + CONDITIONAL aggregation (CASE WHEN
+    // inside the sums) — one pass computes both priority counts; naive
+    // twin filtered aggregates would scan and join twice. All-integer
+    // output: engine-exact. l_linestatus stands in for l_shipmode
+    // (absent from the fixture); the shape is identical.
+    "q12_priority_lines" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "N" &&
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_linestatus")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_linestatus").as("shipmode"))
+        .agg(sum(when(high, 1).otherwise(0)).cast("long").as("high_line_count"),
+          sum(when(!high, 1).otherwise(0)).cast("long").as("low_line_count"))
+        .orderBy(col("shipmode"))
+    }),
+
+    // ── TPC-H Q15 shape: aggregated view + `= (SELECT MAX(...) FROM
+    // view)` scalar subquery. The revenue view computes ONCE feeding
+    // both consumers; its one-row max broadcasts and the equality filter
+    // runs on the EXACT decimal sum (never the double cast — a double
+    // max-equality would be a cross-engine knife edge). Ties all kept.
+    "q15_top_revenue_supplier" -> ((s, dir) => {
+      val vol = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))
+      val revenue = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey")).agg(sum(vol).as("total_rev"))
+      val mx = revenue.agg(max(col("total_rev")).as("mx"))
+      Tables.supplier(s, dir)
+        .join(revenue, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ── TPC-H Q16 shape: NOT IN (subquery) → LEFT ANTI join + COUNT
+    // DISTINCT per attribute group. The distinct (part, supplier) pairs
+    // from lineitem stand in for partsupp (absent from the fixture).
+    // The excluded-supplier list is tiny → broadcast anti join; p_size
+    // IN (...) pushes to the part scan.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val excluded = Tables.supplier(s, dir)
+        .filter(col("s_name").endsWith("5")).select(col("s_suppkey"))
+      ps.join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // ── TPC-H Q17 shape: correlated per-group AVG scalar subquery
+    // ("quantity below 20% of this part's average"), decorrelated into a
+    // per-part aggregate + broadcast join — the per-row rescan Q17
+    // literally writes would be O(n²). The compare is all-integer-
+    // valued: qty < 0.2·(sum/cnt) ⟺ 5·qty·cnt < sum (l_quantity is
+    // integral; zero doubles on the knife edge). Output divides the
+    // exact decimal sum by 7.0 once — a single IEEE division, portable.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val th = li.groupBy(col("p_partkey").as("pk2"))
+        .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cq"))
+      li.join(broadcast(th), col("p_partkey") === col("pk2"))
+        .filter(col("l_quantity") * 5 * col("cq") < col("sq"))
+        .agg((coalesce(sum(col("l_extendedprice").cast("decimal(12,2)")), lit(0))
+            .cast("double") / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("ct"))
+    }),
+
+    // ── TPC-H Q20 shape: nested semi-join chain with a correlated
+    // aggregate subquery — suppliers (in a nation band) who are the
+    // DOMINANT supplier of some name-filtered part (sp_qty = per-part
+    // MAX, the correlated aggregate; integer-exact equality). Two
+    // aggregates over the same filtered join feed a broadcast semi
+    // chain; the supplier table itself never shuffles.
+    "q20_dominant_suppliers" -> ((s, dir) => {
+      val lp = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").contains("bolt")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("l_suppkey"), col("l_quantity"))
+      val spq = lp.groupBy(col("p_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("sp_qty"))
+      val mx = spq.groupBy(col("p_partkey").as("pk2"))
+        .agg(max(col("sp_qty")).as("mx_qty"))
+      val dominant = spq.join(broadcast(mx),
+          col("p_partkey") === col("pk2") && col("sp_qty") === col("mx_qty"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_nationkey") < 13).select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(dominant),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_name"))
+    }),
+
     // ── A12: PIVOT — wide per-category columns in one pass. The value
     // list is EXPLICIT (the 5 TPC-H priorities): pivot without values
     // costs an extra distinct scan and makes the output schema
@@ -2361,6 +2520,90 @@ object SparkEntry {
         |WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
         |                   WHERE s2.s_nationkey = supplier.s_nationkey)
         |ORDER BY n_name, s_name""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(3,2)))) AS value_dec
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value FROM pp
+        |WHERE value_dec * (SELECT COUNT(*) FROM pp)
+        |      > (SELECT SUM(value_dec) FROM pp)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q12_priority_lines" ->
+      """SELECT l_linestatus AS shipmode,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag = 'N'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY shipmode ORDER BY shipmode""".stripMargin,
+
+    "q15_top_revenue_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(3,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%5')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 0)
+        |    AS DOUBLE) / 7.0 AS avg_yearly,
+        |  CAST(COUNT(*) AS BIGINT) AS ct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  AND p_brand = 'Brand#23'
+        |WHERE l_quantity * 5 *
+        |    (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+        |  < (SELECT SUM(l_quantity) FROM lineitem l2
+        |     WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
+
+    "q20_dominant_suppliers" ->
+      """WITH lp AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey WHERE p_name LIKE '%bolt%'),
+        |spq AS (
+        |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sp_qty
+        |  FROM lp GROUP BY l_partkey, l_suppkey)
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey AND n_nationkey < 13
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM spq s1
+        |  WHERE sp_qty = (SELECT MAX(s2.sp_qty) FROM spq s2
+        |                  WHERE s2.l_partkey = s1.l_partkey))
+        |ORDER BY s_name""".stripMargin,
 
     "a12_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

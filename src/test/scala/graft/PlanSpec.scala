@@ -356,4 +356,69 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(1200))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q9_profit: all three dims broadcast — the fact shuffles exactly " +
+    "once, for the group-by") {
+    val p = plan("q9_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("q11_important_parts: the global aggregate is a ONE-ROW broadcast " +
+    "(the scalar-subquery plan) over the grouped parts") {
+    val p = plan("q11_important_parts")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q12_priority_lines: both CASE sums compute in ONE aggregate pass " +
+    "— no twin scans; no cartesian") {
+    val p = plan("q12_priority_lines")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // one scan of orders, one of lineitem — conditional agg never re-scans
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders")) == 1, p.take(2500))
+  }
+
+  test("q15_top_revenue_supplier: the MAX over the revenue view is a " +
+    "one-row broadcast; Catalyst folds the equality filter INTO the " +
+    "cross join (hash join keyed on the exact decimal)") {
+    val p = plan("q15_top_revenue_supplier")
+    // the = max filter over crossJoin(broadcast(mx)) plans as an
+    // equality-keyed BroadcastHashJoin (Cross build) — strictly better
+    // than the BNLJ scalar-subquery shape; either way, never cartesian
+    assert(p.linesIterator.exists(l => l.contains("Broadcast") &&
+      (l.contains("total_rev") || l.contains("NestedLoop"))), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q16_supplier_cnt: NOT IN plans as a broadcast LEFT ANTI; the " +
+    "p_size IN list pushes to the part scan") {
+    val p = plan("q16_supplier_cnt")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val partScan = p.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("p_size"))
+    assert(partScan.isDefined, p.take(2500))
+  }
+
+  test("q17_small_qty_revenue: the per-part threshold joins broadcast — " +
+    "the decorrelated subquery never re-scans per row") {
+    val p = plan("q17_small_qty_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
+  test("q20_dominant_suppliers: the qualifying-supplier list semi-joins " +
+    "broadcast — the supplier table never shuffles") {
+    val p = plan("q20_dominant_suppliers")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
