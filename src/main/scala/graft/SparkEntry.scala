@@ -1878,6 +1878,23 @@ object SparkEntry {
       }
     }),
 
+    // ── T8 as an ORACLE gate (spec-only until r10): checkpoint resume
+    // across a process "restart". uvDedup runs over the first 2 chunk
+    // files, STOPS, then a fresh query resumes from the same checkpoint
+    // with chunks 3-4 staged. The result is the union of both
+    // lifecycles' appended output vs the SINGLE-RUN oracle (same as
+    // stream_t2_uv_dedup): failed offset recovery re-emits lifecycle 1's
+    // rows, failed state reload re-emits already-seen users — both are
+    // hash mismatches, so equality proves exactly-once resume itself.
+    "stream_t8_checkpoint_resume" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collectResumed(
+        graft.streaming.Sources.eventsSplitChunks(s, dir, parts = 4),
+        splitAt = 2)(stageDir =>
+        graft.streaming.StatefulStreams.uvDedup(
+          graft.streaming.Sources.eventsStreamStaged(s, stageDir)))
+        .select(col("user_id"), col("dt"), col("event_id"))
+        .orderBy(col("user_id"), col("dt"))),
+
     // ── J3 streaming twin: stream-static broadcast enrichment — the
     // live shape of the reference's dim lookup (each micro-batch joins
     // the static dims as a broadcast hash lookup; no state, no
@@ -2038,6 +2055,36 @@ object SparkEntry {
         .groupBy(col("v_user").as("user_id"))
         .agg(count(col("c_ts")).as("pair_ct"),
           sum(when(col("c_ts").isNull, 1L).otherwise(0L)).as("unmatched_ct"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── J7b streaming: stream-stream FULL OUTER interval join — the
+    // remaining outer-join family member (j1 inner, j7 left). Matched
+    // pairs emit on arrival; unmatched VIEWS null-pad once the watermark
+    // passes v_ts + 600 s (the j7 rule); unmatched CLICKS null-pad once
+    // the watermark passes c_ts itself (a click's last possible match is
+    // a view at v_ts = c_ts, so its state closes at the symmetric
+    // boundary — 0-second lower bound makes the two cutoffs asymmetric
+    // by exactly the join band). The oracle mirrors both cutoffs at ms
+    // precision (EventTimeStats floors µs→ms).
+    "stream_j7b_interval_full" -> ((s, dir) => {
+      val ev = graft.streaming.Sources.eventsStream(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.WindowedStreams.intervalJoin(
+          views, clicks, "v_user", "c_user", "v_ts", "c_ts",
+          lowerSec = 0L, upperSec = 600L, joinType = "fullOuter"))
+        .groupBy(coalesce(col("v_user"), col("c_user")).as("user_id"))
+        .agg(
+          sum(when(col("v_ts").isNotNull && col("c_ts").isNotNull, 1L)
+            .otherwise(0L)).as("pair_ct"),
+          sum(when(col("c_ts").isNull, 1L).otherwise(0L))
+            .as("unmatched_view_ct"),
+          sum(when(col("v_ts").isNull, 1L).otherwise(0L))
+            .as("unmatched_click_ct"))
         .orderBy(col("user_id"))
     }),
 
@@ -3596,6 +3643,45 @@ object SparkEntry {
         |SELECT user_id, CAST(SUM(m) AS BIGINT) AS pair_ct,
         |       CAST(SUM(u) AS BIGINT) AS unmatched_ct
         |FROM e GROUP BY user_id HAVING SUM(m) > 0 OR SUM(u) > 0
+        |ORDER BY user_id""".stripMargin,
+
+    // Checkpoint resume re-derives the SINGLE-RUN dedup truth: the union
+    // of the two lifecycles must equal it exactly (see the gate comment).
+    "stream_t8_checkpoint_resume" ->
+      """WITH f AS (SELECT user_id,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt, event_id,
+        |    row_number() OVER (PARTITION BY user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, dt, event_id FROM f WHERE rn = 1 ORDER BY user_id, dt""".stripMargin,
+
+    // Full-outer twin of j7: both null-pad cutoffs replayed — views
+    // close at vus+600s (their last possible click), clicks at cus (their
+    // last possible view, 0-second lower bound); ms-floored like Spark's
+    // EventTimeStats. Groups whose every row is unclosed never emit.
+    "stream_j7b_interval_full" ->
+      """WITH v AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS vus
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+        |      FROM events WHERE event_type = 'click'),
+        |mx AS (SELECT LEAST((SELECT max(vus) FROM v), (SELECT max(cus) FROM c)) AS mu),
+        |j AS (SELECT COALESCE(v.user_id, c.user_id) AS user_id, v.vus, c.cus
+        |      FROM v FULL OUTER JOIN c ON v.user_id = c.user_id
+        |        AND c.cus >= v.vus AND c.cus <= v.vus + 600000000),
+        |e AS (SELECT user_id,
+        |        CASE WHEN vus IS NOT NULL AND cus IS NOT NULL THEN 1 ELSE 0 END AS m,
+        |        CASE WHEN cus IS NULL
+        |          AND (vus + 600000000)//1000 < (SELECT mu//1000 FROM mx)
+        |          THEN 1 ELSE 0 END AS uv,
+        |        CASE WHEN vus IS NULL
+        |          AND cus//1000 < (SELECT mu//1000 FROM mx)
+        |          THEN 1 ELSE 0 END AS uc
+        |      FROM j)
+        |SELECT user_id, CAST(SUM(m) AS BIGINT) AS pair_ct,
+        |       CAST(SUM(uv) AS BIGINT) AS unmatched_view_ct,
+        |       CAST(SUM(uc) AS BIGINT) AS unmatched_click_ct
+        |FROM e GROUP BY user_id
+        |HAVING SUM(m) > 0 OR SUM(uv) > 0 OR SUM(uc) > 0
         |ORDER BY user_id""".stripMargin,
 
     "p1_json_parse" ->

@@ -189,6 +189,34 @@ object Sources {
       parts: Int = 4): DataFrame =
     splitStream(spark, dir, parts, tsContiguous = false)
 
+  /** The ts-contiguous chunk FILES behind [[eventsStreamSplit]] (building
+    * them if needed), in processing order — for harness helpers that
+    * stage chunks incrementally, e.g. the checkpoint-resume gate, which
+    * needs lifecycle 2's source directory to contain files lifecycle 1
+    * never saw. */
+  private[graft] def eventsSplitChunks(spark: SparkSession, dir: String,
+      parts: Int = 4): Seq[java.io.File] = {
+    val splitDir = ensureEventsSplit(spark, dir, parts, tsContiguous = true)
+    Option(new java.io.File(splitDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+  }
+
+  /** [[eventsStreamSplit]]'s reader over an ARBITRARY staging directory —
+    * the caller controls which chunk files are present (and adds more
+    * between runs for checkpoint-resume). Same schema, ts conversion and
+    * one-file-per-trigger pacing. */
+  private[graft] def eventsStreamStaged(spark: SparkSession,
+      stageDir: String): DataFrame = {
+    graft.expressions.GraftExtensions.ensureRegistered(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   private def splitStream(spark: SparkSession, dir: String, parts: Int,
       tsContiguous: Boolean): DataFrame = {
     graft.expressions.GraftExtensions.ensureRegistered(spark)

@@ -92,6 +92,69 @@ object StreamRunner {
     spark.createDataFrame(rows, schema)
   }
 
+  /** T8 as an observable behavior: run the SAME query over TWO
+    * lifecycles sharing ONE checkpoint. Lifecycle 1 processes the first
+    * `splitAt` chunk files and stops (a planned stop stands in for the
+    * crash: the sink-side buffer is discarded state, the checkpoint —
+    * committed offsets + state-store snapshots — is what survives);
+    * the remaining chunks are then staged and a FRESH query starts from
+    * the same checkpoint. Returns the union of both lifecycles' output.
+    *
+    * Why this proves exactly-once resume: if offset recovery failed,
+    * lifecycle 2 would re-read lifecycle 1's files and re-emit its rows;
+    * if state reload failed, keys seen in lifecycle 1 would emit again
+    * under stateful dedup. Either way the union carries duplicates the
+    * single-run oracle does not have — a hash mismatch, not a silent
+    * pass. Sink is foreachBatch (the memory sink refuses checkpoint
+    * recovery by design); rows accumulate on the driver like
+    * [[collectBatches]] — a bounded-run harness helper, not a sink. */
+  def collectResumed(chunks: Seq[java.io.File], splitAt: Int)(
+      mkStream: String => DataFrame): DataFrame = {
+    require(splitAt > 0 && splitAt < chunks.length,
+      s"splitAt must split $chunks non-trivially, got $splitAt")
+    val id = n.incrementAndGet()
+    val stage = new java.io.File(s"$ckptRoot/graft-stage-$id-${System.nanoTime()}")
+    stage.mkdirs()
+    val ckpt = s"$ckptRoot/graft-ckpt-$id-${System.nanoTime()}"
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[
+      Array[org.apache.spark.sql.Row]]()
+    @volatile var schema: org.apache.spark.sql.types.StructType = null
+    @volatile var sparkRef: org.apache.spark.sql.SparkSession = null
+    def stageUp(files: Seq[java.io.File]): Unit = files.foreach { f =>
+      val dest = new java.io.File(stage, f.getName)
+      java.nio.file.Files.copy(f.toPath, dest.toPath)
+      dest.setLastModified(f.lastModified) // preserve processing order
+      ()
+    }
+    def lifecycle(): Unit = {
+      val stream = mkStream(stage.getPath)
+      val spark = stream.sparkSession
+      sparkRef = spark
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      try {
+        val q = stream.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            schema = b.schema
+            acc.add(b.collect())
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+    stageUp(chunks.take(splitAt))
+    lifecycle()
+    stageUp(chunks.drop(splitAt))
+    lifecycle()
+    require(schema != null, "collectResumed: the stream produced no batches")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    acc.forEach(a => a.foreach(rows.add))
+    sparkRef.createDataFrame(rows, schema)
+  }
+
   /** Fold the (finite) stream's micro-batches through `step`, returning
     * the final state — the accumulating-store shape behind foreachBatch
     * dim maintenance: each batch merges into a state DataFrame a
