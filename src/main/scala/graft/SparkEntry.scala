@@ -1878,6 +1878,57 @@ object SparkEntry {
       }
     }),
 
+    // ── T2 through Spark 4's transformWithState (the arbitrary-state
+    // API succeeding FMGWS): named ValueState WITH the reference's 24h
+    // TTL attached for real, vs the SAME oracle as stream_t2_uv_dedup.
+    // The API requires RocksDB state stores, so the provider wraps the
+    // run exactly like the rocksdb twin above — this gate is therefore
+    // API-independence evidence (FMGWS vs tws) on top of that gate's
+    // provider-independence.
+    "stream_t2_uv_tws" -> ((s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val before = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try graft.streaming.StreamRunner.collect(
+          graft.streaming.TwsStreams.uvDedup(
+            graft.streaming.Sources.eventsStreamSplit(s, dir)
+              .withWatermark("ts", "0 seconds")))
+          .select(col("user_id"), col("dt"), col("event_id"))
+          .orderBy(col("user_id"), col("dt"))
+          .localCheckpoint(true) // materialize under the provider conf
+      finally before match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
+    // ── T3 through transformWithState: the bounce timeout as a REAL
+    // registered event-time timer (registerTimer/handleExpiredTimer —
+    // the reference's CEP within() side-output), vs the SAME oracle as
+    // stream_t3_bounce. Both decision arms fire across the 4-batch split
+    // source: data-path bounces (successor too late) and timer-path
+    // bounces (watermark passes pending+gap mid-stream or at the flush).
+    "stream_t3_bounce_tws" -> ((s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val before = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try graft.streaming.StreamRunner.collect(
+          graft.streaming.TwsStreams.bounces(
+            graft.streaming.Sources.eventsStreamSplit(s, dir)
+              .withWatermark("ts", "0 seconds"),
+            gapSec = 1800L))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("bounce_ct"))
+          .orderBy(col("user_id"))
+          .localCheckpoint(true) // materialize under the provider conf
+      finally before match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // ── T8 as an ORACLE gate (spec-only until r10): checkpoint resume
     // across a process "restart". uvDedup runs over the first 2 chunk
     // files, STOPS, then a fresh query resumes from the same checkpoint
@@ -2437,6 +2488,15 @@ object SparkEntry {
         |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "stream_t2_uv_rocksdb" ->
+      """WITH f AS (SELECT user_id,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt, event_id,
+        |    row_number() OVER (PARTITION BY user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, dt, event_id FROM f WHERE rn = 1 ORDER BY user_id, dt""".stripMargin,
+
+    // same oracle again: the tws gate changes the state API, never the answer
+    "stream_t2_uv_tws" ->
       """WITH f AS (SELECT user_id,
         |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt, event_id,
         |    row_number() OVER (PARTITION BY user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
@@ -3586,6 +3646,18 @@ object SparkEntry {
     // delay) passed ts + gap. Trailing events inside the horizon stay
     // pending — mirrored here by the mu cutoff.
     "stream_t3_bounce" ->
+      """WITH f AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |mx AS (SELECT max(us) AS mu FROM f),
+        |g AS (SELECT user_id, us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        |  FROM f)
+        |SELECT user_id, COUNT(*) AS bounce_ct FROM g, mx
+        |WHERE (nxt IS NOT NULL AND nxt - us > 1800000000)
+        |   OR (nxt IS NULL AND (us + 1800000000)//1000 < mu//1000)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // same oracle again: timers-and-TTL API twin, identical bounce rule
+    "stream_t3_bounce_tws" ->
       """WITH f AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |mx AS (SELECT max(us) AS mu FROM f),
         |g AS (SELECT user_id, us,
