@@ -27,6 +27,24 @@ object SparkEntry {
   private def dec(c: String): org.apache.spark.sql.Column =
     col(c).cast("decimal(18,2)")
 
+  /** Runs `body` with the RocksDB state-store provider set, restoring the
+    * previous provider after. The big-state posture for the *_rocksdb /
+    * *_tws gates (transformWithState requires this provider); `body` must
+    * MATERIALIZE its result under the conf (`localCheckpoint(true)`) —
+    * a lazy DataFrame would re-plan after the conf is restored. */
+  private def withRocksDb(s: SparkSession)(
+      body: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body.localCheckpoint(true)
+    finally before match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Per-(application, input-dir) memo of the n-gram near-dup pair set.
     * `dedup_ngram_jaccard`, `dedup_clusters` and `pipe_dedup_survivors`
     * consume the SAME pair set; a real pipeline computes it once and
@@ -1862,19 +1880,12 @@ object SparkEntry {
     // outgrows the executor heap — provider-independence proven through
     // the DuckDB gate, not just a spec.
     "stream_t2_uv_rocksdb" -> ((s, dir) => {
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val before = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try graft.streaming.StreamRunner.collect(
+      withRocksDb(s) {
+        graft.streaming.StreamRunner.collect(
           graft.streaming.StatefulStreams.uvDedup(
             graft.streaming.Sources.eventsStreamSplit(s, dir)))
           .select(col("user_id"), col("dt"), col("event_id"))
           .orderBy(col("user_id"), col("dt"))
-          .localCheckpoint(true) // materialize under the provider conf
-      finally before match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
     }),
 
@@ -1886,20 +1897,13 @@ object SparkEntry {
     // API-independence evidence (FMGWS vs tws) on top of that gate's
     // provider-independence.
     "stream_t2_uv_tws" -> ((s, dir) => {
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val before = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try graft.streaming.StreamRunner.collect(
+      withRocksDb(s) {
+        graft.streaming.StreamRunner.collect(
           graft.streaming.TwsStreams.uvDedup(
             graft.streaming.Sources.eventsStreamSplit(s, dir)
               .withWatermark("ts", "0 seconds")))
           .select(col("user_id"), col("dt"), col("event_id"))
           .orderBy(col("user_id"), col("dt"))
-          .localCheckpoint(true) // materialize under the provider conf
-      finally before match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
     }),
 
@@ -1910,11 +1914,8 @@ object SparkEntry {
     // source: data-path bounces (successor too late) and timer-path
     // bounces (watermark passes pending+gap mid-stream or at the flush).
     "stream_t3_bounce_tws" -> ((s, dir) => {
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val before = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try graft.streaming.StreamRunner.collect(
+      withRocksDb(s) {
+        graft.streaming.StreamRunner.collect(
           graft.streaming.TwsStreams.bounces(
             graft.streaming.Sources.eventsStreamSplit(s, dir)
               .withWatermark("ts", "0 seconds"),
@@ -1922,10 +1923,23 @@ object SparkEntry {
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("bounce_ct"))
           .orderBy(col("user_id"))
-          .localCheckpoint(true) // materialize under the provider conf
-      finally before match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
+      }
+    }),
+
+    // ── T6's session variant through transformWithState: merge-on-arrival
+    // open-session state + an event-time timer at the session end — the
+    // tws twin of the session_window operator gate (stream_t4_session),
+    // vs the SAME oracle. The timer registers the end's ms-floor WITHOUT
+    // the bounce twin's +1: session_window's emission cutoff is inclusive
+    // (end_ms <= watermark_ms), exactly tws timers' own expiry compare.
+    "stream_t4_session_tws" -> ((s, dir) => {
+      withRocksDb(s) {
+        graft.streaming.StreamRunner.collect(
+          graft.streaming.TwsStreams.sessionStats(
+            graft.streaming.Sources.eventsStreamSplit(s, dir)
+              .withWatermark("ts", "0 seconds"),
+            gapSec = 1800L))
+          .orderBy(col("user_id"), col("stt_us"))
       }
     }),
 
@@ -3228,6 +3242,26 @@ object SparkEntry {
     // session_window cutoff: a session emits once the final watermark (ms,
     // 0s delay → floor(max_us/1000)) is at or past its end (last + gap)
     "stream_t4_session" ->
+      """WITH f AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |mx AS (SELECT max(us) AS mu FROM f),
+        |g AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |h AS (SELECT user_id, us,
+        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (SELECT user_id, sid, MIN(us) AS stt_us, MAX(us) AS last_us,
+        |         COUNT(*) AS n_events
+        |  FROM h GROUP BY user_id, sid)
+        |SELECT user_id, stt_us, n_events FROM sess, mx
+        |WHERE (last_us + 1800000000)//1000 <= mu//1000
+        |ORDER BY user_id, stt_us""".stripMargin,
+
+    // same oracle again: the tws session twin changes the state API
+    // (ValueState + timer vs the session_window operator), not the answer
+    "stream_t4_session_tws" ->
       """WITH f AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |mx AS (SELECT max(us) AS mu FROM f),
         |g AS (SELECT user_id, event_id, us,

@@ -133,9 +133,16 @@ object TwsStreams {
       p.foreach { pp =>
         pending.update(pp)
         if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
-        // ms-floor for the same whole-second-gap alignment as the FMGWS
-        // original (StatefulStreams.bounces)
-        val t = (micros(pp.ts) + gapUs) / 1000L
+        // ms-floor like the FMGWS original (StatefulStreams.bounces), +1
+        // because tws timers expire INCLUSIVELY (TimerStateImpl's expiry
+        // iterator, decompiled: timers with ts <= eviction watermark
+        // fire) while FMGWS event-time timeouts are STRICT (ts <
+        // watermark). Registering floor(deadline_ms)+1 makes
+        // "fires iff wmMs > floor(deadline_ms)" hold exactly — bit-equal
+        // to the FMGWS arm and the strict-< oracle even if an event ever
+        // lands on the ms boundary (µs-random testdata never does, but
+        // parity shouldn't hang on that).
+        val t = (micros(pp.ts) + gapUs) / 1000L + 1L
         getHandle.registerTimer(t)
         timerTs.update(t)
       }
@@ -161,6 +168,83 @@ object TwsStreams {
       .transformWithState(new BounceProcessor(gapSec * 1000000L),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF()
+  }
+
+  /** T6's session variant via transformWithState: one open session per
+    * key — (start_us, last_us, n_events) in a ValueState — merged on
+    * arrival while gaps stay within `gapUs`, emitted when the session
+    * closes. Twin of `WindowedStreams.sessionStats` (the session_window
+    * operator) against the SAME oracle: a session's window is
+    * [first_ts, last_ts + gap) and Append mode emits it once the
+    * watermark reaches its end, so the timer here registers the ms-floor
+    * of the end WITHOUT the bounce's +1 — session_window's cutoff is
+    * INCLUSIVE (oracle: end_ms <= watermark_ms), exactly the tws timer's
+    * own expiry comparison. Data-path closes (a new event opens a later
+    * session) emit the old session immediately; those sessions' ends are
+    * always behind the final watermark, so the emitted SET matches
+    * session_window's whatever the emission batch. State is O(1) per key;
+    * trailing open sessions stay pending — the live-stream contract. */
+  private case class OpenSession(sttUs: Long, lastUs: Long, n: Long)
+
+  private class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, Event, (Long, Long, Long)] {
+    @transient private var open: ValueState[OpenSession] = _
+    @transient private var timerTs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long]("timerTs",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val evs = sorted(rows)
+      if (evs.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var cur = if (open.exists()) Some(open.get()) else None
+      evs.foreach { e =>
+        val us = micros(e.ts)
+        cur match {
+          case Some(s) if us - s.lastUs <= gapUs =>
+            cur = Some(OpenSession(s.sttUs, math.max(s.lastUs, us), s.n + 1))
+          case Some(s) =>
+            out += ((key, s.sttUs, s.n)) // data-path close
+            cur = Some(OpenSession(us, us, 1L))
+          case None =>
+            cur = Some(OpenSession(us, us, 1L))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+        val t = (s.lastUs + gapUs) / 1000L // inclusive fire == oracle's <=
+        getHandle.registerTimer(t)
+        timerTs.update(t)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      if (open.exists()) {
+        val s = open.get()
+        open.clear()
+        timerTs.clear()
+        Iterator.single((key, s.sttUs, s.n))
+      } else Iterator.empty
+    }
+  }
+
+  def sessionStats(events: DataFrame, gapSec: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    toEvents(events)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSec * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "stt_us", "n_events")
   }
 
   /** TTL probe for the spec: per input row, report whether the keyed

@@ -136,6 +136,35 @@ class TwsSpec extends SparkSpec {
     }
   }
 
+  test("tws sessionStats == session_window sessionStats across batches") {
+    // gap 60s; key 10: two events 30s apart (one session, n=2), then a
+    // revisit 120s later (second session, n=1); key 20: one event; the
+    // two sentinel batches (99@700, 98@705) stage the watermark so every
+    // closed session's timer fires inside a DATA batch (end 190/310 <
+    // wm 500 by batch 3, end 560 < wm 700 by batch 4) while no sentinel's
+    // own deadline (760/765) is ever crossed — the same determinism
+    // argument as the bounce test.
+    val b: Seq[Seq[Event]] = Seq(
+      Seq(ev(1, 10, 100), ev(2, 10, 130)),
+      Seq(ev(3, 10, 250), ev(4, 20, 500)),
+      Seq(ev(5, 99, 700)),
+      Seq(ev(6, 98, 705)))
+    withRocksDb {
+      def wm(df: DataFrame) = df.withWatermark("ts", "0 seconds")
+      val tws = runBatches(b)(
+          d => TwsStreams.sessionStats(wm(d), gapSec = 60L))
+        .select("user_id", "stt_us", "n_events")
+      val sw = runBatches(b)(
+          d => graft.streaming.WindowedStreams.sessionStats(d, gapSec = 60L))
+        .select("user_id", "stt_us", "n_events")
+      val t = tws.collect().map(_.toSeq).toSet
+      val s = sw.collect().map(_.toSeq).toSet
+      assert(t == s)
+      assert(t == Set(Seq(10L, 100000000L, 2L), Seq(10L, 250000000L, 1L),
+        Seq(20L, 500000000L, 1L)))
+    }
+  }
+
   test("TTL state actually expires (the FMGWS-inexpressible capability)") {
     withRocksDb {
       // same key in 3 batches; 300ms TTL, ~1s pause between batches —
