@@ -61,6 +61,28 @@ object AbDrift {
           sampleRate = 0.5)
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
           centroids, nProbe = 4).count()
+      }),
+      // r10 drift watch (VERDICT r10 task 5): dedup_clusters moved 4.8→10.7 s
+      // and dedup_embedding 1.1→3.0 s in the driver bench. dedup_clusters is
+      // alphabetically FIRST of the three gates sharing the shingle-pair
+      // memo (SparkEntry.sharedNgramPairs), so it alone pays the shared
+      // scan in bench order — these arms bypass the memo and time the scan
+      // and the scan+clusters plans separately, so the delta attributes to
+      // a plan or to attribution/load.
+      "ngram_pairs_scan" -> (() => {
+        import graft.operators.Dedup
+        Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir)).count()
+      }),
+      "clusters_e2e" -> (() => {
+        import graft.operators.Dedup
+        Dedup.clusters(
+          Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir))).count()
+      }),
+      "embedding_neardup" -> (() => {
+        import graft.operators.Dedup
+        Dedup.embeddingNearDup(Tables.embeddings(spark, sfDir),
+          VectorFns.randomPlanes(3, 64), minCosine = 0.4,
+          maxBucket = 1000000).count()
       })
     )
 

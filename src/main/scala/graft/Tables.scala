@@ -22,18 +22,44 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS,false) which Spark's
-    * parquet reader rejects outright. We read nanos as raw longs
-    * (`nanosAsLong`) and floor to microseconds — the same truncation DuckDB
-    * applies when casting its TIMESTAMP_NS to TIMESTAMP, so event-time
-    * results stay oracle-comparable.
+  /** `events.parquet`'s physical `ts` type has drifted across driver data
+    * generations (INT64 TIMESTAMP(NANOS,false) → INT64 TIMESTAMP_MICROS).
+    * A real engine reads what the footer says, so we branch on the observed
+    * Spark-visible type instead of hard-coding one generation's contract —
+    * see [[normalizeEventTs]]. `nanosAsLong` stays set: it only affects
+    * NANOS-annotated columns (read as raw longs instead of erroring) and is
+    * a no-op for every other physical type.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      // integer floor division: double division loses precision above 2^53
-      // (epoch-nanos ~1.6e18), which could shift event times by ±1µs
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(read(spark, dir, "events"))
+  }
+
+  /** Canonicalize an events frame's `ts` to TimestampType (micros, UTC
+    * instant) whatever the file's physical type surfaced as:
+    *  - `LongType`: legacy TIMESTAMP(NANOS) read via `nanosAsLong` (or raw
+    *    epoch-nanos longs). Integer floor-division to micros — double
+    *    division loses precision above 2^53 (epoch-nanos ~1.6e18) and
+    *    could shift event times by ±1µs; the integer floor matches the
+    *    truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so
+    *    results stay oracle-comparable.
+    *  - `TimestampNTZType`: micros with isAdjustedToUTC=false (pyarrow's
+    *    default). The session timezone is pinned UTC (Sessions.tuned), so
+    *    the cast reinterprets the wall-clock as the same UTC instant.
+    *  - `TimestampType`: already an instant; pass through.
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected epoch-nanos long, " +
+          "timestamp_ntz, or timestamp")
+    }
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =

@@ -108,42 +108,48 @@ object Sources {
       path, keyCol, checkpoint, Some(versionCol), buckets = buckets)
   }
 
-  /** Events table as a file stream — the harness stand-in for the
-    * ods_base_log Kafka topic. Schema must be declared (streaming cannot
-    * infer); ts arrives as raw nanos (see Tables.events) and is floored to
-    * micros. */
+  /** Streaming cannot infer a parquet schema, but hard-coding one binds the
+    * engine to a single historical physical type of a fixture file (the
+    * round-10 break: events regenerated NANOS → TIMESTAMP_MICROS). Instead,
+    * probe the Spark-visible schema with a one-footer batch read and declare
+    * THAT — the stream then adapts to whatever the driver regenerates, and a
+    * genuinely incompatible change fails loudly at the probe instead of
+    * silently corrupting values. */
+  private[graft] def probedSchema(spark: SparkSession, dir: String,
+      glob: String): StructType =
+    spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+
   /** Documents table as a file stream — the ingestion-side stand-in for a
     * new-corpus-batch topic (no event-time column; consumers are
     * stream-static joins that need no watermark). */
   def documentsStream(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftExtensions.ensureRegistered(spark)
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
     spark.readStream
-      .schema(schema)
+      .schema(probedSchema(spark, dir, "documents.parquet"))
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
   }
 
+  /** Events table as a file stream — the harness stand-in for the
+    * ods_base_log Kafka topic. Declared schema comes from a footer probe;
+    * `ts` is canonicalized to TimestampType by the same type-driven branch
+    * as the batch reader (Tables.normalizeEventTs). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftExtensions.ensureRegistered(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(dir)
-      // integer floor division — same truncation as Tables.events (double
-      // division is lossy above 2^53)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(probedSchema(spark, dir, "events.parquet"))
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(dir))
   }
 
-  private val eventsSchema: StructType = StructType(Seq(
+  /** The canonical schema of the split-chunk files [[ensureEventsSplit]]
+    * writes: chunks are produced from an already-normalized frame, so `ts`
+    * is TimestampType regardless of the source file's physical type. */
+  private val eventsChunkSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -209,24 +215,20 @@ object Sources {
   private[graft] def eventsStreamStaged(spark: SparkSession,
       stageDir: String): DataFrame = {
     graft.expressions.GraftExtensions.ensureRegistered(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
-      .schema(eventsSchema)
+      .schema(eventsChunkSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   private def splitStream(spark: SparkSession, dir: String, parts: Int,
       tsContiguous: Boolean): DataFrame = {
     graft.expressions.GraftExtensions.ensureRegistered(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val splitDir = ensureEventsSplit(spark, dir, parts, tsContiguous)
     spark.readStream
-      .schema(eventsSchema)
+      .schema(eventsChunkSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(splitDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   private val splitLock = new Object
@@ -248,7 +250,12 @@ object Sources {
       else System.getProperty("java.io.tmpdir")
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val mode = if (tsContiguous) "" else "-rr"
-    val out = new java.io.File(s"$root/graft-events-split-$key-$parts$mode")
+    // key the cache on a fingerprint of the SOURCE file too: a driver-side
+    // data regeneration (new mtime/size) must invalidate old chunks, or
+    // stale pre-regeneration data would silently survive on tmpfs
+    val src = new java.io.File(dir, "events.parquet")
+    val fp = s"${src.length()}-${src.lastModified()}"
+    val out = new java.io.File(s"$root/graft-events-split-$key-$parts$mode-$fp")
     def chunkFiles(d: java.io.File): Array[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
@@ -262,11 +269,19 @@ object Sources {
     val build = new java.io.File(out.getPath + ".build")
     rmTree(build)
     build.mkdirs()
-    val raw = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // normalize ONCE here (type-driven, see Tables.normalizeEventTs), so
+    // chunk files always carry the canonical TimestampType schema and the
+    // split readers need no per-physical-type branch; cuts compare on
+    // unix_micros, which is exact for micros-resolution timestamps
+    val raw = graft.Tables.normalizeEventTs(
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(dir))
+      .select(eventsChunkSchema.fieldNames.toIndexedSeq.map(col): _*)
+    val tsUs = unix_micros(col("ts"))
     val chunkPreds: Seq[org.apache.spark.sql.Column] =
       if (tsContiguous) {
         val probs = (1 until parts).map(_.toDouble / parts).toArray
-        val bounds = raw.select(col("ts").cast("double").as("tsd"))
+        val bounds = raw.select(tsUs.cast("double").as("tsd"))
           .stat.approxQuantile("tsd", probs, 0.0)
           .map(_.toLong).distinct.sorted
         if (bounds.length != parts - 1)
@@ -275,7 +290,7 @@ object Sources {
             "fixture is too ts-degenerate to split; lower `parts`")
         val cuts = (Long.MinValue +: bounds.toVector) :+ Long.MaxValue
         cuts.sliding(2).map { case Seq(lo, hi) =>
-          col("ts") > lo && col("ts") <= hi }.toSeq
+          tsUs > lo && tsUs <= hi }.toSeq
       } else
         (0 until parts).map(i => pmod(col("event_id"), lit(parts.toLong)) === i)
     val base = (System.currentTimeMillis() / 1000L) * 1000L

@@ -24,15 +24,21 @@ class MultiBatchSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val splitDir = new java.io.File(s"/dev/shm/graft-events-split-$key-4")
+    // cache dir name ends in a source-file fingerprint (size-mtime); the
+    // ts-contiguous variant has no "-rr" mode segment
+    val splitDir = new java.io.File("/dev/shm").listFiles()
+      .filter(_.getName.matches(s"graft-events-split-$key-4-\\d+-\\d+"))
+      .maxBy(_.lastModified())
     val chunks = splitDir.listFiles().filter(_.getName.endsWith(".parquet"))
       .sortBy(_.getName)
     assert(chunks.length == 4)
     // modification times strictly increase in name order (batch order pin)
     assert(chunks.map(_.lastModified()).sliding(2).forall(p => p(0) < p(1)))
     val ranges = chunks.map { f =>
+      // chunk files carry the canonical TimestampType ts; compare on micros
       val r = spark.read.parquet(f.getPath)
-        .agg(min(col("ts")), max(col("ts")), count(lit(1))).head()
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+          count(lit(1))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     assert(ranges.map(_._3).sum == raw.count())
