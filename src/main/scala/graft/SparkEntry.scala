@@ -1270,6 +1270,77 @@ object SparkEntry {
           col("is_current"))
         .orderBy(col("user_id"), col("from_us"), col("event_id"))),
 
+    // ── S3/S4→P3→K4 END-TO-END as an oracle gate (VERDICT r10 stretch):
+    // CDC envelopes built from the customer table — a full "create"
+    // snapshot, then versioned updates, then poison deletes — staged as 3
+    // real micro-batches through decode (S4, with the create→insert
+    // rename), the delete filter (P3), payload routing (S3) and the
+    // versioned dim upsert (K4, ods/Flink_CDCWithCustomerSchema_Ods.java:
+    // 69-124 → func/DimSinkFunction.java:28-72). The final store state is
+    // compared to the SQL-recomputed truth: a broken rename drops the
+    // whole snapshot, a failed version compare keeps stale balances, and
+    // a delete leaking past the filter lands a -999 poison balance — each
+    // a hash mismatch, not a silent pass.
+    "cdc_route_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      def env(df: DataFrame, typ: String): DataFrame =
+        df.select(to_json(struct(
+          lit("gmall").as("database"), lit("customer").as("tableName"),
+          lit(null).cast("string").as("before"),
+          to_json(struct(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("version"))).as("after"),
+          lit(typ).as("type"))).as("value"))
+      val inserts = env(cust.withColumn("version", lit(1L)), "create")
+      val updates = env(cust.filter(pmod(col("c_custkey"), lit(7L)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .withColumn("version", lit(2L)), "update")
+      val deletes = env(cust.filter(pmod(col("c_custkey"), lit(13L)) === 0)
+        .withColumn("c_acctbal", lit(-999.0))
+        .withColumn("version", lit(3L)), "delete")
+      val payloadSchema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("version", LongType)))
+      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val uniq = System.nanoTime()
+      val stagePath = s"$root/graft-cdc-stage-$uniq"
+      val routed = graft.streaming.Sources.cdcAfter(
+        graft.operators.LogPipeline.dropDeletes(
+          graft.streaming.Sources.cdcDecode(
+            graft.streaming.Sources.stagedChunkStream(
+              s, Seq(inserts, updates, deletes), Some(stagePath))),
+          typeCol = "type"),
+        "customer", payloadSchema)
+      val dimPath = s"$root/graft-cdc-dim-$uniq"
+      val ckptPath = s"$root/graft-cdc-ckpt-$uniq"
+      val q = graft.streaming.Sinks.dimUpsert(routed, dimPath, "c_custkey",
+        checkpoint = ckptPath,
+        versionCol = Some("version"),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      // materialize before sweeping the throwaway store + checkpoint —
+      // a lazy result would re-read files this deletes
+      val out = s.read.parquet(dimPath)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("version"))
+        .orderBy(col("c_custkey"))
+        .localCheckpoint(true)
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      rm(dimPath); rm(ckptPath); rm(stagePath)
+      out
+    }),
+
     // ── A9: sliding (hopping) 60s/30s window — each event lands in two
     // overlapping windows; the oracle expands events with a k∈{0,1}
     // offset join and must agree window for window
@@ -2271,6 +2342,17 @@ object SparkEntry {
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
   def oracleSql: Map[String, String] = Map(
+
+    // final dim state after snapshot+update+delete envelopes: updates win
+    // by version, deletes are filtered (reference drops them pre-route),
+    // so balances are original except the %7 update cohort's +100
+    "cdc_route_upsert" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  CAST(CASE WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS version
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "sample_cap_per_source" ->
       """WITH r AS (SELECT doc_id, source,

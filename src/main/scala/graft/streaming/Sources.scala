@@ -221,6 +221,40 @@ object Sources {
       .parquet(stageDir)
   }
 
+  /** Stage each bounded frame as ONE parquet chunk file (mtime-pinned in
+    * sequence order) in a fresh tmpfs dir, and read them back as a
+    * `maxFilesPerTrigger=1` file stream — a deterministic multi-micro-batch
+    * bounded stream for envelope/transport fixtures (the CDC gate's binlog
+    * stand-in). All frames must share one schema; the file source's
+    * mtime ordering makes chunk i exactly micro-batch i. */
+  private[graft] def stagedChunkStream(spark: SparkSession,
+      chunks: Seq[DataFrame], stageDir: Option[String] = None): DataFrame = {
+    require(chunks.nonEmpty, "stagedChunkStream needs at least one chunk")
+    val root =
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val stage = new java.io.File(stageDir.getOrElse(
+      s"$root/graft-envchunks-${System.nanoTime()}"))
+    stage.mkdirs()
+    val base = (System.currentTimeMillis() / 1000L) * 1000L
+    chunks.zipWithIndex.foreach { case (df, i) =>
+      val tmp = new java.io.File(stage, s"b$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).headOption.getOrElse(
+          throw new IllegalStateException(s"staged chunk $i produced no file"))
+      val dest = new java.io.File(stage, f"chunk-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
+      dest.setLastModified(base + i * 2000L)
+      ()
+    }
+    spark.readStream
+      .schema(chunks.head.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.getPath)
+  }
+
   private def splitStream(spark: SparkSession, dir: String, parts: Int,
       tsContiguous: Boolean): DataFrame = {
     graft.expressions.GraftExtensions.ensureRegistered(spark)
