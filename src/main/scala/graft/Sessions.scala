@@ -28,6 +28,14 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4.1 writes a .crc companion for EVERY checkpoint file
+      // (state deltas/snapshots, offsets, commits) through
+      // ChecksumCheckpointFileManager — doubling file-ops on paths whose
+      // durability already comes from the store. Worth it on remote object
+      // stores; pure overhead for this harness's throwaway tmpfs
+      // checkpoints (measured: see BASELINE.md r11 notes). A durable
+      // production deployment on HDFS/S3 would re-enable it.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
