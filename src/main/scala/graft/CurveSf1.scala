@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * number, not a design argument.
   *
   * The 10× corpus is written with the RAW testdata schemas (events.ts
-  * stays nanos BIGINT), so the unmodified SparkEntry gate closures run on
-  * it: documents replicate through ScaleGrowth's Caesar-family trick
-  * (pair graph = 10 disjoint copies, no artificial mega-cluster); events
-  * and embeddings are id-offset replicas (user state count ×10, same
-  * per-user series; window count flat, rows per window ×10).
+  * passes through in whatever physical type the fixture carries — the
+  * schema-adaptive readers normalize either generation), so the
+  * unmodified SparkEntry gate closures run on it: documents replicate
+  * through ScaleGrowth's Caesar-family trick (pair graph = 10 disjoint
+  * copies, no artificial mega-cluster); events and embeddings are
+  * id-offset replicas (user state count ×10, same per-user series;
+  * window count flat, rows per window ×10).
   *
   * Per-gate: plan-warmed at sf0.001, Bench-style hygiene between runs,
   * 2 trials per scale, min reported. Markdown table for SCALE.md on
@@ -79,9 +81,21 @@ object CurveSf1 {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = args.headOption.getOrElse("/tmp/graft-sf1")
     val spark = Sessions.tuned("local[32]", "32")
-    if (!new java.io.File(s"$out/events.parquet").exists()) {
+    // cache keyed on a fingerprint of the SOURCE fixtures: a driver-side
+    // data regeneration must invalidate the synthesized corpus, or stale
+    // pre-regeneration replicas would silently feed the curve
+    val fp = Seq("events", "documents", "embeddings").map { t =>
+      val f = new java.io.File(s"$sf01/$t.parquet")
+      s"$t:${f.length()}:${f.lastModified()}"
+    }.mkString("\n")
+    val marker = new java.io.File(s"$out/.source-fingerprint")
+    val fresh = marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fp
+    if (!fresh) {
       println(s"[curve] synthesizing 10x corpus at $out")
+      new java.io.File(out).mkdirs()
       synthRaw(spark, sf01, out, r = 10)
+      java.nio.file.Files.write(marker.toPath, fp.getBytes)
     }
     def reset(): Unit = {
       spark.catalog.listTables().collect()

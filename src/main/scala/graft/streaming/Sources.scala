@@ -323,7 +323,7 @@ object Sources {
             s"(${bounds.length + 1} distinct cuts for $parts chunks) — the " +
             "fixture is too ts-degenerate to split; lower `parts`")
         val cuts = (Long.MinValue +: bounds.toVector) :+ Long.MaxValue
-        cuts.sliding(2).map { case Seq(lo, hi) =>
+        cuts.sliding(2).collect { case Seq(lo, hi) =>
           tsUs > lo && tsUs <= hi }.toSeq
       } else
         (0 until parts).map(i => pmod(col("event_id"), lit(parts.toLong)) === i)
