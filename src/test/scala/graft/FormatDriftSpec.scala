@@ -97,6 +97,22 @@ class FormatDriftSpec extends SparkSpec {
     }
   }
 
+  test("a stateful stream gate (uvDedup) is shape-invariant") {
+    val results = shapes.map { case (name, t) =>
+      val out = graft.streaming.StreamRunner.collect(
+        graft.streaming.StatefulStreams.uvDedup(
+          graft.streaming.Sources.eventsStream(spark, writeFixture(t))))
+      name -> out.select(col("user_id"), col("dt"), col("event_id"))
+        .orderBy(col("user_id"), col("dt"))
+        .collect().map(_.toString).toIndexedSeq
+    }
+    val (refName, ref) = results.head
+    assert(ref.nonEmpty)
+    results.tail.foreach { case (name, got) =>
+      assert(got == ref, s"$name diverged from $refName")
+    }
+  }
+
   test("normalizeEventTs rejects an incompatible ts type loudly") {
     val bad = spark.range(1).select(col("id").cast("string").as("ts"))
     val e = intercept[IllegalStateException](Tables.normalizeEventTs(bad))
