@@ -1727,6 +1727,38 @@ object SparkEntry {
           (floor(col("cos") * 1e4) / 1e4).as("cos"))
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // ── Dedup: SemDeDup — semantic dedup over LEARNED k-means cells
+    // (arXiv:2303.09540), vs dedup_embedding's random hyperplanes. The
+    // oracle cannot re-learn the centroids in SQL, so the gate follows
+    // the sim_topk_ivf shape: it emits invariant VERDICTS the oracle
+    // pins — conservation (one classified row per vector), witness
+    // validity (every drop justified by an earlier same-cell member
+    // above tau), cluster-minimum keeps, and non-vacuity (tau=0.4 drops
+    // 17/17/215 vectors at sf0.001/0.01/0.1) — while DedupSpec pins the
+    // exact keep/drop/witness semantics on a constructed fixture with
+    // explicit centroids.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.trainCentroids(emb, k = 16, iters = 2,
+        sampleRate = 0.5)
+      // materialized once: three verdict aggregations read it
+      val r = Dedup.semanticDedup(emb, cents, tau = 0.4).localCheckpoint(true)
+      val minima = r.groupBy(col("cluster_id")).agg(min(col("vec_id")).as("min_id"))
+      val minKept = r.join(minima, r("vec_id") === minima("min_id"))
+        .agg(coalesce(min(when(col("keep"), 1L).otherwise(0L)), lit(1L))
+          .as("minima_kept_ok"))
+      val agg = r.agg(
+        count(lit(1)).as("n_total"),
+        coalesce(min(when(!col("keep"),
+            when(col("witness_cos") > 0.4 && col("witness_id") < col("vec_id"), 1L)
+              .otherwise(0L))), lit(1L)).as("drops_witnessed_ok"),
+        (sum(when(!col("keep"), 1L).otherwise(0L)) > 0).cast("long")
+          .as("some_dropped"))
+      agg.crossJoin(minKept)
+        .select(col("n_total"), col("drops_witnessed_ok"),
+          col("minima_kept_ok"), col("some_dropped"))
+    }),
+
     // ── Similarity: exact brute-force cosine top-k
     "sim_topk_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -2342,6 +2374,16 @@ object SparkEntry {
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
   def oracleSql: Map[String, String] = Map(
+
+    // SemDeDup verdicts: conservation from the table, the three
+    // invariant verdicts pinned to 1 (validity is computed Spark-side,
+    // exact semantics pinned in DedupSpec — the sim_topk_ivf pattern)
+    "dedup_semantic" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(1 AS BIGINT) AS drops_witnessed_ok,
+        |  CAST(1 AS BIGINT) AS minima_kept_ok,
+        |  CAST(1 AS BIGINT) AS some_dropped
+        |FROM embeddings""".stripMargin,
 
     // final dim state after snapshot+update+delete envelopes: updates win
     // by version, deletes are filtered (reference drops them pre-route),

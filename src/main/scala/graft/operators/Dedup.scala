@@ -535,4 +535,60 @@ object Dedup {
         cosine(col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= minCosine)
   }
+
+  /** Semantic dedup over LEARNED clusters (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): k-means cells shard the pairwise-cosine work —
+    * unlike [[embeddingNearDup]]'s random hyperplanes, the cells follow
+    * the corpus's own density, so semantically-close vectors co-locate
+    * even when no hyperplane cut separates their region. Within a cell, a
+    * vector is dropped when ANY earlier (lower-id) member is more similar
+    * than `tau`; its witness is the most-similar such member (ties to the
+    * lowest witness id). The min-id member of every cell is always kept.
+    *
+    * Scale posture: pairwise work is Σ|cell|², so `k` is the scale lever
+    * (grow it with the corpus to keep cells bounded); a cell the trainer
+    * failed to split past `maxBucket` raises in-plan (`raise_error`)
+    * rather than silently going quadratic — the fix is a bigger k, not a
+    * degraded answer. The directed self-join shuffles on cluster_id only;
+    * witness selection is a hash aggregation (`max_by`), no window sort.
+    *
+    * Returns one row per input vector:
+    * (vec_id, cluster_id, keep, witness_id, witness_cos).
+    */
+  def semanticDedup(embeddings: DataFrame, centroids: DataFrame,
+      tau: Double, maxBucket: Int = 100000): DataFrame = {
+    import graft.functions.VectorFns._
+    val assigned = embeddings
+      .join(Similarity.assign(embeddings, centroids), "vec_id")
+      .select(col("cluster_id"), col("vec_id"), col("embedding"))
+    // the raise_error is embedded in the guard's JOIN KEY itself (+0L is
+    // identity below the cap): building the broadcast side must evaluate
+    // the key, so the guard fires under ANY downstream shape — a bare
+    // count() prunes unused projections (observed: a separate _guard
+    // column was optimized away), but a join key cannot be pruned
+    val guard = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("c_n"))
+      .select((col("cluster_id") +
+        when(col("c_n") > maxBucket, raise_error(concat(
+            lit("semanticDedup: cluster "), col("cluster_id"),
+            lit(s" exceeds maxBucket=$maxBucket members — raise k"))))
+          .otherwise(lit(0L))).as("cluster_id"))
+    val members = assigned.join(broadcast(guard), Seq("cluster_id"))
+      .select(col("cluster_id"), col("vec_id"), col("embedding"))
+    val earlier = members.select(col("cluster_id"),
+      col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val witnesses = members.join(earlier, Seq("cluster_id"))
+      .filter(col("b_id") < col("vec_id"))
+      .select(col("vec_id"), col("b_id"),
+        cosine(col("embedding"), col("b_emb")).as("cos"))
+      .filter(col("cos") > tau)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("b_id"), col("cos")),
+        struct(col("cos"), -col("b_id"))).as("w"))
+    members
+      .join(witnesses, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        col("w").isNull.as("keep"),
+        col("w.b_id").as("witness_id"), col("w.cos").as("witness_cos"))
+  }
 }

@@ -262,4 +262,45 @@ class DedupSpec extends SparkSpec {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  // SemDeDup fixture: two well-separated direction groups; explicit
+  // centroids make the cell assignment exact so keep/drop/witness
+  // expectations are deterministic (the gate uses trained centroids and
+  // pins only invariants — this spec pins the semantics).
+  private def semFixture = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.999f, 0.01f, 0.0f, 0.0f)),  // ~1.0 cos to 1 → drop, witness 1 or 2-chain
+    (3L, Array(0.98f, 0.05f, 0.0f, 0.0f)),   // closest to 2 → drop, witness 2
+    (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (5L, Array(0.01f, 0.999f, 0.0f, 0.0f)),  // ~1.0 cos to 4 → drop, witness 4
+    (6L, Array(0.6f, 0.8f, 0.0f, 0.0f))      // cos to 4/5 ≈ 0.80 < tau → keep
+  ).toDF("vec_id", "embedding")
+
+  private def semCentroids = Seq(
+    (1L, Array(1.0, 0.0, 0.0, 0.0)),
+    (2L, Array(0.0, 1.0, 0.0, 0.0))
+  ).toDF("cluster_id", "centroid")
+
+  test("semanticDedup: min-id kept per cell, drops witnessed by most-similar earlier member") {
+    val r = Dedup.semanticDedup(semFixture, semCentroids, tau = 0.9)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("keep"), col("witness_id"))
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    assert(r === Seq(
+      (1L, true, None),
+      (2L, false, Some(1L)),
+      (3L, false, Some(2L)), // cos(3,2) > cos(3,1): witness is the most-similar, not just any
+      (4L, true, None),
+      (5L, false, Some(4L)),
+      (6L, true, None)))     // 0.80 cosine is below tau — stays
+  }
+
+  test("semanticDedup: an unsplit mega-cell raises instead of going quadratic") {
+    val e = intercept[Exception](
+      Dedup.semanticDedup(semFixture, semCentroids, tau = 0.9, maxBucket = 2)
+        .count())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("maxBucket")))
+  }
 }
