@@ -421,4 +421,18 @@ class PlanSpec extends SparkSpec {
       l.contains("BroadcastHashJoin") && l.contains("LeftSemi")), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("semanticDedup: per-cell pairing is an equi join on cluster_id — " +
+    "never a cartesian; only the k-centroid assign is nested-loop") {
+    import graft.operators.{Dedup, Similarity}
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.trainCentroids(emb, k = 4, iters = 1)
+    val p = Dedup.semanticDedup(emb, cents, tau = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the pair stage is a real keyed join (hash family or SMJ), not the
+    // broadcast nested loop that assign's k-row centroid cross uses
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
