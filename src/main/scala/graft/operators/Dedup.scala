@@ -558,9 +558,15 @@ object Dedup {
   def semanticDedup(embeddings: DataFrame, centroids: DataFrame,
       tau: Double, maxBucket: Int = 100000): DataFrame = {
     import graft.functions.VectorFns._
+    // one corpus pass: the guard aggregate, both sides of the pair join
+    // and the final left join all re-read the assignment — without this
+    // the scan + centroid-assign subtree executes 3-4× (Catalyst does not
+    // reuse it across the self-join). Blocks die with the session; Bench's
+    // hygiene pass sweeps them (the trainCentroids idiom).
     val assigned = embeddings
       .join(Similarity.assign(embeddings, centroids), "vec_id")
       .select(col("cluster_id"), col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
     // the raise_error is embedded in the guard's JOIN KEY itself (+0L is
     // identity below the cap): building the broadcast side must evaluate
     // the key, so the guard fires under ANY downstream shape — a bare
