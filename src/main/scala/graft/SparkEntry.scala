@@ -1317,18 +1317,6 @@ object SparkEntry {
         "customer", payloadSchema)
       val dimPath = s"$root/graft-cdc-dim-$uniq"
       val ckptPath = s"$root/graft-cdc-ckpt-$uniq"
-      val q = graft.streaming.Sinks.dimUpsert(routed, dimPath, "c_custkey",
-        checkpoint = ckptPath,
-        versionCol = Some("version"),
-        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      q.awaitTermination()
-      // materialize before sweeping the throwaway store + checkpoint —
-      // a lazy result would re-read files this deletes
-      val out = s.read.parquet(dimPath)
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
-          col("version"))
-        .orderBy(col("c_custkey"))
-        .localCheckpoint(true)
       def rm(p: String): Unit = {
         def go(f: java.io.File): Unit = {
           if (f.isDirectory)
@@ -1337,8 +1325,24 @@ object SparkEntry {
         }
         go(new java.io.File(p))
       }
-      rm(dimPath); rm(ckptPath); rm(stagePath)
-      out
+      // sweep the throwaway dirs even when the query or the dim read
+      // throws — leaked tmpfs copies accumulate across failed trials
+      try {
+        val q = graft.streaming.Sinks.dimUpsert(routed, dimPath, "c_custkey",
+          checkpoint = ckptPath,
+          versionCol = Some("version"),
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        // materialize before sweeping the throwaway store + checkpoint —
+        // a lazy result would re-read files this deletes
+        s.read.parquet(dimPath)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("version"))
+          .orderBy(col("c_custkey"))
+          .localCheckpoint(true)
+      } finally {
+        rm(dimPath); rm(ckptPath); rm(stagePath)
+      }
     }),
 
     // ── A9: sliding (hopping) 60s/30s window — each event lands in two
@@ -1739,10 +1743,13 @@ object SparkEntry {
     // explicit centroids.
     "dedup_semantic" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // single threshold shared by the dedup call and the witness verdict:
+      // retuning it in one place must not silently weaken the other
+      val tau = 0.4
       val cents = Similarity.trainCentroids(emb, k = 16, iters = 2,
         sampleRate = 0.5)
       // materialized once: three verdict aggregations read it
-      val r = Dedup.semanticDedup(emb, cents, tau = 0.4).localCheckpoint(true)
+      val r = Dedup.semanticDedup(emb, cents, tau = tau).localCheckpoint(true)
       val minima = r.groupBy(col("cluster_id")).agg(min(col("vec_id")).as("min_id"))
       val minKept = r.join(minima, r("vec_id") === minima("min_id"))
         .agg(coalesce(min(when(col("keep"), 1L).otherwise(0L)), lit(1L))
@@ -1750,7 +1757,7 @@ object SparkEntry {
       val agg = r.agg(
         count(lit(1)).as("n_total"),
         coalesce(min(when(!col("keep"),
-            when(col("witness_cos") > 0.4 && col("witness_id") < col("vec_id"), 1L)
+            when(col("witness_cos") > tau && col("witness_id") < col("vec_id"), 1L)
               .otherwise(0L))), lit(1L)).as("drops_witnessed_ok"),
         (sum(when(!col("keep"), 1L).otherwise(0L)) > 0).cast("long")
           .as("some_dropped"))

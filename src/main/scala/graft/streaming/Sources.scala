@@ -299,6 +299,16 @@ object Sources {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
       f.delete(); ()
     }
+    // sweep stale-fingerprint siblings: each driver-side regeneration
+    // changes fp, and without this the tmpfs would keep a full events
+    // copy per generation
+    val stalePat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(s"graft-events-split-$key-$parts$mode-") +
+        "\\d+-\\d+(\\.build)?")
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => stalePat.matcher(f.getName).matches() &&
+        f.getName != out.getName && f.getName != out.getName + ".build")
+      .foreach(rmTree)
     rmTree(out)
     val build = new java.io.File(out.getPath + ".build")
     rmTree(build)

@@ -36,13 +36,23 @@ object StreamRunner {
     if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
     else System.getProperty("java.io.tmpdir")
 
-  def collect(stream: DataFrame, outputMode: String = "append"): DataFrame = {
+  /** @param statePartitions shuffle/state partition count for THIS query.
+    *   Stateful commit cost is per-store-per-partition-per-batch file I/O,
+    *   independent of state volume — a stream-stream join carries 4 stores
+    *   per partition, so a 2-batch 10-row join at 8 partitions pays 64
+    *   store commits for 10 rows of state (measured 3.5-4.3 s in r11).
+    *   Gates whose state is a handful of rows pass a small count; the
+    *   default stays [[StatePartitions]]. Results are identical at any
+    *   count (state is key-hashed); on a real cluster this is sized to
+    *   state volume / executor count, exactly like shuffle width. */
+  def collect(stream: DataFrame, outputMode: String = "append",
+      statePartitions: Int = StatePartitions): DataFrame = {
     val spark = stream.sparkSession
     val id = n.incrementAndGet()
     val name = s"graft_stream_$id"
     val ckpt = s"$ckptRoot/graft-ckpt-$id-${System.nanoTime()}"
     val before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
       val q = stream.writeStream
         .format("memory")

@@ -24,11 +24,17 @@ class MultiBatchSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // same root resolution as Sources.ensureEventsSplit — on hosts where
+    // /dev/shm is unwritable the cache lives under java.io.tmpdir
+    val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
     // cache dir name ends in a source-file fingerprint (size-mtime); the
     // ts-contiguous variant has no "-rr" mode segment
-    val splitDir = new java.io.File("/dev/shm").listFiles()
+    val candidates = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.matches(s"graft-events-split-$key-4-\\d+-\\d+"))
-      .maxBy(_.lastModified())
+    assert(candidates.nonEmpty, s"no split cache dir under $root")
+    val splitDir = candidates.maxBy(_.lastModified())
     val chunks = splitDir.listFiles().filter(_.getName.endsWith(".parquet"))
       .sortBy(_.getName)
     assert(chunks.length == 4)
