@@ -198,6 +198,22 @@ object ScaleGrowth {
           synthEventsStream(spark, dir), gapSec = 1800L)).count()
       (n, "sessionStats under RocksDB provider (rows grow Rx)")
     }),
+    // Auto-k SemDeDup: k = ceil(n/targetCell) is the scale rule, so the
+    // structural claim is that k grows R× while the CELL-SIZE distribution
+    // stays bounded (~targetCell-scale max, flat across R) — the pairwise
+    // stage's Σ|cell|² then grows linearly in n. A max cell growing R×
+    // would mean the rule failed and the pair stage is quietly quadratic.
+    "semantic_autok_cells" -> whole { dir =>
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cells = Dedup.semanticDedupAutoK(emb, tau = 0.4, targetCell = 125)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("k"), max(col("n")).as("max_cell"),
+          expr("approx_percentile(n, 0.9)").as("p90"))
+        .head()
+      (cells.getLong(1),
+        s"k=${cells.getLong(0)} p90_cell=${cells.getLong(2)} " +
+          "(claim: k grows Rx, max/p90 cell flat)")
+    },
     "dq_rules_scan" -> whole { dir =>
       // row-local rules fold into ONE scan + unique's single shuffle —
       // report rows stay constant (one per rule) at any corpus size

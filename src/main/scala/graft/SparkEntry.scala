@@ -35,14 +35,55 @@ object SparkEntry {
   private def withRocksDb(s: SparkSession)(
       body: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    // changelog checkpointing: each commit ships the batch's changelog
+    // instead of a full snapshot (snapshots move to background
+    // maintenance) — the production posture for frequent small commits,
+    // and measured faster here too (AbDrift r12: tws_uv_changelog 2.33 s
+    // vs 2.60 s median without)
+    val clKey = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
     val before = s.conf.getOption(key)
+    val clBefore = s.conf.getOption(clKey)
     s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
+    s.conf.set(clKey, "true")
     try body.localCheckpoint(true)
-    finally before match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    finally {
+      (before match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      })
+      clBefore match {
+        case Some(v) => s.conf.set(clKey, v)
+        case None => s.conf.unset(clKey)
+      }
     }
+  }
+
+  /** The dedup_semantic* gates' shared verdict block: materializes the
+    * dedup result once (three aggregations read it) and reduces it to the
+    * oracle-pinned invariants — conservation (n_total), every drop
+    * witnessed by an earlier same-cell member above tau, per-cell minima
+    * kept, and non-vacuity. Exact keep/drop/witness semantics are pinned
+    * by DedupSpec on a constructed fixture; the oracle cannot re-learn
+    * centroids in SQL (the sim_topk_ivf pattern). */
+  private def semanticVerdicts(result: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame = {
+    val r = result.localCheckpoint(true)
+    val minima = r.groupBy(col("cluster_id")).agg(min(col("vec_id")).as("min_id"))
+    val minKept = r.join(minima, r("vec_id") === minima("min_id"))
+      .agg(coalesce(min(when(col("keep"), 1L).otherwise(0L)), lit(1L))
+        .as("minima_kept_ok"))
+    val agg = r.agg(
+      count(lit(1)).as("n_total"),
+      coalesce(min(when(!col("keep"),
+          when(col("witness_cos") > tau && col("witness_id") < col("vec_id"), 1L)
+            .otherwise(0L))), lit(1L)).as("drops_witnessed_ok"),
+      (sum(when(!col("keep"), 1L).otherwise(0L)) > 0).cast("long")
+        .as("some_dropped"))
+    agg.crossJoin(minKept)
+      .select(col("n_total"), col("drops_witnessed_ok"),
+        col("minima_kept_ok"), col("some_dropped"))
   }
 
   /** Per-(application, input-dir) memo of the n-gram near-dup pair set.
@@ -1345,6 +1386,120 @@ object SparkEntry {
       }
     }),
 
+    // ── P5 as an ORACLE gate (spec-only until r12): config-driven column
+    // pruning of routed payloads (reference intent:
+    // func/TableProcessFunction.java:71-77). Envelopes for two routed
+    // tables plus two poison families — a delete on a routed table (P3
+    // must filter it) and an insert on an unrouted table (no-config drop)
+    // — flow through route → pruneAfter; the gate re-opens each pruned
+    // JSON payload and emits (per route) the sorted key set actually
+    // present plus value aggregates THROUGH the pruned payload. An
+    // unpruned column widens keys_csv, an over-pruned one nulls the
+    // extracted values, a leaked poison row inflates ct — each a hash
+    // mismatch against the DuckDB truth computed from the base tables.
+    "p5_config_prune" -> ((s, dir) => {
+      val cfg = s.createDataFrame(Seq(
+        ("customer", "insert", "kafka", "dwd_customer", "c_custkey,c_name"),
+        ("orders", "insert", "kafka", "dwd_orders", "o_orderkey,o_orderstatus")))
+        .toDF("source_table", "operate_type", "sink_type", "sink_table",
+          "sink_columns")
+      def env(df: DataFrame, table: String, typ: String,
+          after: org.apache.spark.sql.Column): DataFrame =
+        df.select(lit(table).as("tableName"), lit(typ).as("type"),
+          to_json(after).as("after"))
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir)
+      val envelopes = env(cust, "customer", "insert",
+          struct(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_nationkey")))
+        .unionByName(env(ord, "orders", "insert",
+          struct(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))))
+        .unionByName(env(cust.limit(7), "customer", "delete",
+          struct(col("c_custkey"), col("c_name"))))
+        .unionByName(env(cust.limit(5), "part", "insert",
+          struct(col("c_custkey"), col("c_name"))))
+      val pruned = graft.gmall.DbRouter.pruneAfter(
+        graft.gmall.DbRouter.route(envelopes, cfg))
+      val m = from_json(col("after"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
+      pruned.select(col("sink_table"), m.as("m"))
+        .select(col("sink_table"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+          coalesce(element_at(col("m"), "c_custkey"),
+            element_at(col("m"), "o_orderkey")).cast("long").as("key_val"),
+          coalesce(element_at(col("m"), "c_name"),
+            element_at(col("m"), "o_orderstatus")).as("str_val"))
+        .groupBy(col("sink_table"), col("keys_csv"))
+        .agg(count(lit(1)).as("ct"), sum(col("key_val")).as("sum_key"),
+          count_distinct(col("str_val")).as("distinct_vals"))
+        .orderBy(col("sink_table"))
+    }),
+
+    // ── K5 as an ORACLE gate (spec-only until r12): auto-DDL + config
+    // flip (reference intent: func/TableProcessFunction.java:87-148 —
+    // first write to an absent dim table CREATEs it). Batch 1 routes
+    // customer through a kafka-typed config (dim store untouched); the
+    // config then flips sinkType to hbase and batch 2's FIRST write must
+    // create dim_customer from the payload schema alone. The gate pins
+    // the kafka-batch row count, the created table's contents (count +
+    // key sum THROUGH the store), its column set, and that the store was
+    // auto-created (absent before batch 2) — a failed auto-create throws,
+    // a mis-rout leaves dim_ct/kafka_ct off by a cohort.
+    "k5_auto_ddl" -> ((s, dir) => {
+      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val dimRoot = s"$root/graft-k5-dim-${System.nanoTime()}"
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      def cfg(sinkType: String, sinkTable: String): DataFrame =
+        s.createDataFrame(Seq(
+          ("customer", "insert", sinkType, sinkTable, "c_custkey",
+            "c_custkey,c_name")))
+          .toDF("source_table", "operate_type", "sink_type", "sink_table",
+            "sink_pk", "sink_columns")
+      def env(df: DataFrame): DataFrame =
+        df.select(lit("customer").as("tableName"), lit("insert").as("type"),
+          to_json(struct(col("c_custkey"), col("c_name"))).as("after"))
+      val cust = Tables.customer(s, dir)
+      try {
+        // batch 1: kafka-typed route — rows shape for the dynamic-topic
+        // producer; materialize now so the batch runs BEFORE the flip
+        val b1 = graft.gmall.DbRouter.writeBatch(
+          graft.gmall.DbRouter.route(
+            env(cust.filter(pmod(col("c_custkey"), lit(2L)) === 0)),
+            cfg("kafka", "ods_customer")),
+          dimRoot).localCheckpoint(true)
+        val absentBefore = !new java.io.File(s"$dimRoot/dim_customer").exists()
+        // batch 2: the config flipped sinkType — first hbase write
+        // auto-creates the table from the payload schema
+        graft.gmall.DbRouter.writeBatch(
+          graft.gmall.DbRouter.route(
+            env(cust.filter(pmod(col("c_custkey"), lit(2L)) === 1)),
+            cfg("hbase", "dim_customer")),
+          dimRoot).localCheckpoint(true)
+        val dim = s.read.parquet(s"$dimRoot/dim_customer")
+        // pruneAfter re-emits payload values as JSON strings (Map-typed
+        // round trip), so the auto-created column is string — cast for
+        // the numeric verdict
+        val dimAgg = dim.agg(count(lit(1)).as("dim_ct"),
+            sum(col("c_custkey").cast("long")).as("dim_sum_key"))
+          .withColumn("dim_cols_csv", lit(dim.columns.sorted.mkString(",")))
+        b1.agg(count(lit(1)).as("kafka_ct")).crossJoin(dimAgg)
+          .select(col("kafka_ct"), col("dim_ct"), col("dim_sum_key"),
+            col("dim_cols_csv"),
+            lit(if (absentBefore) 1L else 0L).as("auto_created"))
+          .localCheckpoint(true) // materialize before the finally sweep
+      } finally rm(dimRoot)
+    }),
+
     // ── A9: sliding (hopping) 60s/30s window — each event lands in two
     // overlapping windows; the oracle expands events with a k∈{0,1}
     // offset join and must agree window for window
@@ -1748,22 +1903,21 @@ object SparkEntry {
       val tau = 0.4
       val cents = Similarity.trainCentroids(emb, k = 16, iters = 2,
         sampleRate = 0.5)
-      // materialized once: three verdict aggregations read it
-      val r = Dedup.semanticDedup(emb, cents, tau = tau).localCheckpoint(true)
-      val minima = r.groupBy(col("cluster_id")).agg(min(col("vec_id")).as("min_id"))
-      val minKept = r.join(minima, r("vec_id") === minima("min_id"))
-        .agg(coalesce(min(when(col("keep"), 1L).otherwise(0L)), lit(1L))
-          .as("minima_kept_ok"))
-      val agg = r.agg(
-        count(lit(1)).as("n_total"),
-        coalesce(min(when(!col("keep"),
-            when(col("witness_cos") > tau && col("witness_id") < col("vec_id"), 1L)
-              .otherwise(0L))), lit(1L)).as("drops_witnessed_ok"),
-        (sum(when(!col("keep"), 1L).otherwise(0L)) > 0).cast("long")
-          .as("some_dropped"))
-      agg.crossJoin(minKept)
-        .select(col("n_total"), col("drops_witnessed_ok"),
-          col("minima_kept_ok"), col("some_dropped"))
+      semanticVerdicts(Dedup.semanticDedup(emb, cents, tau = tau), tau)
+    }),
+
+    // ── SemDeDup with AUTO-CHOSEN k (k = ceil(n/targetCell)): the scale
+    // rule the explicit-k gate's "raise k" error points at, proven green
+    // end-to-end. Same verdict invariants as dedup_semantic (the oracle
+    // cannot re-learn centroids in SQL); targetCell=125 puts k at 4/4/16
+    // across sf0.001/0.01/0.1, so the k-selection rule itself is
+    // exercised at more than one value by the driver's scales.
+    "dedup_semantic_autok" -> ((s, dir) => {
+      val tau = 0.4
+      semanticVerdicts(
+        Dedup.semanticDedupAutoK(Tables.embeddings(s, dir), tau = tau,
+          targetCell = 125),
+        tau)
     }),
 
     // ── Similarity: exact brute-force cosine top-k
@@ -1993,7 +2147,10 @@ object SparkEntry {
       withRocksDb(s) {
         graft.streaming.StreamRunner.collect(
           graft.streaming.StatefulStreams.uvDedup(
-            graft.streaming.Sources.eventsStreamSplit(s, dir)))
+            graft.streaming.Sources.eventsStreamSplit(s, dir)),
+          // RocksDB pays a per-store-instance open/commit premium; the
+          // 1.5k-row state wants width 2, not 8 (AbDrift r12 tws arms)
+          statePartitions = 2)
           .select(col("user_id"), col("dt"), col("event_id"))
           .orderBy(col("user_id"), col("dt"))
       }
@@ -2011,7 +2168,8 @@ object SparkEntry {
         graft.streaming.StreamRunner.collect(
           graft.streaming.TwsStreams.uvDedup(
             graft.streaming.Sources.eventsStreamSplit(s, dir)
-              .withWatermark("ts", "0 seconds")))
+              .withWatermark("ts", "0 seconds")),
+          statePartitions = 2)
           .select(col("user_id"), col("dt"), col("event_id"))
           .orderBy(col("user_id"), col("dt"))
       }
@@ -2029,7 +2187,8 @@ object SparkEntry {
           graft.streaming.TwsStreams.bounces(
             graft.streaming.Sources.eventsStreamSplit(s, dir)
               .withWatermark("ts", "0 seconds"),
-            gapSec = 1800L))
+            gapSec = 1800L),
+          statePartitions = 2)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("bounce_ct"))
           .orderBy(col("user_id"))
@@ -2048,7 +2207,8 @@ object SparkEntry {
           graft.streaming.TwsStreams.sessionStats(
             graft.streaming.Sources.eventsStreamSplit(s, dir)
               .withWatermark("ts", "0 seconds"),
-            gapSec = 1800L))
+            gapSec = 1800L),
+          statePartitions = 2)
           .orderBy(col("user_id"), col("stt_us"))
       }
     }),
@@ -2182,7 +2342,9 @@ object SparkEntry {
         graft.streaming.Sources.eventsStreamShuffled(s, dir)
           .withWatermark("ts", "600 seconds")
           .groupBy(window(col("ts"), "3600 seconds"), col("event_type"))
-          .agg(count(lit(1)).as("ct")))
+          .agg(count(lit(1)).as("ct")),
+        // single tiny windowed-agg store; commit I/O dominates at width 8
+        statePartitions = 2)
         .select(unix_micros(col("window.start")).as("stt_us"),
           col("event_type"), col("ct"))
         .orderBy(col("stt_us"), col("event_type"))),
@@ -2206,7 +2368,10 @@ object SparkEntry {
       graft.streaming.StreamRunner.collect(
         graft.streaming.WindowedStreams.intervalJoin(
           views, clicks, "v_user", "c_user", "v_ts", "c_ts",
-          lowerSec = 0L, upperSec = 600L))
+          lowerSec = 0L, upperSec = 600L),
+        // 4 state stores x partitions x batches of pure commit I/O for
+        // ~10 state rows: run narrow (AbDrift r12: j1_sp2 < j1_sp8)
+        statePartitions = 2)
         .groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("pair_ct"))
         .orderBy(col("user_id"))
@@ -2226,7 +2391,8 @@ object SparkEntry {
       graft.streaming.StreamRunner.collect(
         graft.streaming.WindowedStreams.intervalJoin(
           views, clicks, "v_user", "c_user", "v_ts", "c_ts",
-          lowerSec = 0L, upperSec = 600L, joinType = "leftOuter"))
+          lowerSec = 0L, upperSec = 600L, joinType = "leftOuter"),
+        statePartitions = 2)
         .groupBy(col("v_user").as("user_id"))
         .agg(count(col("c_ts")).as("pair_ct"),
           sum(when(col("c_ts").isNull, 1L).otherwise(0L)).as("unmatched_ct"))
@@ -2251,7 +2417,8 @@ object SparkEntry {
       graft.streaming.StreamRunner.collect(
         graft.streaming.WindowedStreams.intervalJoin(
           views, clicks, "v_user", "c_user", "v_ts", "c_ts",
-          lowerSec = 0L, upperSec = 600L, joinType = "fullOuter"))
+          lowerSec = 0L, upperSec = 600L, joinType = "fullOuter"),
+        statePartitions = 2)
         .groupBy(coalesce(col("v_user"), col("c_user")).as("user_id"))
         .agg(
           sum(when(col("v_ts").isNotNull && col("c_ts").isNotNull, 1L)
@@ -2391,6 +2558,44 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS minima_kept_ok,
         |  CAST(1 AS BIGINT) AS some_dropped
         |FROM embeddings""".stripMargin,
+
+    // auto-k twin: identical invariants — k is derived in-engine from the
+    // corpus size, which the oracle never needs to see
+    "dedup_semantic_autok" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(1 AS BIGINT) AS drops_witnessed_ok,
+        |  CAST(1 AS BIGINT) AS minima_kept_ok,
+        |  CAST(1 AS BIGINT) AS some_dropped
+        |FROM embeddings""".stripMargin,
+
+    // pruned payloads: per route, the key set present in the pruned JSON
+    // and value aggregates extracted THROUGH it, vs base-table truth
+    "p5_config_prune" ->
+      """SELECT 'dwd_customer' AS sink_table, 'c_custkey,c_name' AS keys_csv,
+        |  CAST(count(*) AS BIGINT) AS ct,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |  CAST(count(DISTINCT c_name) AS BIGINT) AS distinct_vals
+        |FROM customer
+        |UNION ALL
+        |SELECT 'dwd_orders', 'o_orderkey,o_orderstatus',
+        |  CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+        |FROM orders
+        |ORDER BY sink_table""".stripMargin,
+
+    // config flip + auto-DDL: even-key rows went to the kafka batch,
+    // odd-key rows landed in the auto-created dim table
+    "k5_auto_ddl" ->
+      """SELECT
+        |  CAST(count(CASE WHEN c_custkey % 2 = 0 THEN 1 END) AS BIGINT)
+        |    AS kafka_ct,
+        |  CAST(count(CASE WHEN c_custkey % 2 = 1 THEN 1 END) AS BIGINT)
+        |    AS dim_ct,
+        |  CAST(sum(CASE WHEN c_custkey % 2 = 1 THEN c_custkey END) AS BIGINT)
+        |    AS dim_sum_key,
+        |  'c_custkey,c_name' AS dim_cols_csv,
+        |  CAST(1 AS BIGINT) AS auto_created
+        |FROM customer""".stripMargin,
 
     // final dim state after snapshot+update+delete envelopes: updates win
     // by version, deletes are filtered (reference drops them pre-route),

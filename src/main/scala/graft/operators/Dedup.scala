@@ -597,4 +597,27 @@ object Dedup {
         col("w").isNull.as("keep"),
         col("w.b_id").as("witness_id"), col("w.cos").as("witness_cos"))
   }
+
+  /** [[semanticDedup]] with `k` derived from the corpus size instead of
+    * hand-picked: k = clamp(ceil(n / targetCell), 2, maxK). This is the
+    * scale rule the explicit-k variant's "raise k" error points at —
+    * expected cell size stays ~targetCell as the corpus grows, so the
+    * pairwise stage's Σ|cell|² cost grows LINEARLY in n (n/targetCell
+    * cells × targetCell² work), not quadratically.
+    *
+    * The one count() pass is metadata-cheap next to training. `maxK`
+    * bounds the broadcast centroid table (k × dim doubles must ship to
+    * every executor); a corpus big enough to hit maxK with a honest
+    * targetCell wants a hierarchical quantizer (coarse cells → re-split
+    * the heavy ones), which composes from this same primitive. */
+  def semanticDedupAutoK(embeddings: DataFrame, tau: Double,
+      targetCell: Int = 1000, iters: Int = 2, sampleRate: Double = 0.5,
+      maxK: Int = 65536, maxBucket: Int = 100000): DataFrame = {
+    require(targetCell > 0, s"targetCell must be positive, got $targetCell")
+    val n = embeddings.count()
+    val k = math.max(2L, math.min(maxK.toLong,
+      (n + targetCell - 1) / targetCell)).toInt
+    val centroids = Similarity.trainCentroids(embeddings, k, iters, sampleRate)
+    semanticDedup(embeddings, centroids, tau, maxBucket)
+  }
 }

@@ -303,4 +303,19 @@ class DedupSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("maxBucket")))
   }
+
+  test("semanticDedupAutoK: k follows corpus size, result conserves rows") {
+    // 6 vectors, targetCell=3 → k = ceil(6/3) = 2: at most 2 distinct
+    // cells can appear, and every input vector is classified exactly once
+    val r = Dedup.semanticDedupAutoK(semFixture, tau = 0.9, targetCell = 3,
+      iters = 3, sampleRate = 1.0).localCheckpoint(true)
+    assert(r.count() === 6L)
+    assert(r.select(col("vec_id")).distinct().count() === 6L)
+    assert(r.select(col("cluster_id")).distinct().count() <= 2L)
+    // and the floor: a huge targetCell still trains at least k=2
+    val r2 = Dedup.semanticDedupAutoK(semFixture, tau = 0.9,
+      targetCell = 1000, iters = 1, sampleRate = 1.0).localCheckpoint(true)
+    assert(r2.select(col("cluster_id")).distinct().count() <= 2L)
+    assert(r2.count() === 6L)
+  }
 }
