@@ -76,6 +76,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("p5_config_prune: the config route is a broadcast join — the " +
+    "envelope stream never shuffles for routing") {
+    val p = plan("p5_config_prune")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
   test("j1_interval_join: equi key drives a real join, band is residual " +
     "(no nested-loop cartesian)") {
     val p = plan("j1_interval_join")
