@@ -351,6 +351,22 @@ object SparkEntry {
           col("source"), col("doc_id"), k = 10)
         .orderBy(col("source"), col("doc_id"))),
 
+    // ── Token-budget sampling: fill each source's 4000-char quota in the
+    // deterministic md5 order (the data-mixing primitive — budgets are
+    // denominated in whatever weight the recipe uses; chars here so the
+    // oracle recomputes the identical running sum). The crossing doc is
+    // kept, so chars_kept >= budget whenever the source has enough — an
+    // off-by-one in the frame (RANGE peers, cum including self) moves
+    // docs_kept/chars_kept and hash-fails.
+    "sample_token_budget" -> ((s, dir) =>
+      graft.operators.Sampling.tokenBudgetSample(
+          Tables.documents(s, dir), col("source"), col("doc_id"),
+          col("n_chars"), budget = 4000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_kept"),
+          sum(col("n_chars").cast("long")).as("chars_kept"))
+        .orderBy(col("source"))),
+
     // ── Embedding random projection (Johnson–Lindenstrauss dim
     // reduction, 64→8): each output row is one (vector, plane) dot
     // product — pure codegen'd scan-side arithmetic, zero shuffle.
@@ -1624,7 +1640,9 @@ object SparkEntry {
         graft.streaming.Cep.run(
           graft.streaming.Sources.eventsStreamSplit(s, dir)
             .withWatermark("ts", "0 seconds"),
-          cepFunnelPattern))
+          cepFunnelPattern),
+        // <=600 pattern-state rows: commit I/O dominates at width 8
+        statePartitions = 2)
         .select(col("user_id"), col("first_event_id"), col("last_event_id"),
           col("steps_matched"), col("matched").cast("int").as("matched_i"))
         .orderBy(col("user_id"), col("first_event_id"))),
@@ -1647,7 +1665,8 @@ object SparkEntry {
         graft.streaming.Cep.run(
           graft.streaming.Sources.eventsStreamSplit(s, dir)
             .withWatermark("ts", "0 seconds"),
-          cepRelaxedPattern))
+          cepRelaxedPattern),
+        statePartitions = 2)
         .select(col("user_id"), col("first_event_id"), col("last_event_id"),
           col("steps_matched"), col("matched").cast("int").as("matched_i"))
         .orderBy(col("user_id"), col("first_event_id"))),
@@ -1672,7 +1691,8 @@ object SparkEntry {
         graft.streaming.Cep.run(
           graft.streaming.Sources.eventsStreamSplit(s, dir)
             .withWatermark("ts", "0 seconds"),
-          cepBurstPattern))
+          cepBurstPattern),
+        statePartitions = 2)
         .select(col("user_id"), col("first_event_id"), col("last_event_id"),
           col("steps_matched"), col("matched").cast("int").as("matched_i"))
         .orderBy(col("user_id"), col("first_event_id"), col("last_event_id"))),
@@ -1693,7 +1713,8 @@ object SparkEntry {
         graft.streaming.Cep.run(
           graft.streaming.Sources.eventsStreamSplit(s, dir)
             .withWatermark("ts", "0 seconds"),
-          cepOptionalPattern))
+          cepOptionalPattern),
+        statePartitions = 2)
         .select(col("user_id"), col("first_event_id"), col("last_event_id"),
           col("steps_matched"), col("matched").cast("int").as("matched_i"))
         .orderBy(col("user_id"), col("first_event_id"))),
@@ -2125,7 +2146,9 @@ object SparkEntry {
     "stream_t1_new_old" -> ((s, dir) =>
       graft.streaming.StreamRunner.collect(
         graft.streaming.StatefulStreams.newOldFlag(
-          graft.streaming.Sources.eventsStreamSplit(s, dir)))
+          graft.streaming.Sources.eventsStreamSplit(s, dir)),
+        // 1.5k per-user flags: tiny state, width 2
+        statePartitions = 2)
         .groupBy(col("is_new"))
         .agg(count(lit(1)).as("ct"), count_distinct(col("user_id")).as("user_ct"))
         .orderBy(col("is_new"))),
@@ -2134,7 +2157,8 @@ object SparkEntry {
     "stream_t2_uv_dedup" -> ((s, dir) =>
       graft.streaming.StreamRunner.collect(
         graft.streaming.StatefulStreams.uvDedup(
-          graft.streaming.Sources.eventsStreamSplit(s, dir)))
+          graft.streaming.Sources.eventsStreamSplit(s, dir)),
+        statePartitions = 2)
         .select(col("user_id"), col("dt"), col("event_id"))
         .orderBy(col("user_id"), col("dt"))),
 
@@ -2224,7 +2248,7 @@ object SparkEntry {
     "stream_t8_checkpoint_resume" -> ((s, dir) =>
       graft.streaming.StreamRunner.collectResumed(
         graft.streaming.Sources.eventsSplitChunks(s, dir, parts = 4),
-        splitAt = 2)(stageDir =>
+        splitAt = 2, statePartitions = 2)(stageDir =>
         graft.streaming.StatefulStreams.uvDedup(
           graft.streaming.Sources.eventsStreamStaged(s, stageDir)))
         .select(col("user_id"), col("dt"), col("event_id"))
@@ -2323,7 +2347,8 @@ object SparkEntry {
         graft.streaming.StatefulStreams.bounces(
           graft.streaming.Sources.eventsStreamSplit(s, dir)
             .withWatermark("ts", "0 seconds"),
-          gapSec = 1800L))
+          gapSec = 1800L),
+        statePartitions = 2)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("bounce_ct"))
         .orderBy(col("user_id"))),
@@ -2436,7 +2461,8 @@ object SparkEntry {
     "stream_t4_session" -> ((s, dir) =>
       graft.streaming.StreamRunner.collect(
         graft.streaming.WindowedStreams.sessionStats(
-          graft.streaming.Sources.eventsStream(s, dir), gapSec = 1800L))
+          graft.streaming.Sources.eventsStream(s, dir), gapSec = 1800L),
+        statePartitions = 2)
         .orderBy(col("user_id"), col("stt_us"))),
 
     // ── A4 streaming via the SQL path: spark.sql over a streaming temp
@@ -2616,6 +2642,17 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 10
         |ORDER BY source, doc_id""".stripMargin,
+
+    "sample_token_budget" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source ORDER BY
+        |      CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 AS BIGINT),
+        |      doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_chars AS cum
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM r WHERE cum < 4000 GROUP BY source ORDER BY source""".stripMargin,
 
     "emb_project" ->
       s"""WITH p AS (

@@ -53,6 +53,33 @@ object Sampling {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Token-budget sampling — the "fill each source's token quota" step of
+    * a data-mixing recipe: within each group, walk rows in the
+    * deterministic md5-keyed order (the same shuffle-proof total order as
+    * [[capPerGroup]]) and keep rows while the running weight of PRECEDING
+    * kept rows is below `budget` — so the row that crosses the budget
+    * line is the last one kept and every group's quota is filled (never
+    * undershot by more than one document) regardless of the document-size
+    * distribution. `weightCol` is whatever the quota is denominated in
+    * (token count, char count, bytes).
+    *
+    * One shuffle on the group key; the running sum rides the same window
+    * as the ordering (no second exchange). The order key is (md5(key),
+    * key) — total, so the RANGE-frame default equals ROWS and the
+    * cumulative sum is engine-portable. At 100 TB the window sort of one
+    * giant group is the limit: pre-cap with [[capPerGroup]] at
+    * k ≈ budget/avg_weight × slack to bound the sorted set first — the
+    * cap's WindowGroupLimit keeps the long tail off the wire. */
+  def tokenBudgetSample(df: DataFrame, groupCol: Column, keyCol: Column,
+      weightCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(HashFns.md5Lower64Mod(keyCol.cast("string"), Buckets), keyCol)
+    df.withColumn("__cum", sum(weightCol).over(w) - weightCol)
+      .filter(col("__cum") < budget)
+      .drop("__cum")
+  }
+
   /** Weighted dataset mixture: union N corpora, each hash-sampled at its
     * own rate — the "mix web/books/code at fixed proportions" step of a
     * pretraining data recipe. Deterministic per source (same hash-keyed

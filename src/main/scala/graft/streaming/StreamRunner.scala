@@ -118,7 +118,8 @@ object StreamRunner {
     * pass. Sink is foreachBatch (the memory sink refuses checkpoint
     * recovery by design); rows accumulate on the driver like
     * [[collectBatches]] — a bounded-run harness helper, not a sink. */
-  def collectResumed(chunks: Seq[java.io.File], splitAt: Int)(
+  def collectResumed(chunks: Seq[java.io.File], splitAt: Int,
+      statePartitions: Int = StatePartitions)(
       mkStream: String => DataFrame): DataFrame = {
     require(splitAt > 0 && splitAt < chunks.length,
       s"splitAt must split $chunks non-trivially, got $splitAt")
@@ -141,7 +142,7 @@ object StreamRunner {
       val spark = stream.sparkSession
       sparkRef = spark
       val before = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       try {
         val q = stream.writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>

@@ -116,6 +116,26 @@ class OperatorsSpec extends SparkSpec {
     assert(all.count() === 20L)
   }
 
+  test("tokenBudgetSample: crossing doc kept, quota filled, partition-independent") {
+    // one group, equal weights 100: budget 250 keeps docs while the
+    // PRECEDING kept weight < 250 → exactly 3 docs (0, 100, 200 before),
+    // total 300 >= budget (the crossing doc fills the quota)
+    val df = (1 to 10).map(i => (i.toLong, "g", 100L)).toDF("id", "g", "w")
+    val kept = Sampling.tokenBudgetSample(df, col("g"), col("id"), col("w"),
+      budget = 250L)
+    assert(kept.count() === 3L)
+    assert(kept.agg(sum(col("w"))).as[Long].head() === 300L)
+    // a budget larger than the group keeps everything (never overshoots
+    // into a crash or undershoots by skipping)
+    assert(Sampling.tokenBudgetSample(df, col("g"), col("id"), col("w"),
+      budget = 5000L).count() === 10L)
+    // deterministic under repartition: same kept set
+    val again = Sampling.tokenBudgetSample(df.repartition(7), col("g"),
+      col("id"), col("w"), budget = 250L)
+    assert(again.select("id").as[Long].collect().sorted ===
+      kept.select("id").as[Long].collect().sorted)
+  }
+
   test("mixture: per-source rates compose deterministic hash sampling") {
     val a = (1 to 1000).map(i => (i.toLong, "a")).toDF("id", "src")
     val b = (1 to 1000).map(i => (i.toLong + 10000, "b")).toDF("id", "src")
