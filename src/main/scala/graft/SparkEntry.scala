@@ -1969,6 +1969,67 @@ object SparkEntry {
     // full-oracle-verified by sim_topk_brute), no self-pairs, and ranks
     // ordered by (cos desc, neighbor_id asc). A wrong-distance, dup,
     // self-match, or mis-rank bug breaks a count and hash-fails the gate.
+    // ── Similarity: PQ (product quantization) — the memory-compression
+    // ANN tier (Jégou et al. 2011): m-byte codes replace d×4-byte raw
+    // vectors in the scan; ADC shortlists candidates from per-query
+    // distance tables, an exact-cosine re-rank over ONLY the shortlist
+    // emits final neighbors. Same one-sided invariant oracle as
+    // sim_topk_ivf (codebooks are data-learned, so DuckDB cannot
+    // re-derive the SET): per query — exactly k results, k distinct
+    // neighbors, dense ranks, every emitted cosine equal to the exact
+    // pairwise cosine (the re-rank contract: quantization error may cost
+    // recall, never distance fidelity), ranks ordered. A corpus-level
+    // recall floor (>= 0.3 overlap@5 vs exact brute force; measured
+    // 0.6-0.8 at these scales) pins non-vacuity: a scrambled codebook or
+    // broken ADC lookup craters overlap and hash-fails.
+    "sim_topk_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+      val cb = Similarity.trainPqCodebooks(emb, m = 8, k = 64, iters = 2,
+        sampleRate = 0.5)
+      val codes = Similarity.pqEncode(emb, cb)
+      val pq = Similarity.pqTopKReranked(emb, codes, queries, k = 5, cb,
+        shortlist = 50)
+      val exact = pq
+        .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+        .withColumn("cos_exact",
+          graft.functions.VectorFns.cosine(col("qe"), col("ne")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      val flagged = exact
+        .withColumn("prev_cos", lag(col("cos"), 1).over(w))
+        .withColumn("prev_nbr", lag(col("neighbor_id"), 1).over(w))
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (col("cos") === col("cos_exact") &&
+            col("neighbor_id") =!= col("query_id")).as("valid"),
+          (col("prev_cos").isNull || col("prev_cos") > col("cos") ||
+            (col("prev_cos") === col("cos") &&
+              col("prev_nbr") < col("neighbor_id"))).as("ordered"))
+      val perQuery = queries.select(col("vec_id").as("query_id"))
+        .join(flagged.groupBy("query_id").agg(
+          count(lit(1)).as("n_results"),
+          count_distinct(col("neighbor_id")).as("n_distinct"),
+          count_distinct(when(col("rank").between(1, 5), col("rank"))).as("n_ranks"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("rank") > 1 && col("ordered"), 1L).otherwise(0L)).as("n_ordered")),
+          Seq("query_id"), "left")
+      val overlap = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(pq.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .agg((count(lit(1)) >= lit(0.3 * 25)).cast("long").as("recall_floor_ok"))
+      perQuery.crossJoin(overlap)
+        .select(col("query_id"),
+          coalesce(col("n_results"), lit(0L)).as("n_results"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(col("n_ranks"), lit(0L)).as("n_ranks"),
+          coalesce(col("n_valid"), lit(0L)).as("n_valid"),
+          coalesce(col("n_ordered"), lit(0L)).as("n_ordered"),
+          col("recall_floor_ok"))
+        .orderBy(col("query_id"))
+    }),
+
     "sim_topk_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
@@ -4463,6 +4524,13 @@ object SparkEntry {
     // recomputes, per query, how many of its emitted rows carry an exact
     // pairwise cosine / distinct neighbors / dense ordered ranks; the
     // oracle pins those counts at the constants a correct top-5 must hit.
+    "sim_topk_pq" ->
+      """SELECT vec_id AS query_id,
+        |  CAST(5 AS BIGINT) AS n_results, CAST(5 AS BIGINT) AS n_distinct,
+        |  CAST(5 AS BIGINT) AS n_ranks, CAST(5 AS BIGINT) AS n_valid,
+        |  CAST(4 AS BIGINT) AS n_ordered, CAST(1 AS BIGINT) AS recall_floor_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""".stripMargin,
+
     "sim_topk_ivf" ->
       """SELECT vec_id AS query_id,
         |  CAST(5 AS BIGINT) AS n_results, CAST(5 AS BIGINT) AS n_distinct,

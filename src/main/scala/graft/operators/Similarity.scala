@@ -231,4 +231,166 @@ object Similarity {
         cosine(col("q_emb"), col("embedding")).as("cos"))
     rankTopK(scored, k)
   }
+
+  // ── Product quantization (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011) — the memory-compression tier
+  // of the ANN stack: IVF prunes WHICH vectors are scanned, PQ shrinks
+  // WHAT is stored/scanned. A d-dim float32 vector (d×4 bytes) becomes m
+  // sub-space code ids (m bytes at k≤256) — 32× for d=64, m=8 — and
+  // queries score codes via per-query distance TABLES (ADC), never
+  // touching raw vectors.
+
+  /** Slice each embedding into m contiguous d/m-dim subvectors:
+    * (vec_id, subspace 0..m-1, sub: array<double>). */
+  private def subvectors(df: DataFrame, m: Int, subDim: Int): DataFrame =
+    df.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> slice(embedding, i * $subDim + 1, $subDim))")))
+      .select(col("vec_id"), col("pos").cast("int").as("subspace"),
+        expr("transform(col, x -> cast(x as double))").as("sub"))
+
+  /** Train PQ codebooks: k centroids in EACH of the m subspaces, all
+    * subspaces through ONE keyed Lloyd loop — the grouping key is
+    * (subspace, cluster), so adding subspaces adds groups to the same
+    * shuffles, not Spark jobs (m sequential trainings would pay m× the
+    * job/scan overhead for identical math). Deterministic init (the k
+    * lowest vec_ids' subvectors per subspace) and a hash-sampled training
+    * set, exactly like [[trainCentroids]] — the codebooks only need the
+    * density shape of each subspace. Returns (subspace, cluster_id,
+    * centroid: array<double>).
+    *
+    * Dimension d must split evenly (d % m == 0) — PQ's contiguous-slice
+    * layout; probed from the first row, one O(1) driver action. */
+  def trainPqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
+      iters: Int = 2, sampleRate: Double = 0.5): DataFrame = {
+    require(m > 0 && k > 1, s"need m > 0 subspaces and k > 1 codes, got m=$m k=$k")
+    require(sampleRate > 0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    val d = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"dim $d must split evenly into m=$m subspaces")
+    val subDim = d / m
+    val sampled =
+      if (sampleRate >= 1.0) corpus
+      else {
+        val s = Sampling.hashSample(corpus, col("vec_id"), sampleRate)
+        if (s.count() >= 4L * k) s else corpus
+      }
+    // one materialized subvector table feeds every Lloyd iteration
+    val sub = subvectors(sampled, m, subDim).localCheckpoint(true)
+    // deterministic init: the k lowest vec_ids' subvectors, cluster ids
+    // 1..k in vec_id order — same collapse idiom as trainCentroids (only
+    // m×k tiny rows reach the single task)
+    val initIds = sampled.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"))
+    var codebooks = sub.join(broadcast(initIds), "vec_id")
+      .groupBy(col("subspace"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("sub")))).as("cs"))
+      .select(col("subspace"), posexplode(col("cs")))
+      .select(col("subspace"), (col("pos") + 1).cast("long").as("cluster_id"),
+        col("col.sub").as("centroid"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val means = pqAssign(sub, codebooks)
+        .join(sub, Seq("vec_id", "subspace"))
+        .select(col("subspace"), col("cluster_id"), posexplode(col("sub")))
+        .groupBy(col("subspace"), col("cluster_id"), col("pos"))
+        .agg(avg(col("col")).as("mean"))
+        .groupBy(col("subspace"), col("cluster_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("new_centroid"))
+      // a cell that won no members keeps its previous centroid (the
+      // standard empty-cell rule) — without this the groupBy silently
+      // DROPS it and the codebook shrinks below k (duplicate init points
+      // collapse; later iterations can re-populate the retained cell)
+      codebooks = codebooks
+        .join(means, Seq("subspace", "cluster_id"), "left")
+        .select(col("subspace"), col("cluster_id"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    codebooks
+  }
+
+  /** Nearest codebook entry per (vector, subspace): broadcast m×k
+    * centroids, min_by hash aggregation — the corpus never shuffles. */
+  private def pqAssign(sub: DataFrame, codebooks: DataFrame): DataFrame =
+    sub.join(broadcast(codebooks), Seq("subspace"))
+      .select(col("vec_id"), col("subspace"), col("cluster_id"),
+        l2sq(col("sub"), col("centroid")).as("d2"))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(min_by(col("cluster_id"), struct(col("d2"), col("cluster_id"))).as("cluster_id"))
+
+  /** Encode the corpus: one row per vector, `codes[i]` = nearest codebook
+    * entry in subspace i. This IS the compressed index artifact — m
+    * small ints per vector (persist it; raw embeddings are only needed
+    * again for an exact re-rank tier). One scan, one (vec_id, subspace)
+    * aggregation, one repack aggregation. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame): DataFrame = {
+    val m = codebooks.agg(count_distinct(col("subspace"))).head().getLong(0).toInt
+    val subDim = codebooks.select(size(col("centroid"))).head().getInt(0)
+    pqAssign(subvectors(corpus, m, subDim), codebooks)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("subspace"), col("cluster_id")))),
+        s => s.getField("cluster_id").cast("int")).as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: each query builds a
+    * distance TABLE d2(query, subspace, code) against the codebooks —
+    * |queries| × m × k tiny rows, broadcast — and every encoded vector's
+    * approximate distance is the sum of m table lookups on its codes.
+    * The corpus side touches only the m-byte codes: one posexplode, one
+    * broadcast-hash join, one (query, vec) sum, then the bounded-TopK
+    * ranking (map-side partial top-k, same as every other ANN tier).
+    * Returns (query_id, neighbor_id, d2a, rank) — d2a ascending = most
+    * similar first; ties break on neighbor_id. */
+  def pqTopK(codes: DataFrame, queries: DataFrame, k: Int,
+      codebooks: DataFrame): DataFrame = {
+    val m = codebooks.agg(count_distinct(col("subspace"))).head().getLong(0).toInt
+    val subDim = codebooks.select(size(col("centroid"))).head().getInt(0)
+    val dt = subvectors(
+        queries.select(col("vec_id"), col("embedding")), m, subDim)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(codebooks, Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("cluster_id").cast("int").as("code"),
+        l2sq(col("sub"), col("centroid")).as("d2"))
+    val scored = codes
+      .select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").cast("int").as("subspace"),
+        col("col").as("code"))
+      .join(broadcast(dt), Seq("subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("d2a"))
+    rankTopK(
+      scored.select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-col("d2a")).as("cos")), k)
+      .select(col("query_id"), col("neighbor_id"), (-col("cos")).as("d2a"),
+        col("rank"))
+  }
+
+  /** The production PQ pipeline: ADC over the compressed codes SHORTLISTS
+    * `shortlist` candidates per query, then ONLY those rows join back to
+    * raw embeddings for an exact-cosine re-rank to top-k. The corpus scan
+    * touches m-byte codes; raw vectors are fetched for shortlist × queries
+    * rows — the two-tier trade that makes billion-vector search fit in
+    * memory (quantization error moves recall from 1.0 to the shortlist's
+    * coverage, never into the reported distances, which are exact).
+    * Returns (query_id, neighbor_id, cos, rank) — same shape as
+    * [[bruteForceTopK]]/[[ivfTopK]]. */
+  def pqTopKReranked(corpus: DataFrame, codes: DataFrame, queries: DataFrame,
+      k: Int, codebooks: DataFrame, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val cand = pqTopK(codes, queries, shortlist, codebooks)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = cand
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    rankTopK(scored, k)
+  }
 }

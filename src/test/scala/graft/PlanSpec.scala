@@ -76,6 +76,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("sim_topk_pq: codebook/distance-table joins broadcast; the code " +
+    "scan never cartesians") {
+    val p = plan("sim_topk_pq")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("p5_config_prune: the config route is a broadcast join — the " +
     "envelope stream never shuffles for routing") {
     val p = plan("p5_config_prune")

@@ -103,4 +103,71 @@ class SimilaritySpec extends SparkSpec {
     val vals = two.select(col("cluster_id")).distinct().as[Long].collect().toSet
     assert(vals.subsetOf(Set(1L, 2L)))
   }
+
+  // PQ fixture: 4-dim vectors, m=2 subspaces of 2 dims; each subvector
+  // sits EXACTLY on one of two well-separated prototypes per subspace, so
+  // Lloyd converges to the prototypes and ADC distances equal true
+  // squared distances — keep/drop expectations are deterministic.
+  private def pqFixture = Seq(
+    (1L, Array(0.0f, 0.0f, 10.0f, 10.0f)),
+    (2L, Array(0.0f, 0.0f, 10.0f, 10.0f)),   // identical to 1
+    (3L, Array(8.0f, 8.0f, 10.0f, 10.0f)),   // differs in subspace 0 only
+    (4L, Array(0.0f, 0.0f, -4.0f, -4.0f)),   // differs in subspace 1 only
+    (5L, Array(8.0f, 8.0f, -4.0f, -4.0f))    // differs in both
+  ).toDF("vec_id", "embedding")
+
+  test("PQ: codebooks converge to the subspace prototypes; codes compress " +
+    "exactly; ADC distance equals true distance on on-centroid data") {
+    // init is the two lowest vec_ids — IDENTICAL vectors, so iteration 1
+    // collapses to one populated cell per subspace and the empty-cell
+    // rule must retain the other; iteration 2+ separates them onto the
+    // planted prototypes (k never silently shrinks)
+    val cb = Similarity.trainPqCodebooks(pqFixture, m = 2, k = 2, iters = 3,
+      sampleRate = 1.0).localCheckpoint(true)
+    // 2 subspaces × 2 codes, each centroid one of the planted prototypes
+    assert(cb.count() === 4L)
+    val cents = cb.select(col("subspace"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSet
+    assert(cents === Set((0, Seq(0.0, 0.0)), (0, Seq(8.0, 8.0)),
+      (1, Seq(10.0, 10.0)), (1, Seq(-4.0, -4.0))))
+    val codes = Similarity.pqEncode(pqFixture, cb).localCheckpoint(true)
+    // identical vectors encode identically; m=2 codes per vector
+    val byId = codes.as[(Long, Seq[Int])].collect().toMap
+    assert(byId(1L) === byId(2L))
+    assert(byId.values.forall(_.length == 2))
+    assert(byId(1L) !== byId(5L))
+    // ADC from query 1 (all subvectors sit ON centroids, so approximate
+    // distance IS true distance): vec2 = 0, vec3 = 8²×2 = 128,
+    // vec4 = 14²×2 = 392, vec5 = 128+392 = 520
+    val top = Similarity.pqTopK(codes, pqFixture.filter(col("vec_id") === 1L),
+        k = 4, cb)
+      .select("neighbor_id", "d2a", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(top.map(_._1).toSeq === Seq(2L, 3L, 4L, 5L))
+    assert(top.map(_._2).toSeq === Seq(0.0, 128.0, 392.0, 520.0))
+  }
+
+  test("PQ on the fixture corpus: full coverage, dense ranks, and the " +
+    "re-ranked tier recovers most of the exact neighborhood") {
+    val cb = Similarity.trainPqCodebooks(emb, m = 8, k = 64, iters = 2,
+      sampleRate = 0.5).localCheckpoint(true)
+    // k never shrinks: 8 subspaces × 64 retained cells
+    assert(cb.count() === 8L * 64)
+    val codes = Similarity.pqEncode(emb, cb).localCheckpoint(true)
+    assert(codes.count() === emb.count()) // every vector encoded once
+    val queries = emb.filter(col("vec_id") < 5)
+    val pq = Similarity.pqTopKReranked(emb, codes, queries, k = 5, cb,
+      shortlist = 50).localCheckpoint(true)
+    assert(pq.count() === 25L)
+    // recall@5 vs exact — the re-rank emits exact cosines, so recall is
+    // the shortlist's coverage (measured 0.6-0.8 here); the floor is
+    // loose on purpose (training is deterministic, but the spec
+    // documents intent, not a knife edge)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = pq.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@5 = $recall")
+  }
 }
