@@ -1599,6 +1599,37 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ── Pipeline: Bloom-tier decontamination — same fixture as
+    // pipe_decontaminate, with the eval grams sketched instead of
+    // exact. The kept SET is sketch-dependent (DuckDB can't replay the
+    // bloom bits), so the gate pins the one-sided contract: no false
+    // negatives (bloom survivors ⊆ exact survivors — a missed
+    // contaminated doc breaks subset_ok) and a false-drop budget
+    // (≤ max(5, 1%) of the exact survivors at fpp=1e-6; the sketch seed
+    // is fixed so the count is deterministic per dataset). docs_train
+    // and kept_exact anchor the verdicts to DuckDB-recomputed truth.
+    "pipe_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(97L)) === 0 ||
+        pmod(col("doc_id"), lit(101L)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      val exact = Pretrain.decontaminate(train, evalSet, shingleLen = 8)
+        .select("doc_id").localCheckpoint(true)
+      val bloom = Pretrain.decontaminateBloom(train, evalSet, shingleLen = 8)
+        .select("doc_id").localCheckpoint(true)
+      val kExact = exact.agg(count(lit(1)).as("kept_exact"))
+      val viol = bloom.join(exact, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("__v"))
+      val fps = exact.join(bloom, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("__fp"))
+      train.agg(count(lit(1)).as("docs_train"))
+        .crossJoin(kExact).crossJoin(viol).crossJoin(fps)
+        .select(col("docs_train"), col("kept_exact"),
+          (col("__v") === 0).cast("long").as("subset_ok"),
+          (col("__fp") <= greatest(lit(5L),
+            ceil(col("kept_exact") * 0.01).cast("long"))).cast("long").as("fp_ok"))
+    }),
+
     // ── K2: dynamic-topic producer shaping — per-row topic + JSON value
     // (the payload bytes the reference's KafkaSerializationSchema emits)
     "k2_dynamic_topic" -> ((s, dir) =>
@@ -1802,6 +1833,28 @@ object SparkEntry {
           sum(col("n_chars")).as("chars_kept"),
           count_distinct(col("source")).as("sources"))
         .orderBy(col("lang"))
+    }),
+
+    // ── Dedup: paragraph-level (CCNet-style — dedup BELOW document
+    // granularity; the globally first occurrence of each paragraph
+    // survives, documents reassemble from their survivors). The corpus
+    // has no multi-paragraph docs, so the gate derives a deterministic
+    // fixture from the table itself: each doc becomes two paragraphs —
+    // its own text + its ((doc_id+1) mod 50) partner's text — chaining
+    // docs 0..49 so earlier docs steal later docs' own paragraphs
+    // (n_kept spans 0/1/2) and every doc ≥ 50 sheds its partner copy.
+    // Full oracle replays the rule in DuckDB.
+    "dedup_paragraph" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val partner = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("pid"), col("text").as("ptext"))
+      val multi = docs
+        .select(col("doc_id"), col("text"),
+          pmod(col("doc_id") + 1, lit(50L)).as("pid"))
+        .join(broadcast(partner), "pid")
+        .select(col("doc_id"), concat(col("text"), lit("\n"), col("ptext")).as("text"))
+      Dedup.paragraphDedup(multi)
+        .orderBy(col("doc_id"))
     }),
 
     // ── Dedup: repeated-span profile — per-doc count/fraction of distinct
@@ -2069,6 +2122,75 @@ object SparkEntry {
           coalesce(col("n_ranks"), lit(0L)).as("n_ranks"),
           coalesce(col("n_valid"), lit(0L)).as("n_valid"),
           coalesce(col("n_ordered"), lit(0L)).as("n_ordered"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ── Similarity: exact kNN JOIN — top-k neighbors for EVERY row of a
+    // query TABLE (two-corpus retrieval/linkage; neither side needs to
+    // fit in a broadcast — Catalyst block-pairs the cross join above the
+    // broadcast threshold). Full oracle: DuckDB ranks the same cross
+    // product.
+    "sim_knn_join" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnJoinExact(
+        emb.filter(pmod(col("vec_id"), lit(10L)) === 3),
+        emb.filter(pmod(col("vec_id"), lit(10L)) =!= 3), k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cos_r"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── Similarity: IVF kNN JOIN — the both-sides-large scale path (one
+    // shuffle join on shared coarse cells; no corpus broadcast, no
+    // cartesian — PlanSpec pins the shape). Same one-sided invariant
+    // oracle as sim_topk_ivf (cells are data-learned) over the FULL query
+    // table, plus a corpus-level recall floor vs the exact join so a
+    // broken quantizer or probe path craters overlap and hash-fails.
+    "sim_knn_join_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val left = emb.filter(pmod(col("vec_id"), lit(10L)) === 3)
+      val right = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 3)
+      val centroids = Similarity.trainCentroids(right, k = 16, iters = 2,
+        sampleRate = 0.5)
+      val knn = Similarity.knnJoinIvf(left, right, k = 3, centroids, nProbe = 4)
+      val exact = knn
+        .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+        .withColumn("cos_exact",
+          graft.functions.VectorFns.cosine(col("qe"), col("ne")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      val flagged = exact
+        .withColumn("prev_cos", lag(col("cos"), 1).over(w))
+        .withColumn("prev_nbr", lag(col("neighbor_id"), 1).over(w))
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (col("cos") === col("cos_exact")).as("valid"),
+          (col("prev_cos").isNull || col("prev_cos") > col("cos") ||
+            (col("prev_cos") === col("cos") &&
+              col("prev_nbr") < col("neighbor_id"))).as("ordered"))
+      val perQuery = left.select(col("vec_id").as("query_id"))
+        .join(flagged.groupBy("query_id").agg(
+          count(lit(1)).as("n_results"),
+          count_distinct(col("neighbor_id")).as("n_distinct"),
+          count_distinct(when(col("rank").between(1, 3), col("rank"))).as("n_ranks"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("rank") > 1 && col("ordered"), 1L).otherwise(0L)).as("n_ordered")),
+          Seq("query_id"), "left")
+      val nQueries = left.count()
+      val overlap = Similarity.knnJoinExact(left, right, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(knn.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .agg((count(lit(1)) >= lit(0.3 * 3 * nQueries)).cast("long")
+          .as("recall_floor_ok"))
+      perQuery.crossJoin(overlap)
+        .select(col("query_id"),
+          coalesce(col("n_results"), lit(0L)).as("n_results"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(col("n_ranks"), lit(0L)).as("n_ranks"),
+          coalesce(col("n_valid"), lit(0L)).as("n_valid"),
+          coalesce(col("n_ordered"), lit(0L)).as("n_ordered"),
+          col("recall_floor_ok"))
         .orderBy(col("query_id"))
     }),
 
@@ -3739,6 +3861,29 @@ object SparkEntry {
         |  COALESCE(chars_clean, CAST(0 AS BIGINT)) AS chars_clean
         |FROM t2 LEFT JOIN k2 ON t2.lang = k2.lang ORDER BY t2.lang""".stripMargin,
 
+    // Bloom tier: DuckDB recomputes the EXACT decontamination truth
+    // (same CTEs as pipe_decontaminate); the sketch-side verdicts are
+    // pinned constants — subset_ok (no false negatives) and fp_ok
+    // (false-drop budget) must both hold.
+    "pipe_decontaminate_bloom" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)] END) AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
+        |  WHERE doc_id % 97 = 0 OR doc_id % 101 = 0),
+        |tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |trg AS (SELECT doc_id, unnest(s) AS g FROM tr),
+        |bad AS (SELECT DISTINCT trg.doc_id FROM trg JOIN ev USING (g)),
+        |keep AS (SELECT tr.doc_id FROM tr
+        |  LEFT JOIN bad ON tr.doc_id = bad.doc_id WHERE bad.doc_id IS NULL)
+        |SELECT CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS docs_train,
+        |  CAST((SELECT COUNT(*) FROM keep) AS BIGINT) AS kept_exact,
+        |  CAST(1 AS BIGINT) AS subset_ok, CAST(1 AS BIGINT) AS fp_ok""".stripMargin,
+
     // mirrors TextFns.qualityScore + graft_langid + tokensWs + exact-keeper
     // — the same formulas as the text_quality / text_langid oracles
     "pipe_pretrain_filter" ->
@@ -4259,6 +4404,28 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
 
+    // Replays the paragraph rule on the same derived fixture: global
+    // first occurrence by (doc_id, position) survives, docs reassemble
+    // from survivors in original order.
+    "dedup_paragraph" ->
+      """WITH multi AS (
+        |  SELECT d.doc_id, d.text || chr(10) || p.text AS text
+        |  FROM documents d JOIN documents p ON p.doc_id = (d.doc_id + 1) % 50),
+        |paras AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS para,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS idx
+        |  FROM multi),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY para
+        |      ORDER BY doc_id, idx) AS rn
+        |  FROM paras)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |  CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(para, chr(10) ORDER BY idx)
+        |    FILTER (WHERE rn = 1), '') AS text_dedup
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // The streaming run is batch-local foreachBatch decontamination —
     // per-doc pure, so it shares the batch formulation's truth: same
     // eval set, clean-side survivors per language.
@@ -4537,6 +4704,26 @@ object SparkEntry {
         |  CAST(5 AS BIGINT) AS n_ranks, CAST(5 AS BIGINT) AS n_valid,
         |  CAST(4 AS BIGINT) AS n_ordered
         |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""".stripMargin,
+
+    "sim_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id % 10 = 3),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
+        |      FROM q, embeddings e WHERE e.vec_id % 10 <> 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_r
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Same one-sided containment idiom as sim_topk_ivf, over the full
+    // query table; recall_floor_ok pins non-vacuity vs the exact join.
+    "sim_knn_join_ivf" ->
+      """SELECT vec_id AS query_id,
+        |  CAST(3 AS BIGINT) AS n_results, CAST(3 AS BIGINT) AS n_distinct,
+        |  CAST(3 AS BIGINT) AS n_ranks, CAST(3 AS BIGINT) AS n_valid,
+        |  CAST(2 AS BIGINT) AS n_ordered, CAST(1 AS BIGINT) AS recall_floor_ok
+        |FROM embeddings WHERE vec_id % 10 = 3 ORDER BY vec_id""".stripMargin,
 
     // Recomputes lshTopK verbatim: hyperplane buckets from the gate's
     // plane literals, multi-probe = own bucket + each single-bit flip,

@@ -72,6 +72,50 @@ object Dedup {
     documents.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Paragraph-level dedup (the CCNet/RefinedWeb pass that runs BELOW
+    * document granularity): split each document on `sep`, keep the
+    * globally FIRST occurrence of every paragraph — first = min
+    * (doc_id, position), so a boilerplate header survives exactly once,
+    * in its earliest document — and reassemble each document from its
+    * surviving paragraphs in original order. Documents whose every
+    * paragraph lost the race come back with empty text (n_kept = 0),
+    * preserving the row for downstream length/quality filters to drop.
+    *
+    * Returns (doc_id, n_paras, n_kept, text_dedup).
+    *
+    * Shuffle budget: one exchange keyed by paragraph text (keeper agg —
+    * min(struct) is a hash aggregation with map-side partials), the
+    * winners join back to the exploded paragraphs on the same key, and
+    * one exchange by doc_id reassembles. The paragraph TEXT is the
+    * shuffle key here for oracle bit-exactness; at 100 TB key the agg
+    * and join on xxhash64(para) instead (8-byte keys, collision odds
+    * ~n²/2⁶⁴ — the spanDupStats convention) and ship each paragraph's
+    * bytes only once. */
+  def paragraphDedup(documents: DataFrame, sep: String = "\n"): DataFrame = {
+    // sep is a LITERAL separator on both the split and the rejoin
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val paras = documents
+      .select(col("doc_id"), posexplode(split(col("text"), sepRe)))
+      .toDF("doc_id", "idx", "para")
+    val keepers = paras.groupBy(col("para"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+    val kept = paras.join(keepers, "para")
+      .filter(col("doc_id") === col("k.doc_id") && col("idx") === col("k.idx"))
+      .select(col("doc_id"), col("idx"), col("para"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("idx"), col("para")))),
+          s => s.getField("para"))).as("text_dedup"))
+    documents
+      .select(col("doc_id"),
+        size(split(col("text"), sepRe)).cast("long").as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** MinHash + LSH near-dup candidate pairs, verified with exact shingle
     * Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     *

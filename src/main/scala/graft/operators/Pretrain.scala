@@ -90,6 +90,45 @@ object Pretrain {
     corpus.join(antiSide, Seq("doc_id"), "left_anti")
   }
 
+  /** Bloom-filter decontamination — the zero-shuffle scale tier of
+    * [[decontaminate]]. The eval grams collapse into a Bloom SKETCH
+    * (fixed bit array, ~29 bits/gram at fpp=1e-6) instead of an exact
+    * broadcast hash set, and the corpus side becomes a pure scan-local
+    * predicate: `exists(shingles, g -> bloom(hash(g)))` compiled through
+    * the codegen'd [[graft.expressions.BloomMightContain]], short-
+    * circuiting on the first hit. No explode, no semi-join, no
+    * contaminated-ids materialization, no anti-join — the filter fuses
+    * into the corpus scan's whole-stage-codegen span, which is the shape
+    * you want when this runs as a final pass over 100 TB.
+    *
+    * The trade is one-sided and safe for this use: Bloom filters have no
+    * false negatives, so every truly contaminated document still drops;
+    * fpp controls the fraction of CLEAN documents falsely dropped
+    * (per-doc ≈ 1-(1-fpp)^distinct_grams — size fpp to the corpus's gram
+    * counts; 1e-6 loses ~4 clean docs per million 40-gram docs).
+    * Deterministic: the sketch seed is fixed, so reruns drop the same
+    * rows. */
+  def decontaminateBloom(corpus: DataFrame, evalDocs: DataFrame,
+      shingleLen: Int = 8, fpp: Double = 1e-6): DataFrame = {
+    import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+    // one eval scan, pinned: counted for sizing, then sketched
+    val evalGrams = evalDocs.select(
+        explode(array_distinct(call_function("graft_shingles",
+          col("text"), lit(shingleLen)))).as("__sh"))
+      .select(xxhash64(col("__sh")).as("__shh")).distinct()
+      .localCheckpoint(true)
+    val nGrams = evalGrams.count()
+    if (nGrams == 0) corpus // empty sketch aggregation yields no buffer
+    else {
+      val bf = evalGrams.stat.bloomFilter("__shh", nGrams, fpp)
+      val contaminated = exists(
+        call_function("graft_shingles", col("text"), lit(shingleLen)),
+        g => ExpressionUtils.column(graft.expressions.BloomMightContain(
+          ExpressionUtils.expression(xxhash64(g)), bf)))
+      corpus.filter(!contaminated)
+    }
+  }
+
   /** [[decontaminate]] with bounded block lifetime: runs `consume` on the
     * clean corpus, then unpersists every RDD block the call materialized
     * (the contaminated-ids localCheckpoint), so repeated pipeline calls

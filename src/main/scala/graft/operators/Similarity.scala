@@ -232,6 +232,53 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  // ── kNN JOIN: top-k neighbors for EVERY row of a query table — the
+  // two-corpus retrieval/linkage shape (cross-corpus near-dup audit,
+  // retrieval-augmented labeling, train-vs-eval semantic contamination).
+  // The single-query-set paths above all broadcast the query side; a kNN
+  // join's defining constraint is that NEITHER side fits in a broadcast.
+
+  /** Exact kNN join. Declared as a plain cross join + cosine + bounded
+    * TopK and left to Catalyst: below the broadcast threshold the small
+    * side ships (BroadcastNestedLoopJoin); above it Spark's
+    * CartesianProduct pairs partition BLOCKS across the cluster — the
+    * distributed block-nested-loop plan, which is the only exact shape
+    * (top-k-by-similarity inherently inspects every pair; "exact at
+    * 100 TB" means paying N×M flops spread over executors, or switching
+    * to [[knnJoinIvf]]). The bounded TopK agg keeps the shuffle at
+    * k rows per query per partition regardless of |right|. */
+  def knnJoinExact(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+    val l = left.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val r = right.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    rankTopK(
+      l.crossJoin(r).select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cos")), k)
+  }
+
+  /** Approximate kNN join — the both-sides-large scale path. Both tables
+    * quantize against the SAME coarse centroids (broadcast, tiny): the
+    * right side becomes inverted lists keyed by cell, the left side
+    * probes its nProbe nearest cells, and candidates come from ONE
+    * shuffle join on cluster_id — each side is hash-partitioned by cell
+    * exactly once, no broadcast of either corpus, no cartesian. Per-cell
+    * work is |left probes in cell| × |list in cell|, bounded by the
+    * quantizer's cell-size cap (pick k per the semanticDedupAutoK rule);
+    * a residually hot cell is AQE skew-join territory, same as any
+    * shuffle join. Probe rows carry q_emb through the shuffle (embedding
+    * bytes × nProbe) — the standard IVF trade of replication for not
+    * re-joining the query table afterwards. */
+  def knnJoinIvf(left: DataFrame, right: DataFrame, k: Int,
+      centroids: DataFrame, nProbe: Int = 2): DataFrame = {
+    val lists = right.join(assign(right, centroids), "vec_id")
+      .select(col("cluster_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"))
+    val qProbes = probes(left, centroids, nProbe)
+    val scored = lists.join(qProbes, Seq("cluster_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cos"))
+    rankTopK(scored, k)
+  }
+
   // ── Product quantization (Jégou et al., "Product Quantization for
   // Nearest Neighbor Search", TPAMI 2011) — the memory-compression tier
   // of the ANN stack: IVF prunes WHICH vectors are scanned, PQ shrinks

@@ -205,6 +205,34 @@ class DedupSpec extends SparkSpec {
     assert(results.get("distributed") === "distributed")
   }
 
+  test("paragraphDedup: global first occurrence survives, docs reassemble " +
+    "in order, fully-deduped docs come back empty") {
+    val pd = Seq(
+      (1L, "alpha\nbeta\nalpha"), // alpha repeats WITHIN the doc
+      (2L, "beta\ngamma"),        // beta already seen in doc 1
+      (3L, "beta\nbeta"),         // every paragraph already taken
+      (4L, "")                    // empty text = one empty paragraph
+    ).toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(pd).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_paras"), x.getAs[Long]("n_kept"),
+          x.getAs[String]("text_dedup")))).toMap
+    assert(r(1L) === ((3L, 2L, "alpha\nbeta")))
+    assert(r(2L) === ((2L, 1L, "gamma")))
+    assert(r(3L) === ((2L, 0L, "")))
+    assert(r(4L) === ((1L, 1L, ""))) // the empty paragraph's first home
+  }
+
+  test("paragraphDedup is partition-independent") {
+    val pd = Seq(
+      (10L, "x\ny"), (11L, "y\nz"), (12L, "z\nx"), (13L, "x\ny")
+    ).toDF("doc_id", "text")
+    val a = Dedup.paragraphDedup(pd).collect().sortBy(_.getAs[Long]("doc_id"))
+    val b = Dedup.paragraphDedup(pd.repartition(7)).collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+    assert(a.map(_.toString) === b.map(_.toString))
+  }
+
   test("spanDupStats counts exactly the spans shared with another doc") {
     val corpus = Seq(
       (1L, "a b c d e f g h x1 y1"), // spans: [a..h], [b..h x1], [c..x1 y1]

@@ -288,6 +288,26 @@ class OperatorsSpec extends SparkSpec {
     assert(clean2.toSeq === Seq(2L))
   }
 
+  test("decontaminateBloom: no false negatives (subset of the exact clean " +
+    "set) and, at tiny fpp on a tiny gram set, exact equality") {
+    val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x alpha beta gamma y z"),        // eval 3-gram -> must drop
+      (2L, "alpha gamma beta totally other"),// reordered -> clean
+      (3L, "completely unrelated text here") // clean
+    ).toDF("doc_id", "text")
+    val exact = Pretrain.decontaminate(train, evalSet, shingleLen = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Pretrain.decontaminateBloom(train, evalSet, shingleLen = 3,
+      fpp = 1e-8).select("doc_id").as[Long].collect().toSet
+    assert(bloom.subsetOf(exact)) // bloom can only over-drop
+    assert(bloom === Set(2L, 3L)) // fixed seed + tiny set: no collisions
+    // empty eval side: nothing drops
+    val none = Pretrain.decontaminateBloom(train,
+      evalSet.filter(col("doc_id") < 0L), shingleLen = 3)
+    assert(none.count() === 3L)
+  }
+
   test("scd2 compacts unchanged versions and chains validity intervals") {
     val log = Seq(
       (1L, 0L, 1L, "a"),    // key 1: a opens

@@ -91,6 +91,37 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("decontaminateBloom: the corpus side is a pure scan-side predicate " +
+    "— zero Exchange, zero Join (the sketch rides the task binary)") {
+    val docs = Tables.documents(spark, dir)
+    val clean = graft.operators.Pretrain.decontaminateBloom(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), shingleLen = 8)
+    val p = clean.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(!p.toLowerCase.contains("join"), p.take(1200))
+  }
+
+  test("knnJoinIvf: candidates come from an equi join on cluster_id — " +
+    "neither corpus broadcasts, no cartesian, even with broadcast off") {
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = Tables.embeddings(spark, dir)
+      val centroids = graft.operators.Similarity
+        .trainCentroids(emb, k = 4, iters = 1).localCheckpoint(true)
+      val p = graft.operators.Similarity
+        .knnJoinIvf(emb.filter(col("vec_id") % 10 === 3),
+          emb.filter(col("vec_id") % 10 =!= 3), k = 3, centroids, nProbe = 2)
+        .queryExecution.executedPlan.toString
+      // centroid assignment legitimately broadcast-NLs the tiny centroid
+      // set; the CANDIDATE join must be a shuffle equi-join on cluster_id
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(1200))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("j1_interval_join: equi key drives a real join, band is residual " +
     "(no nested-loop cartesian)") {
     val p = plan("j1_interval_join")

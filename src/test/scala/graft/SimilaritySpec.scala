@@ -170,4 +170,39 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect got).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall@5 = $recall")
   }
+
+  test("knnJoinExact == window-ranked cross-product truth") {
+    val left = emb.filter(col("vec_id") % 10 === 3)
+    val right = emb.filter(col("vec_id") % 10 =!= 3)
+    val got = Similarity.knnJoinExact(left, right, k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val truth = left.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(right.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFns.cosine(col("qe"), col("ne")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().sorted
+    assert(got === truth)
+    assert(got.length === left.count() * 3)
+  }
+
+  test("knnJoinIvf with every cell probed == knnJoinExact (containment " +
+    "becomes equality at full probe)") {
+    val left = emb.filter(col("vec_id") % 10 === 3)
+    val right = emb.filter(col("vec_id") % 10 =!= 3)
+    val k = 8
+    val centroids = Similarity.trainCentroids(right, k = k, iters = 1)
+      .localCheckpoint(true)
+    val ivf = Similarity.knnJoinIvf(left, right, k = 3, centroids, nProbe = k)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().sorted
+    val exact = Similarity.knnJoinExact(left, right, k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().sorted
+    assert(ivf === exact)
+  }
 }
