@@ -214,6 +214,28 @@ object ScaleGrowth {
         s"k=${cells.getLong(0)} p90_cell=${cells.getLong(2)} " +
           "(claim: k grows Rx, max/p90 cell flat)")
     },
+    // kNN join, IVF tier: with the auto-k rule (k = n/targetCell) the
+    // structural claim is the same as semantic_autok_cells — k grows R×,
+    // cell sizes stay flat — so per-cell candidate work (|probes∩cell| ×
+    // |cell|) is bounded and total candidates grow ~R× with the query
+    // side. A flat k would instead grow cells R× and candidates R².
+    "knn_join_ivf" -> whole { dir =>
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val left = emb.filter(pmod(col("vec_id"), lit(10L)) === 3)
+      val right = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 3)
+      val k = math.max(2L, right.count() / 125).toInt
+      val centroids = Similarity.trainCentroids(right, k, iters = 1,
+        sampleRate = 0.5)
+      val res = Similarity.knnJoinIvf(left, right, 3, centroids, nProbe = 2)
+        .count()
+      val cs = Similarity.assign(right, centroids)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("kk"), max(col("n")).as("max_cell"),
+          expr("approx_percentile(n, 0.9)").as("p90"))
+        .head()
+      (res, s"k=${cs.getLong(0)} max_cell=${cs.getLong(1)} " +
+        s"p90_cell=${cs.getLong(2)} (claim: k grows Rx, cells flat)")
+    },
     "dq_rules_scan" -> whole { dir =>
       // row-local rules fold into ONE scan + unique's single shuffle —
       // report rows stay constant (one per rule) at any corpus size

@@ -1579,6 +1579,28 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ── Pipeline END-TO-END: the full cheap-pass recipe in one gate —
+    // language/quality/token filter → exact-dedup keeper → benchmark
+    // decontamination (eval slice deliberately overlaps train via the
+    // %101 slice, so drops fire on real rows: 5/5/40 docs at the three
+    // scales) → per-language corpus report. Each stage is individually
+    // oracled elsewhere; this gate pins their COMPOSITION (column
+    // contracts, filter-then-dedup-then-drop order) against one DuckDB
+    // replay of the whole pipeline.
+    "pipe_pretrain_e2e" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(89L)) === 0 ||
+        pmod(col("doc_id"), lit(101L)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(89L)) =!= 0)
+      val filtered = Pretrain.filterCorpus(train, lang = "en",
+        minQuality = 0.4, minTokens = 5, maxTokens = 100000)
+      Pretrain.decontaminate(filtered, evalSet, shingleLen = 8)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // ── Pipeline: benchmark decontamination — drop training docs sharing
     // any word 8-gram with the (deterministically sampled) eval set; the
     // eval shingle set broadcasts, the corpus never shuffles. The eval
@@ -1628,6 +1650,21 @@ object SparkEntry {
           (col("__v") === 0).cast("long").as("subset_ok"),
           (col("__fp") <= greatest(lit(5L),
             ceil(col("kept_exact") * 0.01).cast("long"))).cast("long").as("fp_ok"))
+    }),
+
+    // ── Pipeline: SEMANTIC decontamination — embedding-level eval
+    // leakage (paraphrases that share no 8-gram). Nearest-eval-neighbor
+    // (kNN join, k=1) max-cosine >= tau drops the training vector; tau
+    // 0.42 fires the drop arm at every scale (3/5/47 drops, minimum
+    // threshold margin 7e-5 — far above cross-engine double noise).
+    // Full oracle: DuckDB recomputes the max-cos rule exactly.
+    "pipe_decontaminate_sem" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pretrain.decontaminateSemantic(
+        emb.filter(pmod(col("vec_id"), lit(17L)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(17L)) === 0), tau = 0.42)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
     }),
 
     // ── K2: dynamic-topic producer shaping — per-row topic + JSON value
@@ -3861,6 +3898,16 @@ object SparkEntry {
         |  COALESCE(chars_clean, CAST(0 AS BIGINT)) AS chars_clean
         |FROM t2 LEFT JOIN k2 ON t2.lang = k2.lang ORDER BY t2.lang""".stripMargin,
 
+    "pipe_decontaminate_sem" ->
+      """WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 17 = 0),
+        |tr AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 17 <> 0),
+        |m AS (SELECT tr.vec_id, tr.label,
+        |    max(list_cosine_similarity(tr.v, ev.v)) AS mc
+        |  FROM tr, ev GROUP BY tr.vec_id, tr.label)
+        |SELECT vec_id, label FROM m WHERE mc < 0.42 ORDER BY vec_id""".stripMargin,
+
     // Bloom tier: DuckDB recomputes the EXACT decontamination truth
     // (same CTEs as pipe_decontaminate); the sketch-side verdicts are
     // pinned constants — subset_ok (no false negatives) and fp_ok
@@ -3920,6 +3967,61 @@ object SparkEntry {
         |k AS (SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
         |SELECT doc_id, lang FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Full-pipeline replay: filter CTEs (pipe_pretrain_filter's formulas
+    // with n_chars/tw carried through) feed the decontamination CTEs
+    // (pipe_decontaminate's shingle rule) feed the per-lang report.
+    "pipe_pretrain_e2e" ->
+      """WITH toks AS (SELECT doc_id, text, lang, n_chars,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tw,
+        |    string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS tr
+        |  FROM documents),
+        |lid AS (SELECT doc_id, text, lang, n_chars, tw, len(tw) AS n_tok,
+        |    len(list_filter(tr, x -> list_contains(['the','and','of','to','is','you','that','with'], x))) AS eh,
+        |    len(list_filter(tr, x -> list_contains(['el','la','de','que','los','por','con','una'], x))) AS sh_,
+        |    len(list_filter(tr, x -> list_contains(['le','la','les','des','est','une','dans','pour'], x))) AS fh,
+        |    len(list_filter(tr, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))) AS dh,
+        |    len(list_filter(tr, x -> list_contains(['的','是','不','我','了','在','人','有'], x))) AS zh_
+        |  FROM toks WHERE doc_id % 89 <> 0),
+        |pred AS (SELECT *, CASE
+        |    WHEN greatest(eh, sh_, fh, dh, zh_) = 0 THEN 'und'
+        |    WHEN zh_ = greatest(eh, sh_, fh, dh, zh_) THEN 'zh'
+        |    WHEN fh = greatest(eh, sh_, fh, dh, zh_) THEN 'fr'
+        |    WHEN sh_ = greatest(eh, sh_, fh, dh, zh_) THEN 'es'
+        |    WHEN eh = greatest(eh, sh_, fh, dh, zh_) THEN 'en'
+        |    ELSE 'de' END AS plang FROM lid),
+        |q AS (SELECT *,
+        |    CASE WHEN n_tok = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(tw, x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE)/n_tok END AS sw,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)/length(text) END AS punct
+        |  FROM pred),
+        |f AS (SELECT doc_id, text, lang, n_chars, tw FROM q
+        |  WHERE plang = 'en'
+        |    AND (0.4*least(length(text)/500.0, 1.0)
+        |       + 0.3*(1.0 - least(punct*5.0, 1.0))
+        |       + 0.3*least(sw*5.0, 1.0)) >= 0.4
+        |    AND n_tok BETWEEN 5 AND 100000),
+        |k AS (SELECT doc_id, lang, n_chars, tw,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f),
+        |kept AS (SELECT doc_id, lang, n_chars, tw FROM k WHERE rn = 1),
+        |ksh AS (SELECT doc_id, lang, n_chars,
+        |    list_distinct(CASE WHEN len(tw) < 8 THEN [array_to_string(tw, ' ')]
+        |      ELSE [array_to_string(tw[i:i+7], ' ') for i in range(1, len(tw) - 6)] END) AS s
+        |  FROM kept),
+        |evt AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 89 = 0 OR doc_id % 101 = 0),
+        |ev AS (SELECT DISTINCT unnest(
+        |    list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)] END)) AS g
+        |  FROM evt),
+        |kg AS (SELECT doc_id, unnest(s) AS g FROM ksh),
+        |bad AS (SELECT DISTINCT kg.doc_id FROM kg JOIN ev USING (g)),
+        |clean AS (SELECT ksh.doc_id, ksh.lang, ksh.n_chars FROM ksh
+        |  LEFT JOIN bad ON ksh.doc_id = bad.doc_id WHERE bad.doc_id IS NULL)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        |FROM clean GROUP BY lang ORDER BY lang""".stripMargin,
 
     "k2_dynamic_topic" ->
       """SELECT 'dwd_' || event_type AS topic,

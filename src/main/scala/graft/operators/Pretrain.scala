@@ -150,6 +150,33 @@ object Pretrain {
       .values.foreach(_.unpersist(blocking = false))
   }
 
+  /** Semantic decontamination — the embedding-level sibling of the n-gram
+    * rule: drop every training vector whose cosine against ANY eval
+    * vector reaches `tau` (paraphrased eval leakage that shares no
+    * 8-gram). This is a thin composition over the kNN-join tiers: the
+    * nearest eval neighbor (k=1) decides the drop, so
+    * [[Similarity.knnJoinExact]] is the truth path and
+    * [[Similarity.knnJoinIvf]] (shared coarse cells, one shuffle
+    * equi-join, no corpus broadcast) is the both-sides-large plan —
+    * pass `centroids`/`nProbe` to choose it. NOTE the IVF tier's error
+    * is the OPPOSITE side from [[decontaminateBloom]]'s: ANN recall < 1
+    * can MISS a near-eval neighbor and under-drop, so reserve it for
+    * corpora where the exact tier's N×M scan is unpayable, and size
+    * nProbe generously (the spec proves full-probe == exact). Returns
+    * the surviving corpus rows (anti-join on the dropped sliver, which
+    * is small by the same argument as [[decontaminate]]). */
+  def decontaminateSemantic(corpusEmb: DataFrame, evalEmb: DataFrame,
+      tau: Double, centroids: Option[DataFrame] = None,
+      nProbe: Int = 4): DataFrame = {
+    val nn = centroids match {
+      case Some(c) => Similarity.knnJoinIvf(corpusEmb, evalEmb, 1, c, nProbe)
+      case None    => Similarity.knnJoinExact(corpusEmb, evalEmb, 1)
+    }
+    val dropped = nn.filter(col("cos") >= tau)
+      .select(col("query_id").as("vec_id")).distinct()
+    corpusEmb.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Multi-eval-set decontamination with attribution: for every training
     * doc overlapping any eval set, WHICH set and how many distinct
     * offending grams. The attribution is what [[decontaminate]]'s boolean

@@ -308,6 +308,24 @@ class OperatorsSpec extends SparkSpec {
     assert(none.count() === 3L)
   }
 
+  test("decontaminateSemantic: near-eval vectors drop; the full-probe IVF " +
+    "tier equals the exact tier") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val evalE = emb.filter(col("vec_id") % 17 === 0)
+    val train = emb.filter(col("vec_id") % 17 =!= 0)
+    val exact = graft.operators.Pretrain
+      .decontaminateSemantic(train, evalE, tau = 0.42)
+      .select("vec_id").as[Long].collect().toSet
+    assert(train.count() - exact.size === 3L) // DuckDB-counted drop arm
+    val k = 8
+    val cents = graft.operators.Similarity
+      .trainCentroids(evalE, k, iters = 1).localCheckpoint(true)
+    val ivf = graft.operators.Pretrain
+      .decontaminateSemantic(train, evalE, tau = 0.42, Some(cents), nProbe = k)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf === exact)
+  }
+
   test("scd2 compacts unchanged versions and chains validity intervals") {
     val log = Seq(
       (1L, 0L, 1L, "a"),    // key 1: a opens
