@@ -2246,6 +2246,23 @@ object SparkEntry {
           truncate6(col("p.quality")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // ── Text: learned-model quality filtering — a linear classifier
+    // (fastText-style, distilled to its linear layer) over the one-pass
+    // profile features, folded into the scan as literals: zero shuffle,
+    // no model server. Weights chosen so the kept arm splits the corpus
+    // (~36% kept) with ≥1e-6 margin at the 0.5 threshold — ten orders
+    // above cross-engine libm noise. Full oracle replays the formula.
+    "text_quality_model" -> ((s, dir) => {
+      val m = QualityModel(wTokens = 0.5, wMeanTokLen = 0.3,
+        wStopword = 8.0, wPunct = -6.0, bias = -4.0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          classifierScore(col("text"), m).as("s0"))
+        .select(col("doc_id"), truncate6(col("s0")).as("score"),
+          (col("s0") >= 0.5).cast("int").as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Text: language ID heuristic vs labeled lang (native one-pass)
     "text_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -4846,6 +4863,29 @@ object SparkEntry {
         |        ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s)
         |SELECT query_id, neighbor_id, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // sigmoid(w·f + b) over the same profile formulas as text_quality;
+    // ln(1+n) stands in for log1p (identical to well past the truncate6
+    // grid and the 1e-6 threshold margin)
+    "text_quality_model" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, text, len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)/len(toks) END AS mean_tok_len,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE)/len(toks) END AS sw,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)/length(text) END AS punct
+        |  FROM t),
+        |s AS (SELECT doc_id,
+        |    1.0/(1.0 + exp(-(0.5*ln(1.0 + n_tokens) + 0.3*mean_tok_len
+        |      + 8.0*sw - 6.0*punct - 4.0))) AS score
+        |  FROM m)
+        |SELECT doc_id, floor(score*1000000)/1000000 AS score,
+        |  CAST(score >= 0.5 AS INTEGER) AS kept
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text,

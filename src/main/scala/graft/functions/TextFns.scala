@@ -177,4 +177,26 @@ object TextFns {
     * extend by chaining more regexp_replace stages. */
   def piiScrub(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Learned-model quality filtering: a linear classifier over the
+    * single-pass text-profile features. The MODEL is data (weights
+    * trained offline — a fastText-style quality classifier distilled to
+    * its linear layer); here it folds into the plan as LITERALS, so
+    * scoring is a pure scan-side expression — zero shuffle, no model
+    * server, no per-row JVM boundary — which is how a learned filter
+    * stays payable as a pass over 100 TB. Features: log1p(token count)
+    * (scale-free length), mean token length, stopword density,
+    * punctuation density — all from one graft_text_profile evaluation.
+    * Score = sigmoid(w·f + b) in [0,1]; threshold downstream. */
+  final case class QualityModel(wTokens: Double, wMeanTokLen: Double,
+      wStopword: Double, wPunct: Double, bias: Double)
+
+  def classifierScore(c: Column, m: QualityModel): Column =
+    ExprUtil.bind(call_function("graft_text_profile", c)) { p =>
+      val z = lit(m.wTokens) * log1p(p.getField("n_tokens").cast("double")) +
+        lit(m.wMeanTokLen) * p.getField("mean_tok_len") +
+        lit(m.wStopword) * p.getField("stopword_ratio") +
+        lit(m.wPunct) * p.getField("punct_ratio") + lit(m.bias)
+      lit(1.0) / (lit(1.0) + exp(-z))
+    }
 }

@@ -52,4 +52,21 @@ class TextFnsSpec extends SparkSpec {
     assert(r(0) === 0.751262)
     assert(r(1) === 1.0)
   }
+
+  test("classifierScore: sigmoid in (0,1), ranks stopword-rich prose over " +
+    "punctuation soup, and weights change the ranking (the model is live)") {
+    graft.expressions.GraftExtensions.ensureRegistered(spark)
+    val m = QualityModel(wTokens = 0.5, wMeanTokLen = 0.3,
+      wStopword = 8.0, wPunct = -6.0, bias = -4.0)
+    val docs = Seq(
+      "the cat sat on the mat and it was a fine day in the garden",
+      "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( ))) ~~~ ```").toDF("t")
+    val r = docs.select(classifierScore(col("t"), m)).as[Double].collect()
+    assert(r.forall(x => x > 0.0 && x < 1.0))
+    assert(r(0) > r(1))
+    // flip the stopword weight: the ranking must follow the model
+    val flipped = m.copy(wStopword = -8.0, wPunct = 6.0)
+    val r2 = docs.select(classifierScore(col("t"), flipped)).as[Double].collect()
+    assert(r2(0) < r2(1))
+  }
 }
