@@ -2231,6 +2231,26 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ── Pipeline: RAG indexing/retrieval END-TO-END — context-window
+    // chunking → hashing-trick featurization (portable md5 buckets, so
+    // the "encoder" is exactly replayable) → top-k retrieval, all from
+    // the engine's own pieces. Chunk vectors are exact integer counts,
+    // so cosines are bit-portable; full oracle replays the whole path.
+    "pipe_rag_topk" -> ((s, dir) => {
+      val chunks = Chunking.chunk(Tables.documents(s, dir),
+        window = 32, stride = 32).filter(col("n_toks") > 0)
+      val emb = chunks.select(
+        (col("doc_id") * 1000 + col("chunk_idx")).as("vec_id"),
+        hashingTrickEmbed(tokensWs(col("chunk_text")), 16).as("embedding"))
+      val queryIds = Seq(0L, 1000L, 2000L)
+      Similarity.bruteForceTopK(
+        emb.filter(!col("vec_id").isin(queryIds: _*)),
+        emb.filter(col("vec_id").isin(queryIds: _*)), k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cos_r"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── Text: quality scoring — single-pass native profile expression
     // (graft_text_profile computes every metric in one tokenization; the
     // HOF formulation in TextFns is the semantically-identical slow twin)
@@ -4863,6 +4883,31 @@ object SparkEntry {
         |        ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s)
         |SELECT query_id, neighbor_id, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // The whole RAG path replayed: text_chunk's slicing (stride 32),
+    // per-chunk md5-bucket counts, cosine rank — chunk vectors are
+    // integer counts, so the cosines are bit-portable across engines.
+    "pipe_rag_topk" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |    unnest(range(0, greatest(len(toks), 1), 32)) AS start FROM t),
+        |ch AS (SELECT doc_id * 1000 + start // 32 AS vec_id,
+        |    list_transform(list_slice(toks, start + 1, start + 32),
+        |      t2 -> CAST(md5_number_lower(t2) % 16 AS BIGINT)) AS hs
+        |  FROM s WHERE len(list_slice(toks, start + 1, start + 32)) > 0),
+        |e AS (SELECT vec_id, [${(0 until 16).map(i =>
+                 s"CAST(len(list_filter(hs, h -> h = $i)) AS DOUBLE)").mkString(", ")}] AS v
+        |  FROM ch),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1000, 2000)),
+        |c AS (SELECT vec_id AS neighbor_id, v FROM e WHERE vec_id NOT IN (0, 1000, 2000)),
+        |sc AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qv, v) AS cos FROM q, c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_r
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // sigmoid(w·f + b) over the same profile formulas as text_quality;
     // ln(1+n) stands in for log1p (identical to well past the truncate6

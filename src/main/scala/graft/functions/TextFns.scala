@@ -178,6 +178,21 @@ object TextFns {
   def piiScrub(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
+  /** Hashing-trick bag-of-words featurizer: `dim` bucket counts, bucket =
+    * engine-portable md5-low-64 of the token mod dim (Weinberger et al.'s
+    * feature hashing — the deterministic, vocabulary-free embedding that
+    * stands in for a learned encoder wherever the harness needs REAL
+    * retrieval semantics with an exactly-replayable oracle). Scan-side
+    * expression: one hash pass over the tokens, `dim` bounded filters —
+    * zero shuffle, no vocabulary table to broadcast or train. */
+  def hashingTrickEmbed(tokens: Column, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    ExprUtil.bind(transform(tokens, t => HashFns.md5Lower64Mod(t, dim.toLong))) {
+      hs => array((0 until dim).map(i =>
+        size(filter(hs, h => h === lit(i.toLong))).cast("double")): _*)
+    }
+  }
+
   /** Learned-model quality filtering: a linear classifier over the
     * single-pass text-profile features. The MODEL is data (weights
     * trained offline — a fastText-style quality classifier distilled to

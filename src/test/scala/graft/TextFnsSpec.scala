@@ -53,6 +53,20 @@ class TextFnsSpec extends SparkSpec {
     assert(r(1) === 1.0)
   }
 
+  test("hashingTrickEmbed: dim-length vector whose buckets partition the " +
+    "token count; identical text embeds identically") {
+    val r = Seq("the cat sat on the mat", "the cat sat on the mat", "")
+      .toDF("t")
+      .select(hashingTrickEmbed(tokensWs(col("t")), 8).as("v"))
+      .as[Seq[Double]].collect()
+    assert(r.forall(_.length === 8))
+    assert(r(0).sum === 6.0) // every token lands in exactly one bucket
+    assert(r(0) === r(1))    // deterministic featurizer
+    assert(r(2).sum === 0.0) // empty text -> zero vector
+    // "the" appears twice -> its bucket holds at least 2
+    assert(r(0).max >= 2.0)
+  }
+
   test("classifierScore: sigmoid in (0,1), ranks stopword-rich prose over " +
     "punctuation soup, and weights change the ranking (the model is live)") {
     graft.expressions.GraftExtensions.ensureRegistered(spark)
