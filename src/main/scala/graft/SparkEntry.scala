@@ -1255,6 +1255,23 @@ object SparkEntry {
       TfIdf.topTerms(Tables.documents(s, dir), k = 2)
         .orderBy(col("doc_id"), col("rnk"))),
 
+    // ── Pipeline: BM25 sparse retrieval — the lexical twin of
+    // pipe_rag_topk's dense path. Inverted-index probe (query-vocab
+    // broadcast into the postings; the corpus is tokenized ONCE and
+    // never shuffled whole). Scores are fixed-point millionths summed as
+    // longs, so ranking is engine-exact; full DuckDB oracle replays the
+    // identical arithmetic.
+    "pipe_bm25_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qids = Seq(0L, 1L, 2L)
+      TfIdf.bm25TopK(
+        docs.filter(!col("doc_id").isin(qids: _*)),
+        docs.filter(col("doc_id").isin(qids: _*))
+          .select(col("doc_id").as("query_id"), col("text")),
+        k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── Text: fixed-token-window chunking with stride (context-window
     // prep) — pure scan-side expression, zero shuffle
     "text_chunk" -> ((s, dir) =>
@@ -3694,6 +3711,44 @@ object SparkEntry {
         |  FROM tf JOIN df ON tf.term = df.term)
         |SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 2
         |ORDER BY doc_id, rnk""".stripMargin,
+
+    // Same BM25 arithmetic shape as TfIdf.bm25TopK, operand for operand
+    // (ln is libm natural log in both engines; avgdl is one division of
+    // exact longs; each contribution floor-truncates to millionths
+    // BEFORE the sum, so the per-(query,doc) score is exact integer
+    // arithmetic and the rank order cannot drift cross-engine).
+    "pipe_bm25_topk" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id NOT IN (0, 1, 2)),
+        |q AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id IN (0, 1, 2)),
+        |toks AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM corpus),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dl),
+        |qt AS (SELECT DISTINCT query_id, term FROM (
+        |  SELECT query_id, unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+        |    FROM q)),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (st.n_docs - CAST(df.df AS DOUBLE) + 0.5)
+        |               / (CAST(df.df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf.tf AS DOUBLE) * 2.2)
+        |         / (CAST(tf.tf AS DOUBLE)
+        |            + 1.2 * (1.0 - 0.75
+        |              + 0.75 * CAST(dl.dl AS DOUBLE) / (st.sum_dl / st.n_docs))))
+        |      * 1000000.0) AS BIGINT) AS c_fp
+        |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+        |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+        |agg AS (SELECT query_id, doc_id,
+        |    CAST(SUM(c_fp) AS BIGINT) AS score_fp FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_fp DESC, doc_id) AS rank FROM agg)
+        |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score_fp
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // Chunk starts are every stride multiple below the token count (one
     // empty chunk for an empty doc); list_slice / slice both clamp the

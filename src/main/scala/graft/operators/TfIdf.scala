@@ -89,4 +89,70 @@ object TfIdf {
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
   }
+
+  /** BM25 sparse retrieval: top-k corpus documents per query (Robertson
+    * BM25 with the always-positive `ln(1 + (N-df+0.5)/(df+0.5))` idf —
+    * the Lucene convention).
+    *
+    * `corpus` needs (doc_id, text); `queries` needs (query_id, text).
+    * Returns (query_id, doc_id, rank, score_fp) where `score_fp` is the
+    * score in fixed-point millionths: each per-term contribution is
+    * floor-truncated to a long BEFORE the per-(query, doc) sum, so the
+    * sum is exact integer arithmetic — order-independent across
+    * partitions and bit-identical across engines. (A double sum over a
+    * shuffled term set is non-associative; ranking on it would be a
+    * cross-engine knife edge.)
+    *
+    * Plan shape — the inverted-index join, all narrow until the end:
+    *   1. TF/DF/doc-length come from ONE tokenize pass (termFreq), one
+    *      shuffle on (doc, term).
+    *   2. Query terms ⋈ DF on term: both are tiny (queries × query
+    *      vocab; vocab ≪ corpus), and the result broadcasts.
+    *   3. That broadcast probes the TF table — a scan-side semi-join
+    *      that keeps only postings of query terms (the classic inverted
+    *      index probe; no corpus shuffle).
+    *   4. Surviving postings join doc lengths on doc_id (one shuffle of
+    *      the POSTINGS, not the corpus), then aggregate per (query, doc)
+    *      with map-side combine and rank per query.
+    * At 100 TB the only corpus-sized work is the single tokenize pass;
+    * everything after step 3 is proportional to the matched postings. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = corpus
+      .select(col("doc_id"), explode(tokensWs(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = docFreq(tf)
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).cast("double").as("sum_dl"))
+    val qterms = queries
+      .select(col("query_id"), explode(tokensWs(col("text"))).as("term"))
+      .distinct()
+    // (query term, df) is queries-sized — broadcast it into the postings
+    val probe = broadcast(qterms.join(df, "term"))
+    val contrib = tf.join(probe, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))))
+      .withColumn("tfn",
+        (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0) - lit(b)
+              + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .select(col("query_id"), col("doc_id"),
+        floor(col("idf") * col("tfn") * lit(1000000.0)).as("c_fp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_fp")).as("score_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank"),
+        col("score_fp"))
+  }
 }

@@ -481,4 +481,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("bm25TopK: the query-vocab probe BROADCASTS into the postings (an " +
+    "inverted-index probe, not a corpus shuffle); no cartesian beyond the " +
+    "one-row stats broadcast") {
+    import graft.operators.TfIdf
+    val docs = Tables.documents(spark, dir)
+    val p = TfIdf.bm25TopK(
+      docs.filter(col("doc_id") >= 3),
+      docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text")),
+      k = 5).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the (query term, df) probe is a broadcast hash join against TF
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the only nested-loop is the single-row corpus-stats broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
+  }
 }
