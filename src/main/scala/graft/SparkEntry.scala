@@ -1297,6 +1297,22 @@ object SparkEntry {
           truncate6(graft.functions.TextFns.repetitionRatio(col("text"), 3)).as("rep_ratio"))
         .orderBy(col("doc_id"))),
 
+    // ── Text: top-2-gram character coverage (the OTHER Gopher repetition
+    // axis — one dominant gram vs many scattered duplicates); per-doc
+    // argmax with lexicographic tie-break, engine-exact
+    "text_top_ngram" -> ((s, dir) =>
+      Quality.topNgramCoverage(Tables.documents(s, dir), n = 2)
+        .orderBy(col("doc_id"))),
+
+    // ── Text: BPE merge induction — 4 rounds of tokenizer-vocabulary
+    // learning. Round r's winning pair depends on round r-1's merge
+    // APPLICATION, and syms_after must fall by exactly ct each round, so
+    // the oracle transitively pins the whole greedy-merge semantics,
+    // not just pair counting.
+    "text_bpe_merges" -> ((s, dir) =>
+      Bpe.merges(Tables.documents(s, dir), rounds = 4)
+        .orderBy(col("round"))),
+
     // ── Text: PII scrubbing. The fixture has no organic PII, so the gate
     // deterministically injects a doc_id-derived email + phone before
     // scrubbing — the regex path is exercised byte-for-byte on every row
@@ -3796,6 +3812,81 @@ object SparkEntry {
         |    ELSE floor((1.0 - CAST(len(list_distinct(s)) AS DOUBLE)/len(s))*1000000)/1000000
         |  END AS rep_ratio
         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // 4 chained rounds: pair-count -> argmax (ct desc, then lexicographic)
+    // -> greedy fold via list_reduce -- the same string fold, operand for
+    // operand, as Bpe.applyMerge. All counts exact ints.
+    "text_bpe_merges" ->
+      """WITH v0 AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wct FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS word
+        |    FROM documents)
+        |  GROUP BY word),
+        |s0 AS (SELECT word, wct, list_transform(range(1, length(word)+1),
+        |    i -> substr(word, i, 1)) AS syms FROM v0),
+        |p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wct) AS BIGINT) AS ct
+        |  FROM s0, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+        |b1 AS (SELECT a, b, ct FROM p1 ORDER BY ct DESC, a, b LIMIT 1),
+        |s1 AS (SELECT word, wct, CASE WHEN len(syms) <= 1 THEN syms
+        |    ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+        |      WHEN ends_with('|'||acc, '|'||b1.a) AND x = b1.b THEN acc||x
+        |      ELSE acc||'|'||x END), '|') END AS syms
+        |  FROM s0 CROSS JOIN b1),
+        |n1 AS (SELECT CAST(SUM(wct*len(syms)) AS BIGINT) AS syms_after FROM s1),
+        |p2 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wct) AS BIGINT) AS ct
+        |  FROM s1, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+        |b2 AS (SELECT a, b, ct FROM p2 ORDER BY ct DESC, a, b LIMIT 1),
+        |s2 AS (SELECT word, wct, CASE WHEN len(syms) <= 1 THEN syms
+        |    ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+        |      WHEN ends_with('|'||acc, '|'||b2.a) AND x = b2.b THEN acc||x
+        |      ELSE acc||'|'||x END), '|') END AS syms
+        |  FROM s1 CROSS JOIN b2),
+        |n2 AS (SELECT CAST(SUM(wct*len(syms)) AS BIGINT) AS syms_after FROM s2),
+        |p3 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wct) AS BIGINT) AS ct
+        |  FROM s2, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+        |b3 AS (SELECT a, b, ct FROM p3 ORDER BY ct DESC, a, b LIMIT 1),
+        |s3 AS (SELECT word, wct, CASE WHEN len(syms) <= 1 THEN syms
+        |    ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+        |      WHEN ends_with('|'||acc, '|'||b3.a) AND x = b3.b THEN acc||x
+        |      ELSE acc||'|'||x END), '|') END AS syms
+        |  FROM s2 CROSS JOIN b3),
+        |n3 AS (SELECT CAST(SUM(wct*len(syms)) AS BIGINT) AS syms_after FROM s3),
+        |p4 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wct) AS BIGINT) AS ct
+        |  FROM s3, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+        |b4 AS (SELECT a, b, ct FROM p4 ORDER BY ct DESC, a, b LIMIT 1),
+        |s4 AS (SELECT word, wct, CASE WHEN len(syms) <= 1 THEN syms
+        |    ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+        |      WHEN ends_with('|'||acc, '|'||b4.a) AND x = b4.b THEN acc||x
+        |      ELSE acc||'|'||x END), '|') END AS syms
+        |  FROM s3 CROSS JOIN b4),
+        |n4 AS (SELECT CAST(SUM(wct*len(syms)) AS BIGINT) AS syms_after FROM s4)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, a AS lhs, b AS rhs, ct, n1.syms_after FROM b1, n1
+        |  UNION ALL SELECT 2, a, b, ct, n2.syms_after FROM b2, n2
+        |  UNION ALL SELECT 3, a, b, ct, n3.syms_after FROM b3, n3
+        |  UNION ALL SELECT 4, a, b, ct, n4.syms_after FROM b4, n4)
+        |ORDER BY round""".stripMargin,
+
+    // Same 2-gram construction as the dedup/repetition oracles; the
+    // per-doc argmax tie-breaks lexicographically in both engines, and
+    // coverage is one IEEE division on exact ints, floor-truncated.
+    "text_top_ngram" ->
+      """WITH toks AS (SELECT doc_id, length(text) AS n_chars_t, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, n_chars_t,
+        |    unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] END) AS gram
+        |  FROM toks),
+        |c AS (SELECT doc_id, n_chars_t, gram, COUNT(*) AS ct FROM sh GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY ct DESC, gram) AS rn FROM c)
+        |SELECT doc_id, gram AS top_gram, CAST(ct AS BIGINT) AS top_ct,
+        |  CASE WHEN n_chars_t = 0 THEN 0.0
+        |    ELSE floor(CAST(ct * length(gram) AS DOUBLE) / n_chars_t * 1000000)/1000000
+        |  END AS coverage
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // Replays the injection and the scrub with RE2 equivalents of the
     // Java patterns (restricted syntax — see TextFns.EmailRe/PhoneRe).

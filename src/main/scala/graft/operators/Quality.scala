@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality constraints — the "validate before you
@@ -106,5 +107,39 @@ object Quality {
     }
 
     (scanReport.toSeq ++ others).reduce(_ unionByName _)
+  }
+
+  /** Gopher-style top-n-gram repetition signal: for each document, the
+    * single most frequent word n-gram (ties broken lexicographically)
+    * and the fraction of the document's characters covered by its
+    * occurrences — `top_ct * len(top_gram) / len(text)`, the published
+    * "fraction of characters in the most common n-gram" filter
+    * (arXiv:2112.11446 §A.1.1). High coverage ⇒ boilerplate/spam.
+    *
+    * Complements [[graft.functions.TextFns.repetitionRatio]] (fraction
+    * of DUPLICATE n-grams) — a doc can score low there but high here
+    * when ONE gram dominates.
+    *
+    * Plan: explode n-grams (scan-side), count per (doc, gram) with
+    * map-side combine, pick the per-doc argmax by window rank (a second
+    * shuffle of the COUNTS, bounded by tokens-per-doc — never wider
+    * than the gram table). Division is one IEEE op on exact ints,
+    * floor-truncated — engine-exact. */
+  def topNgramCoverage(documents: DataFrame, n: Int): DataFrame = {
+    import graft.functions.TextFns
+    val grams = documents.select(
+      col("doc_id"), length(col("text")).as("n_chars_t"),
+      explode(TextFns.shingles(TextFns.tokensWs(col("text")), n)).as("gram"))
+    val counts = grams.groupBy(col("doc_id"), col("n_chars_t"), col("gram"))
+      .agg(count(lit(1)).as("ct"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("ct").desc, col("gram").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_gram"),
+        col("ct").cast("long").as("top_ct"),
+        when(col("n_chars_t") === 0, lit(0.0)).otherwise(
+          TextFns.truncate6(
+            (col("ct") * length(col("gram"))).cast("double")
+              / col("n_chars_t"))).as("coverage"))
   }
 }

@@ -224,6 +224,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Union"), plan.take(800))
   }
 
+  test("Quality.topNgramCoverage: argmax gram, lexicographic ties, " +
+    "coverage fraction; short and empty docs degrade cleanly") {
+    import graft.operators.Quality
+    val docs = Seq(
+      (1L, "spam spam spam spam"),        // top 2-gram "spam spam" ×3
+      (2L, "b b a a b b"),                // "b b"×2 beats "a a"/"a b"/"b a"×1
+      (3L, "one"),                        // < n tokens: whole text is the gram
+      (4L, "")                            // empty: zero coverage, no NaN
+    ).toDF("doc_id", "text")
+    val r = Quality.topNgramCoverage(docs, n = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Double)].collect()
+    assert(r(0) === ((1L, "spam spam", 3L, math.floor(3.0 * 9 / 19 * 1e6) / 1e6)))
+    assert(r(1)._2 === "b b" && r(1)._3 === 2L)
+    assert(r(2) === ((3L, "one", 1L, 1.0)))
+    assert(r(3) === ((4L, "", 1L, 0.0)))
+    // partition-layout invariance
+    val b = Quality.topNgramCoverage(docs.repartition(5), n = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Double)].collect()
+    assert(r.toSeq === b.toSeq)
+  }
+
   test("Quality.violations: duplicate-shaped rules coexist and an empty " +
     "input reports zeros, not nulls") {
     import graft.operators.Quality
