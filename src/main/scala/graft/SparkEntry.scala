@@ -1313,6 +1313,29 @@ object SparkEntry {
       Bpe.merges(Tables.documents(s, dir), rounds = 4)
         .orderBy(col("round"))),
 
+    // ── Text: n-gram LM scoring — mean bigram negative log-likelihood
+    // under an add-one-smoothed model counted from the corpus itself
+    // (the CCNet/KenLM perplexity-filter role). Fixed-point per-bigram
+    // contributions (the BM25 trick) keep the sums engine-exact.
+    "text_lm_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LangModel.bigramNll(docs, docs).orderBy(col("doc_id"))
+    }),
+
+    // ── Text: BPE ENCODE — segment the corpus with the 4 learned merges
+    // (vocab-sized merge application, joined back to corpus words; per-doc
+    // reassembly is row-bounded). n_bpe + ordered head pin both the
+    // segmentation and the document-order reassembly.
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ms = Bpe.merges(docs, rounds = 4).orderBy(col("round"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encode(docs, ms)
+        .select(col("doc_id"), size(col("bpe")).cast("long").as("n_bpe"),
+          concat_ws(" ", slice(col("bpe"), 1, 3)).as("head"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Text: PII scrubbing. The fixture has no organic PII, so the gate
     // deterministically injects a doc_id-derived email + phone before
     // scrubbing — the regex path is exercised byte-for-byte on every row
@@ -3867,6 +3890,87 @@ object SparkEntry {
         |  UNION ALL SELECT 3, a, b, ct, n3.syms_after FROM b3, n3
         |  UNION ALL SELECT 4, a, b, ct, n4.syms_after FROM b4, n4)
         |ORDER BY round""".stripMargin,
+
+    // Same smoothed-bigram arithmetic as LangModel.bigramNll, operand for
+    // operand: one IEEE division inside ln on exact ints, per-occurrence
+    // floor to millionths, exact long sums, one final mean division.
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        |    SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+        |bo AS (SELECT doc_id, toks[u.i] AS w1, toks[u.i+1] AS w2
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bo GROUP BY 1, 2),
+        |sc AS (SELECT bo.doc_id,
+        |    CAST(floor(-ln((CAST(bi.c12 AS DOUBLE) + 1.0)
+        |      / (CAST(uni.c1 AS DOUBLE) + v.v)) * 1000000.0) AS BIGINT) AS nll_fp
+        |  FROM bo JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bi,
+        |    CAST(SUM(nll_fp) AS BIGINT) AS nll_fp_sum FROM sc GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(agg.n_bi, 0) AS n_bi,
+        |  COALESCE(agg.nll_fp_sum, 0) AS nll_fp_sum,
+        |  CASE WHEN COALESCE(agg.n_bi, 0) = 0 THEN 0.0
+        |    ELSE floor((CAST(agg.nll_fp_sum AS DOUBLE)/1000000.0)/agg.n_bi * 1000000)/1000000
+        |  END AS avg_nll
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // Same learned 4-merge chain as text_bpe_merges, then segmentation:
+    // distinct words pick up their post-merge symbols, documents sum and
+    // reassemble in (doc, word-position) order.
+    "text_bpe_encode" ->
+      """WITH v0 AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wct FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS word
+        |    FROM documents)
+        |  GROUP BY word),
+        |s0 AS (SELECT word, wct, list_transform(range(1, length(word)+1),
+        |    i -> substr(word, i, 1)) AS syms FROM v0),
+        |p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wct) AS BIGINT) AS ct
+        |  FROM s0, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+        |b1 AS (SELECT a, b, ct FROM p1 ORDER BY ct DESC, a, b LIMIT 1),
+        |s1 AS (SELECT word, wct, CASE WHEN len(syms) <= 1 THEN syms
+        |    ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+        |      WHEN ends_with('|'||acc, '|'||b1.a) AND x = b1.b THEN acc||x
+        |      ELSE acc||'|'||x END), '|') END AS syms
+        |  FROM s0 CROSS JOIN b1),
+        |p2 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wct) AS BIGINT) AS ct
+        |  FROM s1, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+        |b2 AS (SELECT a, b, ct FROM p2 ORDER BY ct DESC, a, b LIMIT 1),
+        |s2 AS (SELECT word, wct, CASE WHEN len(syms) <= 1 THEN syms
+        |    ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+        |      WHEN ends_with('|'||acc, '|'||b2.a) AND x = b2.b THEN acc||x
+        |      ELSE acc||'|'||x END), '|') END AS syms
+        |  FROM s1 CROSS JOIN b2),
+        |p3 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wct) AS BIGINT) AS ct
+        |  FROM s2, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+        |b3 AS (SELECT a, b, ct FROM p3 ORDER BY ct DESC, a, b LIMIT 1),
+        |s3 AS (SELECT word, wct, CASE WHEN len(syms) <= 1 THEN syms
+        |    ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+        |      WHEN ends_with('|'||acc, '|'||b3.a) AND x = b3.b THEN acc||x
+        |      ELSE acc||'|'||x END), '|') END AS syms
+        |  FROM s2 CROSS JOIN b3),
+        |p4 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wct) AS BIGINT) AS ct
+        |  FROM s3, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+        |b4 AS (SELECT a, b, ct FROM p4 ORDER BY ct DESC, a, b LIMIT 1),
+        |s4 AS (SELECT word, wct, CASE WHEN len(syms) <= 1 THEN syms
+        |    ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+        |      WHEN ends_with('|'||acc, '|'||b4.a) AND x = b4.b THEN acc||x
+        |      ELSE acc||'|'||x END), '|') END AS syms
+        |  FROM s3 CROSS JOIN b4),
+        |t AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (SELECT doc_id, toks[u.i] AS pos_word, u.i AS pos FROM t,
+        |  UNNEST(range(1, len(toks)+1)) AS u(i)),
+        |enc AS (SELECT w.doc_id, CAST(SUM(len(s4.syms)) AS BIGINT) AS n_bpe,
+        |    array_to_string(flatten(list(s4.syms ORDER BY w.pos))[1:3], ' ') AS head
+        |  FROM w JOIN s4 ON w.pos_word = s4.word GROUP BY w.doc_id)
+        |SELECT d.doc_id, COALESCE(enc.n_bpe, 0) AS n_bpe, COALESCE(enc.head, '') AS head
+        |FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // Same 2-gram construction as the dedup/repetition oracles; the
     // per-doc argmax tie-breaks lexicographically in both engines, and

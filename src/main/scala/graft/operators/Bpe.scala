@@ -106,4 +106,34 @@ object Bpe {
     }
     ledger.result().toDF("round", "lhs", "rhs", "ct", "syms_after")
   }
+
+  /** Segment the corpus with an ordered merge list (the output of
+    * [[merges]]): every document becomes its BPE symbol sequence, words
+    * in document order, symbols in word order.
+    *
+    * Scale shape: the merge chain applies once per DISTINCT word (a
+    * vocabulary-sized projection, each merge one per-row fold — no
+    * shuffle between rounds), then the segmented vocab joins back to
+    * the corpus words (AQE broadcasts it when it fits; hash join
+    * otherwise). Reassembly is a per-doc sort+flatten of that doc's own
+    * words — row-bounded, never wider than the document itself. */
+  def encode(documents: DataFrame, mergeList: Seq[(String, String)]): DataFrame = {
+    val words = documents.select(col("doc_id"),
+      posexplode(TextFns.tokensWs(col("text"))))
+      .toDF("doc_id", "pos", "word")
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    val vocab = words.select(col("word")).distinct()
+      .select(col("word"),
+        mergeList.foldLeft(chars) { case (c, (l, r)) => applyMerge(c, l, r) }
+          .as("syms"))
+    val agg = words.join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("syms")))),
+        s => s.getField("syms"))).as("bpe"))
+    documents.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bpe"), array().cast("array<string>")).as("bpe"))
+  }
 }

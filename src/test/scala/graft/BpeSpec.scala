@@ -42,6 +42,16 @@ class BpeSpec extends SparkSpec {
     assert(m(1) === ((2L, "b", "a", 3L, 6L)))
   }
 
+  test("encode: segments with merges in order, reassembles in doc order, " +
+    "empty docs yield empty arrays") {
+    val docs = Seq((1L, "abab ab"), (2L, ""), (3L, "ba")).toDF("doc_id", "text")
+    val r = Bpe.encode(docs, Seq(("a", "b"), ("ab", "ab")))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    // "abab": chars -> (a,b) merge -> [ab, ab] -> (ab,ab) merge -> [abab]
+    assert(r === Seq(
+      (1L, Seq("abab", "ab")), (2L, Seq.empty[String]), (3L, Seq("b", "a"))))
+  }
+
   test("merges: result is partition-layout invariant") {
     val docs = Seq(
       (1L, "spark spark shark"), (2L, "spar spars park"),

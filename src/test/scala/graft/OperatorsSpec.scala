@@ -224,6 +224,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Union"), plan.take(800))
   }
 
+  test("LangModel.bigramNll: Laplace math exact on a hand-checked fixture; " +
+    "unseen bigrams smooth; short docs score 0 with n_bi 0") {
+    import graft.operators.LangModel
+    val corpus = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // uni: a=3, b=2, c=1 -> V=3; bi: (a,b)=2, (b,a)=1, (a,c)=1
+    val docs = Seq((10L, "a b"), (11L, "b c"), (12L, "a"), (13L, "")).toDF("doc_id", "text")
+    val r = LangModel.bigramNll(corpus, docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    def fp(c12: Long, c1: Long) =
+      math.floor(-math.log((c12 + 1.0) / (c1 + 3.0)) * 1e6).toLong
+    assert(r(0) === ((10L, 1L, fp(2, 3), math.floor(fp(2, 3) / 1e6 * 1e6) / 1e6)))
+    // (b, c) unseen: c12=0, c1(b)=2
+    assert(r(1)._3 === fp(0, 2))
+    assert(r(2) === ((12L, 0L, 0L, 0.0)))
+    assert(r(3) === ((13L, 0L, 0L, 0.0)))
+    // partition invariance of exact sums
+    val a = LangModel.bigramNll(corpus, corpus).orderBy("doc_id").collect().toSeq
+    val b = LangModel.bigramNll(corpus.repartition(5), corpus.repartition(3))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("Quality.topNgramCoverage: argmax gram, lexicographic ties, " +
     "coverage fraction; short and empty docs degrade cleanly") {
     import graft.operators.Quality
