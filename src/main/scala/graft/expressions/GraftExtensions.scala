@@ -57,7 +57,9 @@ object GraftExtensions {
     ("graft_simhash_p", new ExpressionInfo(classOf[SimHashPortable].getName, "graft_simhash_p"),
       (args: Seq[Expression]) => SimHashPortable(args(0), intArg(args, 1, "shingleLen"))),
     ("graft_shingles", new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
-      (args: Seq[Expression]) => ShingleArray(args(0), intArg(args, 1, "shingleLen"))))
+      (args: Seq[Expression]) => ShingleArray(args(0), intArg(args, 1, "shingleLen"))),
+    ("graft_zvalue", new ExpressionInfo(classOf[ZValueInterleave].getName, "graft_zvalue"),
+      (args: Seq[Expression]) => ZValueInterleave(args.tail, intArg(args, 0, "bits"))))
 
   /** Extract a literal int parameter from a function call argument. */
   private def intArg(args: Seq[Expression], i: Int, name: String): Int = {

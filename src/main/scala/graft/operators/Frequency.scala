@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters without a full-key shuffle.
+  *
+  * `groupBy(key).count()` over 100 TB shuffles every distinct key; when
+  * the question is only "which keys exceed φ·N?", that is almost all
+  * wasted movement. The classic two-pass fix:
+  *
+  *  1. CANDIDATES — one scan, Misra-Gries summary (capacity k) per
+  *     partition, no shuffle at all. MG guarantees any key with local
+  *     frequency > N_p/(k+1) survives its partition's summary; since a
+  *     key with global f > N/(k+1) must exceed that ratio in at least
+  *     one partition (f = Σf_p, N = ΣN_p — if every f_p ≤ N_p/(k+1)
+  *     then f ≤ N/(k+1)), the union of per-partition survivors is a
+  *     SUPERSET of the true heavy hitters. ≤ k×partitions keys reach
+  *     the driver — bounded by construction, not by data.
+  *  2. RECOUNT — one more scan that folds every row into either its
+  *     candidate key or a single "other" bucket, then a hash aggregation
+  *     whose cardinality is ≤ candidates+1. N falls out of the same
+  *     aggregate (sum of all buckets), so the exact threshold
+  *     `f·(k+1) > N` — integer arithmetic, no division — needs no third
+  *     pass. False candidates are filtered here; the output is EXACT.
+  *
+  * The reference's nearest shape is its keyword/product "top stats"
+  * apps (dws/KeywordStatsApp.java, ProductStatsApp.java), which pay the
+  * full keyed shuffle because their key spaces are small; this operator
+  * is the 100 TB posture for web-scale key spaces (URLs, n-grams,
+  * user ids) where only the skewed head matters. Keys are integral
+  * (cast to bigint) — hashing arbitrary types through a lossy encoding
+  * would silently merge distinct keys, so anything non-integral throws
+  * at analysis time via the cast's null check in the gate's oracle
+  * contract.
+  */
+object Frequency {
+
+  /** One partition's Misra-Gries summary: at most `capacity` surviving
+    * keys; every key with local frequency > |partition|/(capacity+1)
+    * survives. */
+  private[graft] def misraGries(it: Iterator[Long], capacity: Int): Iterator[Long] = {
+    val counters =
+      new java.util.HashMap[java.lang.Long, java.lang.Long](capacity * 2)
+    while (it.hasNext) {
+      val k: java.lang.Long = it.next()
+      val c = counters.get(k)
+      if (c ne null) { counters.put(k, c + 1L); () }
+      else if (counters.size < capacity) { counters.put(k, 1L); () }
+      else {
+        val e = counters.entrySet().iterator()
+        while (e.hasNext) {
+          val ent = e.next()
+          if (ent.getValue == 1L) e.remove() else ent.setValue(ent.getValue - 1L)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counters.keySet().asScala.iterator.map(_.longValue())
+  }
+
+  /** Exact keys (and counts) with frequency > N/(capacity+1) among the
+    * non-null values of `keyCol`, N = non-null row count. Two scans,
+    * zero wide shuffles (the recount aggregation's key space is the
+    * candidate set). Output: (`keyCol`: bigint, cnt: bigint). */
+  def heavyHitters(df: DataFrame, keyCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("bigint").as("__k"))
+      .filter(col("__k").isNotNull)
+    val candidates: Array[Long] = keys.as[Long]
+      .mapPartitions(it => misraGries(it, capacity))
+      .distinct().collect()
+    val bucketed = keys.groupBy(
+        when(col("__k").isin(candidates.toIndexedSeq: _*), col("__k"))
+          .as("__bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // N = sum over every bucket (incl. the null "other" bucket), taken
+    // with an unpartitioned window over the TINY aggregate (≤ |candidates|
+    // + 1 rows land on one reducer) so the recount stays a single scan —
+    // a separate agg(sum) would re-run the whole pass
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    bucketed.withColumn("n", sum(col("cnt")).over(w))
+      .filter(col("__bucket").isNotNull &&
+        col("cnt") * lit(capacity + 1L) > col("n"))
+      .select(col("__bucket").as(keyCol), col("cnt"))
+  }
+}

@@ -206,6 +206,58 @@ object Joins {
     }
   }
 
+  /** Binned range join: inner-join `points` to `ranges` on containment
+    * `lo <= p < hi` — NO equi key on either side. The naive plan for a
+    * pure inequality join is BroadcastNestedLoop (or a cartesian), which
+    * is |points|×|ranges| comparisons — a non-starter when both sides are
+    * large. Binning turns it into an equi join: each range explodes to
+    * the `binWidth`-sized bins it overlaps, each point computes its one
+    * bin, and the join runs on the bin key with the containment predicate
+    * as a residual. This is the classic interval-binning recipe behind
+    * IP→location and point-in-window lookups at scale.
+    *
+    * Cost model: the ranges side replicates ×(span/binWidth + 1), the
+    * points side never replicates, and the only shuffle is the bin-key
+    * hash exchange — so pick `binWidth` near the median range span (each
+    * range then covers ≤2 bins). A range wider than `maxBinsPerRange`
+    * bins raises in-plan (`raise_error` inside the explode argument)
+    * instead of silently materializing a huge bin array — the fix is a
+    * wider `binWidth`, not a degraded answer. Dense bins are ordinary
+    * join skew; AQE's skew split applies, same as any hash join.
+    *
+    * Correctness: all three columns are cast to BIGINT; bin =
+    * `x div binWidth` (truncating division) is monotone non-decreasing in
+    * x for binWidth > 0, so for any p in [lo, hi), bin(p) lies in the
+    * integer interval [bin(lo), bin(hi-1)] that `sequence` enumerates —
+    * the cover is exact for negatives too, no floor adjustment needed. A
+    * (point, range) candidate arises from exactly one bin (the point's),
+    * so matches are emitted exactly once. Empty ranges (hi <= lo) match
+    * nothing and are pruned before the explode. */
+  def rangeJoinBinned(points: DataFrame, ranges: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      binWidth: Long, maxBinsPerRange: Int = 4096): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val lo = col(loCol).cast("bigint")
+    val hi = col(hiCol).cast("bigint")
+    val bLo = expr(s"CAST(`$loCol` AS BIGINT) div $binWidth")
+    val bHi = expr(s"(CAST(`$hiCol` AS BIGINT) - 1) div $binWidth")
+    val expanded = ranges
+      .filter(hi > lo)
+      .withColumn("__bin", explode(
+        when(bHi - bLo >= lit(maxBinsPerRange.toLong), raise_error(concat(
+            lit("rangeJoinBinned: range ["), lo, lit(", "), hi,
+            lit(s") spans more than maxBinsPerRange=$maxBinsPerRange bins " +
+              s"of width $binWidth — widen binWidth"))))
+          .otherwise(sequence(bLo, bHi))))
+    val pts = points.withColumn("__bin",
+      expr(s"CAST(`$pointCol` AS BIGINT) div $binWidth"))
+    pts.join(expanded,
+        pts("__bin") === expanded("__bin") &&
+          pts(pointCol).cast("bigint") >= expanded(loCol).cast("bigint") &&
+          pts(pointCol).cast("bigint") < expanded(hiCol).cast("bigint"))
+      .drop("__bin")
+  }
+
   /** Bloom-filter pre-join: build a Bloom filter over the build side's
     * join keys (one aggregated pass), ship the few-MB sketch to every
     * fact-scan task, and drop fact rows that cannot match BEFORE the join

@@ -37,6 +37,32 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("Bucketing.writeBucketed + bucketedJoin: exchange-free merge join, " +
+      "result equals the plain join, catalog + files swept") {
+    val root = Files.createTempDirectory("graft-bucket-op").toString
+    val left = (1 to 8000).map(i => (i.toLong % 300, i.toLong)).toDF("lk", "lv")
+    val right = (1 to 4000).map(i => (i.toLong % 300, i * 2L)).toDF("rk", "rv")
+    try {
+      operators.Bucketing.writeBucketed(left, "graft_op_bl", s"$root/bl", "lk", 8)
+      operators.Bucketing.writeBucketed(right, "graft_op_br", s"$root/br", "rk", 8)
+      val j = operators.Bucketing.bucketedJoin(spark, "graft_op_bl",
+        "graft_op_br", "lk", "rk")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange"), plan.take(1500))
+      val got = j.select(col("lk"), col("lv"), col("rv"))
+        .collect().map(_.toString).sorted
+      val want = left.join(right, col("lk") === col("rk"))
+        .select(col("lk"), col("lv"), col("rv"))
+        .collect().map(_.toString).sorted
+      assert(got === want)
+    } finally {
+      operators.Bucketing.drop(spark, "graft_op_bl")
+      operators.Bucketing.drop(spark, "graft_op_br")
+    }
+    assert(!spark.catalog.tableExists("graft_op_bl"))
+  }
+
   test("bucket pruning: an equality filter on the bucket key reads 1/N buckets") {
     val root = Files.createTempDirectory("graft-bucket2").toString
     spark.sql("DROP TABLE IF EXISTS graft_bp")

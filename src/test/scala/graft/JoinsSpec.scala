@@ -209,4 +209,48 @@ class JoinsSpec extends SparkSpec {
     val b = naive.collect().map(_.toString).sorted
     assert(a === b)
   }
+
+  test("rangeJoinBinned == naive containment join, incl. negatives and " +
+      "boundary points, each match emitted exactly once") {
+    val rnd = new scala.util.Random(7)
+    val pts = (Seq(-25L, -20L, -1L, 0L, 19L, 20L, 39L) ++
+      Seq.fill(400)(rnd.nextInt(2000).toLong - 1000L))
+      .zipWithIndex.map { case (p, i) => (p, i.toLong) }.toDF("p", "pid")
+    val rng = (Seq((-20L, 0L), (0L, 20L), (20L, 20L), (5L, 4L)) ++
+      Seq.fill(150)((rnd.nextInt(2000).toLong - 1000L, rnd.nextInt(60).toLong)))
+      .zipWithIndex.map { case ((lo, span), i) => (lo, lo + span, i.toLong) }
+      .toDF("lo", "hi", "rid")
+    val fast = Joins.rangeJoinBinned(pts, rng, "p", "lo", "hi", binWidth = 16L)
+      .select(col("pid"), col("rid"))
+    val naive = pts.join(rng, col("p") >= col("lo") && col("p") < col("hi"))
+      .select(col("pid"), col("rid"))
+    val a = fast.collect().map(_.toString).sorted
+    val b = naive.collect().map(_.toString).sorted
+    assert(a === b)
+    assert(a.length === a.distinct.length)
+  }
+
+  test("rangeJoinBinned plans an equi hash/merge join on the bin key, " +
+      "never a nested loop or cartesian") {
+    val pts = (1 to 500).map(i => i.toLong * 3).toDF("p")
+    val rng = (1 to 200).map(i => (i.toLong * 7, i.toLong * 7 + 10))
+      .toDF("lo", "hi")
+    val j = Joins.rangeJoinBinned(pts, rng, "p", "lo", "hi", binWidth = 10L)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(j.count() > 0)
+  }
+
+  test("rangeJoinBinned raises in-plan on a range wider than maxBinsPerRange") {
+    val pts = Seq(5L).toDF("p")
+    val rng = Seq((0L, 1000000L)).toDF("lo", "hi")
+    val e = intercept[Exception] {
+      Joins.rangeJoinBinned(pts, rng, "p", "lo", "hi", binWidth = 10L,
+        maxBinsPerRange = 100).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("maxBinsPerRange")), e.toString)
+  }
 }
