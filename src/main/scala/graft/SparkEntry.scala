@@ -568,6 +568,43 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // ── Z-order layout key: the native Morton-interleave expression
+    // (expressions/ZValue.scala) computed over two part-derived dims.
+    // The gate pins the BIT-EXACT curve value against an oracle that
+    // spells out the interleave as shifts and ORs — a wrong bit
+    // position, mask, or column order lands a different long. The
+    // layout PAYOFF (per-file min/max envelopes, file skipping) is
+    // measured in ZOrderSpec, where two written layouts are compared;
+    // a value gate is the right oracle shape because layout itself
+    // never changes query answers.
+    "zorder_layout" -> ((s, dir) => {
+      import graft.functions.LayoutFns
+      Tables.part(s, dir).select(col("p_partkey"),
+          pmod(col("p_partkey"), lit(1024L)).as("x"),
+          pmod(expr("p_partkey div 7"), lit(1024L)).as("y"))
+        .select(col("p_partkey"),
+          LayoutFns.zvalue(10, col("x"), col("y")).as("zval"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ── Exact heavy hitters WITHOUT a full-key shuffle: per-partition
+    // Misra-Gries candidates (one scan, zero shuffle, provable superset
+    // of every key above N/(k+1)) + a candidate-or-other recount whose
+    // aggregation key space is ≤ candidates+1. Fixture derives a skewed
+    // key from l_orderkey (key 0 ≈ 50%, key 1 ≈ 25%, keys 2–5 ≈ 6.25%
+    // each); capacity 7 → threshold N/8, so exactly {0, 1} qualify with
+    // wide margins at every sf. Oracle is the plain GROUP BY + HAVING —
+    // the two-pass shape must return EXACTLY the true answer, whatever
+    // the sampled candidate set.
+    "freq_heavy_hitters" -> ((s, dir) => {
+      val keyed = Tables.lineitem(s, dir).select(
+        when(pmod(col("l_orderkey"), lit(16L)) < 8, lit(0L))
+          .when(pmod(col("l_orderkey"), lit(16L)) < 12, lit(1L))
+          .otherwise(pmod(col("l_orderkey"), lit(16L)) - 10L).as("k"))
+      graft.operators.Frequency.heavyHitters(keyed, "k", capacity = 7)
+        .orderBy(col("k"))
+    }),
+
     // ── J8b: TARGETED hot-key salting — the 100 TB refinement of j8.
     // Only keys above a sampled frequency threshold are salted; the cold
     // tail joins unsalted, so the right side replicates ×buckets for the
@@ -616,6 +653,76 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(12,2)"))
             .cast("double").as("revenue"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // ── J10: binned range join — point-in-interval containment with NO
+    // equi key (j1/j2 carry their band on an equi key; this shape has
+    // none, which naively forces BroadcastNestedLoop). Points are
+    // lineitem prices in cents; ranges are 2000-cent windows derived
+    // from order totals (lo = total-cents mod 1e7). binWidth equals the
+    // range span, so each range covers ≤2 bins and the ranges side at
+    // most doubles; the plan is an ordinary bin-key hash join (PlanSpec
+    // pins no nested-loop/cartesian). The oracle is DuckDB's native
+    // inequality join — equality is the claim.
+    "j10_range_join" -> ((s, dir) => {
+      val pts = Tables.lineitem(s, dir).select(
+        (col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("p"))
+      val rng = Tables.orders(s, dir).select(
+        col("o_orderkey").as("range_id"),
+        pmod((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"),
+          lit(10000000L)).as("lo"))
+        .withColumn("hi", col("lo") + lit(2000L))
+      Joins.rangeJoinBinned(pts, rng, "p", "lo", "hi", binWidth = 2000L)
+        .groupBy(col("range_id"))
+        .agg(count(lit(1)).as("ct"),
+          sum(col("p")).cast("double").as("psum"))
+        .orderBy(col("range_id"))
+    }),
+
+    // ── J11: bucketed co-located join — both sides written bucketBy(8)
+    // on their join keys (one-off layout cost), then joined with ZERO
+    // exchanges (PlanSpec pins no shuffle before the SortMergeJoin; the
+    // merge hint keeps the broadcast path from hiding the claim). This
+    // is SCALE.md's "pre-partitioned inputs skip the exchange" made
+    // runnable: at 100 TB the fact table shuffles once at ingest, never
+    // per query. Result materialized (localCheckpoint) so the throwaway
+    // tables + files can be swept in finally. Oracle: the plain join —
+    // layout must not change the answer.
+    "j11_bucketed_join" -> ((s, dir) => {
+      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val uniq = System.nanoTime()
+      val (ltab, rtab) = (s"graft_bkt_li_$uniq", s"graft_bkt_ord_$uniq")
+      val (lpath, rpath) = (s"$root/$ltab", s"$root/$rtab")
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      try {
+        graft.operators.Bucketing.writeBucketed(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice")),
+          ltab, lpath, "l_orderkey", numBuckets = 8)
+        graft.operators.Bucketing.writeBucketed(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+          rtab, rpath, "o_orderkey", numBuckets = 8)
+        graft.operators.Bucketing.bucketedJoin(s, ltab, rtab,
+            "l_orderkey", "o_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("ct"),
+            sum(col("l_extendedprice").cast("decimal(12,2)"))
+              .cast("double").as("revenue"))
+          .orderBy(col("o_orderpriority"))
+          .localCheckpoint(true)
+      } finally {
+        graft.operators.Bucketing.drop(s, ltab)
+        graft.operators.Bucketing.drop(s, rtab)
+        rm(lpath); rm(rpath)
+      }
     }),
 
     // ── TPC-H Q2 shape: correlated "best row per group" subquery,
@@ -1456,6 +1563,50 @@ object SparkEntry {
       } finally {
         rm(dimPath); rm(ckptPath); rm(stagePath)
       }
+    }),
+
+    // ── ANALYZE-style table profile: per-column counts/nulls/NDV/range
+    // in ONE scan (single Aggregate; the unpivot to rows is a free
+    // explode). The HLL NDV rides next to the exact NDV with a checked
+    // 5·rsd verdict (a17 pattern) — at 100 TB the exact arm drops and
+    // the sketch is the answer. Nulls injected on a derived column so
+    // the null-counting arm actually fires. These stats are what a CBO
+    // eats (join order, broadcast thresholds) — profiling IS an engine
+    // feature, not a demo.
+    "table_profile" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(10L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal"),
+        col("c_name"), col("c_mktsegment"), col("c_nationkey"))
+      graft.operators.Profile.profile(c,
+          numeric = Seq("c_custkey", "bal", "c_nationkey"),
+          strings = Seq("c_name", "c_mktsegment"))
+        .orderBy(col("col_name"))
+    }),
+
+    // ── Snapshot → changelog derivation (the inverse of the CDC ingest
+    // path): when upstream only ships nightly full dumps, the diff of
+    // two snapshots IS the changelog. One full-outer key join; change
+    // detection is the exact null-safe struct compare. Fixture derives
+    // the new snapshot from customer (deletes %11, +50 updates %7,
+    // key+1M inserts %13 — the %77 overlap lands in the delete arm), so
+    // all three change types fire with disjoint keys. Oracle replays
+    // the same mutation + FULL OUTER JOIN + IS DISTINCT FROM rule.
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val mutated = base.filter(pmod(col("c_custkey"), lit(11L)) =!= 0)
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(7L)) === 0, col("c_acctbal") + 50.0)
+            .otherwise(col("c_acctbal")))
+      val inserts = base.filter(pmod(col("c_custkey"), lit(13L)) === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_name"), col("c_acctbal"))
+      graft.operators.Snapshot.diff(base, mutated.unionByName(inserts),
+          "c_custkey", Seq("c_name", "c_acctbal"))
+        .orderBy(col("c_custkey"))
     }),
 
     // ── P5 as an ORACLE gate (spec-only until r12): config-driven column
@@ -2652,6 +2803,26 @@ object SparkEntry {
           .select(col("user_id"), col("event_type")))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // ── Engine-native WATERMARKED streaming dedup: the production
+    // posture stream_dedup_ids' comment calls for — state is evicted
+    // once the watermark passes first-arrival + delay, so memory is
+    // bounded by the key-arrival rate × delay instead of all history.
+    // Runs as the dedicated StreamingDeduplicateWithinWatermark
+    // operator over the multi-batch split source (real watermark
+    // advance between batches). The fixture spans 30 days and the
+    // delay is 35 days, so ZERO evictions occur in-window and the
+    // exact oracle is DISTINCT — while the eviction/re-admission
+    // semantics (which no offline SQL oracle can express without
+    // replaying batch boundaries) are pinned by WwmDedupSpec on a
+    // staged 3-batch fixture.
+    "stream_dedup_wwm" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.Sources.eventsStreamSplit(s, dir)
+          .withWatermark("ts", "35 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type")))
+        .orderBy(col("user_id"), col("event_type"))),
+
     // ── T3 streaming: CEP bounce via event-time timeout. Keys whose final
     // event is within gapSec of the final watermark stay pending (live-
     // stream semantics); the oracle applies the same watermark cutoff.
@@ -3204,6 +3375,30 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, dt, event_id FROM f WHERE rn = 1 ORDER BY user_id, dt""".stripMargin,
 
+    "zorder_layout" -> {
+      // the interleave spelled out: bit i of x → bit 2i, bit i of y →
+      // bit 2i+1 (generated, so the oracle covers every bit position)
+      val interleave = (0 until 10).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH g AS (
+         |  SELECT p_partkey, p_partkey % 1024 AS x,
+         |    (p_partkey // 7) % 1024 AS y
+         |  FROM part)
+         |SELECT p_partkey, $interleave AS zval
+         |FROM g ORDER BY p_partkey""".stripMargin
+    },
+
+    "freq_heavy_hitters" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN l_orderkey % 16 < 8 THEN 0
+        |              WHEN l_orderkey % 16 < 12 THEN 1
+        |              ELSE l_orderkey % 16 - 10 END AS k
+        |  FROM lineitem)
+        |SELECT k, COUNT(*) AS cnt FROM l
+        |GROUP BY k HAVING COUNT(*) * 8 > (SELECT COUNT(*) FROM l)
+        |ORDER BY k""".stripMargin,
+
     "j8b_salted_hot" ->
       """WITH l AS (
         |  SELECT CASE WHEN l_orderkey % 10 < 6 THEN 0
@@ -3312,6 +3507,10 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 
+    "stream_dedup_wwm" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
     "j9_bloom_join" ->
       """SELECT o_orderpriority, COUNT(*) AS ct,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
@@ -3319,6 +3518,70 @@ object SparkEntry {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "j10_range_join" ->
+      """WITH pts AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p
+        |  FROM lineitem),
+        |rng AS (
+        |  SELECT o_orderkey AS range_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) % 10000000 AS lo
+        |  FROM orders)
+        |SELECT range_id, COUNT(*) AS ct, CAST(SUM(p) AS DOUBLE) AS psum
+        |FROM pts JOIN rng ON p >= lo AND p < lo + 2000
+        |GROUP BY range_id ORDER BY range_id""".stripMargin,
+
+    "table_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS ndv,
+           |  1 AS ndv_approx_ok,
+           |  CAST(MIN($c) AS DOUBLE) AS min_d, CAST(MAX($c) AS DOUBLE) AS max_d,
+           |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+           |FROM c""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS ndv,
+           |  1 AS ndv_approx_ok,
+           |  CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d,
+           |  MIN($c) AS min_s, MAX($c) AS max_s
+           |FROM c""".stripMargin
+      s"""WITH c AS (SELECT c_custkey,
+         |  CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END AS bal,
+         |  c_name, c_mktsegment, c_nationkey FROM customer)
+         |SELECT * FROM (
+         |${Seq(num("c_custkey"), num("bal"), num("c_nationkey"),
+                str("c_name"), str("c_mktsegment")).mkString("\n UNION ALL\n")}
+         |) ORDER BY col_name""".stripMargin
+    },
+
+    "cdc_snapshot_diff" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |n AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50.0
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM base WHERE c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal
+        |  FROM base WHERE c_custkey % 13 = 0),
+        |d AS (
+        |  SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+        |    CASE WHEN o.c_custkey IS NULL THEN 'insert'
+        |         WHEN n.c_custkey IS NULL THEN 'delete'
+        |         WHEN (o.c_name IS DISTINCT FROM n.c_name)
+        |           OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal) THEN 'update'
+        |    END AS change_type,
+        |    n.c_name AS c_name, n.c_acctbal AS c_acctbal
+        |  FROM base o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey)
+        |SELECT c_custkey, change_type, c_name, c_acctbal FROM d
+        |WHERE change_type IS NOT NULL ORDER BY c_custkey""".stripMargin,
+
+    "j11_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q2_top_supplier" ->
