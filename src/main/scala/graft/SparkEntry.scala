@@ -658,12 +658,13 @@ object SparkEntry {
     // ── J10: binned range join — point-in-interval containment with NO
     // equi key (j1/j2 carry their band on an equi key; this shape has
     // none, which naively forces BroadcastNestedLoop). Points are
-    // lineitem prices in cents; ranges are 2000-cent windows derived
-    // from order totals (lo = total-cents mod 1e7). binWidth equals the
-    // range span, so each range covers ≤2 bins and the ranges side at
-    // most doubles; the plan is an ordinary bin-key hash join (PlanSpec
-    // pins no nested-loop/cartesian). The oracle is DuckDB's native
-    // inequality join — equality is the claim.
+    // lineitem prices in cents; ranges are 500-cent windows derived
+    // from order totals (lo = total-cents mod 1e7 — width sized so the
+    // sf0.1 candidate volume stresses the join without dominating the
+    // bench). binWidth equals the range span, so each range covers ≤2
+    // bins and the ranges side at most doubles; the plan is an ordinary
+    // bin-key hash join (PlanSpec pins no nested-loop/cartesian). The
+    // oracle is DuckDB's native inequality join — equality is the claim.
     "j10_range_join" -> ((s, dir) => {
       val pts = Tables.lineitem(s, dir).select(
         (col("l_extendedprice").cast("decimal(12,2)") * 100)
@@ -672,8 +673,8 @@ object SparkEntry {
         col("o_orderkey").as("range_id"),
         pmod((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"),
           lit(10000000L)).as("lo"))
-        .withColumn("hi", col("lo") + lit(2000L))
-      Joins.rangeJoinBinned(pts, rng, "p", "lo", "hi", binWidth = 2000L)
+        .withColumn("hi", col("lo") + lit(500L))
+      Joins.rangeJoinBinned(pts, rng, "p", "lo", "hi", binWidth = 500L)
         .groupBy(col("range_id"))
         .agg(count(lit(1)).as("ct"),
           sum(col("p")).cast("double").as("psum"))
@@ -1563,6 +1564,70 @@ object SparkEntry {
       } finally {
         rm(dimPath); rm(ckptPath); rm(stagePath)
       }
+    }),
+
+    // ── CSV source round-trip: the engine's ingest edge is not only
+    // parquet — write customer as headered CSV, read it back through the
+    // declared schema, and aggregate. Doubles survive because Spark
+    // emits shortest-round-trip reprs; the oracle runs on the ORIGINAL
+    // parquet, so any quoting/header/type-inference drift in the CSV
+    // path is a hash mismatch. Materialized so the tmpfs copy sweeps.
+    "source_csv_roundtrip" -> ((s, dir) => {
+      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val path = s"$root/graft-csv-${System.nanoTime()}"
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      try {
+        val base = Tables.customer(s, dir)
+        base.write.mode("overwrite").option("header", "true").csv(path)
+        s.read.schema(base.schema).option("header", "true").csv(path)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("ct"),
+            sum(dec("c_acctbal")).cast("double").as("bal_sum"),
+            countDistinct(col("c_nationkey")).as("nations"))
+          .orderBy(col("c_mktsegment"))
+          .localCheckpoint(true)
+      } finally rm(path)
+    }),
+
+    // ── JSON-lines source round-trip: the reference's native log format
+    // (HTTP collector → Kafka carries JSON lines). Timestamps are the
+    // round-trip risk — the format is pinned to micros on BOTH write and
+    // read, and the oracle (original parquet) compares exact epoch-µs
+    // extrema per event type, so a truncated fraction or a timezone
+    // shift fails the hash, not just a spot check.
+    "source_jsonl_roundtrip" -> ((s, dir) => {
+      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val path = s"$root/graft-jsonl-${System.nanoTime()}"
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+      try {
+        val base = Tables.events(s, dir)
+        base.write.mode("overwrite").option("timestampFormat", fmt).json(path)
+        s.read.schema(base.schema).option("timestampFormat", fmt).json(path)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("ct"),
+            countDistinct(col("user_id")).as("users"),
+            min(unix_micros(col("ts"))).as("min_us"),
+            max(unix_micros(col("ts"))).as("max_us"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally rm(path)
     }),
 
     // ── ANALYZE-style table profile: per-column counts/nulls/NDV/range
@@ -3529,8 +3594,21 @@ object SparkEntry {
         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) % 10000000 AS lo
         |  FROM orders)
         |SELECT range_id, COUNT(*) AS ct, CAST(SUM(p) AS DOUBLE) AS psum
-        |FROM pts JOIN rng ON p >= lo AND p < lo + 2000
+        |FROM pts JOIN rng ON p >= lo AND p < lo + 500
         |GROUP BY range_id ORDER BY range_id""".stripMargin,
+
+    "source_csv_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  COUNT(DISTINCT c_nationkey) AS nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "source_jsonl_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS ct,
+        |  COUNT(DISTINCT user_id) AS users,
+        |  MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+        |  MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "table_profile" -> {
       def num(c: String) =
