@@ -252,6 +252,50 @@ object ScaleGrowth {
         .select(length(call_function("graft_nfc", col("text"))).as("l"))
         .agg(sum(col("l"))).count()
       (n, "codegen scan, zero shuffle")
+    },
+    "range_join_binned" -> whole { dir =>
+      // id-offset replicas put each replica's points AND ranges in a
+      // disjoint id band — the domain grows with the data (the
+      // production profile: prices don't densify 10× because volume
+      // grew 10×), so matches must grow ~R×, not R². A fixed-domain
+      // blow-up would super-linearize ANY containment join — that is a
+      // property of the data model, not the operator.
+      import graft.operators.Joins
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val pts = ev.select(col("event_id").as("p"))
+      val rng = ev.filter(pmod(col("event_id"), lit(10L)) === 0)
+        .select(col("event_id").as("range_id"),
+          (col("event_id") - 40L).as("lo"), (col("event_id") + 60L).as("hi"))
+      val n = Joins.rangeJoinBinned(pts, rng, "p", "lo", "hi",
+        binWidth = 100L).count()
+      (n, s"matches=$n (claim: ~Rx — disjoint id bands keep bin density flat)")
+    },
+    "heavy_hitters_mg" -> whole { dir =>
+      // the structural claims: the Misra-Gries candidate bound is
+      // per-partition (flat in data volume), and the final answer is the
+      // same 2 keys at every scale; time grows ~Rx (two scans)
+      import graft.operators.Frequency
+      val keyed = spark.read.parquet(s"$dir/events.parquet").select(
+        when(pmod(col("event_id"), lit(16L)) < 8, lit(0L))
+          .when(pmod(col("event_id"), lit(16L)) < 12, lit(1L))
+          .otherwise(pmod(col("event_id"), lit(16L))).as("k"))
+      val hh = Frequency.heavyHitters(keyed, "k", capacity = 7).collect()
+      (hh.length.toLong,
+        s"hitters=${hh.length} (flat by design; candidates ≤ cap×partitions)")
+    },
+    "snapshot_diff" -> whole { dir =>
+      // change volume scales with churn (~Rx here since the mutation
+      // rules are id-keyed), through ONE co-keyed full-outer join
+      import graft.operators.Snapshot
+      val base = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val mutated = base.filter(pmod(col("event_id"), lit(11L)) =!= 0)
+        .withColumn("value",
+          when(pmod(col("event_id"), lit(7L)) === 0, col("value") + 1.0)
+            .otherwise(col("value")))
+      val n = Snapshot.diff(base, mutated, "event_id",
+        Seq("user_id", "value")).count()
+      (n, s"changes=$n (claim: ~Rx, one key-hash join)")
     })
   }
 

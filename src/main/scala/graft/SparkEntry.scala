@@ -1008,6 +1008,119 @@ object SparkEntry {
     // primitive as an analytic function). Exact integer microsecond sums
     // + ONE final division keep the double bit-identical across engines;
     // (user, ts, event_id) ordering makes LAG deterministic under ties.
+    // ── K8: partition backfill — dynamic partitionOverwriteMode scoped
+    // to one write. The initial store lands TWO poisoned day partitions
+    // (users zeroed on 01-05 and 01-09); the backfill recomputes ONLY
+    // 01-05. Final truth: 01-05 corrected, 01-09 still poisoned, every
+    // other day intact — which distinguishes dynamic overwrite from
+    // both failure modes: a static overwrite would delete the other 28
+    // days (row-count mismatch), a no-op backfill leaves 01-05 poisoned
+    // (hash mismatch). Counting columns only (ct/users) — no double
+    // sums ride the store.
+    "k8_partition_backfill" -> ((s, dir) => {
+      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val path = s"$root/graft-backfill-${System.nanoTime()}"
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      val (dayX, dayY) = ("2024-01-05", "2024-01-09")
+      try {
+        val truth = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("dt"), col("event_type"))
+          .agg(count(lit(1)).as("ct"),
+            countDistinct(col("user_id")).as("users"))
+        val poisoned = truth.withColumn("users",
+          when(col("dt").isin(dayX, dayY), lit(0L)).otherwise(col("users")))
+        poisoned.write.mode("overwrite").partitionBy("dt").parquet(path)
+        graft.streaming.Sinks.overwritePartitions(
+          truth.filter(col("dt") === dayX), path, "dt")
+        s.read.parquet(path)
+          .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+            col("event_type"), col("ct"), col("users"))
+          .orderBy(col("dt"), col("event_type"))
+          .localCheckpoint(true)
+      } finally rm(path)
+    }),
+
+    // ── PageRank (3 iterations) in exact integer micro-units: the
+    // iterative driver-loop family (Lloyd's twin) with the text_lm_score
+    // fixed-point contract — contribution = rank div outdeg, update =
+    // base + 85·Σ div 100, all longs, so the oracle replays the SAME
+    // arithmetic through three unrolled CTE rounds and summation order
+    // cannot matter. Same bounded mod-300 graph as graph_triangles.
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = graft.operators.Graph.canonicalEdges(
+        Tables.lineitem(s, dir).select(
+          pmod(col("l_orderkey"), lit(300L)).as("s"),
+          pmod(col("l_partkey"), lit(300L)).as("d")),
+        "s", "d")
+      graft.operators.Graph.pageRank(edges, iters = 3)
+        .orderBy(col("node"))
+    }),
+
+    // ── Graph analytics: exact triangle + wedge counts over a derived
+    // co-occurrence graph (lineitem (orderkey, partkey) mod 300 —
+    // distinct canonical edges cap at C(300,2)=44,850, so cost is
+    // bounded by the node space at every sf while the graph stays
+    // triangle-rich even at sf0.001 —
+    // multi-edges and loops exercised by construction, canonicalized
+    // away). Degree orientation bounds the wedge fan-out at O(E^1.5)
+    // where the naive 3-way self-join pays Σ deg² — the hub guard IS
+    // the operator (GraphSpec pins orientation == naive on random
+    // graphs and the K4/star/path shapes). Oracle: DuckDB's literal
+    // a<b<c 3-way join plus the closed-form wedge sum.
+    "graph_triangles" -> ((s, dir) => {
+      val edges = graft.operators.Graph.canonicalEdges(
+        Tables.lineitem(s, dir).select(
+          pmod(col("l_orderkey"), lit(300L)).as("s"),
+          pmod(col("l_partkey"), lit(300L)).as("d")),
+        "s", "d")
+      graft.operators.Graph.triangleStats(edges)
+    }),
+
+    // ── Retention cohorts: the canonical product-analytics matrix the
+    // reference's DWS visitor stats feed (cohort = first active day;
+    // cell = distinct users active offset days later). Plan: one
+    // distinct on (user, day), a min per user, a user-keyed join (both
+    // sides already hashed on user_id — AQE broadcasts the cohort side
+    // when small), and a tiny (cohort × offset) agg. The fact table is
+    // scanned once.
+    "a19_retention_cohorts" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val cohorts = days.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort_d"))
+      days.join(cohorts, "user_id")
+        .groupBy(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_dt"),
+          datediff(col("d"), col("cohort_d")).cast("long").as("offset_d"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy(col("cohort_dt"), col("offset_d"))
+    }),
+
+    // ── Event-transition matrix (Markov counts): per-user next-event
+    // bigrams via ONE window pass (lag over (ts, event_id) — the a11
+    // tie-break), aggregated to (prev, next) cells. Path analysis /
+    // "what do users do after X" — the per-user shuffle is the only
+    // wide exchange; the matrix itself is vocabulary-sized.
+    "a20_event_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("ct"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy(col("prev_type"), col("event_type"))
+    }),
+
     "a11_event_deltas" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -3807,6 +3920,96 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderpriority, year(o_orderdate))
         |ORDER BY priority, o_year""".stripMargin,
+
+    "k8_partition_backfill" ->
+      s"""SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS dt,
+         |  event_type, COUNT(*) AS ct,
+         |  CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-09'
+         |       THEN 0 ELSE COUNT(DISTINCT user_id) END AS users
+         |FROM events
+         |GROUP BY 1, 2, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+         |ORDER BY dt, event_type""".stripMargin,
+
+    "graph_pagerank" -> {
+      // three unrolled rounds of the SAME integer arithmetic the
+      // operator runs: contribution = rank div outdeg, update =
+      // base + 85·Σ div 100 (DuckDB // is floor division; all values
+      // are positive, so it matches Spark's div exactly)
+      val rounds = (1 to 3).map { k =>
+        s"""c$k AS (
+           |  SELECT dir.dst AS node, SUM(r${k - 1}.rank_u6 // od.outdeg) AS s
+           |  FROM dir JOIN r${k - 1} ON dir.src = r${k - 1}.node
+           |       JOIN od ON od.src = dir.src
+           |  GROUP BY dir.dst),
+           |r$k AS (
+           |  SELECT nodes.node,
+           |    150000 // (SELECT n FROM nn)
+           |      + (85 * COALESCE(c$k.s, 0)) // 100 AS rank_u6
+           |  FROM nodes LEFT JOIN c$k ON c$k.node = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT l_orderkey % 300 AS s0, l_partkey % 300 AS d0 FROM lineitem),
+         |e AS (
+         |  SELECT DISTINCT LEAST(s0, d0) AS a, GREATEST(s0, d0) AS b
+         |  FROM raw WHERE s0 <> d0),
+         |dir AS (SELECT a AS src, b AS dst FROM e
+         |        UNION ALL SELECT b AS src, a AS dst FROM e),
+         |od AS (SELECT src, COUNT(*) AS outdeg FROM dir GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS node FROM dir),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS (SELECT node, 1000000 // (SELECT n FROM nn) AS rank_u6
+         |       FROM nodes),
+         |$rounds
+         |SELECT node, CAST(rank_u6 AS BIGINT) AS rank_u6 FROM r3
+         |ORDER BY node""".stripMargin
+    },
+
+    "graph_triangles" ->
+      """WITH raw AS (
+        |  SELECT l_orderkey % 300 AS s, l_partkey % 300 AS d FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |tri AS (
+        |  SELECT COUNT(*) AS triangles
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS degree FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        |  GROUP BY node),
+        |w AS (
+        |  SELECT CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS wedges,
+        |    COUNT(*) AS nodes FROM deg),
+        |ec AS (SELECT COUNT(*) AS edges FROM e)
+        |SELECT triangles, wedges, nodes, edges FROM tri, w, ec""".stripMargin,
+
+    "a19_retention_cohorts" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(d) AS cohort_d FROM days GROUP BY user_id)
+        |SELECT strftime(c.cohort_d, '%Y-%m-%d') AS cohort_dt,
+        |  date_diff('day', c.cohort_d, days.d) AS offset_d,
+        |  COUNT(DISTINCT days.user_id) AS users
+        |FROM days JOIN c ON days.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a20_event_transitions" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY us, event_id) AS prev_type
+        |  FROM f)
+        |SELECT prev_type, event_type, COUNT(*) AS ct,
+        |  COUNT(DISTINCT user_id) AS users
+        |FROM g WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin,
 
     "a11_event_deltas" ->
       """WITH f AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

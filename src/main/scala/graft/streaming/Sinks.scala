@@ -159,4 +159,25 @@ object Sinks {
   /** K6: console sink (the reference's .print() debug taps). */
   def console(df: DataFrame, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream.format("console").option("checkpointLocation", checkpoint)
+
+  /** Backfill: overwrite ONLY the partitions present in `df`, leaving
+    * every other partition of the store untouched — Spark's dynamic
+    * partitionOverwriteMode, scoped to this one write (the session
+    * default is restored after). This is the nightly-correction posture
+    * for a date-partitioned serving store: recompute the affected days
+    * and land them atomically per partition; a static overwrite here
+    * would DELETE every other day. At 100 TB the write cost is the
+    * churned partitions, never the table. */
+  def overwritePartitions(df: DataFrame, path: String,
+      partCol: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+    finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -233,4 +233,26 @@ class SinksSpec extends SparkSpec {
     assert(out(1).getAs[String]("type") === "delete")
     assert(out(2).getAs[String]("tableName") === null) // dead-letter row, P1 shape
   }
+
+  test("overwritePartitions replaces ONLY the partitions in the frame; " +
+      "a static overwrite would have deleted the rest") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+    val init = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L),
+      ("c", 4L, 40L)).toDF("p", "k", "v")
+    init.write.mode("overwrite").partitionBy("p").parquet(root)
+    // backfill partition "a" only, with corrected values
+    streaming.Sinks.overwritePartitions(
+      Seq(("a", 1L, 11L), ("a", 2L, 21L)).toDF("p", "k", "v"), root, "p")
+    val got = spark.read.parquet(root)
+      .select(col("p"), col("k"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got === Seq(("a", 1L, 11L), ("a", 2L, 21L), ("b", 3L, 30L),
+      ("c", 4L, 40L)))
+    // the session default mode is restored (scoped override)
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
+  }
 }
