@@ -1008,6 +1008,67 @@ object SparkEntry {
     // primitive as an analytic function). Exact integer microsecond sums
     // + ONE final division keep the double bit-identical across engines;
     // (user, ts, event_id) ordering makes LAG deterministic under ties.
+    // ── Array higher-order functions over per-order line arrays:
+    // aggregate (fold), filter+size, exists, transform — the lambda
+    // surface a user reshaping nested data needs, each reduced to a
+    // scalar/string so the DuckDB comparison is representation-safe
+    // (list-valued outputs render differently across engines). Arrays
+    // are built deterministically (sort_array over collect_list).
+    "f_array_hofs" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sort_array(collect_list(col("l_linenumber").cast("long"))).as("ls"),
+          sort_array(collect_list(
+            (col("l_quantity").cast("decimal(12,2)") * 100).cast("long")))
+            .as("qs"))
+        .select(col("l_orderkey"),
+          expr("aggregate(qs, 0L, (a, x) -> a + x)").as("q_sum"),
+          expr("size(filter(qs, x -> x >= 2500))").cast("long").as("n_big"),
+          expr("exists(qs, x -> x = 100)").cast("int").as("has_one"),
+          expr("concat_ws(',', transform(ls, x -> cast(x * 2 as string)))")
+            .as("ls2_csv"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // ── CBO-lite: stats-driven join ordering — Profile.keyStats
+    // (row count + sketch NDV, one agg per table, no exact arm: an
+    // order-of-magnitude decision doesn't buy the exact-NDV Expand)
+    // feeds the Selinger estimate |A⋈B| ≈ |A||B|/max(ndv), greedy
+    // left-deep smallest-first. The planner starts this 4-way chain
+    // from nation (25 rows) and builds dimension-out, never fact-first;
+    // JoinPlannerSpec pins the chosen order, and since inner equi-joins
+    // commute, the oracle is the plain join — equality is the claim.
+    "cbo_join_order" -> ((s, dir) => {
+      import graft.operators.{JoinPlanner, Profile}
+      import JoinPlanner.{Edge, Rel}
+      def rel(name: String, df: org.apache.spark.sql.DataFrame,
+          keys: Seq[String]): Rel = {
+        val (rows, ndv) = Profile.keyStats(df, keys)
+        Rel(name, df, rows, ndv)
+      }
+      val plan = JoinPlanner.plan(
+        Seq(
+          rel("lineitem", Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_extendedprice")), Seq("l_orderkey")),
+          rel("orders", Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey")),
+            Seq("o_orderkey", "o_custkey")),
+          rel("customer", Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_nationkey")),
+            Seq("c_custkey", "c_nationkey")),
+          rel("nation", Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_name")), Seq("n_nationkey"))),
+        Seq(
+          Edge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+          Edge("orders", "o_custkey", "customer", "c_custkey"),
+          Edge("customer", "c_nationkey", "nation", "n_nationkey")))
+      plan.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("ct"),
+          sum(dec("l_extendedprice")).cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
     // ── K8: partition backfill — dynamic partitionOverwriteMode scoped
     // to one write. The initial store lands TWO poisoned day partitions
     // (users zeroed on 01-05 and 01-09); the backfill recomputes ONLY
@@ -3920,6 +3981,28 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderpriority, year(o_orderdate))
         |ORDER BY priority, o_year""".stripMargin,
+
+    "f_array_hofs" ->
+      """WITH arr AS (
+        |  SELECT l_orderkey,
+        |    list_sort(list(CAST(l_linenumber AS BIGINT))) AS ls,
+        |    list_sort(list(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))) AS qs
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |  length(list_filter(qs, x -> x >= 2500)) AS n_big,
+        |  CAST(list_contains(qs, 100) AS INT) AS has_one,
+        |  array_to_string(list_transform(ls, x -> CAST(x * 2 AS VARCHAR)), ',') AS ls2_csv
+        |FROM arr ORDER BY l_orderkey""".stripMargin,
+
+    "cbo_join_order" ->
+      """SELECT n_name, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "k8_partition_backfill" ->
       s"""SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS dt,

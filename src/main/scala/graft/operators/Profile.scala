@@ -28,6 +28,20 @@ object Profile {
     * repo's other checked-sketch gates). */
   private val Rsd = 0.05
 
+  /** Planning-grade stats: row count + sketch NDV per key, ONE
+    * aggregation, no exact arm — what a join planner ([[JoinPlanner]])
+    * actually consumes. Cardinality estimates are order-of-magnitude
+    * decisions; paying the exact-NDV Expand to make them would be the
+    * tail wagging the dog. */
+  def keyStats(df: DataFrame, keys: Seq[String]): (Long, Map[String, Long]) = {
+    require(keys.nonEmpty, "keyStats needs at least one key column")
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++
+      keys.map(c => approx_count_distinct(col(c), Rsd).as(s"__ndv_$c"))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    (r.getLong(0),
+      keys.zipWithIndex.map { case (c, i) => c -> r.getLong(i + 1) }.toMap)
+  }
+
   def profile(df: DataFrame, numeric: Seq[String],
       strings: Seq[String]): DataFrame = {
     require(numeric.nonEmpty || strings.nonEmpty, "profile needs columns")
