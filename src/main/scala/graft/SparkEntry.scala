@@ -726,6 +726,47 @@ object SparkEntry {
       }
     }),
 
+    // ── J12: dynamic partition pruning — the star-schema runtime
+    // pruning that makes dimension-filtered fact scans cheap at 100 TB:
+    // the dim filter's key set is computed at runtime and injected as a
+    // PARTITION filter on the fact scan, so 25 of 30 day-partitions are
+    // never read (static pruning can't see through a join).
+    // Fact = events partitioned by day on disk; dim = a calendar frame
+    // whose filter keeps 5 days. FileMaintenanceSpec pins the
+    // dynamicpruning subquery in the fact scan's partition filters;
+    // the oracle pins the answer.
+    "j12_dpp" -> ((s, dir) => {
+      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val path = s"$root/graft-dpp-${System.nanoTime()}"
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      try {
+        Tables.events(s, dir)
+          .withColumn("dt", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("dt").parquet(path)
+        val fact = s.read.parquet(path)
+        val dim = s.range(0, 30)
+          .select(date_add(lit("2024-01-01").cast("date"),
+            col("id").cast("int")).as("dt"),
+            (col("id") + 1).as("day_no"))
+          .filter(col("day_no") <= 5)
+        fact.join(dim, "dt")
+          .groupBy(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+            col("event_type"))
+          .agg(count(lit(1)).as("ct"),
+            countDistinct(col("user_id")).as("users"))
+          .orderBy(col("dt"), col("event_type"))
+          .localCheckpoint(true)
+      } finally rm(path)
+    }),
+
     // ── TPC-H Q2 shape: correlated "best row per group" subquery,
     // decorrelated into a window max + equality filter — ONE shuffle on
     // the group key instead of a per-row rescan. Ties all kept (the
@@ -952,6 +993,28 @@ object SparkEntry {
           count(lit(1)).as("ct"))
         .orderBy(col("l_returnflag"))),
 
+    // ── A21: linear-regression aggregates (regr_*) — the one-pass
+    // distributed OLS fit price ~ quantity per flag (slope/intercept/R²
+    // from the same co-moment accumulators corr/covar ride; no second
+    // scan, no driver fit). truncate6 on every double (a16 idiom) so the
+    // hash compare is reassociation-proof; regr_count is integer-exact.
+    "a21_regression" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          truncate6(regr_slope(col("l_extendedprice"), col("l_quantity")))
+            .as("slope_pq"),
+          truncate6(regr_intercept(col("l_extendedprice"), col("l_quantity")))
+            .as("icept_pq"),
+          truncate6(regr_r2(col("l_extendedprice"), col("l_quantity")))
+            .as("r2_pq"),
+          truncate6(regr_avgx(col("l_extendedprice"), col("l_quantity")))
+            .as("avgx_q"),
+          truncate6(regr_avgy(col("l_extendedprice"), col("l_quantity")))
+            .as("avgy_p"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy(col("l_returnflag"))),
+
     // ── A18: ordered string aggregation — sort_array(collect_list) +
     // concat_ws is Spark's deterministic LISTAGG (collect_list alone is
     // arrival-ordered = nondeterministic; the sort is the contract).
@@ -989,6 +1052,31 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // ── A22: re-aggregatable EXACT distinct via bitmaps — the other end
+    // of a17's trade: where HLL re-aggregates approximately, RLE bitmaps
+    // re-aggregate exactly (bitmap_or is lossless; sum-of-distincts is
+    // not). Store per-(fine-grain, bucket) bitmaps of the key's bit
+    // position; a coarser rollup is bitmap_or_agg per bucket + a
+    // bitmap_count sum — no fact re-scan ever. Cost is memory ∝ key
+    // range/density (why HLL still wins for ultra-high-cardinality keys);
+    // for bounded ID spaces this is the serving-layer answer at 100 TB.
+    "a22_bitmap_reagg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+      val fine = o.groupBy(col("n_name"), col("o_orderpriority"),
+          expr("bitmap_bucket_number(o_custkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+          .as("bm"))
+      fine.groupBy(col("n_name"), col("bkt"))
+        .agg(expr("bitmap_or_agg(bm)").as("bmu"))
+        .groupBy(col("n_name"))
+        .agg(sum(expr("bitmap_count(bmu)")).as("exact_distinct"))
+        .orderBy(col("n_name"))
+    }),
+
     // ── A10: CUBE — all grouping-set combinations of (priority, year)
     // in one pass (partial-agg friendly: Spark expands grouping sets
     // map-side, one shuffle). Subtotal rows surface as 'ALL' via
@@ -1003,6 +1091,28 @@ object SparkEntry {
           coalesce(col("o_year").cast("string"), lit("ALL")).as("o_year"),
           col("ct"), col("total"))
         .orderBy(col("priority"), col("o_year"))),
+
+    // ── A23: explicit GROUPING SETS — the irregular-rollup API cube and
+    // rollup can't express: (priority, status), (priority), (status) but
+    // NOT the grand total. Same Expand → partial agg → one shuffle
+    // plan as a10_cube, with Expand emitting exactly the 3 listed sets
+    // (cube would emit 4). grouping() disambiguates real NULLs from
+    // set-placeholder NULLs in the output contract.
+    "a23_grouping_sets" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("ct"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"),
+          grouping(col("o_orderpriority")).cast("long").as("g_pri"),
+          grouping(col("o_orderstatus")).cast("long").as("g_st"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("ct"), col("total"), col("g_pri"), col("g_st"))
+        .orderBy(col("priority"), col("status"))),
 
     // ── A11: LAG window — per-user inter-event gaps (the session-gap
     // primitive as an analytic function). Exact integer microsecond sums
@@ -1028,6 +1138,36 @@ object SparkEntry {
           expr("exists(qs, x -> x = 100)").cast("int").as("has_one"),
           expr("concat_ws(',', transform(ls, x -> cast(x * 2 as string)))")
             .as("ls2_csv"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // ── Map higher-order functions (transform_values / map_filter /
+    // entries reshaping) — the map-typed twin of f_array_hofs. The map is
+    // built from the same sorted parallel arrays the oracle keeps as
+    // lists, so DuckDB replays the lambdas over lists without needing a
+    // map type; output is a canonical sorted entries string (map iteration
+    // order is not a contract — the sort is).
+    "f_map_hofs" -> ((s, dir) => {
+      // key = 1-based rank of the sorted quantity (l_linenumber repeats
+      // within an order in this data, so it cannot key a map)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sort_array(collect_list(
+            (col("l_quantity").cast("decimal(12,2)") * 100).cast("long")))
+            .as("qs"))
+        .select(col("l_orderkey"),
+          expr("""concat_ws(',', transform(
+            sort_array(map_entries(map_filter(
+              transform_values(
+                map_from_arrays(sequence(1L, cast(size(qs) as long)), qs),
+                (k, v) -> v * 2),
+              (k, v) -> v >= 5000))),
+            e -> concat(cast(e.key as string), ':', cast(e.value as string))))""")
+            .as("big_entries"),
+          expr("""cast(size(map_from_arrays(
+            sequence(1L, cast(size(qs) as long)), qs)) as long)""")
+            .as("n_entries"))
         .orderBy(col("l_orderkey"))
     }),
 
@@ -1107,6 +1247,48 @@ object SparkEntry {
           .orderBy(col("dt"), col("event_type"))
           .localCheckpoint(true)
       } finally rm(path)
+    }),
+
+    // ── K9: small-file compaction — the maintenance pass for fragmented
+    // sinks (streaming writers, backfills, CDC upserts all emit many tiny
+    // files; at 100 TB file listing, not row throughput, becomes the scan
+    // bottleneck). Fixture: orders fractured to 48 files, compacted at a
+    // target size chosen to land single-digit outputs; one round-robin
+    // shuffle so outputs come out even (coalesce would inherit skew).
+    // Rows must survive byte-exactly — the oracle runs on the ORIGINAL
+    // parquet, so a dropped/duplicated row in the rewrite is a hash
+    // mismatch; CompactionSpec pins the file-count mechanics.
+    "k9_compaction" -> ((s, dir) => {
+      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val uniq = System.nanoTime()
+      val fragPath = s"$root/graft-frag-$uniq"
+      val compactPath = s"$root/graft-compact-$uniq"
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      try {
+        Tables.orders(s, dir).repartition(48)
+          .write.mode("overwrite").parquet(fragPath)
+        val (bytes, _) =
+          graft.operators.Compaction.dataFileStats(s, fragPath)
+        // target ≈ an eighth of the input ⇒ ~8 even-sized outputs
+        graft.operators.Compaction.compact(s, fragPath, compactPath,
+          targetBytes = math.max(1L, bytes / 8))
+        s.read.parquet(compactPath)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("ct"),
+            sum(dec("o_totalprice")).cast("double").as("price_sum"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy(col("o_orderpriority"))
+          .localCheckpoint(true)
+      } finally { rm(fragPath); rm(compactPath) }
     }),
 
     // ── PageRank (3 iterations) in exact integer micro-units: the
@@ -1357,6 +1539,39 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    // ── DQ in-flight metrics via `Observation`: pre-filter row counts /
+    // violation tallies / extrema ride the SAME action as the pipeline
+    // (AggregatingAccumulator piggybacked on the scan) — at 100 TB the
+    // alternative is a second full pass per metric set. The pipeline's
+    // own output (kept-row count after the price filter) lands in the
+    // same row, so the oracle cross-checks BOTH the observed metrics and
+    // the downstream result against one parquet truth. Extrema and
+    // integer tallies only — no double sums ride the compare.
+    "dq_observe" -> ((s, dir) => {
+      val obs = org.apache.spark.sql.Observation()
+      val kept = Tables.orders(s, dir)
+        .observe(obs,
+          count(lit(1)).as("rows_seen"),
+          sum(when(col("o_totalprice") <= lit(0.0), 1L).otherwise(0L))
+            .as("nonpos_price"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
+            .as("null_date"),
+          truncate6(max(col("o_totalprice"))).as("max_price"),
+          min(col("o_orderkey")).as("min_key"))
+        .filter(col("o_totalprice") > lit(100000.0))
+        .count() // the action that both answers the pipeline and fires the metrics
+      val m = obs.get
+      import s.implicits._
+      Seq((m("rows_seen").asInstanceOf[Long],
+        m("nonpos_price").asInstanceOf[Long],
+        m("null_date").asInstanceOf[Long],
+        m("max_price").asInstanceOf[Double],
+        m("min_key").asInstanceOf[Long],
+        kept))
+        .toDF("rows_seen", "nonpos_price", "null_date", "max_price",
+          "min_key", "kept_expensive")
+    }),
+
     // ── F1 extension: JSON path extraction on the raw props string —
     // get_json_object is Spark's scan-side JSON accessor (no full parse,
     // no schema needed); the agg proves numeric round-trip parity.
@@ -1368,6 +1583,70 @@ object SparkEntry {
         .agg(count(lit(1)).as("ct"), sum(col("k")).as("k_sum"),
           sum(when(col("k") > 50, 1L).otherwise(0L)).as("k_hi"))
         .orderBy(col("event_type"))),
+
+    // ── F-extension: VARIANT (Spark 4's open semi-structured type) —
+    // the engine path for JSON whose schema drifts: parse ONCE to a
+    // binary-encoded variant, extract typed fields lazily (no per-query
+    // re-tokenization, shredded access at scan time). A nested document
+    // is composed per row so path extraction, type coercion (long /
+    // double / string arms) and a missing-path null all fire; the oracle
+    // recomputes from the raw columns directly — the round-trip through
+    // variant must be semantically invisible.
+    "f_variant_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("value"),
+          col("props"),
+          parse_json(to_json(struct(
+            struct(col("user_id").as("id"), col("value").as("v"))
+              .as("user"),
+            col("props").as("raw"), col("event_type").as("t")))).as("doc"))
+        .select(col("event_type"),
+          expr("variant_get(doc, '$.user.id', 'long')").as("uid"),
+          expr("variant_get(doc, '$.user.v', 'double')").as("v"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+          expr("variant_get(doc, '$.missing.path', 'long')").as("mp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ct"),
+          count_distinct(col("uid")).as("users"),
+          // decimal sum: v round-trips the variant encoding exactly
+          // (shortest-repr JSON doubles), and the decimal makes the SUM
+          // reassociation-proof
+          sum(col("v").cast("decimal(18,2)")).cast("double").as("v_sum"),
+          sum(col("k")).as("k_sum"),
+          sum(when(col("mp").isNull, 1L).otherwise(0L)).as("mp_nulls"))
+        .orderBy(col("event_type"))),
+
+    // ── F-extension: error-safe arithmetic (try_divide / try_cast /
+    // try_to_timestamp) — NULL instead of job-killing exceptions: the
+    // posture for dirty data at 100 TB, where one malformed row must not
+    // fail a 1000-executor stage. Each arm fires on real rows (qty==50 ⇒
+    // divide-by-zero; a non-numeric prefix ⇒ cast failure; a malformed
+    // date string ⇒ timestamp failure).
+    "f_try_arith" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          try_divide(col("l_extendedprice"),
+            col("l_quantity") - lit(50.0)).as("d"),
+          expr("""try_cast(
+            CASE WHEN l_orderkey % 3 = 0
+                 THEN concat('x', cast(l_linenumber as string))
+                 ELSE cast(l_linenumber as string) END AS bigint)""").as("n"),
+          try_to_timestamp(
+            when(col("l_orderkey") % 2 === 0, lit("not-a-date"))
+              .otherwise(lit("2024-03-01 12:00:00"))).as("t"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("ct"),
+          sum(col("d").isNull.cast("long")).as("div_nulls"),
+          // per-term floor to millionths BEFORE the sum (the bm25/lm
+          // fixed-point contract): the quotient is one IEEE division,
+          // identical in both engines; the long sum cannot reassociate
+          sum(when(col("d").isNotNull,
+            floor(col("d") * lit(1000000.0)).cast("long")).otherwise(0L))
+            .as("d_sum_us"),
+          sum(col("n").isNull.cast("long")).as("num_nulls"),
+          sum(col("n")).cast("long").as("n_sum"),
+          sum(col("t").isNull.cast("long")).as("ts_nulls"))
+        .orderBy(col("l_returnflag"))),
 
     // ── F-extension: regexp_extract — first digit-run per document
     // (simple character-class pattern, identical semantics in Java regex
@@ -1800,6 +2079,78 @@ object SparkEntry {
             min(unix_micros(col("ts"))).as("min_us"),
             max(unix_micros(col("ts"))).as("max_us"))
           .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally rm(path)
+    }),
+
+    // ── ORC source round-trip: the second columnar format a lakehouse
+    // ingests (Hive-era estates are ORC). Same contract as the CSV/JSONL
+    // twins — write orders as ORC, read back through the declared schema,
+    // aggregate; the oracle runs on the ORIGINAL parquet, so any type or
+    // timestamp drift through ORC's encoding is a hash mismatch (orders
+    // carries int64/double/string/timestamp — the full primitive
+    // surface). SourceFormatsSpec pins predicate pushdown reaches the
+    // ORC scan, same as parquet.
+    "source_orc_roundtrip" -> ((s, dir) => {
+      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val path = s"$root/graft-orc-${System.nanoTime()}"
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      try {
+        val base = Tables.orders(s, dir)
+        base.write.mode("overwrite").orc(path)
+        s.read.schema(base.schema).orc(path)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("ct"),
+            sum(dec("o_totalprice")).cast("double").as("price_sum"),
+            // o_orderdate surfaces as TIMESTAMP_NTZ (pyarrow default);
+            // the session tz is pinned UTC, so the cast reinterprets the
+            // wall-clock as the same UTC instant (Tables.normalizeEventTs
+            // contract)
+            min(unix_micros(col("o_orderdate").cast("timestamp")))
+              .as("min_date_us"),
+            max(unix_micros(col("o_orderdate").cast("timestamp")))
+              .as("max_date_us"))
+          .orderBy(col("o_orderpriority"))
+          .localCheckpoint(true)
+      } finally rm(path)
+    }),
+
+    // ── XML source round-trip (Spark 4's built-in XML datasource — the
+    // B2B/legacy-feed ingest edge): write customer as row-tagged XML,
+    // read back through the declared schema, aggregate vs the
+    // original-parquet oracle. Doubles survive because the writer emits
+    // shortest-round-trip reprs (the CSV twin's contract); the string
+    // column rides escaping.
+    "source_xml_roundtrip" -> ((s, dir) => {
+      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val path = s"$root/graft-xml-${System.nanoTime()}"
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      try {
+        val base = Tables.customer(s, dir)
+        base.write.mode("overwrite").option("rowTag", "customer").xml(path)
+        s.read.schema(base.schema).option("rowTag", "customer").xml(path)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("ct"),
+            sum(dec("c_acctbal")).cast("double").as("bal_sum"),
+            countDistinct(col("c_nationkey")).as("nations"),
+            max(length(col("c_name"))).cast("long").as("max_name_len"))
+          .orderBy(col("c_mktsegment"))
           .localCheckpoint(true)
       } finally rm(path)
     }),
@@ -2865,6 +3216,53 @@ object SparkEntry {
         .select(col("user_id"), col("dt"), col("event_id"))
         .orderBy(col("user_id"), col("dt"))),
 
+    // ── Streaming exact dedup under at-least-once REPLAY: the staged
+    // chunks re-deliver the ENTIRE previous chunk (chunk i = Eᵢ ∪ Eᵢ₋₁,
+    // event_id mod 3 split — a transport redelivering a whole segment),
+    // so cross-batch replays (state hit) and the first-arrival-wins rule
+    // are exercised. Complements stream_dedup_wwm (same operator, natural
+    // in-stream dup keys): here the duplicates are TRANSPORT artifacts —
+    // every row is redelivered once — the failure mode exactly-once
+    // pipelines actually face.
+    // Delay 35d covers the 30-day fixture, so no key expires and the
+    // result is EXACTLY one copy of every event — the oracle is the plain
+    // per-type profile of the original table; a missed replay inflates
+    // ct, an over-drop deflates it. In production the delay is sized to
+    // the transport's max redelivery horizon, which is what bounds state
+    // (see Dedup.streamExactDedup).
+    "stream_dedup_replay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def part(i: Int) = ev.filter(pmod(col("event_id"), lit(3L)) === i)
+      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val stage = s"$root/graft-replay-${System.nanoTime()}"
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      try {
+        val stream = graft.streaming.Sources.stagedChunkStream(s,
+          Seq(part(0), part(1).unionByName(part(0)),
+            part(2).unionByName(part(1))),
+          Some(stage))
+        graft.streaming.StreamRunner.collect(
+          graft.operators.Dedup.streamExactDedup(
+            stream, Seq("event_id"), "ts", "35 days"),
+          // state is one tiny row per event_id: narrow width (AbDrift r12)
+          statePartitions = 2)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("ct"),
+            count_distinct(col("event_id")).as("ids"),
+            count_distinct(col("user_id")).as("users"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally rm(stage)
+    }),
+
     // ── T2 streaming under the RocksDB state store: byte-identical
     // semantics to stream_t2_uv_dedup (same oracle), run with the
     // big-state provider a production deployment uses once state
@@ -3685,6 +4083,18 @@ object SparkEntry {
         |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
         |ORDER BY rule""".stripMargin,
 
+    // observed in-flight metrics AND the downstream filter's answer,
+    // cross-checked against one parquet truth
+    "dq_observe" ->
+      """SELECT COUNT(*) AS rows_seen,
+        |  CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+        |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_date,
+        |  floor(MAX(o_totalprice)*1000000)/1000000 AS max_price,
+        |  MIN(o_orderkey) AS min_key,
+        |  (SELECT COUNT(*) FROM orders WHERE o_totalprice > 100000.0)
+        |    AS kept_expensive
+        |FROM orders""".stripMargin,
+
     "f_json_path" ->
       """SELECT event_type, COUNT(*) AS ct,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
@@ -3783,6 +4193,23 @@ object SparkEntry {
         |  MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
         |  MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // round-trip truth is the ORIGINAL parquet — drift through ORC's
+    // encoding (types, timestamps) breaks the hash
+    "source_orc_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS min_date_us,
+        |  MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS max_date_us
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // XML round-trip truth is the ORIGINAL parquet (csv twin's contract)
+    "source_xml_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  COUNT(DISTINCT c_nationkey) AS nations,
+        |  MAX(length(c_name)) AS max_name_len
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "table_profile" -> {
       def num(c: String) =
@@ -3968,6 +4395,16 @@ object SparkEntry {
         |  COUNT(*) AS ct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "a21_regression" ->
+      """SELECT l_returnflag,
+        |  floor(regr_slope(l_extendedprice, l_quantity)*1000000)/1000000 AS slope_pq,
+        |  floor(regr_intercept(l_extendedprice, l_quantity)*1000000)/1000000 AS icept_pq,
+        |  floor(regr_r2(l_extendedprice, l_quantity)*1000000)/1000000 AS r2_pq,
+        |  floor(regr_avgx(l_extendedprice, l_quantity)*1000000)/1000000 AS avgx_q,
+        |  floor(regr_avgy(l_extendedprice, l_quantity)*1000000)/1000000 AS avgy_p,
+        |  regr_count(l_extendedprice, l_quantity) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "a18_stringagg" ->
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
         |  COUNT(*) AS ct
@@ -3982,6 +4419,18 @@ object SparkEntry {
         |FROM orders GROUP BY CUBE (o_orderpriority, year(o_orderdate))
         |ORDER BY priority, o_year""".stripMargin,
 
+    "a23_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), (o_orderstatus))
+        |ORDER BY priority, status""".stripMargin,
+
     "f_array_hofs" ->
       """WITH arr AS (
         |  SELECT l_orderkey,
@@ -3994,6 +4443,60 @@ object SparkEntry {
         |  CAST(list_contains(qs, 100) AS INT) AS has_one,
         |  array_to_string(list_transform(ls, x -> CAST(x * 2 AS VARCHAR)), ',') AS ls2_csv
         |FROM arr ORDER BY l_orderkey""".stripMargin,
+
+    // the map is built from the same two sorted lists, so the lambdas
+    // replay over parallel lists via an index range — no map type needed
+    "f_map_hofs" ->
+      """WITH arr AS (
+        |  SELECT l_orderkey,
+        |    list_sort(list(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))) AS qs
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  -- DuckDB's array_to_string returns NULL on an empty list where
+        |  -- Spark's concat_ws returns '' — coalesce to the Spark contract
+        |  COALESCE(array_to_string(
+        |    list_transform(
+        |      list_filter(range(1, length(qs) + 1), i -> qs[i] * 2 >= 5000),
+        |      i -> CAST(i AS VARCHAR) || ':' || CAST(qs[i] * 2 AS VARCHAR)),
+        |    ','), '') AS big_entries,
+        |  CAST(length(qs) AS BIGINT) AS n_entries
+        |FROM arr ORDER BY l_orderkey""".stripMargin,
+
+    // bitmap re-agg must return EXACTLY the distinct count — no sketch
+    // tolerance anywhere
+    "a22_bitmap_reagg" ->
+      """SELECT n_name, COUNT(DISTINCT o_custkey) AS exact_distinct
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // the variant round-trip must be semantically invisible: the oracle
+    // recomputes every extracted field from the raw columns
+    "f_variant_json" ->
+      """SELECT event_type, COUNT(*) AS ct,
+        |  COUNT(DISTINCT user_id) AS users,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  COUNT(*) AS mp_nulls
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // every try_* arm recomputed via CASE — the quotient is one IEEE
+    // division on identical operands, floored to millionths per term
+    "f_try_arith" ->
+      """SELECT l_returnflag, COUNT(*) AS ct,
+        |  CAST(SUM(CASE WHEN l_quantity = 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS div_nulls,
+        |  CAST(SUM(CASE WHEN l_quantity = 50 THEN 0
+        |    ELSE CAST(FLOOR(l_extendedprice / (l_quantity - 50.0) * 1000000)
+        |      AS BIGINT) END) AS BIGINT) AS d_sum_us,
+        |  CAST(SUM(CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS num_nulls,
+        |  CAST(SUM(CASE WHEN l_orderkey % 3 = 0 THEN 0 ELSE l_linenumber END)
+        |    AS BIGINT) AS n_sum,
+        |  CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ts_nulls
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "cbo_join_order" ->
       """SELECT n_name, COUNT(*) AS ct,
@@ -4012,6 +4515,22 @@ object SparkEntry {
          |FROM events
          |GROUP BY 1, 2, CAST(CAST(ts AS TIMESTAMP) AS DATE)
          |ORDER BY dt, event_type""".stripMargin,
+
+    // pruning must not change the answer: truth = the plain date filter
+    "j12_dpp" ->
+      """SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS dt,
+        |  event_type, COUNT(*) AS ct, COUNT(DISTINCT user_id) AS users
+        |FROM events
+        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-05'
+        |GROUP BY 1, 2 ORDER BY dt, event_type""".stripMargin,
+
+    // compaction must preserve rows byte-exactly: truth is the ORIGINAL
+    // parquet, not the fragmented copy
+    "k9_compaction" ->
+      """SELECT o_orderpriority, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "graph_pagerank" -> {
       // three unrolled rounds of the SAME integer arithmetic the
@@ -5261,6 +5780,14 @@ object SparkEntry {
         |SELECT CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_new, COUNT(*) AS ct,
         |       COUNT(DISTINCT user_id) AS user_ct
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays collapse to exactly one copy of every event (35d delay
+    // covers the 30-day fixture, so no dedup key expires mid-run)
+    "stream_dedup_replay" ->
+      """SELECT event_type, COUNT(*) AS ct,
+        |  COUNT(DISTINCT event_id) AS ids,
+        |  COUNT(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "stream_t2_uv_dedup" ->
       """WITH f AS (SELECT user_id,

@@ -210,6 +210,24 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Streaming exact dedup under at-least-once delivery: a replayed log
+    * (Kafka redelivery, binlog replay, file re-stage) re-presents rows the
+    * stream already emitted; `dropDuplicatesWithinWatermark` keeps the
+    * FIRST arrival per key and drops replays, while the watermark bounds
+    * state — a key whose event time falls behind `watermark - delay` is
+    * evicted, so state is O(keys-per-delay-window), not O(stream history).
+    * That eviction is the whole point at 100 TB (plain `dropDuplicates`
+    * on a stream accumulates state forever) and is also the contract's
+    * caveat: a replay arriving LATER than `delay` after the original
+    * re-emits. Size `delay` to the transport's max redelivery horizon.
+    * (ref: gmall's UV dedup keeps the same first-arrival-wins rule in
+    * per-key ValueState with a 24h TTL — `DauApp`-family logic; this is
+    * the engine-native form.) */
+  def streamExactDedup(stream: DataFrame, keys: Seq[String],
+      tsCol: String = "ts", delay: String = "1 hour"): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-safe twin of [[incrementalNearDups]]: the incoming side keeps
     * its text THROUGH the band-explode and index probe, so verification
     * needs only stream-static joins (probe → index, candidate → history

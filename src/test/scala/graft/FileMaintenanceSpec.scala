@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Compaction
+
+/** File-maintenance mechanics the k9/orc gates rely on but cannot express
+  * through a row oracle: output file COUNTS (the compaction contract) and
+  * predicate pushdown reaching the ORC scan (the format is only useful if
+  * it prunes like parquet). */
+class FileMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    s"$root/graft-spec-$tag-${System.nanoTime()}"
+  }
+
+  private def rm(p: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+      f.delete(); ()
+    }
+    go(new java.io.File(p))
+  }
+
+  test("plannedFiles: ceil(bytes/target), floor 1") {
+    assert(Compaction.plannedFiles(0L, 100L) === 1)
+    assert(Compaction.plannedFiles(1L, 100L) === 1)
+    assert(Compaction.plannedFiles(100L, 100L) === 1)
+    assert(Compaction.plannedFiles(101L, 100L) === 2)
+    assert(Compaction.plannedFiles(1000L, 100L) === 10)
+    intercept[IllegalArgumentException](Compaction.plannedFiles(10L, 0L))
+  }
+
+  test("compact: sizes output file count from input bytes and preserves " +
+    "every row") {
+    val frag = tmpDir("frag"); val out = tmpDir("compact")
+    try {
+      spark.range(0, 10000).select(col("id"), (col("id") * 7).as("v"))
+        .repartition(32).write.mode("overwrite").parquet(frag)
+      val (bytes, nIn) = Compaction.dataFileStats(spark, frag)
+      assert(nIn === 32)
+      val n = Compaction.compact(spark, frag, out, targetBytes = bytes / 4)
+      val (_, nOut) = Compaction.dataFileStats(spark, out)
+      assert(nOut === n, s"planned $n files, wrote $nOut")
+      assert(n < nIn, s"compaction must reduce the file count ($n vs $nIn)")
+      // byte-exact row survival: same ids, same payload
+      val back = spark.read.parquet(out)
+      assert(back.count() === 10000L)
+      assert(back.agg(sum(col("v"))).as[Long].head ===
+        (0L until 10000L).map(_ * 7).sum)
+    } finally { rm(frag); rm(out) }
+  }
+
+  test("dynamic partition pruning: the dim filter becomes a runtime " +
+    "partition filter on the fact scan (j12_dpp's plan claim)") {
+    val dir = tmpDir("dpp")
+    try {
+      spark.range(0, 300)
+        .select(col("id"),
+          date_add(lit("2024-01-01").cast("date"),
+            (col("id") % 30).cast("int")).as("dt"))
+        .write.mode("overwrite").partitionBy("dt").parquet(dir)
+      val fact = spark.read.parquet(dir)
+      val dim = spark.range(0, 30)
+        .select(date_add(lit("2024-01-01").cast("date"),
+          col("id").cast("int")).as("dt"), (col("id") + 1).as("day_no"))
+        .filter(col("day_no") <= 5)
+      val q = fact.join(dim, "dt").groupBy(col("dt"))
+        .agg(count(lit(1)).as("ct"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"fact scan must carry a dynamicpruning partition filter:\n" +
+          plan.take(1500))
+      assert(q.count() === 5L)
+    } finally rm(dir)
+  }
+
+  test("ORC scan prunes like parquet: filter lands in PushedFilters, " +
+    "projection narrows the read schema") {
+    val dir = tmpDir("orc")
+    try {
+      spark.range(0, 1000)
+        .select(col("id"), (col("id") % 10).as("bucket"),
+          concat(lit("name-"), col("id")).as("name"))
+        .write.mode("overwrite").orc(dir)
+      val q = spark.read.orc(dir).filter(col("bucket") === 3)
+        .select(col("id"))
+      val plan = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pushed = plan.linesIterator
+        .find(_.contains("PushedFilters")).getOrElse("")
+      assert(pushed.contains("bucket"), plan.take(1200))
+      val readSchema = plan.linesIterator
+        .find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("name"),
+        s"projection must prune the unused string column: $readSchema")
+      assert(q.count() === 100L)
+    } finally rm(dir)
+  }
+}
