@@ -296,6 +296,63 @@ object ScaleGrowth {
       val n = Snapshot.diff(base, mutated, "event_id",
         Seq("user_id", "value")).count()
       (n, s"changes=$n (claim: ~Rx, one key-hash join)")
+    },
+    "replay_dedup_stream" -> { dir =>
+      // at-least-once replay dedup: every chunk redelivers the previous
+      // one; output must be exactly one copy per event. State rows =
+      // distinct keys inside the delay horizon — exactly Rx here
+      // (the delay covers the fixture; production bounds it to the
+      // transport's redelivery window, which caps state regardless of R).
+      // Staging the 1.67·n-row replay fixture (three coalesce(1) chunk
+      // writes) is untimed prep — the timed span is the streaming dedup.
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      def part(i: Int) = ev.filter(pmod(col("event_id"), lit(3L)) === i)
+      val stage = s"$dir/replay-stage-${System.nanoTime()}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      try {
+        val stream = graft.streaming.Sources.stagedChunkStream(spark,
+          Seq(part(0), part(1).unionByName(part(0)),
+            part(2).unionByName(part(1))), Some(stage))
+        val t0 = System.nanoTime()
+        val n = graft.streaming.StreamRunner.collect(
+          Dedup.streamExactDedup(stream, Seq("event_id"), "ts", "35 days"),
+          statePartitions = 2).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, n, s"deduped=$n (claim: exactly the input rows = Rx; " +
+          "state rows = distinct keys; time excl. fixture staging)")
+      } finally rm(new java.io.File(stage))
+    },
+    "dpp_prune" -> { dir =>
+      // dynamic partition pruning: a 5-day dim filter must read 5 of 30
+      // day partitions whatever R is. Timed span = the pruned join; the
+      // note carries the DPP-disabled full-scan time at the same scale —
+      // the ratio is the pruning win and it widens with fact size
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("dt", to_date(col("ts")))
+      val path = s"$dir/events_by_day.parquet"
+      ev.write.mode("overwrite").partitionBy("dt").parquet(path)
+      val fact = spark.read.parquet(path)
+      val dim = spark.range(0, 30)
+        .select(date_add(lit("2024-01-01").cast("date"),
+          col("id").cast("int")).as("dt"), (col("id") + 1).as("day_no"))
+        .filter(col("day_no") <= 5)
+      def run(): Long = fact.join(dim, "dt")
+        .groupBy(col("dt")).agg(count(lit(1))).count()
+      val t0 = System.nanoTime()
+      val n = run()
+      val prunedSec = (System.nanoTime() - t0) / 1e9
+      val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+      spark.conf.set(key, "false")
+      val t1 = System.nanoTime()
+      val fullSec = try { run(); (System.nanoTime() - t1) / 1e9 }
+        finally spark.conf.set(key, "true")
+      (prunedSec, n,
+        f"days=$n (flat: 5 at any R); dpp=$prunedSec%.2fs vs " +
+          f"no-dpp=$fullSec%.2fs same scale")
     })
   }
 

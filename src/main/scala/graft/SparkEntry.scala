@@ -726,6 +726,31 @@ object SparkEntry {
       }
     }),
 
+    // ── J13: null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the
+    // dirty-dimension reality: keys go null (unparsed, unknown) and a
+    // plain equi-join silently DROPS those rows, while `<=>` matches
+    // null-to-null as one more key value. Still a hash join (null is
+    // hashable under null-safe equality — PlanSpec-class claim: no
+    // nested loop); the null bucket is ordinary join skew if nulls
+    // dominate (then: filter-split the null keys, union back — the
+    // salting family). Both sides derive a sparse nullable key from
+    // orders/customer so the null×null arm carries real volume.
+    "j13_nullsafe_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        when(col("o_custkey") % 49 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey") % 1000).as("k"),
+        col("o_totalprice"))
+      val c = Tables.customer(s, dir).select(
+        when(col("c_custkey") % 25 === 0, lit(null).cast("long"))
+          .otherwise(col("c_custkey") % 1000).as("k"),
+        col("c_acctbal"))
+      o.join(c, o("k") <=> c("k"))
+        .groupBy(coalesce(o("k").cast("string"), lit("NULLKEY")).as("k"))
+        .agg(count(lit(1)).as("pairs"),
+          sum(dec("o_totalprice")).cast("double").as("price_sum"))
+        .orderBy(col("k"))
+    }),
+
     // ── J12: dynamic partition pruning — the star-schema runtime
     // pruning that makes dimension-filtered fact scans cheap at 100 TB:
     // the dim filter's key set is computed at runtime and injected as a
@@ -1648,6 +1673,29 @@ object SparkEntry {
           sum(col("t").isNull.cast("long")).as("ts_nulls"))
         .orderBy(col("l_returnflag"))),
 
+    // ── F-extension: calendar arithmetic (date_trunc / add_months /
+    // last_day / datediff) — the ETL date surface beyond the reference's
+    // toYMDhms family. add_months end-of-month clamping is the semantic
+    // trap (Jan 31 + 1 month = Feb 29); both engines clamp, and the
+    // oracle's INTERVAL arithmetic replays it. Everything reduces to
+    // epoch-day/µs integers so the compare is representation-safe.
+    "f_date_arith" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"),
+          col("o_orderdate").cast("timestamp").as("d"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("ct"),
+          count_distinct(date_trunc("month", col("d"))).as("months"),
+          count_distinct(date_trunc("week", col("d"))).as("weeks"),
+          min(unix_micros(date_trunc("quarter", col("d")))).as("min_q_us"),
+          max(unix_micros(add_months(col("d"), 1).cast("timestamp")))
+            .as("max_plus1m_us"),
+          max(unix_micros(last_day(col("d")).cast("timestamp")))
+            .as("max_eom_us"),
+          sum(datediff(lit("2024-12-31").cast("date"), col("d").cast("date"))
+            .cast("long")).as("days_to_eoy"))
+        .orderBy(col("o_orderpriority"))),
+
     // ── F-extension: regexp_extract — first digit-run per document
     // (simple character-class pattern, identical semantics in Java regex
     // and RE2; both engines return '' on no-match).
@@ -2153,6 +2201,47 @@ object SparkEntry {
           .orderBy(col("c_mktsegment"))
           .localCheckpoint(true)
       } finally rm(path)
+    }),
+
+    // ── Schema evolution across parquet generations: a long-lived
+    // dataset's early files lack columns later files carry. mergeSchema
+    // unifies the footers at read time and back-fills nulls — the
+    // no-rewrite evolution path (at 100 TB you cannot rewrite history to
+    // add a column). Generation 1 = even orderkeys without priority;
+    // generation 2 = odd WITH priority; the oracle replays the
+    // generation rule, so a wrong null-fill or a dropped generation is a
+    // hash mismatch.
+    "source_schema_evolution" -> ((s, dir) => {
+      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val base = s"$root/graft-evo-${System.nanoTime()}"
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      try {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$base/g1")
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$base/g2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$base/g1", s"$base/g2")
+          .groupBy(coalesce(col("o_orderpriority"), lit("PRE_SCHEMA"))
+            .as("priority"))
+          .agg(count(lit(1)).as("ct"),
+            sum(dec("o_totalprice")).cast("double").as("price_sum"),
+            min(col("o_orderkey")).as("min_key"))
+          .orderBy(col("priority"))
+          .localCheckpoint(true)
+      } finally rm(base)
     }),
 
     // ── ANALYZE-style table profile: per-column counts/nulls/NDV/range
@@ -4101,6 +4190,19 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS k_hi
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // calendar arms replayed in DuckDB interval arithmetic (both engines
+    // clamp add-month at end-of-month; week truncation is Monday-start
+    // in both)
+    "f_date_arith" ->
+      """SELECT o_orderpriority, COUNT(*) AS ct,
+        |  COUNT(DISTINCT date_trunc('month', CAST(o_orderdate AS TIMESTAMP))) AS months,
+        |  COUNT(DISTINCT date_trunc('week', CAST(o_orderdate AS TIMESTAMP))) AS weeks,
+        |  MIN(epoch_us(date_trunc('quarter', CAST(o_orderdate AS TIMESTAMP)))) AS min_q_us,
+        |  MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 MONTH)) AS max_plus1m_us,
+        |  MAX(epoch_us(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP))) AS max_eom_us,
+        |  CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-12-31')) AS BIGINT) AS days_to_eoy
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "f_regex_extract" ->
       """SELECT doc_id, regexp_extract(text, '([0-9]+)', 1) AS first_num
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -4202,6 +4304,16 @@ object SparkEntry {
         |  MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS min_date_us,
         |  MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS max_date_us
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // evolution truth: replay the generation rule over the one table —
+    // wrong null-fill or a dropped generation breaks the hash
+    "source_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'PRE_SCHEMA'
+        |            ELSE o_orderpriority END AS priority,
+        |  COUNT(*) AS ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  MIN(o_orderkey) AS min_key
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
 
     // XML round-trip truth is the ORIGINAL parquet (csv twin's contract)
     "source_xml_roundtrip" ->
@@ -4515,6 +4627,18 @@ object SparkEntry {
          |FROM events
          |GROUP BY 1, 2, CAST(CAST(ts AS TIMESTAMP) AS DATE)
          |ORDER BY dt, event_type""".stripMargin,
+
+    // null-to-null must MATCH (one more key value), not drop
+    "j13_nullsafe_join" ->
+      """WITH o AS (SELECT CASE WHEN o_custkey % 49 = 0 THEN NULL
+        |    ELSE o_custkey % 1000 END AS k, o_totalprice FROM orders),
+        |  c AS (SELECT CASE WHEN c_custkey % 25 = 0 THEN NULL
+        |    ELSE c_custkey % 1000 END AS k, c_acctbal FROM customer)
+        |SELECT COALESCE(CAST(o.k AS VARCHAR), 'NULLKEY') AS k,
+        |  COUNT(*) AS pairs,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+        |GROUP BY 1 ORDER BY k""".stripMargin,
 
     // pruning must not change the answer: truth = the plain date filter
     "j12_dpp" ->

@@ -253,4 +253,22 @@ class JoinsSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("maxBinsPerRange")), e.toString)
   }
+
+  test("null-safe equi-join (<=>): stays a hash join (no nested loop), " +
+    "and null keys MATCH instead of dropping (j13's plan claim)") {
+    val l = spark.range(100).select(
+      when(col("id") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 7).as("k"), col("id"))
+    val r = spark.range(50).select(
+      when(col("id") % 5 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 7).as("k"), col("id").as("rid"))
+    val j = l.join(r, l("k") <=> r("k"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(800))
+    // 10 null-keyed lefts x 10 null-keyed rights: one more key value
+    assert(j.filter(l("k").isNull).count() === 100L)
+    // and a plain equi-join drops that arm entirely
+    assert(l.join(r, l("k") === r("k")).filter(l("k").isNull).count() === 0L)
+  }
 }
