@@ -751,6 +751,43 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    // ── J14: temporal table join (Flink's FOR SYSTEM_TIME AS OF — the
+    // reference's versioned-dim lookup semantics, `OrderWide`'s dims
+    // done time-correctly): each fact joins the dim VERSION whose
+    // [effective_from, effective_to) interval contains the fact's event
+    // time — never today's value for yesterday's fact. Composes Scd.scd2
+    // (builds the intervals from a changelog) with an equi-key hash join
+    // + interval residual (the j6 as-of family; no nested loop — the key
+    // drives the join, the interval only filters). Two-version fixture:
+    // every customer has a v1; every third customer re-versions at
+    // 1998-01-01, so both the version-split and the never-changed arms
+    // carry volume.
+    "j14_temporal_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val v1 = c.select(col("c_custkey"),
+        lit("1992-01-01 00:00:00").cast("timestamp").as("ts"),
+        lit(1L).as("seq"), col("c_acctbal").as("bal"))
+      val v2 = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          lit("1998-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit(2L).as("seq"), (col("c_acctbal") + 100.0).as("bal"))
+      val hist = graft.operators.Scd.scd2(
+        v1.unionByName(v2), "c_custkey", "ts", "seq", Seq("bal"))
+      val facts = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").cast("timestamp").as("ft"))
+      facts.join(hist,
+          facts("o_custkey") === hist("c_custkey") &&
+            col("ft") >= col("effective_from") &&
+            (col("effective_to").isNull ||
+              col("ft") < col("effective_to")))
+        .groupBy(col("seq").as("version"))
+        .agg(count(lit(1)).as("ct"),
+          sum(dec("o_totalprice")).cast("double").as("price_sum"),
+          sum(col("bal").cast("decimal(18,2)")).cast("double").as("bal_sum"))
+        .orderBy(col("version"))
+    }),
+
     // ── J12: dynamic partition pruning — the star-schema runtime
     // pruning that makes dimension-filtered fact scans cheap at 100 TB:
     // the dim filter's key set is computed at runtime and injected as a
@@ -2240,6 +2277,46 @@ object SparkEntry {
             sum(dec("o_totalprice")).cast("double").as("price_sum"),
             min(col("o_orderkey")).as("min_key"))
           .orderBy(col("priority"))
+          .localCheckpoint(true)
+      } finally rm(base)
+    }),
+
+    // ── Hidden file-metadata columns (`_metadata.file_path`) — row-level
+    // provenance without a provenance column: which physical file did
+    // each row come from. The lakehouse debugging/audit primitive
+    // (quarantine a bad file, attribute a corrupt row) and the zero-cost
+    // lineage tier at 100 TB — the path rides the scan, no join, no
+    // extra storage. Fixture writes two single-file generations with a
+    // known key rule; the oracle replays the rule, so a wrong
+    // row-to-file attribution is a hash mismatch.
+    "source_file_metadata" -> ((s, dir) => {
+      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val base = s"$root/graft-meta-${System.nanoTime()}"
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      try {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderkey") % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/even")
+        o.filter(col("o_orderkey") % 2 =!= 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/odd")
+        s.read.parquet(s"$base/even", s"$base/odd")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            regexp_extract(col("_metadata.file_path"),
+              "/(even|odd)/", 1).as("gen"))
+          .groupBy(col("gen"))
+          .agg(count(lit(1)).as("ct"),
+            sum(dec("o_totalprice")).cast("double").as("price_sum"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy(col("gen"))
           .localCheckpoint(true)
       } finally rm(base)
     }),
@@ -4305,6 +4382,15 @@ object SparkEntry {
         |  MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS max_date_us
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // provenance truth: replay the even/odd file rule — a row attributed
+    // to the wrong file breaks the hash
+    "source_file_metadata" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS gen,
+        |  COUNT(*) AS ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY gen""".stripMargin,
+
     // evolution truth: replay the generation rule over the one table —
     // wrong null-fill or a dropped generation breaks the hash
     "source_schema_evolution" ->
@@ -4627,6 +4713,18 @@ object SparkEntry {
          |FROM events
          |GROUP BY 1, 2, CAST(CAST(ts AS TIMESTAMP) AS DATE)
          |ORDER BY dt, event_type""".stripMargin,
+
+    // time-correct version pick replayed as a CASE on the version rule
+    "j14_temporal_join" ->
+      """SELECT CAST(CASE WHEN CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1998-01-01'
+        |            AND c_custkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
+        |  COUNT(*) AS ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(CAST(CASE WHEN CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1998-01-01'
+        |            AND c_custkey % 3 = 0 THEN c_acctbal + 100.0
+        |            ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY version""".stripMargin,
 
     // null-to-null must MATCH (one more key value), not drop
     "j13_nullsafe_join" ->

@@ -271,4 +271,24 @@ class JoinsSpec extends SparkSpec {
     // and a plain equi-join drops that arm entirely
     assert(l.join(r, l("k") === r("k")).filter(l("k").isNull).count() === 0L)
   }
+
+  test("temporal (validity-interval) join: the equi key drives a hash " +
+    "join, the interval is residual — no nested loop (j14's plan claim)") {
+    val dim = Seq((1L, 10L, null.asInstanceOf[java.lang.Long], "v1"),
+      (2L, 0L, 50L.asInstanceOf[java.lang.Long], "v1"),
+      (2L, 50L, null.asInstanceOf[java.lang.Long], "v2"))
+      .toDF("k", "from_s", "to_s", "ver")
+    val facts = Seq((1L, 20L), (2L, 40L), (2L, 60L), (3L, 5L))
+      .toDF("k", "ft")
+    val j = facts.join(dim,
+      facts("k") === dim("k") && col("ft") >= col("from_s") &&
+        (col("to_s").isNull || col("ft") < col("to_s")))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(800))
+    // time-correct picks: fact@40 sees v1, fact@60 sees v2, unkeyed drops
+    val got = j.select(facts("k"), col("ft"), col("ver"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((1L, 20L, "v1"), (2L, 40L, "v1"), (2L, 60L, "v2")))
+  }
 }
