@@ -9,23 +9,16 @@ import org.apache.spark.sql.functions._
   * the same environment, so the median delta is attributable to the plan,
   * not the machine.
   *
-  * Round-12 arms (sf0.1 unless SPARK_GRAFT_SF_DIR overrides):
-  *   semantic_train / semantic_full — dedup_semantic's k-means training
-  *     alone vs the whole gate body (byte-identical via SparkEntry
-  *     .queries), to attribute the r11 driver-vs-builder 3.4× spread
-  *     (7.95 vs 2.32 s): if train ≈ full here, the spread is training
-  *     under ambient load; if full ≫ train, it's the pair/verdict plan.
-  *   simhash — dedup_simhash moved 1.25→2.01 s (1.61×) against the r11
-  *     0.615× tide on an UNCHANGED operator; reproduce or exonerate.
-  *   j1_sp8 / j1_sp2 — the stream-stream interval join (4 state stores
-  *     per partition, 10 state rows) at 8 vs 2 state partitions: is the
-  *     r11 3.5-4.3 s state_commit per-store fixed I/O (then sp2 ≈ sp8/4)
-  *     or per-batch fixed (then flat)?
-  *   tws_uv_sp8 / tws_uv_sp2 / tws_uv_changelog — transformWithState
-  *     uvDedup (RocksDB-bound) at 8 vs 2 partitions, and at 8 with
-  *     RocksDB changelog checkpointing (commit ships a changelog instead
-  *     of a full snapshot) — the three candidate levers for the tws
-  *     twins' 2.3× state-commit premium over FMGWS.
+  * Round-12 fourth-session arms (sf0.1 unless SPARK_GRAFT_SF_DIR
+  * overrides): the session's final bench (195 gates, 180.8 s) ran 15%
+  * over the morning 178-gate run (146.7 s) on UNCHANGED gates —
+  * `dedup_clusters` 3.07→3.91, `sim_topk_pq` 3.18→3.84 are the headline
+  * movers. Interleave both gate bodies (byte-identical via
+  * SparkEntry.queries): medians back in the morning family exonerate
+  * ambient load; reproduced 3.9 s means something real moved.
+  * (The earlier r12 arms — semantic_train/full, simhash, j1_sp*,
+  * tws_uv_* — are retired with their verdicts banked in BASELINE.md's
+  * "r11 driver-run drift attribution" section.)
   *
   * Prints one line per trial plus per-arm median/min; Bench-style hygiene
   * (unpersist, clearCache, GC) runs between trials so one arm's residue
@@ -87,19 +80,13 @@ object AbDrift {
       }
 
     val arms: Seq[(String, () => Long)] = Seq(
-      "semantic_train" -> (() =>
-        Similarity.trainCentroids(Tables.embeddings(spark, sfDir), k = 16,
-          iters = 2, sampleRate = 0.5).count()),
-      "semantic_full" -> (() =>
-        SparkEntry.queries("dedup_semantic")(spark, sfDir).count()),
-      "simhash" -> (() =>
-        SparkEntry.queries("dedup_simhash")(spark, sfDir).count()),
-      "j1_sp8" -> (() => j1(8)),
-      "j1_sp2" -> (() => j1(2)),
-      "tws_uv_sp8" -> (() => twsUv(8, changelog = false)),
-      "tws_uv_sp2" -> (() => twsUv(2, changelog = false)),
-      "tws_uv_changelog" -> (() => twsUv(8, changelog = true))
+      "dedup_clusters" -> (() =>
+        SparkEntry.queries("dedup_clusters")(spark, sfDir).count()),
+      "sim_topk_pq" -> (() =>
+        SparkEntry.queries("sim_topk_pq")(spark, sfDir).count())
     )
+    // retired earlier-r12 helpers kept compilable for arm re-activation
+    locally { val _ = (j1 _, twsUv _, Similarity) }
 
     // untimed warmup: compile every arm's plan once so trial 1 isn't
     // charged first-touch JIT (the exact artifact this harness de-noises)

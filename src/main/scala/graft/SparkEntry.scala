@@ -751,6 +751,24 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    // ── J15: LATERAL correlated subquery (top-N per outer row in SQL) —
+    // the per-row-subquery surface Catalyst decorrelates into a window
+    // rank under the hood (DecorrelateInnerQuery; q2 does the rewrite by
+    // hand, this gate hands the ENGINE the correlated form). Output is
+    // the top-2 price SUM per order, which depends only on the top-2
+    // price multiset — ties in price cannot change it, so no synthetic
+    // tie-break column is needed.
+    "j15_lateral_topn" -> ((s, dir) =>
+      s.sql(s"""SELECT o.o_orderkey,
+        |  CAST(SUM(CAST(l.price AS DECIMAL(18,2))) AS DOUBLE) AS top2_sum,
+        |  COUNT(*) AS ct
+        |FROM parquet.`$dir/orders.parquet` o,
+        |LATERAL (SELECT l_extendedprice AS price
+        |         FROM parquet.`$dir/lineitem.parquet`
+        |         WHERE l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC LIMIT 2) l
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin)),
+
     // ── J14: temporal table join (Flink's FOR SYSTEM_TIME AS OF — the
     // reference's versioned-dim lookup semantics, `OrderWide`'s dims
     // done time-correctly): each fact joins the dim VERSION whose
@@ -1176,6 +1194,27 @@ object SparkEntry {
           col("ct"), col("total"), col("g_pri"), col("g_st"))
         .orderBy(col("priority"), col("status"))),
 
+    // ── Recursive CTE (Spark 4's WITH RECURSIVE) — iterative graph/
+    // hierarchy traversal INSIDE one SQL query: walk the implicit binary
+    // tree parent(k) = (k-1) div 2 over contiguous custkeys from root 0
+    // and profile each depth level (~log2 n rounds; each round is one
+    // join against the anchor-accumulated frontier — the engine runs the
+    // same loop Graph.pageRank hand-rolls, planner-managed). Integer
+    // keys and decimal balance sums keep every engine's arithmetic
+    // exact; DuckDB replays the identical recursion.
+    "sql_recursive_cte" -> ((s, dir) =>
+      s.sql(s"""WITH RECURSIVE d(k, depth, bal) AS (
+        |  SELECT c_custkey, 0, CAST(c_acctbal AS DECIMAL(18,2))
+        |  FROM parquet.`$dir/customer.parquet` WHERE c_custkey = 0
+        |  UNION ALL
+        |  SELECT c.c_custkey, d.depth + 1, CAST(c.c_acctbal AS DECIMAL(18,2))
+        |  FROM parquet.`$dir/customer.parquet` c
+        |  JOIN d ON (c.c_custkey - 1) div 2 = d.k
+        |  WHERE c.c_custkey >= 1)
+        |SELECT depth, COUNT(*) AS ct, SUM(k) AS key_sum,
+        |  CAST(SUM(bal) AS DOUBLE) AS bal_sum
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin)),
+
     // ── A11: LAG window — per-user inter-event gaps (the session-gap
     // primitive as an analytic function). Exact integer microsecond sums
     // + ONE final division keep the double bit-identical across engines;
@@ -1307,6 +1346,61 @@ object SparkEntry {
           .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
             col("event_type"), col("ct"), col("users"))
           .orderBy(col("dt"), col("event_type"))
+          .localCheckpoint(true)
+      } finally rm(path)
+    }),
+
+    // ── K10: targeted delete (right-to-be-forgotten) — erase a set of
+    // users from an append-only store by rewriting ONLY the partitions
+    // their keys hash into; every other partition's files must come
+    // through byte-identical. Store = events partitioned by
+    // bucket = user_id mod 16; targets all live in bucket 3, so 15/16
+    // partitions must not churn. The untouched_ok verdict compares the
+    // full (name → size) file map outside bucket 3 before/after and the
+    // oracle pins it to 1 — a full-table rewrite (same rows, new files)
+    // FAILS this gate even though the row answer matches.
+    "k10_targeted_delete" -> ((s, dir) => {
+      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val path = s"$root/graft-erase-${System.nanoTime()}"
+      def rm(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(path))
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(f => f.getPath -> f.length()).toMap
+      }
+      try {
+        val ev = Tables.events(s, dir)
+          .withColumn("bucket", pmod(col("user_id"), lit(16L)))
+        ev.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        val before = files()
+        val targets = ev
+          .filter(col("bucket") === 3 && col("user_id") % 5 === 0)
+          .select(col("user_id"), col("bucket")).distinct()
+        graft.operators.Erasure.deleteKeys(s, path, "bucket", "user_id",
+          targets)
+        val after = files()
+        def outside(m: Map[String, Long]) =
+          m.filter { case (p, _) => !p.contains("bucket=3") }
+        val untouchedOk = outside(before) == outside(after)
+        s.read.parquet(path)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("ct"),
+            countDistinct(col("user_id")).as("users"))
+          .withColumn("untouched_ok", lit(if (untouchedOk) 1L else 0L))
+          .orderBy(col("event_type"))
           .localCheckpoint(true)
       } finally rm(path)
     }),
@@ -4617,6 +4711,20 @@ object SparkEntry {
         |FROM orders GROUP BY CUBE (o_orderpriority, year(o_orderdate))
         |ORDER BY priority, o_year""".stripMargin,
 
+    // identical recursion replayed (// is DuckDB's integer division)
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE d(k, depth, bal) AS (
+        |  SELECT c_custkey, 0, CAST(c_acctbal AS DECIMAL(18,2))
+        |  FROM customer WHERE c_custkey = 0
+        |  UNION ALL
+        |  SELECT c.c_custkey, d.depth + 1, CAST(c.c_acctbal AS DECIMAL(18,2))
+        |  FROM customer c JOIN d ON (c.c_custkey - 1) // 2 = d.k
+        |  WHERE c.c_custkey >= 1)
+        |SELECT depth, CAST(COUNT(*) AS BIGINT) AS ct,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  CAST(SUM(bal) AS DOUBLE) AS bal_sum
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin,
+
     "a23_grouping_sets" ->
       """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
         |  COALESCE(o_orderstatus, 'ALL') AS status,
@@ -4714,6 +4822,18 @@ object SparkEntry {
          |GROUP BY 1, 2, CAST(CAST(ts AS TIMESTAMP) AS DATE)
          |ORDER BY dt, event_type""".stripMargin,
 
+    // DuckDB runs the SAME correlated form — engine-vs-engine on the
+    // decorrelation itself
+    "j15_lateral_topn" ->
+      """SELECT o.o_orderkey,
+        |  CAST(SUM(CAST(l.price AS DECIMAL(18,2))) AS DOUBLE) AS top2_sum,
+        |  COUNT(*) AS ct
+        |FROM orders o,
+        |LATERAL (SELECT l_extendedprice AS price FROM lineitem
+        |         WHERE l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC LIMIT 2) l
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
+
     // time-correct version pick replayed as a CASE on the version rule
     "j14_temporal_join" ->
       """SELECT CAST(CASE WHEN CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1998-01-01'
@@ -4745,6 +4865,16 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-05'
         |GROUP BY 1, 2 ORDER BY dt, event_type""".stripMargin,
+
+    // survivors = everyone outside the target predicate; untouched_ok is
+    // pinned to 1 (15/16 partitions byte-identical)
+    "k10_targeted_delete" ->
+      """SELECT event_type, COUNT(*) AS ct,
+        |  COUNT(DISTINCT user_id) AS users,
+        |  CAST(1 AS BIGINT) AS untouched_ok
+        |FROM events
+        |WHERE NOT (user_id % 16 = 3 AND user_id % 5 = 0)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // compaction must preserve rows byte-exactly: truth is the ORIGINAL
     // parquet, not the fragmented copy

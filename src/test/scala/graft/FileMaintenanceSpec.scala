@@ -79,6 +79,47 @@ class FileMaintenanceSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("Erasure.deleteKeys: fully-erased partition directory is swept " +
+    "(dynamic overwrite alone would silently keep its files), " +
+    "untouched partitions keep their exact files") {
+    val store = tmpDir("erase")
+    try {
+      spark.range(0, 300)
+        .select(col("id").as("user_id"), (col("id") % 3).as("bucket"),
+          (col("id") * 7).as("v"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(store)
+      def files(sub: String): Set[(String, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(store, sub))
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(f => f.getPath -> f.length()).toSet
+      }
+      val b0Before = files("bucket=0")
+      // targets: EVERY key of bucket 1, plus a slice of bucket 2
+      val targets = spark.range(0, 300)
+        .select(col("id").as("user_id"), (col("id") % 3).as("bucket"))
+        .filter(col("bucket") === 1 ||
+          (col("bucket") === 2 && col("id") < 100))
+      val affected = operators.Erasure.deleteKeys(
+        spark, store, "bucket", "user_id", targets)
+      assert(affected.toSet === Set(1L, 2L))
+      // bucket 1 erased entirely -> its directory must be GONE
+      assert(!new java.io.File(store, "bucket=1").exists())
+      // bucket 0 untouched byte-for-byte; bucket 2 partially kept
+      assert(files("bucket=0") === b0Before)
+      val back = spark.read.parquet(store)
+      assert(back.filter(col("bucket") === 1).count() === 0L)
+      assert(back.count() === 300L - 100L - 33L) // bucket1=100, b2 slice=33
+      // survivors' payload intact
+      assert(back.filter(col("user_id") === 299).select(col("v"))
+        .head().getLong(0) === 299L * 7)
+    } finally rm(store)
+  }
+
   test("ORC scan prunes like parquet: filter lands in PushedFilters, " +
     "projection narrows the read schema") {
     val dir = tmpDir("orc")
