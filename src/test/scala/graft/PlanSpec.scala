@@ -498,4 +498,23 @@ class PlanSpec extends SparkSpec {
     // the only nested-loop is the single-row corpus-stats broadcast
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
   }
+
+  test("j15_lateral_topn: the correlated LATERAL decorrelates to a " +
+    "window rank over ONE hash join — not a per-outer-row rescan") {
+    val p = plan("j15_lateral_topn")
+    assert(p.contains("Window"), p.take(1200))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("j14_temporal_join: equi key drives a hash join, the validity " +
+    "interval is residual — no nested loop") {
+    val p = plan("j14_temporal_join")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
 }
