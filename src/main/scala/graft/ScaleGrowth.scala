@@ -333,26 +333,38 @@ object ScaleGrowth {
       // the ratio is the pruning win and it widens with fact size
       val ev = spark.read.parquet(s"$dir/events.parquet")
         .withColumn("dt", to_date(col("ts")))
-      val path = s"$dir/events_by_day.parquet"
-      ev.write.mode("overwrite").partitionBy("dt").parquet(path)
-      val fact = spark.read.parquet(path)
-      val dim = spark.range(0, 30)
-        .select(date_add(lit("2024-01-01").cast("date"),
-          col("id").cast("int")).as("dt"), (col("id") + 1).as("day_no"))
-        .filter(col("day_no") <= 5)
-      def run(): Long = fact.join(dim, "dt")
-        .groupBy(col("dt")).agg(count(lit(1))).count()
-      val t0 = System.nanoTime()
-      val n = run()
-      val prunedSec = (System.nanoTime() - t0) / 1e9
-      val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
-      spark.conf.set(key, "false")
-      val t1 = System.nanoTime()
-      val fullSec = try { run(); (System.nanoTime() - t1) / 1e9 }
-        finally spark.conf.set(key, "true")
-      (prunedSec, n,
-        f"days=$n (flat: 5 at any R); dpp=$prunedSec%.2fs vs " +
-          f"no-dpp=$fullSec%.2fs same scale")
+      val path = s"$dir/events_by_day-${System.nanoTime()}"
+      def rmAll(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .foreach(rmAll)
+        f.delete(); ()
+      }
+      try {
+        ev.write.mode("overwrite").partitionBy("dt").parquet(path)
+        val fact = spark.read.parquet(path)
+        val dim = spark.range(0, 30)
+          .select(date_add(lit("2024-01-01").cast("date"),
+            col("id").cast("int")).as("dt"), (col("id") + 1).as("day_no"))
+          .filter(col("day_no") <= 5)
+        def run(): Long = fact.join(dim, "dt")
+          .groupBy(col("dt")).agg(count(lit(1))).count()
+        val t0 = System.nanoTime()
+        val n = run()
+        val prunedSec = (System.nanoTime() - t0) / 1e9
+        val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+        val beforeConf = spark.conf.getOption(key)
+        spark.conf.set(key, "false")
+        val t1 = System.nanoTime()
+        val fullSec = try { run(); (System.nanoTime() - t1) / 1e9 }
+          finally beforeConf match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        (prunedSec, n,
+          f"days=$n (flat: 5 at any R); dpp=$prunedSec%.2fs vs " +
+            f"no-dpp=$fullSec%.2fs same scale")
+      } finally rmAll(new java.io.File(path))
     })
   }
 

@@ -27,6 +27,23 @@ object SparkEntry {
   private def dec(c: String): org.apache.spark.sql.Column =
     col(c).cast("decimal(18,2)")
 
+  /** tmpfs root for gate-scoped throwaway stores (same /dev/shm-or-tmpdir
+    * rule as Sources.ensureEventsSplit). */
+  private def shmRoot: String =
+    if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+    else System.getProperty("java.io.tmpdir")
+
+  /** Recursive delete for gate-scoped throwaway dirs (every gate that
+    * stages a fixture sweeps it here, success or failure). */
+  private def rmTree(p: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+      f.delete(); ()
+    }
+    go(new java.io.File(p))
+  }
+
   /** Runs `body` with the RocksDB state-store provider set, restoring the
     * previous provider after. The big-state posture for the *_rocksdb /
     * *_tws gates (transformWithState requires this provider); `body` must
@@ -691,19 +708,10 @@ object SparkEntry {
     // tables + files can be swept in finally. Oracle: the plain join —
     // layout must not change the answer.
     "j11_bucketed_join" -> ((s, dir) => {
-      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
+      val root = shmRoot
       val uniq = System.nanoTime()
       val (ltab, rtab) = (s"graft_bkt_li_$uniq", s"graft_bkt_ord_$uniq")
       val (lpath, rpath) = (s"$root/$ltab", s"$root/$rtab")
-      def rm(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(p))
-      }
       try {
         graft.operators.Bucketing.writeBucketed(
           Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice")),
@@ -722,7 +730,7 @@ object SparkEntry {
       } finally {
         graft.operators.Bucketing.drop(s, ltab)
         graft.operators.Bucketing.drop(s, rtab)
-        rm(lpath); rm(rpath)
+        rmTree(lpath); rmTree(rpath)
       }
     }),
 
@@ -816,17 +824,8 @@ object SparkEntry {
     // dynamicpruning subquery in the fact scan's partition filters;
     // the oracle pins the answer.
     "j12_dpp" -> ((s, dir) => {
-      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
+      val root = shmRoot
       val path = s"$root/graft-dpp-${System.nanoTime()}"
-      def rm(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(p))
-      }
       try {
         Tables.events(s, dir)
           .withColumn("dt", to_date(col("ts")))
@@ -844,7 +843,7 @@ object SparkEntry {
             countDistinct(col("user_id")).as("users"))
           .orderBy(col("dt"), col("event_type"))
           .localCheckpoint(true)
-      } finally rm(path)
+      } finally rmTree(path)
     }),
 
     // ── TPC-H Q2 shape: correlated "best row per group" subquery,
@@ -1320,17 +1319,8 @@ object SparkEntry {
     // (hash mismatch). Counting columns only (ct/users) — no double
     // sums ride the store.
     "k8_partition_backfill" -> ((s, dir) => {
-      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
+      val root = shmRoot
       val path = s"$root/graft-backfill-${System.nanoTime()}"
-      def rm(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(p))
-      }
       val (dayX, dayY) = ("2024-01-05", "2024-01-09")
       try {
         val truth = Tables.events(s, dir)
@@ -1347,7 +1337,7 @@ object SparkEntry {
             col("event_type"), col("ct"), col("users"))
           .orderBy(col("dt"), col("event_type"))
           .localCheckpoint(true)
-      } finally rm(path)
+      } finally rmTree(path)
     }),
 
     // ── K10: targeted delete (right-to-be-forgotten) — erase a set of
@@ -1360,17 +1350,8 @@ object SparkEntry {
     // oracle pins it to 1 — a full-table rewrite (same rows, new files)
     // FAILS this gate even though the row answer matches.
     "k10_targeted_delete" -> ((s, dir) => {
-      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
+      val root = shmRoot
       val path = s"$root/graft-erase-${System.nanoTime()}"
-      def rm(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(p))
-      }
       def files(): Map[String, Long] = {
         def walk(f: java.io.File): Seq[java.io.File] =
           if (f.isDirectory)
@@ -1402,7 +1383,7 @@ object SparkEntry {
           .withColumn("untouched_ok", lit(if (untouchedOk) 1L else 0L))
           .orderBy(col("event_type"))
           .localCheckpoint(true)
-      } finally rm(path)
+      } finally rmTree(path)
     }),
 
     // ── K9: small-file compaction — the maintenance pass for fragmented
@@ -1415,27 +1396,19 @@ object SparkEntry {
     // parquet, so a dropped/duplicated row in the rewrite is a hash
     // mismatch; CompactionSpec pins the file-count mechanics.
     "k9_compaction" -> ((s, dir) => {
-      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
+      val root = shmRoot
       val uniq = System.nanoTime()
       val fragPath = s"$root/graft-frag-$uniq"
       val compactPath = s"$root/graft-compact-$uniq"
-      def rm(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(p))
-      }
       try {
         Tables.orders(s, dir).repartition(48)
           .write.mode("overwrite").parquet(fragPath)
         val (bytes, _) =
           graft.operators.Compaction.dataFileStats(s, fragPath)
-        // target ≈ an eighth of the input ⇒ ~8 even-sized outputs
+        // target ≈ an eighth of the input ⇒ ~8 even-sized outputs; the
+        // listing above is reused (knownBytes), not repeated
         graft.operators.Compaction.compact(s, fragPath, compactPath,
-          targetBytes = math.max(1L, bytes / 8))
+          targetBytes = math.max(1L, bytes / 8), knownBytes = Some(bytes))
         s.read.parquet(compactPath)
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("ct"),
@@ -1444,7 +1417,7 @@ object SparkEntry {
             max(col("o_orderkey")).as("max_key"))
           .orderBy(col("o_orderpriority"))
           .localCheckpoint(true)
-      } finally { rm(fragPath); rm(compactPath) }
+      } finally { rmTree(fragPath); rmTree(compactPath) }
     }),
 
     // ── PageRank (3 iterations) in exact integer micro-units: the
@@ -2157,8 +2130,7 @@ object SparkEntry {
         StructField("c_name", StringType),
         StructField("c_acctbal", DoubleType),
         StructField("version", LongType)))
-      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
+      val root = shmRoot
       val uniq = System.nanoTime()
       val stagePath = s"$root/graft-cdc-stage-$uniq"
       val routed = graft.streaming.Sources.cdcAfter(
@@ -2170,14 +2142,6 @@ object SparkEntry {
         "customer", payloadSchema)
       val dimPath = s"$root/graft-cdc-dim-$uniq"
       val ckptPath = s"$root/graft-cdc-ckpt-$uniq"
-      def rm(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(p))
-      }
       // sweep the throwaway dirs even when the query or the dim read
       // throws — leaked tmpfs copies accumulate across failed trials
       try {
@@ -2194,7 +2158,7 @@ object SparkEntry {
           .orderBy(col("c_custkey"))
           .localCheckpoint(true)
       } finally {
-        rm(dimPath); rm(ckptPath); rm(stagePath)
+        rmTree(dimPath); rmTree(ckptPath); rmTree(stagePath)
       }
     }),
 
@@ -2205,17 +2169,8 @@ object SparkEntry {
     // parquet, so any quoting/header/type-inference drift in the CSV
     // path is a hash mismatch. Materialized so the tmpfs copy sweeps.
     "source_csv_roundtrip" -> ((s, dir) => {
-      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
+      val root = shmRoot
       val path = s"$root/graft-csv-${System.nanoTime()}"
-      def rm(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(p))
-      }
       try {
         val base = Tables.customer(s, dir)
         base.write.mode("overwrite").option("header", "true").csv(path)
@@ -2226,7 +2181,7 @@ object SparkEntry {
             countDistinct(col("c_nationkey")).as("nations"))
           .orderBy(col("c_mktsegment"))
           .localCheckpoint(true)
-      } finally rm(path)
+      } finally rmTree(path)
     }),
 
     // ── JSON-lines source round-trip: the reference's native log format
@@ -2236,17 +2191,8 @@ object SparkEntry {
     // extrema per event type, so a truncated fraction or a timezone
     // shift fails the hash, not just a spot check.
     "source_jsonl_roundtrip" -> ((s, dir) => {
-      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
+      val root = shmRoot
       val path = s"$root/graft-jsonl-${System.nanoTime()}"
-      def rm(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(p))
-      }
       val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
       try {
         val base = Tables.events(s, dir)
@@ -2259,7 +2205,7 @@ object SparkEntry {
             max(unix_micros(col("ts"))).as("max_us"))
           .orderBy(col("event_type"))
           .localCheckpoint(true)
-      } finally rm(path)
+      } finally rmTree(path)
     }),
 
     // ── ORC source round-trip: the second columnar format a lakehouse
@@ -2271,17 +2217,8 @@ object SparkEntry {
     // surface). SourceFormatsSpec pins predicate pushdown reaches the
     // ORC scan, same as parquet.
     "source_orc_roundtrip" -> ((s, dir) => {
-      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
+      val root = shmRoot
       val path = s"$root/graft-orc-${System.nanoTime()}"
-      def rm(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(p))
-      }
       try {
         val base = Tables.orders(s, dir)
         base.write.mode("overwrite").orc(path)
@@ -2299,7 +2236,7 @@ object SparkEntry {
               .as("max_date_us"))
           .orderBy(col("o_orderpriority"))
           .localCheckpoint(true)
-      } finally rm(path)
+      } finally rmTree(path)
     }),
 
     // ── XML source round-trip (Spark 4's built-in XML datasource — the
@@ -2309,17 +2246,8 @@ object SparkEntry {
     // shortest-round-trip reprs (the CSV twin's contract); the string
     // column rides escaping.
     "source_xml_roundtrip" -> ((s, dir) => {
-      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
+      val root = shmRoot
       val path = s"$root/graft-xml-${System.nanoTime()}"
-      def rm(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(p))
-      }
       try {
         val base = Tables.customer(s, dir)
         base.write.mode("overwrite").option("rowTag", "customer").xml(path)
@@ -2331,7 +2259,7 @@ object SparkEntry {
             max(length(col("c_name"))).cast("long").as("max_name_len"))
           .orderBy(col("c_mktsegment"))
           .localCheckpoint(true)
-      } finally rm(path)
+      } finally rmTree(path)
     }),
 
     // ── Schema evolution across parquet generations: a long-lived
@@ -2343,17 +2271,8 @@ object SparkEntry {
     // generation rule, so a wrong null-fill or a dropped generation is a
     // hash mismatch.
     "source_schema_evolution" -> ((s, dir) => {
-      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
+      val root = shmRoot
       val base = s"$root/graft-evo-${System.nanoTime()}"
-      def rm(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(p))
-      }
       try {
         val o = Tables.orders(s, dir)
         o.filter(col("o_orderkey") % 2 === 0)
@@ -2372,7 +2291,7 @@ object SparkEntry {
             min(col("o_orderkey")).as("min_key"))
           .orderBy(col("priority"))
           .localCheckpoint(true)
-      } finally rm(base)
+      } finally rmTree(base)
     }),
 
     // ── Hidden file-metadata columns (`_metadata.file_path`) — row-level
@@ -2384,17 +2303,8 @@ object SparkEntry {
     // known key rule; the oracle replays the rule, so a wrong
     // row-to-file attribution is a hash mismatch.
     "source_file_metadata" -> ((s, dir) => {
-      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
+      val root = shmRoot
       val base = s"$root/graft-meta-${System.nanoTime()}"
-      def rm(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(p))
-      }
       try {
         val o = Tables.orders(s, dir)
         o.filter(col("o_orderkey") % 2 === 0).coalesce(1)
@@ -2412,7 +2322,7 @@ object SparkEntry {
             max(col("o_orderkey")).as("max_key"))
           .orderBy(col("gen"))
           .localCheckpoint(true)
-      } finally rm(base)
+      } finally rmTree(base)
     }),
 
     // ── ANALYZE-style table profile: per-column counts/nulls/NDV/range
@@ -2521,17 +2431,8 @@ object SparkEntry {
     // auto-created (absent before batch 2) — a failed auto-create throws,
     // a mis-rout leaves dim_ct/kafka_ct off by a cohort.
     "k5_auto_ddl" -> ((s, dir) => {
-      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
+      val root = shmRoot
       val dimRoot = s"$root/graft-k5-dim-${System.nanoTime()}"
-      def rm(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(p))
-      }
       def cfg(sinkType: String, sinkTable: String): DataFrame =
         s.createDataFrame(Seq(
           ("customer", "insert", sinkType, sinkTable, "c_custkey",
@@ -2570,7 +2471,7 @@ object SparkEntry {
             col("dim_cols_csv"),
             lit(if (absentBefore) 1L else 0L).as("auto_created"))
           .localCheckpoint(true) // materialize before the finally sweep
-      } finally rm(dimRoot)
+      } finally rmTree(dimRoot)
     }),
 
     // ── A9: sliding (hopping) 60s/30s window — each event lands in two
@@ -3493,17 +3394,8 @@ object SparkEntry {
     "stream_dedup_replay" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       def part(i: Int) = ev.filter(pmod(col("event_id"), lit(3L)) === i)
-      val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
+      val root = shmRoot
       val stage = s"$root/graft-replay-${System.nanoTime()}"
-      def rm(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
-          f.delete(); ()
-        }
-        go(new java.io.File(p))
-      }
       try {
         val stream = graft.streaming.Sources.stagedChunkStream(s,
           Seq(part(0), part(1).unionByName(part(0)),
@@ -3520,7 +3412,7 @@ object SparkEntry {
             count_distinct(col("user_id")).as("users"))
           .orderBy(col("event_type"))
           .localCheckpoint(true)
-      } finally rm(stage)
+      } finally rmTree(stage)
     }),
 
     // ── T2 streaming under the RocksDB state store: byte-identical

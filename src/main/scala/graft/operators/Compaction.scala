@@ -33,7 +33,10 @@ object Compaction {
     var n = 0
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && !f.getPath.getName.startsWith("_")) {
+      val name = f.getPath.getName
+      // skip markers AND hidden files (.part-*.crc on RawLocalFileSystem,
+      // object-store .pending files) — same filter as every gate walker
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
         bytes += f.getLen; n += 1
       }
     }
@@ -54,8 +57,11 @@ object Compaction {
     * compactor heuristic — exact output sizing would need a second
     * write pass). */
   def compact(spark: SparkSession, inDir: String, outDir: String,
-      targetBytes: Long): Int = {
-    val (bytes, _) = dataFileStats(spark, inDir)
+      targetBytes: Long, knownBytes: Option[Long] = None): Int = {
+    // callers that already listed the input (sizing the target from its
+    // bytes) pass the total through — listing is the expensive call on
+    // HDFS/S3, exactly what compaction exists to reduce
+    val bytes = knownBytes.getOrElse(dataFileStats(spark, inDir)._1)
     val n = plannedFiles(bytes, targetBytes)
     spark.read.parquet(inDir)
       .repartition(n)

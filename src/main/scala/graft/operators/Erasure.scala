@@ -35,6 +35,13 @@ object Erasure {
     */
   def deleteKeys(spark: SparkSession, storeDir: String, partCol: String,
       keyCol: String, targets: DataFrame): Seq[Any] = {
+    // a NULL partition value would silently survive every step below
+    // (null-unsafe isin, null-keyed directory): an erasure pass must
+    // fail loudly instead — a key-derived bucket column has no business
+    // being null, and a silently-skipped target is a compliance bug
+    require(targets.filter(col(partCol).isNull).isEmpty,
+      s"deleteKeys: targets carry NULL $partCol values — fix the " +
+        "partition derivation upstream; nulls cannot be erased silently")
     val affected = targets.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (affected.nonEmpty) {
@@ -48,14 +55,27 @@ object Erasure {
       // dynamic overwrite only replaces partitions PRESENT in the new
       // data: a partition whose every row was deleted writes nothing and
       // would silently keep its old files — the one failure mode an
-      // erasure pass must not have. Sweep those directories explicitly.
-      val remaining = kept.select(col(partCol)).distinct()
-        .collect().map(_.get(0)).toSet
-      val fs = new org.apache.hadoop.fs.Path(storeDir)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      affected.filterNot(remaining).foreach { v =>
-        val dir = new org.apache.hadoop.fs.Path(storeDir, s"$partCol=$v")
-        if (fs.exists(dir)) { fs.delete(dir, true); () }
+      // erasure pass must not have. Sweep those directories explicitly,
+      // resolving them from the store's ACTUAL directory names (decoded
+      // via the same escaping Spark's writer applied — a string value
+      // like "US East" lives under partCol=US%20East, so building the
+      // path from the raw value would miss it).
+      val remainingStr = kept
+        .select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val goneStr = targets.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet -- remainingStr
+      if (goneStr.nonEmpty) {
+        val storePath = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(storePath).filter(_.isDirectory).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith(s"$partCol=")) {
+            val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(name.substring(partCol.length + 1))
+            if (goneStr.contains(v)) { fs.delete(st.getPath, true); () }
+          }
+        }
       }
       kept.unpersist()
       ()

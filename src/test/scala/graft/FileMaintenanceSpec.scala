@@ -120,6 +120,36 @@ class FileMaintenanceSpec extends SparkSpec {
     } finally rm(store)
   }
 
+  test("Erasure.deleteKeys: escaped string partition values sweep the " +
+    "REAL directory (region=US%20East), and null partition targets are " +
+    "rejected loudly instead of silently surviving") {
+    val store = tmpDir("erase-esc")
+    try {
+      spark.range(0, 60)
+        .select(col("id").as("user_id"),
+          when(col("id") % 2 === 0, lit("EU:West")).otherwise(lit("US East"))
+            .as("region"))
+        .write.mode("overwrite").partitionBy("region").parquet(store)
+      // the writer escapes the colon: the directory is region=EU%3AWest
+      assert(new java.io.File(store, "region=EU%3AWest").exists())
+      // erase EVERY key of "EU:West" — the swept dir must be the ESCAPED
+      // name (building the path from the raw value would miss it)
+      val targets = spark.range(0, 60).filter(col("id") % 2 === 0)
+        .select(col("id").as("user_id"), lit("EU:West").as("region"))
+      operators.Erasure.deleteKeys(spark, store, "region", "user_id", targets)
+      assert(!new java.io.File(store, "region=EU%3AWest").exists(),
+        "fully-erased escaped partition must be swept")
+      assert(spark.read.parquet(store).count() === 30L)
+      val nullTargets = spark.range(0, 3)
+        .select(col("id").as("user_id"),
+          lit(null).cast("string").as("region"))
+      val e = intercept[IllegalArgumentException](
+        operators.Erasure.deleteKeys(spark, store, "region", "user_id",
+          nullTargets))
+      assert(e.getMessage.contains("NULL region"), e.getMessage)
+    } finally rm(store)
+  }
+
   test("ORC scan prunes like parquet: filter lands in PushedFilters, " +
     "projection narrows the read schema") {
     val dir = tmpDir("orc")
