@@ -814,6 +814,52 @@ object SparkEntry {
         .orderBy(col("version"))
     }),
 
+    // ── J14 streaming twin: temporal enrich as a STREAM-STATIC join —
+    // the reference's production shape (OrderWide's dim lookups) done
+    // time-correctly: each arriving fact joins the SCD2 version valid at
+    // ITS event time, not the dim's latest value. Stream-static inner
+    // joins are stateless on the stream side (no watermark, no join
+    // state — the static side is just a build relation per micro-batch),
+    // so this costs what the batch join costs, re-planned per batch.
+    // Same oracle as j14 — the execution mode must not change the answer.
+    "stream_j14_temporal" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val v1 = c.select(col("c_custkey"),
+        lit("1992-01-01 00:00:00").cast("timestamp").as("ts"),
+        lit(1L).as("seq"), col("c_acctbal").as("bal"))
+      val v2 = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          lit("1998-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit(2L).as("seq"), (col("c_acctbal") + 100.0).as("bal"))
+      val hist = graft.operators.Scd.scd2(
+        v1.unionByName(v2), "c_custkey", "ts", "seq", Seq("bal"))
+      val facts = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").cast("timestamp").as("ft"))
+      def part(i: Int) = facts.filter(pmod(col("o_custkey"), lit(3L)) === i)
+      val stage = s"$shmRoot/graft-tmpj-${System.nanoTime()}"
+      try {
+        val stream = graft.streaming.Sources.stagedChunkStream(s,
+          Seq(part(0), part(1), part(2)), Some(stage))
+        graft.streaming.StreamRunner.collect(
+          stream.join(hist,
+            stream("o_custkey") === hist("c_custkey") &&
+              col("ft") >= col("effective_from") &&
+              (col("effective_to").isNull ||
+                col("ft") < col("effective_to")))
+            .select(col("seq").as("version"), col("o_totalprice"),
+              col("bal")),
+          statePartitions = 2)
+          .groupBy(col("version"))
+          .agg(count(lit(1)).as("ct"),
+            sum(dec("o_totalprice")).cast("double").as("price_sum"),
+            sum(col("bal").cast("decimal(18,2)")).cast("double")
+              .as("bal_sum"))
+          .orderBy(col("version"))
+          .localCheckpoint(true)
+      } finally rmTree(stage)
+    }),
+
     // ── J12: dynamic partition pruning — the star-schema runtime
     // pruning that makes dimension-filtered fact scans cheap at 100 TB:
     // the dim filter's key set is computed at runtime and injected as a
@@ -1213,6 +1259,33 @@ object SparkEntry {
         |SELECT depth, COUNT(*) AS ct, SUM(k) AS key_sum,
         |  CAST(SUM(bal) AS DOUBLE) AS bal_sum
         |FROM d GROUP BY depth ORDER BY depth""".stripMargin)),
+
+    // ── A24: window navigation with IGNORE NULLS — first/last/nth
+    // non-null observation per user over a sparse column (the
+    // fill-forward family: a sensor that only sometimes reports). The
+    // full-frame spec makes every row of a user agree, so one distinct
+    // collapses to per-user rows; (ts, event_id) total order makes the
+    // picks deterministic. Nulls are injected on a derived column so the
+    // ignore-nulls arm demonstrably skips real rows.
+    "a24_window_nav" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(get_json_object(col("props"), "$.k").cast("long"))
+            .as("k"))
+        .select(col("user_id"),
+          first(col("k"), ignoreNulls = true).over(w).as("first_k"),
+          last(col("k"), ignoreNulls = true).over(w).as("last_k"),
+          nth_value(col("k"), 2, ignoreNulls = true).over(w).as("second_k"),
+          count(col("k")).over(w).as("nonnull_ct"))
+        .distinct()
+        .orderBy(col("user_id"))
+    }),
 
     // ── A11: LAG window — per-user inter-event gaps (the session-gap
     // primitive as an analytic function). Exact integer microsecond sums
@@ -4617,6 +4690,25 @@ object SparkEntry {
         |  CAST(SUM(bal) AS DOUBLE) AS bal_sum
         |FROM d GROUP BY depth ORDER BY depth""".stripMargin,
 
+    // DuckDB's IGNORE NULLS rides inside the function call; same
+    // full-frame spec, same (ts, event_id) total order
+    "a24_window_nav" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         ELSE CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    END AS k
+        |  FROM events)
+        |SELECT DISTINCT user_id,
+        |  first_value(k IGNORE NULLS) OVER w AS first_k,
+        |  last_value(k IGNORE NULLS) OVER w AS last_k,
+        |  nth_value(k, 2 IGNORE NULLS) OVER w AS second_k,
+        |  CAST(COUNT(k) OVER w AS BIGINT) AS nonnull_ct
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin,
+
     "a23_grouping_sets" ->
       """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
         |  COALESCE(o_orderstatus, 'ALL') AS status,
@@ -4728,6 +4820,18 @@ object SparkEntry {
 
     // time-correct version pick replayed as a CASE on the version rule
     "j14_temporal_join" ->
+      """SELECT CAST(CASE WHEN CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1998-01-01'
+        |            AND c_custkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
+        |  COUNT(*) AS ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(CAST(CASE WHEN CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1998-01-01'
+        |            AND c_custkey % 3 = 0 THEN c_acctbal + 100.0
+        |            ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY version""".stripMargin,
+
+    // same truth as j14: execution mode must not change the answer
+    "stream_j14_temporal" ->
       """SELECT CAST(CASE WHEN CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1998-01-01'
         |            AND c_custkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
         |  COUNT(*) AS ct,
