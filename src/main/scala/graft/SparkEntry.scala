@@ -3488,6 +3488,40 @@ object SparkEntry {
       } finally rmTree(stage)
     }),
 
+    // ── Offline state-store introspection (Spark 4's `statestore` data
+    // source): read a stopped stream's STATE — not its output — straight
+    // from the checkpoint. The ops surface a production deployment needs
+    // (debug a wedged key, audit state before a migration, verify a TTL
+    // policy actually evicted) without replaying the stream. The gate
+    // runs T2's uvDedup to completion, then reads its per-user
+    // ValueState back: state holds the LAST deduped date per user, which
+    // is exactly max(date) per user — an offline SQL truth, so the
+    // oracle checks the state CONTENT, not just its shape.
+    "stream_state_reader" -> ((s, dir) => {
+      val ckpt = s"$shmRoot/graft-srckpt-${System.nanoTime()}"
+      val sink = s"graft_sr_${System.nanoTime()}"
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val q = graft.streaming.StatefulStreams.uvDedup(
+          graft.streaming.Sources.eventsStreamSplit(s, dir))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.format("statestore").load(ckpt)
+          .select(col("key.value").as("user_id"),
+            col("value.groupState.value").as("last_dt"))
+          .orderBy(col("user_id"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", before)
+        s.catalog.dropTempView(sink)
+        rmTree(ckpt)
+      }
+    }),
+
     // ── T2 streaming under the RocksDB state store: byte-identical
     // semantics to stream_t2_uv_dedup (same oracle), run with the
     // big-state provider a production deployment uses once state
@@ -6136,6 +6170,13 @@ object SparkEntry {
         |  COUNT(DISTINCT event_id) AS ids,
         |  COUNT(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the state CONTENT is an offline truth: last deduped date per user
+    // = max(date) per user
+    "stream_state_reader" ->
+      """SELECT user_id,
+        |  max(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS last_dt
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "stream_t2_uv_dedup" ->
       """WITH f AS (SELECT user_id,
