@@ -1287,6 +1287,27 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── A25: exponential moving average per user — the order-sensitive
+    // per-key fold analytics engines expose as an EMA/decay primitive.
+    // A window-function closed form ((1-a)^(-j) weights) overflows doubles
+    // on long series, so both engines run the SAME sequential fold over
+    // the (ts, event_id)-sorted value list (Spark `aggregate` HOF, DuckDB
+    // `list_reduce`, seed = first element): identical IEEE op sequence,
+    // bitwise-equal doubles, no tolerance needed. Per-key arrays are
+    // bounded by events-per-user; unbounded keys take the streaming
+    // stateful path instead.
+    "a25_ema" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("sort_array(collect_list(struct(ts, event_id, value)))")
+            .as("seq"))
+        .select(col("user_id"), col("n_events"),
+          expr("aggregate(slice(transform(seq, s -> s.value), 2, " +
+            "greatest(size(seq) - 1, 0)), transform(seq, s -> s.value)[0], " +
+            "(acc, x) -> 0.2D * x + 0.8D * acc)").as("ema"))
+        .orderBy(col("user_id"))),
+
     // ── A11: LAG window — per-user inter-event gaps (the session-gap
     // primitive as an analytic function). Exact integer microsecond sums
     // + ONE final division keep the double bit-identical across engines;
@@ -2932,6 +2953,13 @@ object SparkEntry {
       Dedup.spanDupStats(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // ── Span-level duplicate REMOVAL (EXACTSUBSTR's rewrite step): every
+    // token inside a cross-document-repeated 8-token span is cut; the
+    // oracle rebuilds each trimmed text character-exactly in SQL.
+    "dedup_span_trim" -> ((s, dir) =>
+      Dedup.spanTrim(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // ── Pipeline: dedup-cluster-atomic train/valid/test splits — near-dup
     // clusters are assigned whole, so no near-duplicate straddles a
     // train/eval boundary. Reported per (split, lang).
@@ -3760,6 +3788,20 @@ object SparkEntry {
         graft.streaming.WindowedStreams.productStats(
           graft.streaming.Sources.eventsStreamSplit(s, dir)),
         outputMode = "complete")
+        .orderBy(col("stt"), col("event_type"))),
+
+    // ── Chained stateful aggregation (Spark 4 multiple stateful
+    // operators): 60s pre-agg feeds a 600s re-agg in ONE streaming query —
+    // the cascaded-rollup shape that cuts the coarse level's shuffle and
+    // state to one row per (fine window, key). Append mode over 4 staged
+    // micro-batches; the oracle is the direct 600s aggregate restricted to
+    // windows the final watermark (max event-time ms, 0s delay) closed.
+    "stream_chained_agg" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.WindowedStreams.chainedStats(
+          graft.streaming.Sources.eventsStreamSplit(s, dir)),
+        // two tiny windowed-agg stores; run narrow (commit I/O dominates)
+        statePartitions = 2)
         .orderBy(col("stt"), col("event_type"))),
 
     // ── J1 streaming: stream-stream interval join (view -> click within
@@ -4723,6 +4765,17 @@ object SparkEntry {
         |  CAST(SUM(k) AS BIGINT) AS key_sum,
         |  CAST(SUM(bal) AS DOUBLE) AS bal_sum
         |FROM d GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // Same sequential fold, same (ts, event_id) order: list_reduce's
+    // first lambda arg is the accumulator, seeded with the first element
+    // exactly like the Spark side's aggregate(slice(...), seq[0], ...)
+    "a25_ema" ->
+      """WITH seq AS (SELECT user_id, COUNT(*) AS n_events,
+        |    list(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vals
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) AS ema
+        |FROM seq ORDER BY user_id""".stripMargin,
 
     // DuckDB's IGNORE NULLS rides inside the function call; same
     // full-frame spec, same (ts, event_id) total order
@@ -6232,6 +6285,18 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
         |FROM w GROUP BY us, event_type, cohort ORDER BY us, event_type, cohort""".stripMargin,
 
+    "stream_chained_agg" ->
+      """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//600000000)*600000000 AS us,
+        |                  event_type, value FROM events),
+        |fin AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))//1000)*1000 AS wm_us
+        |        FROM events)
+        |SELECT strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       event_type, COUNT(*) AS ct,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |FROM w, fin
+        |WHERE us + 600000000 <= wm_us
+        |GROUP BY us, event_type ORDER BY us, event_type""".stripMargin,
+
     "stream_j1_interval_join" ->
       """SELECT v.user_id, COUNT(*) AS pair_ct
         |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts FROM events WHERE event_type = 'view') v
@@ -6451,6 +6516,30 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN df.sv IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS dup_frac
         |FROM u LEFT JOIN df ON u.sv = df.sv
         |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin,
+
+    "dedup_span_trim" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sp AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS i,
+        |    unnest([array_to_string(t[j:j+7], ' ') for j in range(1, len(t) - 6)]) AS sv
+        |  FROM toks WHERE len(t) >= 8),
+        |df AS (SELECT sv FROM (SELECT DISTINCT doc_id, sv FROM sp)
+        |       GROUP BY sv HAVING COUNT(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT sp.doc_id, unnest(range(sp.i, sp.i + 8)) AS p
+        |  FROM sp JOIN df USING (sv))),
+        |pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS p,
+        |    unnest(t) AS tok FROM toks),
+        |k AS (SELECT pos.doc_id, COUNT(*) AS kept,
+        |        string_agg(pos.tok, ' ' ORDER BY pos.p) AS txt
+        |  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+        |  WHERE cov.p IS NULL GROUP BY pos.doc_id)
+        |SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+        |  COALESCE(k.kept, 0) AS kept_tokens,
+        |  COALESCE(k.txt, '') AS trimmed_text
+        |FROM toks LEFT JOIN k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id,

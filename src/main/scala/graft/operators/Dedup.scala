@@ -453,6 +453,52 @@ object Dedup {
         col("dup_spans").cast("double") / col("n_spans"))
   }
 
+  /** Span-level duplicate REMOVAL — the rewrite step completing
+    * [[spanDupStats]]'s profile (Lee et al. 2022's EXACTSUBSTR acts on the
+    * text, not just the doc score: repeated ≥k-token spans are cut out and
+    * the surrounding text kept). A token is removed when ANY
+    * `spanLen`-token span containing it also occurs in at least one OTHER
+    * document; the doc survives with its unique material. Docs shorter
+    * than `spanLen` tokens have no k-token span and are never trimmed.
+    *
+    * Scale shape: same set-wise sidestep of the suffix-array formulation
+    * as [[spanDupStats]] — span doc-frequency is one hash aggregation on
+    * 64-bit span hashes, and coverage comes back as (doc, position) keys,
+    * so cost is linear in corpus tokens plus spanLen× the SHARED span
+    * count; no pair enumeration, no per-doc quadratic membership scans
+    * (the kept-token filter is a hash anti-join on (doc_id, p), not an
+    * array_contains loop). Returns
+    * (doc_id, n_tokens, kept_tokens, trimmed_text). */
+  def spanTrim(documents: DataFrame, spanLen: Int = 8): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      graft.functions.TextFns.tokensWs(col("text")).as("t"))
+    val spans = toks.filter(size(col("t")) >= spanLen)
+      .select(col("doc_id"), posexplode(call_function("graft_shingles",
+        array_join(col("t"), " "), lit(spanLen))))
+      .toDF("doc_id", "pos", "sv")
+      .select(col("doc_id"), col("pos"), xxhash64(col("sv")).as("sph"))
+    val shared = spans.select(col("doc_id"), col("sph")).distinct()
+      .groupBy(col("sph")).agg(count(lit(1)).as("span_df"))
+      .filter(col("span_df") >= 2)
+    val covered = spans.join(shared.select("sph"), Seq("sph"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("p"))
+      .distinct()
+    val pos = toks
+      .select(col("doc_id"), posexplode(col("t")))
+      .toDF("doc_id", "p", "tok")
+    val kept = pos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        expr("array_join(transform(array_sort(collect_list(struct(p, tok)))," +
+          " x -> x.tok), ' ')").as("trimmed_text"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
+  }
+
   /** Connected components over dedup pairs — the "resolve pairs into
     * duplicate clusters" step that completes a dedup pipeline (keep one
     * doc per cluster). Iterative min-label propagation with POINTER

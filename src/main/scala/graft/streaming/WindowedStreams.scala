@@ -83,6 +83,32 @@ object WindowedStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         col("keyword"), col("ct"))
 
+  /** Chained stateful aggregation (Spark's multiple-stateful-operator
+    * support): a fine tumbling pre-aggregate feeds a coarse re-aggregate
+    * INSIDE the same streaming query, by windowing over the upstream
+    * `window` struct column. This is the cascade a 100 TB rollup pipeline
+    * wants — the second (coarse) shuffle sees one row per (fine window,
+    * key) instead of one per event, so its state and exchange volume are
+    * already reduced by the fine-window fan-in, and both levels share one
+    * watermark pass. Counts and decimal sums are associative, so the
+    * result equals the direct coarse aggregate over the raw events (the
+    * oracle), restricted — append mode — to coarse windows whose end the
+    * final watermark passed. */
+  def chainedStats(events: DataFrame, fineSec: Int = 60,
+      coarseSec: Int = 600, watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$fineSec seconds"), col("event_type"))
+      .agg(count(lit(1)).as("ct"),
+        sum(col("value").cast("decimal(18,2)")).as("amount"))
+      .groupBy(window(col("window"), s"$coarseSec seconds").as("w"),
+        col("event_type"))
+      .agg(sum(col("ct")).as("ct"),
+        sum(col("amount")).cast("double").as("amount"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("event_type"), col("ct"), col("amount"))
+
   /** Session-window aggregation (T6's session variant): events of one key
     * merge while gaps stay within `gapSec`; a session's window is
     * [first_ts, last_ts + gap). Append mode emits a session once the

@@ -221,4 +221,39 @@ class StreamingParitySpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSet
     assert(streamed === batch)
   }
+
+  test("chainedStats: TWO stateful aggregations in one query, cross-batch, " +
+    "closed coarse windows equal the direct aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val name = s"parity_chain_${System.nanoTime()}"
+    val q = graft.streaming.WindowedStreams.chainedStats(
+        ms.toDF(), fineSec = 10, coarseSec = 60)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft-test-$name")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // coarse window [0,60): events at 5,15,25 across two batches; the
+    // sentinel at 10000 advances the watermark past its end
+    Seq(Seq(ev(1, 1, 5), ev(2, 1, 15)),
+        Seq(ev(3, 2, 25), ev(4, 2, 70)),
+        Seq(ev(5, 3, 10000)))
+      .foreach { b => ms.addData(b); q.processAllAvailable() }
+    // the progress log proves this really ran as TWO stateful operators
+    // (chained windowed aggs), not one collapsed agg
+    val nStateful = q.recentProgress.map(_.stateOperators.length).max
+    q.stop()
+    assert(nStateful === 2)
+    val rows = spark.table(name)
+      .select(col("stt"), col("ct"), col("amount"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // [0,60): 3 events x value 1.0; [60,120): 1 event; sentinel pending
+    assert(rows.toSeq === Seq(
+      ("1970-01-01 00:00:00", 3L, 3.0),
+      ("1970-01-01 00:01:00", 1L, 1.0)))
+  }
 }
