@@ -3804,6 +3804,33 @@ object SparkEntry {
         statePartitions = 2)
         .orderBy(col("stt"), col("event_type"))),
 
+    // ── Chained join -> aggregation (the second multiple-stateful-operator
+    // shape): the J1 interval join's matched pairs feed a 3600s tumbling
+    // count per event-hour INSIDE the same streaming query. Spark delays
+    // the aggregation's watermark by the join's time-interval bound, so a
+    // window only closes once no further pair can land in it — probed
+    // empirically this round: with wm=4000s a [0,3600) window does NOT
+    // emit, at wm=4300s it does, pinning cutoff = end <= wm - 600s where
+    // wm is the MIN across the two branch watermarks. The oracle applies
+    // exactly that delayed cutoff.
+    "stream_chained_join_agg" -> ((s, dir) => {
+      val ev = graft.streaming.Sources.eventsStreamSplit(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.WindowedStreams.intervalJoin(
+            views, clicks, "v_user", "c_user", "v_ts", "c_ts",
+            lowerSec = 0L, upperSec = 600L)
+          .groupBy(window(col("v_ts"), "3600 seconds"))
+          .agg(count(lit(1)).as("pair_ct")),
+        statePartitions = 2)
+        .select(unix_micros(col("window.start")).as("stt_us"),
+          col("pair_ct"))
+        .orderBy(col("stt_us"))
+    }),
+
     // ── J1 streaming: stream-stream interval join (view -> click within
     // 600s per user), watermark-bounded state
     "stream_j1_interval_join" -> ((s, dir) => {
@@ -6296,6 +6323,24 @@ object SparkEntry {
         |FROM w, fin
         |WHERE us + 600000000 <= wm_us
         |GROUP BY us, event_type ORDER BY us, event_type""".stripMargin,
+
+    "stream_chained_join_agg" ->
+      """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |fin AS (SELECT LEAST(
+        |    (SELECT MAX(epoch_us(v_ts) // 1000) FROM v),
+        |    (SELECT MAX(epoch_us(c_ts) // 1000) FROM c)) * 1000 AS wm_us),
+        |p AS (SELECT epoch_us(v.v_ts) AS v_us
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |   AND c.c_ts >= v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 600 SECOND)
+        |SELECT (v_us // 3600000000) * 3600000000 AS stt_us,
+        |       COUNT(*) AS pair_ct
+        |FROM p, fin
+        |WHERE (v_us // 3600000000) * 3600000000 + 3600000000
+        |      <= wm_us - 600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_j1_interval_join" ->
       """SELECT v.user_id, COUNT(*) AS pair_ct

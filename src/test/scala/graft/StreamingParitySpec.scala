@@ -222,6 +222,41 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("interval join -> windowed agg: the aggregation's close is DELAYED " +
+    "by the join bound (end <= wm - upper), not the raw watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val ev2 = ms.toDF()
+    val views = ev2.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val clicks = ev2.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val name = s"parity_joinagg_${System.nanoTime()}"
+    val q = graft.streaming.WindowedStreams.intervalJoin(
+        views, clicks, "v_user", "c_user", "v_ts", "c_ts", 0L, 600L)
+      .groupBy(window(col("v_ts"), "3600 seconds"))
+      .agg(count(lit(1)).as("pair_ct"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft-test-$name")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def feed(evs: Event*): Long = {
+      ms.addData(evs); q.processAllAvailable(); spark.table(name).count()
+    }
+    // pair (view@100, click@150) lands in window [0,3600)
+    assert(feed(ev(1, 1, 100), ev(2, 1, 150, "click")) === 0L)
+    // wm -> 4000 on BOTH branches: end 3600 <= 4000 but NOT <= 4000-600,
+    // so the window must stay OPEN (a further click@4100 could still pair
+    // with a view@3599 inside it)
+    assert(feed(ev(3, 9, 4000), ev(4, 9, 4000, "click")) === 0L)
+    // wm -> 4300: 3600 <= 4300-600 closes it
+    assert(feed(ev(5, 9, 4300), ev(6, 9, 4300, "click")) === 1L)
+    q.stop()
+  }
+
   test("chainedStats: TWO stateful aggregations in one query, cross-batch, " +
     "closed coarse windows equal the direct aggregate") {
     implicit val sqlCtx = spark.sqlContext
