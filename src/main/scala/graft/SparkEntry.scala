@@ -1903,6 +1903,48 @@ object SparkEntry {
           regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"))
         .orderBy(col("doc_id"))),
 
+    // ── URL parsing for web corpora: host / path / query-param / fragment
+    // via the codegen'd parse_url, plus the apex (registrable-ish) domain
+    // — the provenance keys a crawl pipeline groups, filters and
+    // mixes sources by. URLs are synthesized deterministically from the
+    // documents table; the oracle re-extracts every part with regexes.
+    "f_url_parse" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.org/"), col("lang"), lit("/doc/"),
+          col("doc_id").cast("string"), lit("?ref=r"),
+          pmod(col("doc_id"), lit(7L)).cast("string"), lit("&lang="),
+          col("lang"), lit("#sec"),
+          pmod(col("doc_id"), lit(3L)).cast("string")))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"),
+          parse_url(col("url"), lit("REF")).as("frag"),
+          substring_index(parse_url(col("url"), lit("HOST")), ".", -2)
+            .as("apex"))
+        .orderBy(col("doc_id"))),
+
+    // ── URL canonicalization + dedup: scheme/host case-folded, query and
+    // fragment stripped; docs sharing a canonical URL collapse to the
+    // min-doc_id keeper (path uses doc_id % 40 so collision groups are
+    // real). One hash shuffle on the canonical key — exact-dedup's plan
+    // with the normalization fused scan-side.
+    "dedup_url_canonical" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("url", concat(lit("HTTPS://"), upper(col("source")),
+          lit(".Example.Org/"), col("lang"), lit("/p/"),
+          pmod(col("doc_id"), lit(40L)).cast("string"), lit("?utm=x&ref=r"),
+          pmod(col("doc_id"), lit(7L)).cast("string"), lit("#top")))
+      d.select(col("doc_id"),
+          concat(lit("https://"), lower(parse_url(col("url"), lit("HOST"))),
+            parse_url(col("url"), lit("PATH"))).as("canon"))
+        .groupBy(col("canon"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("dup_ct"))
+        .orderBy(col("canon"))
+    }),
+
     // ── A15: RANGE window frame — events within the trailing hour of
     // each event (peers by VALUE, not row position: ties in ts all join
     // the frame, so the result is deterministic under any tie order).
@@ -4441,6 +4483,31 @@ object SparkEntry {
         |  MAX(epoch_us(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP))) AS max_eom_us,
         |  CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-12-31')) AS BIGINT) AS days_to_eoy
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "f_url_parse" ->
+      """WITH d AS (SELECT doc_id,
+        |  'https://' || source || '.example.org/' || lang || '/doc/' || doc_id ||
+        |  '?ref=r' || (doc_id % 7) || '&lang=' || lang || '#sec' || (doc_id % 3) AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref,
+        |  regexp_extract(url, '#(.*)$', 1) AS frag,
+        |  array_to_string((string_split(
+        |    regexp_extract(url, '^https://([^/?#]+)', 1), '.'))[-2:], '.') AS apex
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "dedup_url_canonical" ->
+      """WITH d AS (SELECT doc_id,
+        |  'HTTPS://' || upper(source) || '.Example.Org/' || lang || '/p/' ||
+        |  (doc_id % 40) || '?utm=x&ref=r' || (doc_id % 7) || '#top' AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  'https://' || lower(regexp_extract(url, '^[Hh][Tt][Tt][Pp][Ss]://([^/?#]+)', 1)) ||
+        |  regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS canon FROM d)
+        |SELECT canon, MIN(doc_id) AS keeper, COUNT(*) AS dup_ct
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
 
     "f_regex_extract" ->
       """SELECT doc_id, regexp_extract(text, '([0-9]+)', 1) AS first_num
