@@ -3846,6 +3846,50 @@ object SparkEntry {
         statePartitions = 2)
         .orderBy(col("stt"), col("event_type"))),
 
+    // ── Chained dedup -> aggregation (the third multiple-stateful-operator
+    // shape): the source is unioned with ITSELF — every event arrives
+    // twice — and dropDuplicatesWithinWatermark collapses the copies
+    // before a windowed count. The oracle is the plain single-copy
+    // windowed count: the gate only passes if the dedup state caught
+    // every duplicate across micro-batches (dedup passes the watermark
+    // through undelayed, so the append cutoff is the raw end <= wm).
+    "stream_dedup_agg_chain" -> ((s, dir) => {
+      val a = graft.streaming.Sources.eventsStreamSplit(s, dir)
+      val b = graft.streaming.Sources.eventsStreamSplit(s, dir)
+      graft.streaming.StreamRunner.collect(
+        a.unionByName(b)
+          .withWatermark("ts", "0 seconds")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy(window(col("ts"), "3600 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("ct")),
+        statePartitions = 2)
+        .select(unix_micros(col("window.start")).as("stt_us"),
+          col("event_type"), col("ct"))
+        .orderBy(col("stt_us"), col("event_type"))
+    }),
+
+    // ── Chained agg -> argmax-agg: per-600s-window counts per event_type
+    // feed a per-window top-1 pick (max_by on a count||type string key,
+    // deterministic under ties) in the same query — streaming "trending
+    // item per window" without a rank, which streaming disallows. The
+    // identity re-window keeps the event-time column for the second
+    // stateful aggregation.
+    "stream_window_argmax" -> ((s, dir) =>
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.Sources.eventsStreamSplit(s, dir)
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "600 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("ct"))
+          .groupBy(window(col("window"), "600 seconds").as("w"))
+          .agg(max(col("ct")).as("top_ct"),
+            max_by(col("event_type"),
+              concat(lpad(col("ct").cast("string"), 12, "0"),
+                col("event_type"))).as("top_type")),
+        statePartitions = 2)
+        .select(unix_micros(col("w.start")).as("stt_us"),
+          col("top_type"), col("top_ct"))
+        .orderBy(col("stt_us"))),
+
     // ── Chained join -> aggregation (the second multiple-stateful-operator
     // shape): the J1 interval join's matched pairs feed a 3600s tumbling
     // count per event-hour INSIDE the same streaming query. Spark delays
@@ -6390,6 +6434,29 @@ object SparkEntry {
         |FROM w, fin
         |WHERE us + 600000000 <= wm_us
         |GROUP BY us, event_type ORDER BY us, event_type""".stripMargin,
+
+    "stream_dedup_agg_chain" ->
+      """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//3600000000)*3600000000 AS us,
+        |                  event_type FROM events),
+        |fin AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))//1000)*1000 AS wm_us
+        |        FROM events)
+        |SELECT us AS stt_us, event_type, COUNT(*) AS ct
+        |FROM w, fin WHERE us + 3600000000 <= wm_us
+        |GROUP BY us, event_type ORDER BY us, event_type""".stripMargin,
+
+    "stream_window_argmax" ->
+      """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//600000000)*600000000 AS us,
+        |                  event_type FROM events),
+        |fin AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))//1000)*1000 AS wm_us
+        |        FROM events),
+        |cts AS (SELECT us, event_type, COUNT(*) AS ct FROM w
+        |        GROUP BY us, event_type)
+        |SELECT us AS stt_us,
+        |  arg_max(event_type, lpad(CAST(ct AS VARCHAR), 12, '0') || event_type)
+        |    AS top_type,
+        |  MAX(ct) AS top_ct
+        |FROM cts, fin WHERE us + 600000000 <= wm_us
+        |GROUP BY us ORDER BY us""".stripMargin,
 
     "stream_chained_join_agg" ->
       """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts
