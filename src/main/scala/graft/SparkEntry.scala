@@ -1514,6 +1514,159 @@ object SparkEntry {
       } finally { rmTree(fragPath); rmTree(compactPath) }
     }),
 
+    // ── K11: copy-on-write MERGE INTO — one source batch carrying all
+    // three arms (WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT
+    // MATCHED INSERT) against a bucket-partitioned parquet store
+    // (operators/Merge.scala). The source only names buckets 2 and 5,
+    // so 6/8 partitions must come through byte-identical — the
+    // untouched_ok verdict compares the full (file → size) map outside
+    // the churned buckets before/after and the oracle pins it to 1: a
+    // full-table rewrite FAILS this gate even with the right rows (the
+    // k10 erasure contract applied to general writes). Updates double
+    // the price, deletes take every third key of bucket 5, inserts are
+    // fresh keys offset by 80M (≡ 0 mod 8, so the partition derivation
+    // is exercised, not bypassed).
+    "k11_merge_upsert" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-merge-${System.nanoTime()}"
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(path))
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(f => f.getPath -> f.length()).toMap
+      }
+      try {
+        val ord = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            dec("o_totalprice").as("price"), col("o_orderpriority"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        ord.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        val before = files()
+        val base = ord.filter(col("bucket").isin(2L, 5L))
+        val updates = base
+          .filter(col("bucket") === 2 && col("o_orderkey") % 3 === 0)
+          .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+          .withColumn("op", lit("U"))
+        val deletes = base
+          .filter(col("bucket") === 5 && col("o_orderkey") % 3 === 1)
+          .withColumn("op", lit("D"))
+        val inserts = base
+          .filter(col("bucket") === 2 && col("o_orderkey") % 3 === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 80000000L)
+          .withColumn("op", lit("I"))
+        Merge.into(s, path, "bucket", "o_orderkey",
+          updates.unionByName(deletes).unionByName(inserts))
+        val after = files()
+        def outside(m: Map[String, Long]) = m.filter { case (p, _) =>
+          !p.contains("bucket=2") && !p.contains("bucket=5") }
+        val untouchedOk = outside(before) == outside(after)
+        s.read.parquet(path)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("ct"),
+            sum(col("price")).cast("double").as("price_sum"),
+            sum(col("o_orderkey")).as("key_sum"),
+            count(when(col("o_orderkey") > 80000000L, 1)).as("inserted_ct"))
+          .withColumn("untouched_ok", lit(if (untouchedOk) 1L else 0L))
+          .orderBy(col("bucket"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
+    // ── K12: incremental materialized-aggregate refresh — the batch
+    // "never rescan history" maintenance pass (operators/Incremental:
+    // the k3 serving-re-agg story at rest). History (orders before
+    // 1997) collapses ONCE into a tiny table of MERGEABLE partials
+    // (count/decimal-sum/min/max per priority — avg is derived at read
+    // time, never stored); the refresh scans ONLY the landed delta and
+    // the state table, so its cost is O(delta + groups) regardless of
+    // history size. The oracle recomputes the aggregate over ALL
+    // orders from scratch — equality proves incremental == full
+    // recompute; MergeIncrementalSpec pins that the refresh plan's
+    // inputFiles never touch the history beyond the one state build.
+    "k12_incremental_agg" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-incragg-${System.nanoTime()}"
+      try {
+        val ord = Tables.orders(s, dir).withColumn("o_date",
+          date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        val cut = "1997-01-01"
+        Incremental.state(ord.filter(col("o_date") < cut),
+          Seq("o_orderpriority"), sumCols = Seq("o_totalprice"),
+          minMaxCols = Seq("o_date"))
+          .write.mode("overwrite").parquet(path)
+        val refreshed = Incremental.merge(Seq(
+          s.read.parquet(path),
+          Incremental.state(ord.filter(col("o_date") >= cut),
+            Seq("o_orderpriority"), sumCols = Seq("o_totalprice"),
+            minMaxCols = Seq("o_date"))),
+          Seq("o_orderpriority"))
+        Incremental.finalizeState(refreshed)
+          .select(col("o_orderpriority"), col("cnt"),
+            col("sum_o_totalprice").cast("double").as("price_sum"),
+            col("avg_o_totalprice").as("price_avg"),
+            col("min_o_date").as("dt_min"), col("max_o_date").as("dt_max"))
+          .orderBy(col("o_orderpriority"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
+    // ── A26: KMV bottom-k distinct sketch (functions/Kmv.scala) — set
+    // OPERATIONS over sketches (union AND intersection estimates), the
+    // axis HLL (a17) cannot serve and exact bitmaps (a22) pay the full
+    // key universe for. Bounded typed Aggregator: O(k) state per
+    // partition, associative merges, ≤k values shuffled per partition.
+    // The hash is the portable md5-lower-64 family folded into 2^40, so
+    // the ORACLE REPLAYS the whole estimator — sketch content, θ,
+    // (k-1)/θ, the union sketch, the Jaccard-scaled intersection —
+    // bit-exactly in SQL: full equality, not a tolerance verdict. Two
+    // set pairs: customer keys of URGENT vs HIGH orders (below k at
+    // sf0.001 — the exact branch: the sketch IS the hashed set) and
+    // lineitem orderkeys with returnflag R vs A (above k at every
+    // scale — the order-statistic branch).
+    "a26_kmv_setops" -> ((s, dir) => {
+      import graft.functions.Kmv
+      val k = 256
+      val kmv = udaf(Kmv.agg(k), org.apache.spark.sql.Encoders.scalaLong)
+      def one(pair: String, a: DataFrame, b: DataFrame): DataFrame = {
+        // inputs arrive keyed as one column "kx"
+        val sa = a.agg(
+          kmv(Kmv.hashKey(col("kx").cast("string"))).as("ska"),
+          count_distinct(col("kx")).as("exact_a"))
+        val sb = b.agg(
+          kmv(Kmv.hashKey(col("kx").cast("string"))).as("skb"),
+          count_distinct(col("kx")).as("exact_b"))
+        val eu = a.union(b).agg(count_distinct(col("kx")).as("exact_union"))
+        val ei = a.intersect(b).agg(count(lit(1)).as("exact_inter"))
+        sa.crossJoin(sb).crossJoin(eu).crossJoin(ei).select(
+          lit(pair).as("pair"),
+          col("exact_a"), col("exact_b"), col("exact_union"),
+          col("exact_inter"),
+          truncate6(Kmv.estimate(col("ska"), k)).as("est_a_t"),
+          truncate6(Kmv.estimate(col("skb"), k)).as("est_b_t"),
+          truncate6(Kmv.estimate(
+            Kmv.unionSketch(col("ska"), col("skb"), k), k)).as("est_union_t"),
+          truncate6(Kmv.intersectEstimate(col("ska"), col("skb"), k))
+            .as("est_inter_t"))
+      }
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      one("cust_priority",
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("kx")),
+        o.filter(col("o_orderpriority") === "2-HIGH")
+          .select(col("o_custkey").as("kx")))
+        .unionByName(one("flag_orders",
+          li.filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey").as("kx")),
+          li.filter(col("l_returnflag") === "A")
+            .select(col("l_orderkey").as("kx"))))
+        .orderBy(col("pair"))
+    }),
+
     // ── PageRank (3 iterations) in exact integer micro-units: the
     // iterative driver-loop family (Lloyd's twin) with the text_lm_score
     // fixed-point contract — contribution = rank div outdeg, update =
@@ -5104,6 +5257,95 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // replays all three MERGE arms over the raw table: changed keys leave,
+    // updates and inserts come back as the source's version; untouched_ok
+    // is the pinned partition-churn verdict
+    "k11_merge_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderpriority,
+        |    o_orderkey % 8 AS bucket FROM orders),
+        |u AS (SELECT o_orderkey, o_custkey,
+        |    CAST(price*2 AS DECIMAL(18,2)) AS price, o_orderpriority, bucket
+        |  FROM t WHERE bucket = 2 AND o_orderkey % 3 = 0),
+        |d AS (SELECT o_orderkey FROM t WHERE bucket = 5 AND o_orderkey % 3 = 1),
+        |i AS (SELECT o_orderkey + 80000000 AS o_orderkey, o_custkey, price,
+        |    o_orderpriority, bucket
+        |  FROM t WHERE bucket = 2 AND o_orderkey % 3 = 2),
+        |allkeys AS (SELECT o_orderkey FROM u UNION ALL SELECT o_orderkey FROM d
+        |  UNION ALL SELECT o_orderkey FROM i),
+        |merged AS (
+        |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM allkeys)
+        |  UNION ALL SELECT * FROM u
+        |  UNION ALL SELECT * FROM i)
+        |SELECT bucket, COUNT(*) AS ct,
+        |  CAST(SUM(price) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  COUNT(*) FILTER (WHERE o_orderkey > 80000000) AS inserted_ct,
+        |  CAST(1 AS BIGINT) AS untouched_ok
+        |FROM merged GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // full recompute over ALL orders — equality proves the incremental
+    // state-merge path reproduces the from-scratch aggregate
+    "k12_incremental_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+        |    AS price_avg,
+        |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS dt_min,
+        |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS dt_max
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // replays the KMV estimator end to end per set pair: md5-lower-64
+    // hashes folded into 2^40, bottom-256 distinct, θ from the k-th order
+    // statistic, (k-1)/θ (exact size below k), union sketch = bottom-k of
+    // the merged samples, intersection = Jaccard over the union sketch ×
+    // the union estimate — identical arithmetic, so equality is bit-exact
+    "a26_kmv_setops" -> {
+      def pairSql(pair: String, aFrom: String, bFrom: String): String =
+        s"""WITH a_keys AS (SELECT DISTINCT kx FROM (SELECT $aFrom)),
+           |b_keys AS (SELECT DISTINCT kx FROM (SELECT $bFrom)),
+           |ha AS (SELECT DISTINCT CAST(md5_number_lower(CAST(kx AS VARCHAR))
+           |    % 1099511627776 AS BIGINT) AS hk FROM a_keys),
+           |hb AS (SELECT DISTINCT CAST(md5_number_lower(CAST(kx AS VARCHAR))
+           |    % 1099511627776 AS BIGINT) AS hk FROM b_keys),
+           |ska AS (SELECT hk FROM ha ORDER BY hk LIMIT 256),
+           |skb AS (SELECT hk FROM hb ORDER BY hk LIMIT 256),
+           |sku AS (SELECT hk FROM (SELECT hk FROM ska UNION SELECT hk FROM skb)
+           |  ORDER BY hk LIMIT 256),
+           |stats AS (SELECT
+           |    (SELECT COUNT(*) FROM ska) AS na, (SELECT MAX(hk) FROM ska) AS ma,
+           |    (SELECT COUNT(*) FROM skb) AS nb, (SELECT MAX(hk) FROM skb) AS mb,
+           |    (SELECT COUNT(*) FROM sku) AS nu, (SELECT MAX(hk) FROM sku) AS mu,
+           |    (SELECT COUNT(*) FROM sku
+           |      WHERE hk IN (SELECT hk FROM ska)
+           |        AND hk IN (SELECT hk FROM skb)) AS nmatch),
+           |ests AS (SELECT nmatch, nu,
+           |    CASE WHEN na < 256 THEN CAST(na AS DOUBLE)
+           |      ELSE 255.0 * 1099511627776 / (ma + 1) END AS est_a,
+           |    CASE WHEN nb < 256 THEN CAST(nb AS DOUBLE)
+           |      ELSE 255.0 * 1099511627776 / (mb + 1) END AS est_b,
+           |    CASE WHEN nu < 256 THEN CAST(nu AS DOUBLE)
+           |      ELSE 255.0 * 1099511627776 / (mu + 1) END AS est_u
+           |  FROM stats)
+           |SELECT '$pair' AS pair,
+           |  (SELECT COUNT(*) FROM a_keys) AS exact_a,
+           |  (SELECT COUNT(*) FROM b_keys) AS exact_b,
+           |  (SELECT COUNT(*) FROM (SELECT kx FROM a_keys UNION SELECT kx FROM b_keys)) AS exact_union,
+           |  (SELECT COUNT(*) FROM (SELECT kx FROM a_keys INTERSECT SELECT kx FROM b_keys)) AS exact_inter,
+           |  floor(est_a*1000000)/1000000 AS est_a_t,
+           |  floor(est_b*1000000)/1000000 AS est_b_t,
+           |  floor(est_u*1000000)/1000000 AS est_union_t,
+           |  floor(CAST(nmatch AS DOUBLE)/CAST(nu AS DOUBLE)*est_u*1000000)/1000000 AS est_inter_t
+           |FROM ests""".stripMargin
+      val cust = pairSql("cust_priority",
+        "o_custkey AS kx FROM orders WHERE o_orderpriority = '1-URGENT'",
+        "o_custkey AS kx FROM orders WHERE o_orderpriority = '2-HIGH'")
+      val flag = pairSql("flag_orders",
+        "l_orderkey AS kx FROM lineitem WHERE l_returnflag = 'R'",
+        "l_orderkey AS kx FROM lineitem WHERE l_returnflag = 'A'")
+      s"SELECT * FROM ($cust) UNION ALL SELECT * FROM ($flag) ORDER BY pair"
+    },
 
     "graph_pagerank" -> {
       // three unrolled rounds of the SAME integer arithmetic the

@@ -65,21 +65,31 @@ object Erasure {
         .collect().map(_.getString(0)).toSet
       val goneStr = targets.select(col(partCol).cast("string")).distinct()
         .collect().map(_.getString(0)).toSet -- remainingStr
-      if (goneStr.nonEmpty) {
-        val storePath = new org.apache.hadoop.fs.Path(storeDir)
-        val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.listStatus(storePath).filter(_.isDirectory).foreach { st =>
-          val name = st.getPath.getName
-          if (name.startsWith(s"$partCol=")) {
-            val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .unescapePathName(name.substring(partCol.length + 1))
-            if (goneStr.contains(v)) { fs.delete(st.getPath, true); () }
-          }
-        }
-      }
+      sweepEmptiedPartitions(spark, storeDir, partCol, goneStr)
       kept.unpersist()
       ()
     }
     affected
   }
+
+  /** Delete the store directories for partitions that ended up with zero
+    * rows after a rewrite (dynamic overwrite never lists them, so their
+    * stale files would otherwise survive). Directory names are decoded
+    * via the same escaping Spark's writer applied — a string value like
+    * "US East" lives under partCol=US%20East, so building the path from
+    * the raw value would miss it. Shared by deleteKeys and Merge.into. */
+  private[operators] def sweepEmptiedPartitions(spark: SparkSession,
+      storeDir: String, partCol: String, goneStr: Set[String]): Unit =
+    if (goneStr.nonEmpty) {
+      val storePath = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(storePath).filter(_.isDirectory).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(s"$partCol=")) {
+          val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(name.substring(partCol.length + 1))
+          if (goneStr.contains(v)) { fs.delete(st.getPath, true); () }
+        }
+      }
+    }
 }
