@@ -1769,6 +1769,21 @@ object SparkEntry {
         .orderBy(col("hk"), col("doc_id"))
         .limit(500)),
 
+    // ── Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    // Sampling.weightedSample): exactly k docs with selection
+    // probability ∝ n_chars, reproducible anywhere — the "sample the
+    // corpus, prefer long documents" recipe step that rate-based
+    // hashSample and unweighted fixed-k cannot express. Score =
+    // ln(u)/w in floor-truncated integer millionths (u exact by
+    // construction: (md5+1)/2^40 is a power-of-two division), top-k by
+    // score = a distributed TakeOrdered — no full sort, no shuffle.
+    // The oracle replays the identical arithmetic and ORDER BY, so the
+    // selected SET (not just its size) must match.
+    "sample_weighted_ares" -> ((s, dir) =>
+      Sampling.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        col("doc_id"), col("n_chars"), k = 200)),
+
     // ── A1: ProductStats — 10s tumbling window, counters + exact distinct
     "a1_product_stats" -> ((s, dir) =>
       Stats.productStats(Tables.events(s, dir)).orderBy(col("stt"), col("event_type"))),
@@ -5444,6 +5459,18 @@ object SparkEntry {
       """SELECT doc_id, lang, source,
         |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 1099511627776 AS BIGINT) AS hk
         |FROM documents ORDER BY hk, doc_id LIMIT 500""".stripMargin,
+
+    // identical A-ES arithmetic: u is exact (power-of-two division), ln
+    // floor-truncates to millionths before the order, ties on doc_id
+    "sample_weighted_ares" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars,
+        |  CAST(floor(
+        |    ln(CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 1099511627776 + 1
+        |         AS DOUBLE) / 1099511627776.0)
+        |    / CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS ares_score
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, ares_score FROM s
+        |ORDER BY ares_score DESC, doc_id LIMIT 200""".stripMargin,
 
     "a1_product_stats" ->
       """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//10000000)*10000000 AS us,

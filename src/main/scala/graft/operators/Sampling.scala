@@ -27,6 +27,36 @@ object Sampling {
       HashFns.md5Lower64Mod(keyCol.cast("string"), Buckets) < (rate * Buckets).toLong)
   }
 
+  /** Weighted sampling WITHOUT replacement, exactly k rows — the
+    * Efraimidis–Spirakis A-ES scheme (Inf. Process. Lett. 97(5), 2006):
+    * each row draws u ∈ (0,1] from the portable hash of its key and
+    * ranks by u^(1/w); the top-k by that key are a weighted sample
+    * without replacement, exact in one pass. Ranking on the monotone
+    * log form ln(u)/w (descending) avoids pow entirely, and the score
+    * is floor-truncated to integer millionths (the text_lm_score ln
+    * contract) so an external engine replays the ORDER bit-stably; ties
+    * break on the key.
+    *
+    * Scale shape: score is computed scan-side (narrow); the top-k is a
+    * distributed TakeOrdered — k rows per partition merge at the driver,
+    * no full sort, no shuffle. Deterministic and partition-independent:
+    * the sample is a pure function of (keys, weights, k).
+    *
+    * `weightCol` must be > 0 (a zero weight has undefined 1/w — filter
+    * upstream); u is never 0 by construction ((h+1)/2^40), so ln(u) is
+    * finite. */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+      k: Int): DataFrame = {
+    val m = 1L << 40
+    val u = (HashFns.md5Lower64Mod(keyCol.cast("string"), m) + lit(1L))
+      .cast("double") / lit(m.toDouble)
+    val score = floor(log(u) / weightCol.cast("double") * lit(1000000.0))
+      .cast("long")
+    df.withColumn("ares_score", score)
+      .orderBy(col("ares_score").desc, keyCol)
+      .limit(k)
+  }
+
   /** Balanced per-group cap: keep at most `k` rows per group, selected by
     * portable-hash order of `keyCol` (ties broken by the key itself) — the
     * "no source dominates the mix" step of a pretraining recipe, fully

@@ -26,6 +26,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Set((1L, 2L, 100000000L), (2L, 1L, 0L)))
   }
 
+  test("A-ES weighted sample: exact k, repartition-stable, weight-biased, TakeOrdered") {
+    val df = (1 to 2000).map(i => (i.toLong, if (i <= 1000) 10L else 1L))
+      .toDF("id", "w")
+    val out = Sampling.weightedSample(df, col("id"), col("w"), k = 200)
+    val ids = out.select(col("id")).as[Long].collect().toSeq
+    assert(ids.length === 200)
+    assert(ids.distinct.length === 200) // without replacement
+    val again = Sampling.weightedSample(df.repartition(13), col("id"), col("w"), 200)
+      .select(col("id")).as[Long].collect().toSeq
+    assert(again.sorted === ids.sorted)
+    // weight-10 stratum should dominate the sample ~10:1 per draw
+    val heavy = ids.count(_ <= 1000)
+    assert(heavy > 150, s"heavy stratum underrepresented: $heavy/200")
+    // scale shape: distributed top-k, not a global sort
+    assert(out.queryExecution.executedPlan.toString.contains("TakeOrdered"))
+  }
+
   test("hash sampling is a pure function of the key: stable under repartition") {
     val df = (1 to 2000).map(_.toLong).toDF("id")
     val once = Sampling.hashSample(df, col("id"), 0.3).as[Long].collect().sorted
