@@ -1784,6 +1784,59 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
         col("doc_id"), col("n_chars"), k = 200)),
 
+    // ── A27: frequent-pairs co-occurrence mining (the A-priori support
+    // step of market-basket analysis) — parts that ship together in one
+    // order, support = DISTINCT co-containing orders. Scale shape: the
+    // per-order distinct projection first (so multiplicities never
+    // inflate the fan-out), then a self-equi-join on the order key —
+    // ONE shuffle both sides share (Catalyst reuses the exchange) —
+    // with pair fan-out bounded by order size squared (≤C(7,2)=21 for
+    // TPC-H-shaped orders), then a keyed count. The p1<p2 canonical
+    // order halves the pair space and makes the output a set.
+    "a27_frequent_pairs" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("p1"), col("p2"))
+    }),
+
+    // ── A28: date-spine gap fill + LOCF — time-series densification
+    // (the serving-layer contract that a day with no events is a ZERO
+    // row, not a missing row, and a dashboard's "current value" carries
+    // the last observation forward). The spine is GENERATED (groups ×
+    // sequence(min,max day) — never scanned), the fact table is
+    // aggregated once, the left join fills, and last(IGNORE NULLS) over
+    // the per-group date order is the carry-forward. The %97 event
+    // filter keeps real gaps at every scale (289/300 cells empty at
+    // sf0.001, ~10 at sf0.1); locf=-1 marks cells before a group's
+    // first observation.
+    "a28_gapfill_locf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val daily = ev.filter(col("event_id") % 97 === 0)
+        .groupBy(pmod(col("user_id"), lit(10L)).as("grp"),
+          to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("ct"))
+      val spine = ev
+        .agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("dt"))
+        .crossJoin(s.range(0, 10).select(col("id").as("grp")))
+      val w = Window.partitionBy(col("grp")).orderBy(col("dt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("grp", "dt"), "left")
+        .withColumn("ct0", coalesce(col("ct"), lit(0L)))
+        .withColumn("locf",
+          coalesce(last(col("ct"), ignoreNulls = true).over(w), lit(-1L)))
+        .select(col("grp"), date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+          col("ct0"), col("locf"))
+        .orderBy(col("grp"), col("dt"))
+    }),
+
     // ── A1: ProductStats — 10s tumbling window, counters + exact distinct
     "a1_product_stats" -> ((s, dir) =>
       Stats.productStats(Tables.events(s, dir)).orderBy(col("stt"), col("event_type"))),
@@ -5471,6 +5524,32 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, n_chars, ares_score FROM s
         |ORDER BY ares_score DESC, doc_id LIMIT 200""".stripMargin,
+
+    "a27_frequent_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY p1, p2""".stripMargin,
+
+    "a28_gapfill_locf" ->
+      """WITH b AS (SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
+        |  FROM events),
+        |days AS (SELECT CAST(unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP,
+        |  INTERVAL 1 DAY)) AS DATE) AS dt FROM b),
+        |spine AS (SELECT g.grp, d.dt
+        |  FROM (SELECT unnest(range(0,10)) AS grp) g CROSS JOIN days d),
+        |daily AS (SELECT user_id % 10 AS grp, CAST(ts AS DATE) AS dt,
+        |    COUNT(*) AS ct
+        |  FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),
+        |f AS (SELECT s.grp, s.dt, d.ct
+        |  FROM spine s LEFT JOIN daily d ON s.grp = d.grp AND s.dt = d.dt)
+        |SELECT CAST(grp AS BIGINT) AS grp, strftime(dt, '%Y-%m-%d') AS dt,
+        |  COALESCE(ct, 0) AS ct0,
+        |  COALESCE(last_value(ct IGNORE NULLS) OVER (PARTITION BY grp
+        |    ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+        |    AS locf
+        |FROM f ORDER BY grp, dt""".stripMargin,
 
     "a1_product_stats" ->
       """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//10000000)*10000000 AS us,

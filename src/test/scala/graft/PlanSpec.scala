@@ -13,6 +13,33 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("a27_frequent_pairs: equi-join, no cartesian; at scale (broadcast off) " +
+      "the identical self-join sides collapse to ReusedExchange") {
+    val p = plan("a27_frequent_pairs")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val before = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = SparkEntry.queries("a27_frequent_pairs")(spark, dir)
+      df.collect() // AQE inserts exchange reuse at runtime — run, then read
+      val big = df.queryExecution.executedPlan.toString
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"), big.take(800))
+      assert(big.contains("ReusedExchange"), big.take(2000))
+    } finally spark.conf.set(key, before)
+  }
+
+  test("a28_gapfill_locf: the spine is generated, not scanned — one Generate, " +
+      "no third events scan") {
+    val p = plan("a28_gapfill_locf")
+    assert(p.contains("Generate"), p.take(800)) // explode(sequence(..))
+    // events is read for bounds + daily agg only
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("events"))
+    assert(scans <= 2, s"expected <=2 events scans, got $scans\n$p")
+  }
+
   test("q1_agg: column pruning reaches the parquet scan") {
     val p = plan("q1_agg")
     // only the 4 needed lineitem columns are read
