@@ -777,6 +777,24 @@ object SparkEntry {
         |         ORDER BY l_extendedprice DESC LIMIT 2) l
         |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin)),
 
+    // ── J16: fuzzy (edit-distance-1) self-join via FastSS deletion
+    // neighborhoods (operators/Fuzzy.scala) — the approximate-string
+    // join a spell-correcting entity resolver needs, where the naive
+    // shape is |W|² levenshtein calls. Blocking: each word expands to
+    // itself + its 1-deletions (linear, scan-side), candidates come
+    // from ONE equi-shuffle on the shared variant, and an exact
+    // levenshtein verifies (sharing is necessary, not sufficient:
+    // "ab"/"ba" share "a" at distance 2 and must be rejected). Keys =
+    // every-7th orderkey as strings — digit substitutions and
+    // length-changing edits both occur at every scale (234/3266/41857
+    // pairs). The oracle is the brute-force length-banded cross join.
+    "j16_fuzzy_join" -> ((s, dir) => {
+      val keys = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").cast("string").as("w")).distinct()
+      Fuzzy.editDistance1Pairs(keys, "w").orderBy(col("w1"), col("w2"))
+    }),
+
     // ── J14: temporal table join (Flink's FOR SYSTEM_TIME AS OF — the
     // reference's versioned-dim lookup semantics, `OrderWide`'s dims
     // done time-correctly): each fact joins the dim VERSION whose
@@ -5263,6 +5281,16 @@ object SparkEntry {
         |         WHERE l_orderkey = o.o_orderkey
         |         ORDER BY l_extendedprice DESC LIMIT 2) l
         |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
+
+    // brute-force truth: length-banded cross join + exact levenshtein —
+    // the blocking must lose nothing against the unblocked answer
+    "j16_fuzzy_join" ->
+      """WITH k AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS w
+        |    FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT a.w AS w1, b.w AS w2 FROM k a JOIN k b
+        |  ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 1
+        |  AND levenshtein(a.w, b.w) = 1
+        |ORDER BY w1, w2""".stripMargin,
 
     // time-correct version pick replayed as a CASE on the version rule
     "j14_temporal_join" ->

@@ -291,4 +291,33 @@ class JoinsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got === Set((1L, 20L, "v1"), (2L, 40L, "v1"), (2L, 60L, "v2")))
   }
+
+  test("fuzzy edit-distance-1 join: substitutions, inserts, deletes in; " +
+    "transpositions and identicals out") {
+    val words = Seq("ab", "abc", "abd", "abcd", "ba").toDF("w")
+    val got = graft.operators.Fuzzy.editDistance1Pairs(words, "w")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("ab", "abc"), ("ab", "abd"), ("abc", "abd"),
+      ("abc", "abcd"), ("abcd", "abd"))) // lexicographic: "abcd" < "abd"
+  }
+
+  test("fuzzy join equals the brute-force cross product on random words") {
+    val rnd = new scala.util.Random(11)
+    val words = (1 to 300)
+      .map(_ => (1 to (3 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      .distinct.toDF("w")
+    val fast = graft.operators.Fuzzy.editDistance1Pairs(words, "w")
+      .as[(String, String)].collect().toSet
+    val brute = words.as("a").crossJoin(words.as("b"))
+      .filter(col("a.w") < col("b.w") &&
+        levenshtein(col("a.w"), col("b.w")) === 1)
+      .select(col("a.w"), col("b.w")).as[(String, String)].collect().toSet
+    assert(fast === brute)
+    assert(fast.nonEmpty) // the fixture must exercise the match arm
+    // the blocked join is equi on the variant — never a cartesian
+    val p = graft.operators.Fuzzy.editDistance1Pairs(words, "w")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(800))
+  }
 }
