@@ -1632,6 +1632,42 @@ object SparkEntry {
       } finally rmTree(path)
     }),
 
+    // ── K12 streaming twin: the SAME Incremental.merge fold, fed by real
+    // Structured Streaming micro-batches through foreachBatch — each
+    // batch's partials fold into the parquet state store, so the batch
+    // refresh (k12) and the live pipeline maintain ONE interchangeable
+    // state table (the lambda-architecture unification: no separate
+    // "speed layer" aggregate to reconcile). Three ts-contiguous
+    // micro-batches; associativity (MergeIncrementalSpec) is what makes
+    // the fold order irrelevant — the oracle is the same full
+    // recompute, equality at every batch split.
+    "stream_k12_incremental" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-incrstream-${System.nanoTime()}"
+      try {
+        val stream = graft.streaming.Sources.eventsStreamSplit(s, dir, parts = 3)
+        graft.streaming.StreamRunner.runForeachBatch(stream) { (b, _) =>
+          val bs = Incremental.state(
+            b.select(col("event_type"), col("value"),
+              date_format(col("ts"), "yyyy-MM-dd").as("d")),
+            Seq("event_type"), sumCols = Seq("value"), minMaxCols = Seq("d"))
+          val merged =
+            if (new java.io.File(path).exists())
+              Incremental.merge(Seq(s.read.parquet(path), bs), Seq("event_type"))
+                .localCheckpoint(true) // materialize before self-overwrite
+            else bs
+          merged.write.mode("overwrite").parquet(path)
+        }
+        Incremental.finalizeState(s.read.parquet(path))
+          .select(col("event_type"), col("cnt"),
+            col("sum_value").cast("double").as("value_sum"),
+            col("avg_value").as("value_avg"),
+            col("min_d").as("dt_min"), col("max_d").as("dt_max"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
     // ── A26: KMV bottom-k distinct sketch (functions/Kmv.scala) — set
     // OPERATIONS over sketches (union AND intersection estimates), the
     // axis HLL (a17) cannot serve and exact bitmaps (a22) pay the full
@@ -5391,6 +5427,17 @@ object SparkEntry {
         |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS dt_min,
         |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS dt_max
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // same truth as a batch refresh would have: the micro-batch fold
+    // must reproduce the from-scratch aggregate exactly
+    "stream_k12_incremental" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+        |    AS value_avg,
+        |  MIN(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS dt_min,
+        |  MAX(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS dt_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // replays the KMV estimator end to end per set pair: md5-lower-64
     // hashes folded into 2^40, bottom-256 distinct, θ from the k-th order

@@ -102,6 +102,35 @@ object StreamRunner {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Run a bounded stream through `foreachBatch` purely for its side
+    * effects — the harness shape for sinks that FOLD each micro-batch
+    * into a store (incremental state upkeep, MERGE-style writes) rather
+    * than appending rows. The throwaway checkpoint is swept on exit —
+    * a fold sink's durability lives in its own store, not here. */
+  def runForeachBatch(stream: DataFrame)(f: (DataFrame, Long) => Unit): Unit = {
+    val spark = stream.sparkSession
+    val id = n.incrementAndGet()
+    val ckpt = s"$ckptRoot/graft-ckpt-$id-${System.nanoTime()}"
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try {
+      val q = stream.writeStream
+        .foreachBatch(f)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory)
+          Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        x.delete(); ()
+      }
+      rm(new java.io.File(ckpt))
+    }
+  }
+
   /** T8 as an observable behavior: run the SAME query over TWO
     * lifecycles sharing ONE checkpoint. Lifecycle 1 processes the first
     * `splitAt` chunk files and stops (a planned stop stands in for the
