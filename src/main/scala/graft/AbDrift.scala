@@ -79,9 +79,15 @@ object AbDrift {
         }
       }
 
+    // session-6 arms: the 217-gate bench put text_bpe_encode at 10.12 s
+    // (3.0-3.1 in every earlier artifact) and sim_topk_pq at 6.38 (band
+    // 3.7-4.4); interleave both against the stable dedup_clusters
+    // reference to attribute ambient-vs-real.
     val arms: Seq[(String, () => Long)] = Seq(
       "dedup_clusters" -> (() =>
         SparkEntry.queries("dedup_clusters")(spark, sfDir).count()),
+      "text_bpe_encode" -> (() =>
+        SparkEntry.queries("text_bpe_encode")(spark, sfDir).count()),
       "sim_topk_pq" -> (() =>
         SparkEntry.queries("sim_topk_pq")(spark, sfDir).count())
     )

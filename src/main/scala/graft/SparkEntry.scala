@@ -1632,6 +1632,36 @@ object SparkEntry {
       } finally rmTree(path)
     }),
 
+    // ── Count-Min sketch point queries (Frequency.cmsBuild/cmsEstimate)
+    // — the mergeable FREQUENCY summary completing the sketch family
+    // (a17 HLL ≈ distinct, a22 bitmap = distinct, a26 KMV = set ops,
+    // freq_heavy_hitters = exact head): any key's count from d×w=3×1024
+    // counters, estimate ≥ truth always (collisions only inflate),
+    // cell-wise ADD merges shards. Hash rows are portable md5 over
+    // "r:key", so the ORACLE REPLAYS the entire sketch and every
+    // estimate bit-exactly — full equality on est, with the ≥-truth
+    // verdict pinned alongside. Queried keys: every 37th partkey
+    // (present arm) and the same +1e9 (absent arm — estimates may still
+    // be >0 via collision, which is the sketch's documented error side).
+    "freq_cms_point" -> ((s, dir) => {
+      val (w, d) = (1024, 3)
+      val li = Tables.lineitem(s, dir)
+      val cms = Frequency.cmsBuild(li, col("l_partkey"), w, d)
+      val present = li.select(col("l_partkey").as("key"))
+        .filter(pmod(col("key"), lit(37L)) === 0).distinct()
+      val queries = present.unionByName(
+        present.select((col("key") + 1000000000L).as("key")))
+      val exact = li.groupBy(col("l_partkey").as("key"))
+        .agg(count(lit(1)).as("exact"))
+      Frequency.cmsEstimate(cms, queries, col("key"), w, d)
+        .join(exact, Seq("key"), "left")
+        .select(col("key"), coalesce(col("exact"), lit(0L)).as("exact"),
+          col("cms_est"),
+          (col("cms_est") >= coalesce(col("exact"), lit(0L)))
+            .cast("long").as("ge_ok"))
+        .orderBy(col("key"))
+    }),
+
     // ── K12 streaming twin: the SAME Incremental.merge fold, fed by real
     // Structured Streaming micro-batches through foreachBatch — each
     // batch's partials fold into the parquet state store, so the batch
@@ -5427,6 +5457,30 @@ object SparkEntry {
         |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS dt_min,
         |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS dt_max
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // replays the whole CMS: same d×w table, same md5("r:key") buckets,
+    // same min-over-rows estimate — full equality plus the ≥-truth pin
+    "freq_cms_point" ->
+      """WITH q AS (SELECT DISTINCT l_partkey AS key FROM lineitem
+        |    WHERE l_partkey % 37 = 0
+        |  UNION ALL
+        |  SELECT DISTINCT l_partkey + 1000000000 FROM lineitem
+        |    WHERE l_partkey % 37 = 0),
+        |rb AS (SELECT r, CAST(md5_number_lower(CONCAT(CAST(r AS VARCHAR), ':',
+        |      CAST(l_partkey AS VARCHAR))) % 1024 AS BIGINT) AS b
+        |  FROM lineitem CROSS JOIN (SELECT unnest(range(3)) AS r)),
+        |cms AS (SELECT r, b, COUNT(*) AS c FROM rb GROUP BY 1, 2),
+        |qrb AS (SELECT key, r, CAST(md5_number_lower(CONCAT(CAST(r AS VARCHAR),
+        |      ':', CAST(key AS VARCHAR))) % 1024 AS BIGINT) AS b
+        |  FROM q CROSS JOIN (SELECT unnest(range(3)) AS r)),
+        |est AS (SELECT key, MIN(COALESCE(c, 0)) AS cms_est
+        |  FROM qrb LEFT JOIN cms USING (r, b) GROUP BY key),
+        |ex AS (SELECT l_partkey AS key, COUNT(*) AS exact FROM lineitem
+        |  GROUP BY 1)
+        |SELECT est.key, COALESCE(ex.exact, 0) AS exact, est.cms_est,
+        |  CAST(est.cms_est >= COALESCE(ex.exact, 0) AS BIGINT) AS ge_ok
+        |FROM est LEFT JOIN ex ON est.key = ex.key
+        |ORDER BY est.key""".stripMargin,
 
     // same truth as a batch refresh would have: the micro-batch fold
     // must reproduce the from-scratch aggregate exactly

@@ -74,4 +74,37 @@ class FrequencySpec extends SparkSpec {
     assert(plan.contains("__bucket") || plan.contains("CASE WHEN"),
       plan.take(1500))
   }
+
+  test("CMS: estimate >= truth for every key, exact when no collision, " +
+    "0-capable for absent keys") {
+    val rnd = new scala.util.Random(5)
+    val data = (1 to 5000).map(_ => rnd.nextInt(300).toLong).toDF("k")
+    val (w, d) = (512, 3)
+    val cms = Frequency.cmsBuild(data, col("k"), w, d)
+    val truth = data.groupBy(col("k")).count().as[(Long, Long)].collect().toMap
+    val qs = (0L to 350L).toDF("k") // 300..350 absent
+    val est = Frequency.cmsEstimate(cms, qs, col("k"), w, d)
+      .as[(Long, Long)].collect().toMap
+    truth.foreach { case (k, c) =>
+      assert(est(k) >= c, s"key $k: est ${est(k)} < true $c") }
+    (300L to 350L).foreach(k => assert(est(k) >= 0))
+    // with w >> distinct keys most cells are collision-free: the bulk of
+    // estimates should be exact
+    val exactHits = truth.count { case (k, c) => est(k) == c }
+    assert(exactHits > truth.size * 0.8, s"only $exactHits/${truth.size} exact")
+  }
+
+  test("CMS merges cell-wise: sketch(a ++ b) == sketch(a) + sketch(b)") {
+    val a = (1 to 500).map(i => (i % 40).toLong).toDF("k")
+    val b = (1 to 300).map(i => (i % 25).toLong).toDF("k")
+    val (w, d) = (128, 3)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Long)].collect().map { case (r, bk, c) => (r, bk) -> c }.toMap
+    val whole = cells(Frequency.cmsBuild(a.unionAll(b), col("k"), w, d))
+    val ca = cells(Frequency.cmsBuild(a, col("k"), w, d))
+    val cb = cells(Frequency.cmsBuild(b, col("k"), w, d))
+    val merged = (ca.keySet ++ cb.keySet).map(k =>
+      k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+    assert(whole === merged)
+  }
 }
