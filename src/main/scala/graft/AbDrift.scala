@@ -83,14 +83,14 @@ object AbDrift {
     // (3.0-3.1 in every earlier artifact) and sim_topk_pq at 6.38 (band
     // 3.7-4.4); interleave both against the stable dedup_clusters
     // reference to attribute ambient-vs-real.
-    val arms: Seq[(String, () => Long)] = Seq(
-      "dedup_clusters" -> (() =>
-        SparkEntry.queries("dedup_clusters")(spark, sfDir).count()),
-      "text_bpe_encode" -> (() =>
-        SparkEntry.queries("text_bpe_encode")(spark, sfDir).count()),
-      "sim_topk_pq" -> (() =>
-        SparkEntry.queries("sim_topk_pq")(spark, sfDir).count())
-    )
+    // SPARK_GRAFT_AB_ARMS=name,name narrows the arm set (any
+    // SparkEntry.queries key is an arm) — e.g. re-measuring one mover
+    // with the exact arm composition of an earlier banked run.
+    val defaultArms = Seq("dedup_clusters", "text_bpe_encode", "sim_topk_pq")
+    val armNames = sys.env.get("SPARK_GRAFT_AB_ARMS")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(defaultArms)
+    val arms: Seq[(String, () => Long)] = armNames.map(n =>
+      n -> (() => SparkEntry.queries(n)(spark, sfDir).count()))
     // retired earlier-r12 helpers kept compilable for arm re-activation
     locally { val _ = (j1 _, twsUv _, Similarity) }
 

@@ -1632,6 +1632,81 @@ object SparkEntry {
       } finally rmTree(path)
     }),
 
+    // ── Source: binaryFile — the raw-asset ingestion path for the
+    // multimodal column family (mm_*): a directory of opaque files
+    // becomes (path, length, content) rows with NO decode step, content
+    // lands as a binary column ready for the mapPartitions feature
+    // extractors. Fixture: every 25th doc's UTF-8 bytes as .bin files
+    // (driver-side staging is fixture setup, not the operator); the
+    // oracle recomputes byte length and md5 from the raw table — length
+    // must be BYTES (strlen), not chars, or the zh docs fail the hash.
+    "source_binary_files" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-bin-${System.nanoTime()}"
+      try {
+        new java.io.File(path).mkdirs()
+        Tables.documents(s, dir)
+          .filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$path/doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        s.read.format("binaryFile").load(path)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+              .cast("long").as("doc_id"),
+            col("length"), md5(col("content")).as("content_md5"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
+    // ── K13: retention/TTL partition expiry (Erasure.expirePartitions)
+    // — age out data older than the retention horizon as a pure LISTING
+    // operation: directory names decide, zero data files are opened or
+    // rewritten (the defining economics vs k10's key-level rewrite).
+    // Store = events by day (30 partitions); days before 2024-01-10
+    // expire. Verdicts pin BOTH properties: kept partitions' files are
+    // byte-identical (no rewrite happened) and exactly 9 day-values
+    // dropped; the oracle recomputes the surviving aggregate from the
+    // raw table with the same cutoff.
+    "k13_retention_expire" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-ttl-${System.nanoTime()}"
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(path))
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(f => f.getPath -> f.length()).toMap
+      }
+      try {
+        Tables.events(s, dir)
+          .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.mode("overwrite").partitionBy("dt").parquet(path)
+        val before = files()
+        val dropped = Erasure.expirePartitions(s, path, "dt", "2024-01-10")
+        val after = files()
+        val keptUntouched = after == before.filter { case (p, _) =>
+          !dropped.exists(d => p.contains(s"dt=$d")) }
+        s.read.parquet(path)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("ct"),
+            min(col("dt").cast("string")).as("dt_min"),
+            countDistinct(col("dt")).as("days"))
+          .withColumn("kept_untouched",
+            lit(if (keptUntouched) 1L else 0L))
+          .withColumn("dropped_days", lit(dropped.size.toLong))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
     // ── Count-Min sketch point queries (Frequency.cmsBuild/cmsEstimate)
     // — the mergeable FREQUENCY summary completing the sketch family
     // (a17 HLL ≈ distinct, a22 bitmap = distinct, a26 KMV = set ops,
@@ -5457,6 +5532,25 @@ object SparkEntry {
         |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS dt_min,
         |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS dt_max
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // byte length and md5 recomputed from the raw table (md5 of the
+    // UTF-8 bytes — the portable-hash contract the fingerprint gates pin)
+    "source_binary_files" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
+
+    // survivors recomputed with the same cutoff; the 9 dropped days and
+    // the no-rewrite verdict are pinned constants
+    "k13_retention_expire" ->
+      """WITH e AS (SELECT event_type,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt FROM events)
+        |SELECT event_type, COUNT(*) AS ct, MIN(dt) AS dt_min,
+        |  COUNT(DISTINCT dt) AS days,
+        |  CAST(1 AS BIGINT) AS kept_untouched,
+        |  CAST(9 AS BIGINT) AS dropped_days
+        |FROM e WHERE dt >= '2024-01-10'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // replays the whole CMS: same d×w table, same md5("r:key") buckets,
     // same min-over-rows estimate — full equality plus the ≥-truth pin

@@ -72,6 +72,30 @@ object Erasure {
     affected
   }
 
+  /** Retention/TTL expiry: drop every partition whose `partCol` value
+    * sorts strictly below `cutoff` — a pure LISTING operation (directory
+    * names only; zero data files are opened, read, or rewritten), which
+    * is what makes age-based expiry free at 100 TB while row-level
+    * deletes cost a rewrite. Values compare as strings after undoing the
+    * writer's path escaping, so the contract is lexicographically-ordered
+    * partition values (ISO dates, zero-padded buckets). Returns the
+    * dropped values. */
+  def expirePartitions(spark: SparkSession, storeDir: String,
+      partCol: String, cutoff: String): Seq[String] = {
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(storePath).filter(_.isDirectory).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(s"$partCol=")) {
+        val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(name.substring(partCol.length + 1))
+        if (v < cutoff) { fs.delete(st.getPath, true); dropped += v; () }
+      }
+    }
+    dropped.toSeq
+  }
+
   /** Delete the store directories for partitions that ended up with zero
     * rows after a rewrite (dynamic overwrite never lists them, so their
     * stale files would otherwise survive). Directory names are decoded

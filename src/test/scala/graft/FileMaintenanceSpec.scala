@@ -150,6 +150,26 @@ class FileMaintenanceSpec extends SparkSpec {
     } finally rm(store)
   }
 
+  test("expirePartitions: strictly-below-cutoff dirs dropped, boundary kept, " +
+    "escaped values compared unescaped, kept files untouched") {
+    val dir = tmpDir("ttl")
+    try {
+      Seq((1L, "2024-01-05"), (2L, "2024-01-10"), (3L, "2024-01-20"),
+        (4L, "2024 01 02")) // space → escaped dir name, sorts below cutoff
+        .toDF("id", "dt").write.partitionBy("dt").parquet(dir)
+      def files() = Option(new java.io.File(s"$dir/dt=2024-01-20").listFiles())
+        .getOrElse(Array.empty[java.io.File]).map(f => f.getName -> f.length()).toSet
+      val before = files()
+      val dropped = graft.operators.Erasure
+        .expirePartitions(spark, dir, "dt", "2024-01-10")
+      assert(dropped.toSet === Set("2024-01-05", "2024 01 02"))
+      assert(files() === before, "kept partition files must not churn")
+      val left = spark.read.parquet(dir).select(col("id"))
+        .as[Long].collect().toSet
+      assert(left === Set(2L, 3L)) // boundary value (== cutoff) survives
+    } finally rm(dir)
+  }
+
   test("ORC scan prunes like parquet: filter lands in PushedFilters, " +
     "projection narrows the read schema") {
     val dir = tmpDir("orc")
