@@ -365,6 +365,111 @@ object ScaleGrowth {
           f"days=$n (flat: 5 at any R); dpp=$prunedSec%.2fs vs " +
             f"no-dpp=$fullSec%.2fs same scale")
       } finally rmAll(new java.io.File(path))
+    },
+    "merge_cow" -> { dir =>
+      // copy-on-write MERGE: timed span = the merge; the structural claim
+      // is the rewrite touching 2/16 partitions whatever R is (rewritten
+      // rows ~Rx WITHIN the slice; untouched partitions never read)
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"),
+          pmod(col("user_id"), lit(16L)).as("bucket"))
+      val path = s"$dir/merge-store-${System.nanoTime()}"
+      def rmAll(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .foreach(rmAll)
+        f.delete(); ()
+      }
+      try {
+        ev.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        val base = ev.filter(col("bucket").isin(2L, 5L))
+        val src = base.filter(col("event_id") % 3 === 0)
+            .withColumn("value", col("value") + 1.0).withColumn("op", lit("U"))
+          .unionByName(base.filter(col("event_id") % 3 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("event_id") % 3 === 2)
+            .withColumn("event_id", col("event_id") + 4000000000L)
+            .withColumn("op", lit("I")))
+          .localCheckpoint(true) // source staging untimed
+        val t0 = System.nanoTime()
+        graft.operators.Merge.into(spark, path, "bucket", "event_id", src)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = spark.read.parquet(path)
+          .filter(col("bucket").isin(2L, 5L)).count()
+        (sec, n, s"slice rows=$n (~Rx); churned 2/16 partitions at any R")
+      } finally rmAll(new java.io.File(path))
+    },
+    "incremental_refresh" -> { dir =>
+      // refresh = O(delta + groups): the state table is GROUPS-sized
+      // (event_type cardinality — flat in R), the delta scan is the only
+      // data-proportional term. Timed span = delta agg + state merge.
+      import graft.operators.Incremental
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      val statePath = s"$dir/incr-state-${System.nanoTime()}"
+      def rmAll(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .foreach(rmAll)
+        f.delete(); ()
+      }
+      try {
+        Incremental.state(ev.filter(col("dt") < "2024-01-25"),
+          Seq("event_type"), Seq("value"), Seq("dt"))
+          .write.parquet(statePath) // history fold untimed (one-time cost)
+        val t0 = System.nanoTime()
+        val merged = Incremental.merge(Seq(
+          spark.read.parquet(statePath),
+          Incremental.state(ev.filter(col("dt") >= "2024-01-25"),
+            Seq("event_type"), Seq("value"), Seq("dt"))),
+          Seq("event_type")).localCheckpoint(true)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = merged.count()
+        (sec, n, s"state rows=$n (flat: groups, not data); " +
+          "refresh scans delta only")
+      } finally rmAll(new java.io.File(statePath))
+    },
+    "cms_build_probe" -> whole { dir =>
+      // sketch size is <= d*w whatever R is — the counter IS the claim;
+      // time ~Rx (one scan, map-side collapse to d*w rows per partition)
+      import graft.operators.Frequency
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val cms = Frequency.cmsBuild(ev, col("user_id"), 1024, 3)
+        .localCheckpoint(true)
+      val cells = cms.count()
+      val est = Frequency.cmsEstimate(cms,
+        spark.range(0, 50).select(col("id").as("k")), col("k"), 1024, 3)
+          .count()
+      (cells, s"cells=$cells (<=3072 at any R), probes=$est")
+    },
+    "kmv_setops" -> whole { dir =>
+      // sketch state = k values whatever R is; estimates stay within the
+      // 1/sqrt(k-2) band as the true cardinalities grow Rx
+      import graft.functions.Kmv
+      val k = 256
+      val kmv = udaf(Kmv.agg(k), org.apache.spark.sql.Encoders.scalaLong)
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .agg(kmv(Kmv.hashKey(col("user_id").cast("string"))).as("sk"))
+      val row = side("view").crossJoin(
+          side("click").withColumnRenamed("sk", "sk2"))
+        .select(Kmv.estimate(col("sk"), k),
+          Kmv.intersectEstimate(col("sk"), col("sk2"), k),
+          size(col("sk"))).collect()(0)
+      (row.getInt(2).toLong,
+        f"sketch=${row.getInt(2)} vals (flat); est_view=${row.getDouble(0)}%.0f " +
+          f"est_inter=${row.getDouble(1)}%.0f")
+    },
+    "fuzzy_dist1_blocked" -> whole { dir =>
+      // deletion-neighborhood blocking: candidates ~Rx (replicas are
+      // id-offset, so pairs stay within replicas) where brute force
+      // would be (Rx)^2 — the avoided quadratic is the claim
+      val words = spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_id") % 7 === 0)
+        .select(col("event_id").cast("string").as("w")).distinct()
+      val nw = words.count()
+      val pairs = graft.operators.Fuzzy.editDistance1Pairs(words, "w").count()
+      (pairs, s"pairs=$pairs from $nw words (brute = ${nw * nw / 2} dists)")
     })
   }
 

@@ -1996,6 +1996,80 @@ object SparkEntry {
         .orderBy(col("grp"), col("dt"))
     }),
 
+    // ── A29: rolling percentiles — exact p50/p95 over a bounded ROWS
+    // frame (last 100 points per series), the monitoring primitive
+    // ("rolling p95 latency") a15's sum frames don't cover. Exact
+    // `percentile` runs as a window AGGREGATE over the frame: state is
+    // the 100-row frame, never the series; (ts, event_id) makes the
+    // order total so the frame content is deterministic. truncate6 on
+    // the interpolated value (the a8 cross-engine contract).
+    "a29_rolling_pctl" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-99, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("event_id") % 11 === 0)
+        .select(col("event_id"), col("event_type"),
+          truncate6(expr("percentile(value, 0.5)").over(w)).as("p50_t"),
+          truncate6(expr("percentile(value, 0.95)").over(w)).as("p95_t"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── A30: equi-width histogram per group — bounds agg broadcast back,
+    // one bucket-count agg; the bucket index is a single fixed IEEE
+    // expression both engines replay bit-identically (see Stats.histogram).
+    "a30_histogram" -> ((s, dir) =>
+      Stats.histogram(Tables.events(s, dir), Seq("event_type"), "value", 10)
+        .orderBy(col("event_type"), col("bucket"))),
+
+    // ── A31: time-weighted average — irregular-series mean where each
+    // sample holds until the next (telemetry gauges, position marks).
+    // Exact integer weighted sums; the oracle replays lead() + the same
+    // fixed-point arithmetic.
+    "a31_twa" -> ((s, dir) =>
+      Stats.timeWeightedAvg(Tables.events(s, dir), Seq("event_type"),
+        "ts", "event_id", "value")
+        .orderBy(col("event_type"))),
+
+    // ── A33: Welch's t per group — the A/B readout from one
+    // conditional-aggregation pass (no pivot, no second shuffle); exact
+    // arm sums make t and the Welch–Satterthwaite df engine-exact.
+    "a33_welch_ttest" -> ((s, dir) =>
+      Stats.welchTTest(
+        Tables.events(s, dir)
+          .withColumn("variant", pmod(col("user_id"), lit(2L)).cast("int")),
+        Seq("event_type"), "variant", "value")
+        .orderBy(col("event_type"))),
+
+    // ── DQ: key-skew diagnostic — hottest-key ratio per group, the
+    // pre-flight report the j8 salting family consumes. Two-level agg;
+    // the hot key travels as a count, never as rows.
+    "dq_skew_report" -> ((s, dir) =>
+      graft.operators.Quality.keySkewReport(
+        Tables.events(s, dir), Seq("event_type"), "user_id")
+        .orderBy(col("event_type"))),
+
+    // ── J17 streaming: stream-static LEFT ANTI join — the deny-list /
+    // dim-missing filter (fraud screens, bot exclusion, orphan alerts)
+    // through the real streaming path. The static side builds once per
+    // micro-batch plan and broadcasts; the join is STATELESS (no
+    // watermark, no store — the anti condition needs only the static
+    // side), so it composes before any stateful stage at zero state
+    // cost. Oracle: the same exclusion as a batch predicate.
+    "stream_j17_anti" -> ((s, dir) => {
+      val deny = Tables.events(s, dir).select(col("user_id")).distinct()
+        .filter(col("user_id") % 7 === 0)
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.Sources.eventsStreamSplit(s, dir)
+          .join(deny, Seq("user_id"), "left_anti"),
+        statePartitions = 2)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ct"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy(col("event_type"))
+    }),
+
     // ── A1: ProductStats — 10s tumbling window, counters + exact distinct
     "a1_product_stats" -> ((s, dir) =>
       Stats.productStats(Tables.events(s, dir)).orderBy(col("stt"), col("event_type"))),
@@ -2150,6 +2224,32 @@ object SparkEntry {
     // same row, so the oracle cross-checks BOTH the observed metrics and
     // the downstream result against one parquet truth. Extrema and
     // integer tallies only — no double sums ride the compare.
+    // ── DQ: robust outlier report — median/MAD (the 3σ rule that
+    // doesn't break when the outliers ARE the contamination: mean/stddev
+    // move with the tail, the median doesn't). Knife-edge-free across
+    // engines by construction: prices → integer cents, medians doubled
+    // into integers ((a+b)/2·2 = a+b exact in IEEE for ≤2^52 ints), the
+    // flag compare 2·d > 3·mad2x2 all-integer — no float threshold can
+    // disagree. Three keyed aggs + two broadcast joins back; the fact
+    // table is scanned once per agg, never shuffled on a wide key.
+    "dq_outliers_mad" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderpriority").as("g"),
+        (dec("o_totalprice") * 100).cast("long").as("c"))
+      val med = o.groupBy(col("g")).agg(
+        (expr("percentile(c, 0.5)") * 2).cast("long").as("med2"))
+      val d = o.join(broadcast(med), Seq("g"))
+        .withColumn("d", abs(col("c") * 2 - col("med2")))
+      val mad = d.groupBy(col("g")).agg(
+        (expr("percentile(d, 0.5)") * 2).cast("long").as("mad2x2"))
+      d.join(broadcast(mad), Seq("g"))
+        .groupBy(col("g"), col("med2"), col("mad2x2"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("d") * 2 > col("mad2x2") * 3, 1)).as("outlier_ct"))
+        .select(col("g"), col("n"), col("outlier_ct"), col("med2"),
+          col("mad2x2"))
+        .orderBy(col("g"))
+    }),
+
     "dq_observe" -> ((s, dir) => {
       val obs = org.apache.spark.sql.Observation()
       val kept = Tables.orders(s, dir)
@@ -4889,6 +4989,24 @@ object SparkEntry {
         |    AS kept_expensive
         |FROM orders""".stripMargin,
 
+    // identical doubled-integer median/MAD arithmetic: quantile_cont's
+    // interpolation of adjacent ints is (a+b)/2 — exact, so ·2 is a+b
+    "dq_outliers_mad" ->
+      """WITH o AS (SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |m AS (SELECT g, CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS med2
+        |  FROM o GROUP BY g),
+        |d AS (SELECT o.g, abs(c * 2 - med2) AS d, med2
+        |  FROM o JOIN m ON o.g = m.g),
+        |md AS (SELECT g, CAST(quantile_cont(d, 0.5) * 2 AS BIGINT) AS mad2x2
+        |  FROM d GROUP BY g)
+        |SELECT d.g, COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE d * 2 > mad2x2 * 3) AS outlier_ct,
+        |  d.med2, md.mad2x2
+        |FROM d JOIN md ON d.g = md.g
+        |GROUP BY d.g, d.med2, md.mad2x2 ORDER BY d.g""".stripMargin,
+
     "f_json_path" ->
       """SELECT event_type, COUNT(*) AS ct,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
@@ -5773,6 +5891,106 @@ object SparkEntry {
         |    ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
         |    AS locf
         |FROM f ORDER BY grp, dt""".stripMargin,
+
+    "a29_rolling_pctl" ->
+      """SELECT event_id, event_type,
+        |  floor(quantile_cont(value, 0.5) OVER w * 1000000)/1000000 AS p50_t,
+        |  floor(quantile_cont(value, 0.95) OVER w * 1000000)/1000000 AS p95_t
+        |FROM events WHERE event_id % 11 = 0
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |  ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // two-pass histogram replayed: per-group bounds join back, the same
+    // IEEE bucket expression, sparse emission (GROUP BY drops empties)
+    "a30_histogram" ->
+      """WITH b AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+        |  FROM events GROUP BY event_type),
+        |x AS (SELECT e.event_type,
+        |    CASE WHEN mx = mn THEN 0
+        |      ELSE least(CAST(floor((value - mn) * 10 / (mx - mn)) AS BIGINT), 9)
+        |    END AS bucket, value
+        |  FROM events e JOIN b ON e.event_type = b.event_type)
+        |SELECT event_type, bucket, COUNT(*) AS ct,
+        |  floor(min(value) * 1000000.0)/1000000.0 AS lo_t,
+        |  floor(max(value) * 1000000.0)/1000000.0 AS hi_t
+        |FROM x GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // identical fixed-point weighted-sum arithmetic: values in integer
+    // millionths, holding interval from lead(), HUGEINT product sum
+    "a31_twa" ->
+      """WITH s AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP))//1000000 AS sec, event_id,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS vu FROM events),
+        |d AS (SELECT event_type, vu,
+        |    lead(sec) OVER (PARTITION BY event_type ORDER BY sec, event_id)
+        |      - sec AS dt
+        |  FROM s)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(dt) AS BIGINT) AS held_s,
+        |  CASE WHEN SUM(dt) > 0 THEN
+        |    floor((CAST(SUM(CAST(vu AS HUGEINT) * dt) AS DOUBLE)
+        |      / (CAST(SUM(dt) AS BIGINT) * 1000000.0)) * 1000000.0)/1000000.0
+        |  END AS twa_t
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Welch from exact arm sums: the same (Σv² − n·mean²)/(n−1) and
+    // Welch–Satterthwaite formulas over identical operands, same op order
+    "a33_welch_ttest" ->
+      """WITH v AS (SELECT event_type, user_id % 2 AS variant,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS vu FROM events),
+        |a AS (SELECT event_type,
+        |    COUNT(*) FILTER (WHERE variant = 0) AS n_a,
+        |    COUNT(*) FILTER (WHERE variant = 1) AS n_b,
+        |    CAST(SUM(vu) FILTER (WHERE variant = 0) AS BIGINT) AS s_a,
+        |    CAST(SUM(vu) FILTER (WHERE variant = 1) AS BIGINT) AS s_b,
+        |    SUM(CAST(vu AS HUGEINT) * vu) FILTER (WHERE variant = 0) AS s2_a,
+        |    SUM(CAST(vu AS HUGEINT) * vu) FILTER (WHERE variant = 1) AS s2_b
+        |  FROM v GROUP BY event_type),
+        |m AS (SELECT *,
+        |    CAST(s_a AS DOUBLE) / n_a / 1000000.0 AS ma,
+        |    CAST(s_b AS DOUBLE) / n_b / 1000000.0 AS mb,
+        |    ((CAST(s2_a AS DOUBLE) / 1000000000000.0
+        |      - n_a * (CAST(s_a AS DOUBLE) / n_a / 1000000.0)
+        |            * (CAST(s_a AS DOUBLE) / n_a / 1000000.0)) / (n_a - 1))
+        |      / n_a AS sea,
+        |    ((CAST(s2_b AS DOUBLE) / 1000000000000.0
+        |      - n_b * (CAST(s_b AS DOUBLE) / n_b / 1000000.0)
+        |            * (CAST(s_b AS DOUBLE) / n_b / 1000000.0)) / (n_b - 1))
+        |      / n_b AS seb
+        |  FROM a)
+        |SELECT event_type, n_a, n_b,
+        |  floor(ma * 1000000.0)/1000000.0 AS mean_a_t,
+        |  floor(mb * 1000000.0)/1000000.0 AS mean_b_t,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0 THEN
+        |    floor(((ma - mb) / sqrt(sea + seb)) * 1000000.0)/1000000.0
+        |  END AS t_t,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0 THEN
+        |    floor(((sea + seb) * (sea + seb)
+        |      / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)))
+        |      * 1000000.0)/1000000.0
+        |  END AS df_t
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // two-level skew rollup; hot key via the same composite arg_max key
+    "dq_skew_report" ->
+      """WITH c AS (SELECT event_type, user_id, COUNT(*) AS ct
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type, CAST(SUM(ct) AS BIGINT) AS total,
+        |  COUNT(*) AS n_keys, MAX(ct) AS max_ct,
+        |  arg_max(user_id, ct * 100000000000 - user_id) AS hot_key,
+        |  floor((MAX(ct) * COUNT(*) / CAST(SUM(ct) AS DOUBLE)) * 1000000.0)
+        |    /1000000.0 AS skew_t
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the deny-list exclusion replayed as a plain predicate — execution
+    // mode (streaming anti join) must not change the answer
+    "stream_j17_anti" ->
+      """SELECT event_type, COUNT(*) AS ct, COUNT(DISTINCT user_id) AS users
+        |FROM events WHERE user_id % 7 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "a1_product_stats" ->
       """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//10000000)*10000000 AS us,

@@ -142,4 +142,29 @@ object Quality {
             (col("ct") * length(col("gram"))).cast("double")
               / col("n_chars_t"))).as("coverage"))
   }
+
+  /** Per-group key-skew diagnostic — the "will this join/agg hot-spot"
+    * report you run BEFORE picking a salting factor (the j8 salted-join
+    * family consumes exactly this shape). Two-level aggregation: the
+    * (group, key) counts carry map-side combine, then a group-sized
+    * rollup — the heaviest key never concentrates on one task because
+    * only its COUNT travels. skew_t = hottest/mean per-key count (1.0 =
+    * uniform); the hottest key itself rides a composite max_by
+    * (ct·1e11 − key), so ties break to the smallest key identically on
+    * every engine. Key cardinality and count bound: key < 1e11,
+    * per-key ct < ~9e7 — events user_ids are far inside both. */
+  def keySkewReport(df: DataFrame, groupCols: Seq[String],
+      keyCol: String): DataFrame = {
+    val gs = groupCols.map(col)
+    df.groupBy(gs :+ col(keyCol): _*)
+      .agg(count(lit(1)).as("ct"))
+      .groupBy(gs: _*)
+      .agg(sum(col("ct")).as("total"),
+        count(lit(1)).as("n_keys"),
+        max(col("ct")).as("max_ct"),
+        max_by(col(keyCol), col("ct") * 100000000000L - col(keyCol))
+          .as("hot_key"))
+      .withColumn("skew_t", graft.functions.TextFns.truncate6(
+        col("max_ct") * col("n_keys") / col("total").cast("double")))
+  }
 }

@@ -173,4 +173,107 @@ object Stats {
       .groupBy(toYyyymmdd(col("o_orderdate")).as("dt"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("gmv"),
         count(lit(1)).as("order_ct"))
+
+  /** Equi-width histogram per group — the distribution-profiling
+    * primitive (drift monitors, feature binning). Two passes over the
+    * fact: a per-group bounds agg (group-cardinality-sized, broadcast
+    * back) and one bucket-count agg — no sort, no wide shuffle beyond
+    * the keyed aggs, so the plan is scale-flat. The bucket index is one
+    * fixed IEEE expression, floor((v-mn)*nb/(mx-mn)) clamped to nb-1,
+    * so any engine replaying the same binary64 ops bins identically;
+    * a degenerate group (mx == mn) collapses to bucket 0. Empty buckets
+    * are not emitted (the report is sparse by design — at 100 TB a
+    * dense bucket spine would be groups × nb rows of mostly zeros). */
+  def histogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val gs = groupCols.map(col)
+    val bounds = df.groupBy(gs: _*)
+      .agg(min(col(valueCol)).as("_mn"), max(col(valueCol)).as("_mx"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn("bucket",
+        when(col("_mx") === col("_mn"), lit(0L)).otherwise(
+          least(floor((col(valueCol) - col("_mn")) * buckets /
+            (col("_mx") - col("_mn"))).cast("long"), lit(buckets - 1L))))
+      .groupBy(gs :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("ct"),
+        truncate6(min(col(valueCol))).as("lo_t"),
+        truncate6(max(col(valueCol))).as("hi_t"))
+  }
+
+  /** Time-weighted average over irregularly sampled series — the
+    * telemetry/finance mean where each sample holds until the next one
+    * (a 5-minute-stale reading must weigh 300× a burst of per-second
+    * ones). Weight = seconds until the next sample in the (group, order)
+    * series, so the last sample of each group carries no weight (its
+    * holding interval is unobserved). Arithmetic is engine-exact: values
+    * floor-truncate to integer millionths BEFORE the weighted sum, the
+    * term v_u·dt is summed as decimal (a long would overflow at ~1e20),
+    * and the final division is one IEEE op on exact operands. One window
+    * (the lead) + one keyed agg; the window partitions by the group. At
+    * 100 TB the group key must be SERIES-grained (device×metric, user) —
+    * millions of modest partitions; a handful of giant groups would
+    * funnel each into one sort task (the gate's event_type grouping is
+    * for a compact oracle, not the scale shape). */
+  def timeWeightedAvg(df: DataFrame, groupCols: Seq[String], tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*).orderBy(col("_s"), col(tieCol))
+    df.select(gs :+ unix_seconds(col(tsCol).cast("timestamp")).as("_s") :+
+        col(tieCol) :+ floor(col(valueCol) * 1e6).cast("long").as("_vu"): _*)
+      .withColumn("_dt", lead(col("_s"), 1).over(w) - col("_s"))
+      .filter(col("_dt").isNotNull)
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_dt")).as("held_s"),
+        sum(col("_vu").cast("decimal(28,0)") * col("_dt"))
+          .cast("decimal(38,0)").as("_num"))
+      .withColumn("twa_t",
+        when(col("held_s") > 0, truncate6(
+          col("_num").cast("double") / (col("held_s") * 1e6))))
+      .drop("_num")
+  }
+
+  /** Welch's unequal-variance t statistic per group — the A/B-test
+    * readout (treatment vs control on a metric, per experiment cell).
+    * ONE conditional-aggregation pass: n/Σv/Σv² per arm ride the same
+    * scan as filtered sums, no pivot, no second shuffle. Sums are exact
+    * (values in integer millionths; the square sum in decimal — 1e6 rows
+    * of (1e9)² overflow a long), so mean/variance/t/df come out of a
+    * fixed IEEE formula over exact operands: bit-identical on any
+    * engine. Emits t and the Welch–Satterthwaite df; arms with n<2 or
+    * zero pooled variance yield NULL rather than ±Inf. `variantCol`
+    * must be 0/1 (control/treatment). */
+  def welchTTest(df: DataFrame, groupCols: Seq[String], variantCol: String,
+      valueCol: String): DataFrame = {
+    val gs = groupCols.map(col)
+    val vu = floor(col(valueCol) * 1e6).cast("long")
+    def arm(v: Int, tag: String) = Seq(
+      count(when(col(variantCol) === v, 1)).as(s"n_$tag"),
+      sum(when(col(variantCol) === v, vu)).as(s"_s_$tag"),
+      sum(when(col(variantCol) === v, vu.cast("decimal(28,0)") * vu))
+        .cast("decimal(38,0)").as(s"_s2_$tag"))
+    val aggs = arm(0, "a") ++ arm(1, "b")
+    def m(t: String) = col(s"_s_$t").cast("double") / col(s"n_$t") / 1e6
+    // var_samp from exact sums: (Σv² − n·mean²)/(n−1), v in units
+    def va(t: String) =
+      (col(s"_s2_$t").cast("double") / 1e12 -
+        col(s"n_$t") * m(t) * m(t)) / (col(s"n_$t") - 1)
+    def se2(t: String) = va(t) / col(s"n_$t")
+    val pooled = se2("a") + se2("b")
+    df.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_a_t", truncate6(m("a")))
+      .withColumn("mean_b_t", truncate6(m("b")))
+      .withColumn("t_t",
+        when(col("n_a") > 1 && col("n_b") > 1 && pooled > 0,
+          truncate6((m("a") - m("b")) / sqrt(pooled))))
+      .withColumn("df_t",
+        when(col("n_a") > 1 && col("n_b") > 1 && pooled > 0,
+          truncate6(pooled * pooled / (
+            se2("a") * se2("a") / (col("n_a") - 1) +
+            se2("b") * se2("b") / (col("n_b") - 1)))))
+      .select(gs ++ Seq(col("n_a"), col("n_b"), col("mean_a_t"),
+        col("mean_b_t"), col("t_t"), col("df_t")): _*)
+  }
 }

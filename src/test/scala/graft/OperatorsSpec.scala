@@ -414,4 +414,63 @@ class OperatorsSpec extends SparkSpec {
     // (no gap, no overlap), exactly one current version per key
     assert(out.count(_._5 == 1) === 2)
   }
+
+  test("Stats.histogram: equi-width bins, max clamps to the top bucket, " +
+    "degenerate group collapses to bucket 0, empties not emitted") {
+    val df = Seq(("g", 0.0), ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 10.0),
+      ("flat", 7.0), ("flat", 7.0))
+      .toDF("grp", "v")
+    val out = graft.operators.Stats.histogram(df, Seq("grp"), "v", 2)
+      .select(col("grp"), col("bucket"), col("ct"))
+      .as[(String, Long, Long)].collect().toSet
+    // width 5: 0,1,2,3 -> bucket 0; 10 -> floor(2) clamped to 1
+    assert(out === Set(("g", 0L, 4L), ("g", 1L, 1L), ("flat", 0L, 2L)))
+  }
+
+  test("Stats.timeWeightedAvg: each sample holds until the next; the last " +
+    "sample carries no weight; partition count does not change the answer") {
+    val df = Seq((1L, 0L, 10.0), (2L, 10L, 20.0), (3L, 40L, 0.0))
+      .toDF("event_id", "sec", "v")
+      .withColumn("grp", lit("s"))
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Stats.timeWeightedAvg(d, Seq("grp"), "ts", "event_id", "v")
+        .select(col("n"), col("held_s"), col("twa_t"))
+        .as[(Long, Long, Double)].collect().toSeq
+    // (10*10 + 20*30)/40 = 17.5
+    assert(run(df) === Seq((2L, 40L, 17.5)))
+    assert(run(df.repartition(7)) === Seq((2L, 40L, 17.5)))
+  }
+
+  test("Stats.welchTTest: hand-checked arms — exact means/variances, t and " +
+    "Welch df match the closed form; degenerate arms yield NULL not Inf") {
+    val df = (Seq(1.0, 2.0, 3.0).map(v => ("g", 0, v)) ++
+      Seq(2.0, 4.0, 6.0).map(v => ("g", 1, v)) ++
+      Seq(("one", 0, 5.0), ("one", 1, 5.0))) // n=1 arms -> NULL t
+      .toDF("grp", "variant", "v")
+    val rows = graft.operators.Stats.welchTTest(df, Seq("grp"), "variant", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = rows("g")
+    assert((g.getLong(1), g.getLong(2)) === ((3L, 3L)))
+    assert((g.getDouble(3), g.getDouble(4)) === ((2.0, 4.0)))
+    // vars are exactly 1 and 4 from the integer-millionth sums
+    val pooled = 1.0 / 3 + 4.0 / 3
+    assert(g.getDouble(5) ===
+      math.floor(((2.0 - 4.0) / math.sqrt(pooled)) * 1e6) / 1e6)
+    assert(g.getDouble(6) === math.floor((pooled * pooled /
+      ((1.0 / 3) * (1.0 / 3) / 2 + (4.0 / 3) * (4.0 / 3) / 2)) * 1e6) / 1e6)
+    assert(rows("one").isNullAt(5) && rows("one").isNullAt(6))
+  }
+
+  test("Quality.keySkewReport: hottest-key ratio; count ties break to the " +
+    "smallest key") {
+    val df = (Seq.fill(3)(("g1", 1L)) ++ Seq(("g1", 2L)) ++
+      Seq(("g2", 5L), ("g2", 5L), ("g2", 3L), ("g2", 3L)))
+      .toDF("grp", "k")
+    val out = graft.operators.Quality.keySkewReport(df, Seq("grp"), "k")
+      .select(col("grp"), col("total"), col("n_keys"), col("max_ct"),
+        col("hot_key"), col("skew_t"))
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(out === Set(("g1", 4L, 2L, 3L, 1L, 1.5), ("g2", 4L, 2L, 2L, 3L, 1.0)))
+  }
 }
