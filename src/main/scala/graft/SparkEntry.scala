@@ -147,6 +147,24 @@ object SparkEntry {
     }
   }
 
+  /** Exhaustive pairwise-Jaccard truth, shared by the inverted-index gate
+    * and the prefix-filtered gate: both candidate-generation strategies
+    * must land on the identical J >= 0.5 pair set. */
+  private val ngramJaccardOracleSql =
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+      |  FROM toks),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(la + lb - i) AS jaccard
+      |FROM p WHERE CAST(i AS DOUBLE)/(la + lb - i) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── Flagship: TPC-H Q1 pricing summary (A-class agg, full scan shape)
@@ -3423,6 +3441,13 @@ object SparkEntry {
     // (see sharedNgramPairs) — one logical scan, measured once.
     "dedup_ngram_jaccard" -> ((s, dir) =>
       sharedNgramPairs(s, dir)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── Dedup: PPJoin-style prefix-filtered Jaccard — only each doc's
+    // df-ascending prefix (|d| − ceil(t·|d|) + 1 shingles) is indexed;
+    // the exhaustive oracle proves the reduced index loses no pair.
+    "dedup_ngram_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPrefix(Tables.documents(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // ── Dedup: connected components over near-dup pairs — pairs resolved
@@ -7509,20 +7534,12 @@ object SparkEntry {
         |FROM toks LEFT JOIN k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id,
-        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
-        |  FROM toks),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(la + lb - i) AS jaccard
-        |FROM p WHERE CAST(i AS DOUBLE)/(la + lb - i) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
+
+    // the prefix-filtered variant must find EXACTLY the same pair set —
+    // the oracle (exhaustive pairwise Jaccard) IS the no-false-negative
+    // proof of the prefix filter
+    "dedup_ngram_prefix" -> ngramJaccardOracleSql,
 
     // Recomputes graft_minhash_bands_p verbatim: md5-lower-64 % P element
     // hashes, the identical affine family (constants interpolated below),

@@ -421,6 +421,57 @@ object Dedup {
     certain.unionByName(reverified)
   }
 
+  /** Prefix-filtered n-gram Jaccard pairs — the PPJoin-family index
+    * reduction (Xiao et al. 2008; Vernica et al. SIGMOD 2010 for the
+    * distributed form): under ANY global shingle order, a pair with
+    * J >= t must share its ORDER-SMALLEST common shingle inside both
+    * docs' prefixes of length |d| - ceil(t*|d|) + 1 (if that element sat
+    * in a doc's (ceil(t|d|)-1)-sized suffix, ALL common elements would —
+    * capping the intersection below t|d| <= the required overlap). So
+    * only prefixes are indexed: at t=0.5 the posting table halves; the
+    * df-ascending order additionally pushes boilerplate shingles OUT of
+    * prefixes, which is what keeps bucket sizes flat at 100 TB — the
+    * sibling ngramJaccardPairs indexes everything and then guards the
+    * hot buckets after the fact.
+    *
+    * Plan: df agg + one shuffle to rank each doc's shingles by
+    * (df, hash), bucket-join the prefix postings, exact-verify the
+    * candidate pairs (verifyJaccard — candidates are filter-bounded, so
+    * the array_intersect cost the counting sibling avoids is paid on a
+    * far smaller set). Buckets beyond maxBucket star-pair through the
+    * same verify (connectivity preserved; enumerating boilerplate-only
+    * pair sets is the documented non-goal, as in the sibling). */
+  def ngramJaccardPrefix(
+      documents: DataFrame,
+      shingleLen: Int = 3,
+      minJaccard: Double = 0.5,
+      maxBucket: Long = 1000L): DataFrame = {
+    val postings = documents
+      .select(col("doc_id"),
+        explode(array_distinct(call_function("graft_shingles",
+          col("text"), lit(shingleLen)))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+    val dfreq = postings.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+    val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val prefix = postings.join(dfreq, "shh").join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shh"))))
+      .filter(col("rn") <=
+        col("n_sh") - ceil(col("n_sh") * minJaccard).cast("long") + 1)
+    val buckets = prefix.groupBy(col("shh"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cands = buckets.filter(size(col("ids")) <= maxBucket)
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .unionByName(buckets.filter(size(col("ids")) > maxBucket)
+        .select(element_at(col("ids"), 1).as("doc_a"),
+          explode(slice(col("ids"), lit(2), size(col("ids")))).as("doc_b")))
+      .distinct()
+    verifyJaccard(documents, cands, shingleLen)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Cross-document repeated-span profile — the set-wise re-expression of
     * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better": repeated ≥k-token spans are the

@@ -95,6 +95,32 @@ class DedupSpec extends SparkSpec {
     (2L to 12L).foreach(b => assert(capped.contains((1L, b)), s"star pair (1,$b)"))
   }
 
+  test("prefix-filtered jaccard finds the identical pair set from a " +
+    "strictly smaller index") {
+    // a corpus with exact dups, a near dup, and unrelated docs — the
+    // prefix filter must lose nothing vs the full inverted index
+    val corpus = docs.unionByName(Seq(
+      (6L, "another page about distributed query engines and spark tuning"),
+      (7L, "the quick brown fox jumps over the lazy dog near the creek bank today"))
+      .toDF("doc_id", "text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val full = pairs(Dedup.ngramJaccardPairs(corpus))
+    val pref = pairs(Dedup.ngramJaccardPrefix(corpus))
+    assert(full.nonEmpty)
+    assert(pref === full)
+    // the structural claim: at t=0.5 each doc indexes ~half its shingles
+    val allPostings = corpus.select(explode(array_distinct(
+      call_function("graft_shingles", col("text"), lit(3)))).as("sh")).count()
+    val prefixBudget = corpus.select(
+      array_distinct(call_function("graft_shingles", col("text"), lit(3)))
+        .as("sh"))
+      .select((size(col("sh")) - ceil(size(col("sh")) * 0.5) + 1).as("p"))
+      .agg(sum(col("p"))).as[Long].head()
+    assert(prefixBudget < allPostings)
+  }
+
   test("ngram jaccard re-verifies borderline pairs a capped shingle could flip") {
     // two docs share one low-df shingle AND one capped shingle; counting
     // alone undercounts jaccard below the threshold — the guard must
