@@ -3982,6 +3982,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Multimodal: perceptual average-hash over the REAL PNG codec path
+    // — decode → 8×8 nearest-neighbor sample → integer luma → threshold
+    // at the mean → 64-bit pack. The fixture pixels are a pure function
+    // of doc_id, so the oracle recomputes the ENTIRE hash in SQL; a
+    // single bit of drift anywhere in decode/sample/luma/pack mismatches.
+    "mm_phash" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir)
+        .select(col("doc_id")).filter(col("doc_id") % 11 === 0)
+      Multimodal.aHash(Multimodal.pngMedia(ids)).orderBy(col("doc_id"))
+    }),
+
+    // ── Multimodal × dedup: near-duplicate IMAGE detection — aHash over
+    // a twin fixture (each base image + a copy with the blue LSB of one
+    // pixel flipped: a sub-quantum perturbation), then banded-Hamming
+    // pairs (complete for hamming <= 3). The oracle recomputes both
+    // hashes per id and the exhaustive pairwise popcount truth.
+    "mm_phash_neardup" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir)
+        .select(col("doc_id")).filter(col("doc_id") % 23 === 0)
+      Dedup.hammingPairs64(
+        Multimodal.aHash(Multimodal.pngMediaTwins(ids, 1000000L)),
+        "doc_id", "phash", maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ── Multimodal: stubbed per-partition feature extraction. Scalar
     // projections of the feature vector (dim; sum == payload byte count by
     // construction of the histogram stub) make the stage oracle-checkable.
@@ -7847,6 +7872,69 @@ object SparkEntry {
     "mm_binary_meta" ->
       """SELECT doc_id, 'text' AS kind, strlen(text) AS n_bytes, 'utf-8' AS codec
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the ENTIRE perceptual hash recomputed in SQL: fixture pixel
+    // formulas -> 8x8 nearest-neighbor sample -> integer luma ->
+    // mean threshold -> 64-bit pack (HUGEINT sum, wrapped to signed)
+    "mm_phash" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 11 = 0),
+        |cells AS (SELECT doc_id, gx.range AS x, gy.range AS y
+        |  FROM ids, range(0,8) gx, range(0,8) gy),
+        |sc AS (SELECT doc_id, x, y,
+        |    (x * (4 + doc_id % 5)) // 8 AS sx,
+        |    (y * (3 + doc_id % 7)) // 8 AS sy
+        |  FROM cells),
+        |lum AS (SELECT doc_id, x, y,
+        |    (((doc_id*31 + sx*7 + sy*13) % 256) * 299
+        |     + ((doc_id*17 + sx*3 + sy*5) % 256) * 587
+        |     + ((doc_id*29 + sx*11 + sy*2) % 256) * 114) // 1000 AS l
+        |  FROM sc),
+        |m AS (SELECT doc_id, SUM(l) // 64 AS mean FROM lum GROUP BY doc_id),
+        |h AS (SELECT lum.doc_id,
+        |    SUM(CASE WHEN l > mean THEN CAST(1 AS HUGEINT) << (y*8 + x)
+        |        ELSE 0 END) AS hv
+        |  FROM lum JOIN m ON lum.doc_id = m.doc_id GROUP BY lum.doc_id)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN hv >= 9223372036854775808
+        |    THEN hv - 18446744073709551616 ELSE hv END AS BIGINT) AS phash
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // both twins' hashes recomputed (the twin flips the blue LSB of
+    // source pixel (0,0) — every 8x8 cell that samples (0,0) sees it),
+    // then the exhaustive pairwise popcount truth at hamming <= 3
+    "mm_phash_neardup" ->
+      """WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 0),
+        |all_ids AS (
+        |  SELECT doc_id, doc_id AS src, FALSE AS twin FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, TRUE FROM base),
+        |cells AS (SELECT a.doc_id, a.src, a.twin, gx.range AS x, gy.range AS y
+        |  FROM all_ids a, range(0,8) gx, range(0,8) gy),
+        |sc AS (SELECT doc_id, src, twin, x, y,
+        |    (x * (4 + src % 5)) // 8 AS sx,
+        |    (y * (3 + src % 7)) // 8 AS sy
+        |  FROM cells),
+        |lum AS (SELECT doc_id, x, y,
+        |    (((src*31 + sx*7 + sy*13) % 256) * 299
+        |     + ((src*17 + sx*3 + sy*5) % 256) * 587
+        |     + (CASE WHEN twin AND sx = 0 AND sy = 0
+        |        THEN xor((src*29 + sx*11 + sy*2) % 256, 1)
+        |        ELSE (src*29 + sx*11 + sy*2) % 256 END) * 114) // 1000 AS l
+        |  FROM sc),
+        |m AS (SELECT doc_id, SUM(l) // 64 AS mean FROM lum GROUP BY doc_id),
+        |h AS (SELECT lum.doc_id,
+        |    SUM(CASE WHEN l > mean THEN CAST(1 AS HUGEINT) << (y*8 + x)
+        |        ELSE 0 END) AS hv
+        |  FROM lum JOIN m ON lum.doc_id = m.doc_id GROUP BY lum.doc_id),
+        |hs AS (SELECT doc_id,
+        |  CAST(CASE WHEN hv >= 9223372036854775808
+        |    THEN hv - 18446744073709551616 ELSE hv END AS BIGINT) AS ph
+        |  FROM h)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id,

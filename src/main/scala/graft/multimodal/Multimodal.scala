@@ -139,6 +139,88 @@ object Multimodal {
     }(enc)
   }
 
+  /** Twin fixture for the perceptual-hash gate: for each id, the base
+    * [[pngMedia]] image AND a near-duplicate (doc_id + twinOffset) whose
+    * source pixel (0,0) has its blue LSB flipped — a sub-luma-quantum
+    * perturbation, so the twin's aHash sits within a few bits of the
+    * base's. Pixels stay a pure function of doc_id, so the oracle
+    * recomputes BOTH hashes in SQL. */
+  def pngMediaTwins(ids: DataFrame, twinOffset: Long): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(pngOutSchema)
+    ids.select(col("doc_id")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val (w, h) = fixtureDims(id)
+        def build(perturb: Boolean): (Array[Byte], Int, Int) = {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, px(id, x, y)); x += 1 }
+            y += 1
+          }
+          if (perturb) img.setRGB(0, 0, px(id, 0, 0) ^ 0x1)
+          val bytes = encodePng(img)
+          (bytes, w, h)
+        }
+        val (base, _, _) = build(perturb = false)
+        val (twin, _, _) = build(perturb = true)
+        Iterator(
+          Row(id, base, Row(w, h, base.length.toLong, "png")),
+          Row(id + twinOffset, twin, Row(w, h, twin.length.toLong, "png")))
+      }
+    }(enc)
+  }
+
+  /** Perceptual average-hash (aHash, the pHash family's baseline): decode
+    * → nearest-neighbor sample to 8×8 → integer luma (r·299+g·587+b·114)/1000
+    * → threshold at the integer mean → 64 bits packed row-major into a
+    * long. Every step is integer arithmetic on decoded pixels, so the
+    * hash is bit-deterministic across JVMs and — over the formula
+    * fixtures — replayable in SQL. Runs per partition (codec loop, the
+    * mapPartitions batch shape); the output is one long per image, the
+    * input to [[graft.operators.Dedup.hammingPairs64]] for near-dup
+    * image detection at corpus scale. */
+  def aHash(media: DataFrame): DataFrame = {
+    val side = 8
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("phash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val lum = new Array[Long](side * side)
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            val rgb = img.getRGB(x * w / side, y * h / side)
+            lum(y * side + x) =
+              (((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
+                (rgb & 0xFF) * 114L) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        val mean = lum.sum / (side * side)
+        var hash = 0L
+        var i = 0
+        while (i < side * side) {
+          if (lum(i) > mean) hash |= (1L << i)
+          i += 1
+        }
+        Row(id, hash)
+      }
+    }(enc)
+  }
+
   /** REAL image resize: ImageIO decode → integer nearest-neighbor
     * downscale to (max(1, w/factor), max(1, h/factor)) → PNG encode, per
     * partition. The scale step is explicit integer math (dest (x,y) ←

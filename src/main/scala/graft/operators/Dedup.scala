@@ -332,6 +332,31 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Banded Hamming near-dup pairs over ANY precomputed 64-bit
+    * fingerprint column (perceptual image hashes, simhashes computed
+    * upstream, feature signatures): 4×16-bit band buckets, exact
+    * popcount verify. COMPLETE for maxHamming <= 3 (pigeonhole: <= 3
+    * differing bits cannot touch all 4 bands); above 3 it is a recall
+    * heuristic, so the cap is enforced. One shuffle on (band, key);
+    * degenerate buckets star-pair via bucketPairs' guard. */
+  def hammingPairs64(hashes: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16 banding is only complete for maxHamming <= 3, got $maxHamming")
+    val fp = hashes.select(col(idCol).as("doc_id"), col(fpCol).as("fp"))
+    val banded = fp.select(
+      struct(col("doc_id"), col("fp")).as("m"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("b"))
+      .select(col("m"), col("b.band"), col("b.key"))
+    bucketPairs(banded, Seq("band", "key"), col("m"), maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** N-gram Jaccard via inverted index: candidate pairs share at least
     * `minCommon` shingles; high-document-frequency shingles are dropped
     * (skew guard — a stopword shingle would otherwise create a quadratic

@@ -199,6 +199,36 @@ class OperatorsSpec extends SparkSpec {
     assert(v === Map(0L -> ((0L, true)), 13L -> ((0L, true))))
   }
 
+  test("aHash is deterministic over the codec round trip; the LSB twin " +
+    "stays within banding range; hammingPairs64 guards its completeness") {
+    import graft.multimodal.Multimodal
+    import graft.operators.Dedup
+    val ids = Seq(0L, 13L, 27L, 44L).toDF("doc_id")
+    val h1 = Multimodal.aHash(Multimodal.pngMedia(ids))
+      .as[(Long, Long)].collect().toMap
+    val h2 = Multimodal.aHash(Multimodal.pngMedia(ids.repartition(3)))
+      .as[(Long, Long)].collect().toMap
+    assert(h1 === h2 && h1.size === 4)
+    val twins = Multimodal.aHash(Multimodal.pngMediaTwins(ids, 1000L))
+      .as[(Long, Long)].collect().toMap
+    ids.as[Long].collect().foreach { id =>
+      assert(twins(id) === h1(id)) // base image identical
+      // a sub-luma-quantum pixel flip moves at most a few bits
+      assert(java.lang.Long.bitCount(twins(id) ^ twins(id + 1000L)) <= 3)
+    }
+    val pairs = Dedup.hammingPairs64(
+      Multimodal.aHash(Multimodal.pngMediaTwins(ids, 1000L)),
+      "doc_id", "phash", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    ids.as[Long].collect().foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 1000L), s"twin $id")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs64(h1.toSeq.toDF("doc_id", "phash"),
+        "doc_id", "phash", maxHamming = 9)
+    }
+  }
+
   test("pretrain filter composes: lang + quality + token bounds + dedup keeper") {
     val en = "the quick brown fox jumps over the lazy dog and that is it " * 5
     val docs = Seq(
