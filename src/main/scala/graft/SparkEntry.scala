@@ -2050,6 +2050,17 @@ object SparkEntry {
         "ts", "event_id", "value")
         .orderBy(col("event_type"))),
 
+    // ── A34: mutual information + entropies between two categoricals —
+    // the feature-relevance readout; one (x,y) cell shuffle, margins
+    // re-agg the cell table. Each p·ln term floor-truncates before the
+    // exact long sum (the lm-score recipe), so libm ulp drift cannot
+    // reach the compare.
+    "a34_mutual_info" -> ((s, dir) =>
+      Stats.mutualInfo(
+        Tables.events(s, dir)
+          .withColumn("ub", pmod(col("user_id"), lit(5L))),
+        "event_type", "ub")),
+
     // ── A33: Welch's t per group — the A/B readout from one
     // conditional-aggregation pass (no pivot, no second shuffle); exact
     // arm sums make t and the Welch–Satterthwaite df engine-exact.
@@ -5985,6 +5996,36 @@ object SparkEntry {
         |  END AS twa_t
         |FROM d WHERE dt IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // identical fixed-point p·ln-term arithmetic (floor to millionths
+    // pre-sum), margins re-aggregated from the same cell table
+    "a34_mutual_info" ->
+      """WITH c AS (SELECT event_type AS x, user_id % 5 AS y, COUNT(*) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |nx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM c GROUP BY 1),
+        |ny AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM c),
+        |mi AS (SELECT CAST(SUM(CAST(floor(
+        |      (CAST(nxy AS DOUBLE) / n) *
+        |      ln(CAST(n AS DOUBLE) * nxy / (CAST(nx.nx AS DOUBLE) * ny.ny)) *
+        |      1000000.0) AS BIGINT)) AS BIGINT) AS mi_fp
+        |  FROM c JOIN nx USING (x) JOIN ny USING (y) CROSS JOIN t),
+        |hx AS (SELECT CAST(SUM(CAST(floor(
+        |      (-(CAST(nx AS DOUBLE) / n)) * ln(CAST(nx AS DOUBLE) / n) *
+        |      1000000.0) AS BIGINT)) AS BIGINT) AS hx_fp
+        |  FROM nx CROSS JOIN t),
+        |hy AS (SELECT CAST(SUM(CAST(floor(
+        |      (-(CAST(ny AS DOUBLE) / n)) * ln(CAST(ny AS DOUBLE) / n) *
+        |      1000000.0) AS BIGINT)) AS BIGINT) AS hy_fp
+        |  FROM ny CROSS JOIN t)
+        |SELECT n, CAST(mi_fp AS DOUBLE)/1000000.0 AS mi_t,
+        |  CAST(hx_fp AS DOUBLE)/1000000.0 AS hx_t,
+        |  CAST(hy_fp AS DOUBLE)/1000000.0 AS hy_t,
+        |  CASE WHEN least(hx_fp, hy_fp) > 0 THEN
+        |    floor((CAST(mi_fp AS DOUBLE) / CAST(least(hx_fp, hy_fp) AS DOUBLE))
+        |      * 1000000.0)/1000000.0
+        |  END AS nmi_t
+        |FROM t CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
 
     // Welch from exact arm sums: the same (Σv² − n·mean²)/(n−1) and
     // Welch–Satterthwaite formulas over identical operands, same op order

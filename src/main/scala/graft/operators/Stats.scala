@@ -235,6 +235,48 @@ object Stats {
       .drop("_num")
   }
 
+  /** Mutual information + marginal entropies between two categorical
+    * columns — the feature-relevance / redundancy readout (nats). ONE
+    * wide shuffle (the (x, y) cell count); margins and the total are
+    * re-aggregations of the CELL table (|X|·|Y| rows, not data) that
+    * broadcast back. Engine-exact by the lm-score recipe: each cell's
+    * p·ln term floor-truncates to integer millionths BEFORE the exact
+    * long sum, so the one place engines could drift (libm ln ulps) is
+    * quantized away; MI/H/NMI are then single IEEE divisions of exact
+    * longs. NMI = MI/min(H_x, H_y); a zero-entropy margin yields NULL. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val nx = cells.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val ny = cells.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).as("n"))
+    val mi = cells.join(broadcast(nx), "x").join(broadcast(ny), "y")
+      .crossJoin(broadcast(tot))
+      .select(floor(
+        (col("nxy").cast("double") / col("n")) *
+          log(col("n").cast("double") * col("nxy") /
+            (col("nx").cast("double") * col("ny"))) *
+          lit(1000000.0)).cast("long").as("fp"))
+      .agg(sum(col("fp")).as("mi_fp"))
+    def entropy(margin: DataFrame, c: String, out: String) =
+      margin.crossJoin(broadcast(tot))
+        .select(floor(
+          (-(col(c).cast("double") / col("n"))) *
+            log(col(c).cast("double") / col("n")) *
+            lit(1000000.0)).cast("long").as("fp"))
+        .agg(sum(col("fp")).as(out))
+    tot.crossJoin(mi)
+      .crossJoin(entropy(nx, "nx", "hx_fp"))
+      .crossJoin(entropy(ny, "ny", "hy_fp"))
+      .select(col("n"),
+        (col("mi_fp").cast("double") / lit(1000000.0)).as("mi_t"),
+        (col("hx_fp").cast("double") / lit(1000000.0)).as("hx_t"),
+        (col("hy_fp").cast("double") / lit(1000000.0)).as("hy_t"),
+        when(least(col("hx_fp"), col("hy_fp")) > 0, truncate6(
+          col("mi_fp").cast("double") /
+            least(col("hx_fp"), col("hy_fp")).cast("double"))).as("nmi_t"))
+  }
+
   /** Welch's unequal-variance t statistic per group — the A/B-test
     * readout (treatment vs control on a metric, per experiment cell).
     * ONE conditional-aggregation pass: n/Σv/Σv² per arm ride the same

@@ -492,6 +492,22 @@ class OperatorsSpec extends SparkSpec {
     assert(rows("one").isNullAt(5) && rows("one").isNullAt(6))
   }
 
+  test("Stats.mutualInfo: identical columns give MI = H (NMI = 1), " +
+    "independent uniform columns give MI = 0") {
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val d = graft.operators.Stats.mutualInfo(dep, "x", "y")
+      .select(col("n"), col("mi_t"), col("hx_t"), col("nmi_t"))
+      .as[(Long, Double, Double, Double)].head()
+    // per-cell fp term floor(0.5*ln2*1e6) = 346573, x2 cells/margins
+    assert(d === ((4L, 0.693146, 0.693146, 1.0)))
+    val ind = Seq(("a", "0"), ("a", "1"), ("b", "0"), ("b", "1"))
+      .toDF("x", "y")
+    val i = graft.operators.Stats.mutualInfo(ind, "x", "y")
+      .select(col("mi_t"), col("nmi_t")).as[(Double, Double)].head()
+    assert(i === ((0.0, 0.0)))
+  }
+
   test("Quality.keySkewReport: hottest-key ratio; count ties break to the " +
     "smallest key") {
     val df = (Seq.fill(3)(("g1", 1L)) ++ Seq(("g1", 2L)) ++
