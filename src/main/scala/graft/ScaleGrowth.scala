@@ -98,6 +98,22 @@ object ScaleGrowth {
       val n = Dedup.ngramJaccardPairs(Tables.documents(spark, dir)).count()
       (n, s"pairs=$n")
     },
+    "ngram_prefix" -> whole { dir =>
+      // prefix-filtered twin: pair count must EQUAL ngram_pairs at both
+      // scales (completeness), while the indexed posting table shrinks to
+      // the per-doc prefix budget — the structural reduction claim
+      val docs = Tables.documents(spark, dir)
+      val n = Dedup.ngramJaccardPrefix(docs).count()
+      val sh = docs.select(array_distinct(call_function("graft_shingles",
+        col("text"), lit(3))).as("sh"))
+      val total = sh.select(explode(col("sh"))).count()
+      val pref = sh
+        .select((size(col("sh")) - ceil(size(col("sh")) * 0.5).cast("long") + 1)
+          .as("p"))
+        .agg(sum(col("p"))).head().getLong(0)
+      (n, f"pairs=$n (== ngram_pairs); indexed $pref of $total postings " +
+        f"(${pref.toDouble / total}%.2f)")
+    },
     "clusters_distributed" -> { dir =>
       // pairs pre-materialized OUTSIDE the timed span: this row measures
       // the propagation loop only, whose round count is the structural
@@ -490,7 +506,11 @@ object ScaleGrowth {
     val dR = s"$base/x$r"
     synth(spark, sfDir, d1, 1)
     synth(spark, sfDir, dR, r)
-    val suite = ops(spark)
+    // local-iteration knob: SPARK_GRAFT_SCALE_ONLY=op1,op2 restricts the
+    // suite (and skips the above-cap block unless named); unset = full run
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val suite = ops(spark).filter { case (name, _) => only.forall(_(name)) }
     // untimed warmup pass at 1× (JIT + codegen), then timed 1×, timed R×
     suite.foreach { case (_, f) => f(d1) }
     def timed(dir: String) = suite.map { case (name, f) =>
@@ -506,20 +526,22 @@ object ScaleGrowth {
     // must finish in ~log2(128) rounds). Asserts the auto tier flips to the
     // distributed loop and labels are correct (each segment collapses to
     // its head).
-    val edges = spark.range(5L * 1000 * 1000)
-      .selectExpr("id AS doc_a", "id + 1 AS doc_b")
-      .filter(pmod(col("doc_a"), lit(128L)) =!= 127L)
-    val t0 = System.nanoTime()
-    val labels = Dedup.clusters(edges, maxIters = 20)
-    val wrong = labels.filter(col("cluster_id") =!=
-      (col("doc_id") - pmod(col("doc_id"), lit(128L)))).count()
-    val capSec = (System.nanoTime() - t0) / 1e9
-    require(Dedup.lastClustersPath == "distributed",
-      s"expected distributed tier above the cap, got ${Dedup.lastClustersPath}")
-    require(wrong == 0L, s"$wrong nodes mislabeled")
-    println(f"| clusters_above_cap | n/a | $capSec%.2f | n/a | n/a | 5,000,000-edge " +
-      f"128-chains graph (> 4M cap): path=${Dedup.lastClustersPath} " +
-      f"rounds=${Dedup.lastClusterRounds}, labels exact | |")
+    if (only.forall(_("clusters_above_cap"))) {
+      val edges = spark.range(5L * 1000 * 1000)
+        .selectExpr("id AS doc_a", "id + 1 AS doc_b")
+        .filter(pmod(col("doc_a"), lit(128L)) =!= 127L)
+      val t0 = System.nanoTime()
+      val labels = Dedup.clusters(edges, maxIters = 20)
+      val wrong = labels.filter(col("cluster_id") =!=
+        (col("doc_id") - pmod(col("doc_id"), lit(128L)))).count()
+      val capSec = (System.nanoTime() - t0) / 1e9
+      require(Dedup.lastClustersPath == "distributed",
+        s"expected distributed tier above the cap, got ${Dedup.lastClustersPath}")
+      require(wrong == 0L, s"$wrong nodes mislabeled")
+      println(f"| clusters_above_cap | n/a | $capSec%.2f | n/a | n/a | 5,000,000-edge " +
+        f"128-chains graph (> 4M cap): path=${Dedup.lastClustersPath} " +
+        f"rounds=${Dedup.lastClusterRounds}, labels exact | |")
+    }
     println(s"| op | 1x sec | ${r}x sec | time ratio | 1x rows | ${r}x rows | notes (${r}x) |")
     println("|---|---|---|---|---|---|---|")
     at1.zip(atR).foreach { case ((name, t1, n1, note1), (_, tR, nR, noteR)) =>
