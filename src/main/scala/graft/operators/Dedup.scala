@@ -493,7 +493,27 @@ object Dedup {
         .select(element_at(col("ids"), 1).as("doc_a"),
           explode(slice(col("ids"), lit(2), size(col("ids")))).as("doc_b")))
       .distinct()
-    verifyJaccard(documents, cands, shingleLen)
+    // PPJoin's length filter ahead of verification: J >= t forces
+    // min(|A|,|B|) >= t·max (else J <= min/max < t), and the SIZES table
+    // is narrow — so mismatched-length candidates are cut before any
+    // shingle array moves. Verification then intersects SORTED LONG hash
+    // arrays (the same xxhash64 keys the index is built on — one
+    // collect_set per doc) instead of re-shingled string arrays: measured
+    // end-to-end 6.6 → 3.6 s at sf0.1 (409k candidates), same answer.
+    val docSets = postings.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("shh"))).as("shs"))
+    val lenOk = cands
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("la")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("lb")), "doc_b")
+      .filter(least(col("la"), col("lb")).cast("double") >=
+        lit(minJaccard) * greatest(col("la"), col("lb")))
+    lenOk
+      .join(docSets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("la") + col("lb") - col("inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
