@@ -3737,6 +3737,49 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ── ANN: incremental IVF index maintenance — a vector delta appends
+    // into the persisted index by ASSIGNMENT ONLY (the at-rest corpus is
+    // never read or rewritten; the coarse quantizer stays frozen), and
+    // search over the appended index must return EXACTLY what a one-shot
+    // build over base∪delta returns with the same centroids (n_match),
+    // with every emitted cosine equal to the exact pairwise recompute
+    // (n_valid) — the sim_topk_ivf anchoring pattern.
+    "sim_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(3L)) === 0)
+      val queries = emb.filter(col("vec_id") < 5)
+      val centroids = Similarity.trainCentroids(base, k = 16, iters = 2,
+        sampleRate = 0.5)
+      val path = s"$shmRoot/graft-ivf-append-${System.nanoTime()}"
+      try {
+        Similarity.buildIvfIndex(base, centroids, path)
+        Similarity.appendIvfIndex(delta, centroids, path)
+        val inc = Similarity.ivfTopKIndexed(s, path, queries, k = 5,
+          centroids, nProbe = 4)
+        val one = Similarity.ivfTopK(emb, queries, k = 5, centroids,
+          nProbe = 4)
+          .select(col("query_id"), col("rank"),
+            col("neighbor_id").as("nbr1"), col("cos").as("cos1"))
+        inc
+          .join(emb.select(col("vec_id").as("query_id"),
+            col("embedding").as("qe")), "query_id")
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("ne")), "neighbor_id")
+          .withColumn("cos_exact",
+            graft.functions.VectorFns.cosine(col("qe"), col("ne")))
+          .join(one, Seq("query_id", "rank"))
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(col("neighbor_id") === col("nbr1") &&
+              col("cos") === col("cos1"), 1L).otherwise(0L)).as("n_match"),
+            sum(when(col("cos") === col("cos_exact"), 1L).otherwise(0L))
+              .as("n_valid"))
+          .orderBy(col("query_id"))
+          .localCheckpoint(true) // materialize before the index sweeps
+      } finally rmTree(path)
+    }),
+
     "sim_topk_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
@@ -7775,6 +7818,12 @@ object SparkEntry {
         |  CAST(5 AS BIGINT) AS n_results, CAST(5 AS BIGINT) AS n_distinct,
         |  CAST(5 AS BIGINT) AS n_ranks, CAST(5 AS BIGINT) AS n_valid,
         |  CAST(4 AS BIGINT) AS n_ordered
+        |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""".stripMargin,
+
+    // append == one-shot rebuild (n_match), every cosine exact (n_valid)
+    "sim_ivf_append" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+        |  CAST(5 AS BIGINT) AS n_match, CAST(5 AS BIGINT) AS n_valid
         |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""".stripMargin,
 
     "sim_knn_join" ->

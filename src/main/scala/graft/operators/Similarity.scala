@@ -214,6 +214,19 @@ object Similarity {
     corpus.join(assign(corpus, centroids), "vec_id")
       .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
 
+  /** Append a vector delta to a persisted IVF index WITHOUT a rebuild:
+    * assignment-only (one pass over the DELTA — the corpus already at
+    * rest is never read or rewritten), new files land inside the
+    * existing cluster_id partition dirs. The coarse quantizer stays
+    * frozen — the standard IVF maintenance contract: search results are
+    * identical to a one-shot build with the same centroids, and recall
+    * degrades only as the data distribution drifts away from the frozen
+    * centroids (retrain + rebuild is the compaction analogue, on the
+    * operator's schedule, not the ingest path's). */
+  def appendIvfIndex(delta: DataFrame, centroids: DataFrame, path: String): Unit =
+    delta.join(assign(delta, centroids), "vec_id")
+      .write.partitionBy("cluster_id").mode("append").parquet(path)
+
   /** Search a persisted IVF index. The probe set is collected (it is
     * nProbe × |queries| ints — driver-side by design, like any index
     * lookup plan) and pushed as a partition-pruning IN filter, so only the

@@ -26,6 +26,45 @@ class SimilaritySpec extends SparkSpec {
     assert(indexed.nonEmpty)
   }
 
+  test("appendIvfIndex writes ONLY the delta (base files untouched) and " +
+    "search equals a one-shot rebuild") {
+    val path = Files.createTempDirectory("graft-ivf-app").toString + "/index"
+    val centroids = Similarity.trainCentroids(
+      emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0), k = 8, iters = 1)
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 3)
+    Similarity.buildIvfIndex(
+      emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0), centroids, path)
+    def files() = {
+      val root = new java.io.File(path)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .toIndexedSeq.flatMap(walk)
+        else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files()
+    Similarity.appendIvfIndex(
+      emb.filter(pmod(col("vec_id"), lit(3L)) === 0), centroids, path)
+    val after = files()
+    // every base file survives byte-identical (path + mtime), delta adds
+    before.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"base file rewritten: $p")
+    }
+    assert(after.size > before.size)
+    val inc = Similarity.ivfTopKIndexed(spark, path, queries, k = 5,
+      centroids, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted
+    val one = Similarity.ivfTopK(emb, queries, k = 5, centroids, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted
+    assert(inc === one)
+    assert(inc.nonEmpty)
+  }
+
   test("TopK aggregator == window row_number top-k (same rows, same order)") {
     val queries = emb.filter(col("vec_id") < 5)
     val win = Similarity.bruteForceTopKWindow(emb, queries, k = 5)
