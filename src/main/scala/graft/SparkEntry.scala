@@ -1725,6 +1725,44 @@ object SparkEntry {
       } finally rmTree(path)
     }),
 
+    // ── Manifest-driven file skipping (the Iceberg/Delta data-file-stats
+    // idea): per-file min/max collected ONCE into a file-count-sized
+    // manifest table; a range scan plans its file list FROM the manifest
+    // and reads only intersecting envelopes. The layout writes 16
+    // range-correlated buckets so envelopes are tight; pruned_ok pins
+    // that planning read a strict subset of files, equal_ok pins that the
+    // pruned read's answer equals the full-scan predicate's.
+    "k14_manifest_prune" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val mxv = ev.agg(max(col("user_id"))).head().getLong(0)
+      val path = s"$shmRoot/graft-manifest-${System.nanoTime()}"
+      try {
+        ev.withColumn("rb", least(
+            floor(col("user_id") * 16.0 / (mxv + 1)).cast("long"), lit(15L)))
+          .repartition(16, col("rb")).drop("rb")
+          .write.mode("overwrite").parquet(path)
+        val manifest = Manifest.build(s, path, "user_id")
+          .localCheckpoint(true) // plan + count read one stable snapshot
+        val total = manifest.count()
+        val hi = mxv / 4
+        val files = Manifest.filesForRange(manifest, 0L, hi)
+        val pruned = Manifest.prunedRead(s, files, "user_id", 0L, hi)
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1e6).cast("long")).as("v_fp")).head()
+        val full = ev.filter(col("user_id") >= 0 && col("user_id") <= hi)
+          .agg(count(lit(1)),
+            sum(floor(col("value") * 1e6).cast("long"))).head()
+        import s.implicits._
+        Seq((pruned.getLong(0), pruned.getLong(1),
+          files.size < total && files.nonEmpty,
+          pruned.getLong(0) == full.getLong(0) &&
+            pruned.getLong(1) == full.getLong(1)))
+          .toDF("n", "v_fp", "pruned_ok", "equal_ok")
+      } finally rmTree(path)
+    }),
+
     // ── Count-Min sketch point queries (Frequency.cmsBuild/cmsEstimate)
     // — the mergeable FREQUENCY summary completing the sketch family
     // (a17 HLL ≈ distinct, a22 bitmap = distinct, a26 KMV = set ops,
@@ -5773,6 +5811,16 @@ object SparkEntry {
         |  CAST(9 AS BIGINT) AS dropped_days
         |FROM e WHERE dt >= '2024-01-10'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the pruned read must answer exactly like the predicate over the
+    // whole table; the file-skipping booleans are pinned true
+    "k14_manifest_prune" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS v_fp,
+        |  TRUE AS pruned_ok, TRUE AS equal_ok
+        |FROM events
+        |WHERE user_id >= 0
+        |  AND user_id <= (SELECT MAX(user_id) // 4 FROM events)""".stripMargin,
 
     // replays the whole CMS: same d×w table, same md5("r:key") buckets,
     // same min-over-rows estimate — full equality plus the ≥-truth pin

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-driven file skipping — the table-format idea (Iceberg/Delta
+  * data-file stats) as an engine operator: collect per-file min/max/rows
+  * for a chosen column ONCE, persist the manifest as a (tiny) table, and
+  * plan point/range scans from the manifest instead of listing + reading
+  * every file. Complements the layout family: z-order (`LayoutFns`)
+  * makes per-file envelopes TIGHT, partition dirs (`dpp_prune`) skip by
+  * directory; the manifest skips at FILE granularity on any column with
+  * no physical re-layout at all.
+  *
+  * At 100 TB the manifest is the difference between "planning reads the
+  * footer of every file" (a metadata storm on S3) and "planning reads a
+  * table whose row count is the file count". The manifest is itself just
+  * a DataFrame — it re-aggregates, joins, and persists like any other.
+  */
+object Manifest {
+
+  /** Per-file stats for `statCol` over every parquet file under `path`:
+    * one scan projecting ONLY the stat column (column pruning keeps the
+    * build narrow), grouped by file. */
+  def build(spark: SparkSession, path: String, statCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"),
+        count(lit(1)).as("rows"))
+
+  /** Files whose [mn, mx] envelope intersects [lo, hi] — the scan plan
+    * for a range predicate. The manifest is file-count-sized, so this is
+    * a driver-scale lookup by design (like any index probe). */
+  def filesForRange(manifest: DataFrame, lo: Long, hi: Long): Seq[String] =
+    manifest.filter(col("mx") >= lo && col("mn") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
+
+  /** Read only the manifest-selected files and re-apply the predicate
+    * (file envelopes over-approximate; the residual filter is exact). */
+  def prunedRead(spark: SparkSession, files: Seq[String], statCol: String,
+      lo: Long, hi: Long): DataFrame =
+    spark.read.parquet(files: _*)
+      .filter(col(statCol) >= lo && col(statCol) <= hi)
+}

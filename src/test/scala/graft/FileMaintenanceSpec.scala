@@ -26,6 +26,32 @@ class FileMaintenanceSpec extends SparkSpec {
     go(new java.io.File(p))
   }
 
+  test("Manifest: per-file envelopes are exact, range planning selects " +
+    "only intersecting files, pruned read == full predicate") {
+    import graft.operators.Manifest
+    val path = tmpDir("manifest")
+    try {
+      // 4 files with disjoint known key ranges (one range per partition —
+      // repartitionByRange is avoided on purpose: explicit placement)
+      (0 until 4).foreach { b =>
+        spark.range(b * 100, b * 100 + 100)
+          .select(col("id").as("k"), (col("id") * 2).as("v"))
+          .coalesce(1).write.mode("append").parquet(path)
+      }
+      val m = Manifest.build(spark, path, "k")
+      val rows = m.select("mn", "mx", "rows")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows === (0 until 4).map(b =>
+        (b * 100L, b * 100L + 99L, 100L)).toSet)
+      // range [150, 249] intersects exactly files 1 and 2
+      val files = Manifest.filesForRange(m, 150L, 249L)
+      assert(files.size === 2)
+      val got = Manifest.prunedRead(spark, files, "k", 150L, 249L)
+        .agg(count(lit(1)), sum(col("v"))).as[(Long, Long)].head()
+      assert(got === ((100L, (150L to 249L).map(_ * 2).sum)))
+    } finally rm(path)
+  }
+
   test("plannedFiles: ceil(bytes/target), floor 1") {
     assert(Compaction.plannedFiles(0L, 100L) === 1)
     assert(Compaction.plannedFiles(1L, 100L) === 1)
