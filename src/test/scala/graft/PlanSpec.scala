@@ -544,4 +544,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
+
+  test("a30_histogram: the bounds table broadcasts back — the fact never " +
+    "shuffles for the join, and both aggs are partial+final") {
+    val p = plan("a30_histogram")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
+  test("a33_welch_ttest: ONE aggregation pass — no join, no pivot; " +
+    "exactly one data exchange") {
+    val p = plan("a33_welch_ttest")
+    assert(!p.contains("Join"), p.take(1200))
+    // partial+final agg around one exchange (+ at most AQE artifacts)
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(1500))
+  }
+
+  test("a34_mutual_info: margins/total re-aggregate the cell table and " +
+    "broadcast back — no second wide shuffle of the data, no cartesian " +
+    "on anything data-sized") {
+    val p = plan("a34_mutual_info")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("dq_skew_report: two-level aggregation — the hot key travels as a " +
+    "count, never as rows; no join anywhere") {
+    val p = plan("dq_skew_report")
+    assert(!p.contains("Join"), p.take(1200))
+  }
 }
