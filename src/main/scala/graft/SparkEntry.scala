@@ -2599,6 +2599,24 @@ object SparkEntry {
       Sessionize.sessionStats(Tables.events(s, dir), gapSec = 1800L)
         .orderBy(col("user_id"), col("session_id"))),
 
+    // ── T5: per-key rate limiting (token bucket: cap 5, refill 1/tick,
+    // day ticks) — a non-linear recurrence (the min cap), so no window
+    // function expresses it: per key it folds the time-sorted event
+    // array with an aggregate HOF in pure integer arithmetic, and the
+    // oracle replays the SAME recurrence with a recursive CTE. The
+    // admitted/rejected SETS are pinned via order-insensitive id
+    // checksums. Both arms fire at every sf (the day tick makes real
+    // bursts against the refill).
+    "t5_rate_limit" -> ((s, dir) =>
+      graft.operators.Quota.tokenBucket(
+        Tables.events(s, dir).filter(col("event_id") % 37 === 0)
+          .withColumn("tick",
+            timestamp_seconds(unix_seconds(col("ts")) / 86400L))
+          .withColumn("k", pmod(col("user_id"), lit(2L))),
+        col("k"), "tick", "event_id", "event_id",
+        capacity = 5, refillPerSec = 1)
+        .orderBy(col("k"))),
+
     // ── Sampling: deterministic stratified hash sample — selection is a
     // pure function of (doc_id, lang), stable under any partitioning
     "sample_stratified" -> ((s, dir) =>
@@ -6380,6 +6398,35 @@ object SparkEntry {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       MAX(us) - MIN(us) AS span_us, MIN(event_id) AS first_event
         |FROM h GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // the identical integer token-bucket recurrence, replayed row-by-row
+    // through a recursive CTE (rn+1 per step; first event sees a full
+    // bucket, Δt refill is min-capped, 1 token per admit)
+    "t5_rate_limit" ->
+      """WITH RECURSIVE e AS (SELECT user_id % 2 AS k,
+        |    epoch_us(CAST(ts AS TIMESTAMP))//1000000//86400 AS sec,
+        |    event_id AS vid,
+        |    row_number() OVER (PARTITION BY user_id % 2
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP))//1000000//86400,
+        |        event_id) AS rn
+        |  FROM events WHERE event_id % 37 = 0),
+        |rec AS (
+        |  SELECT k, rn, sec, CAST(4 AS BIGINT) AS tok, TRUE AS acc, vid
+        |    FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.k, e.rn, e.sec,
+        |      CASE WHEN least(5, r.tok + (e.sec - r.sec)) >= 1
+        |        THEN least(5, r.tok + (e.sec - r.sec)) - 1
+        |        ELSE least(5, r.tok + (e.sec - r.sec)) END,
+        |      least(5, r.tok + (e.sec - r.sec)) >= 1,
+        |      e.vid
+        |    FROM rec r JOIN e ON e.k = r.k AND e.rn = r.rn + 1)
+        |SELECT k, COUNT(*) AS n,
+        |  CAST(COUNT(*) FILTER (WHERE acc) AS BIGINT) AS n_acc,
+        |  CAST(COUNT(*) FILTER (WHERE NOT acc) AS BIGINT) AS n_rej,
+        |  CAST(COALESCE(SUM(vid) FILTER (WHERE acc), 0) AS BIGINT) AS acc_sum,
+        |  CAST(COALESCE(SUM(vid) FILTER (WHERE NOT acc), 0) AS BIGINT) AS rej_sum
+        |FROM rec GROUP BY k ORDER BY k""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents

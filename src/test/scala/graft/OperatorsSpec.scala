@@ -492,6 +492,24 @@ class OperatorsSpec extends SparkSpec {
     assert(rows("one").isNullAt(5) && rows("one").isNullAt(6))
   }
 
+  test("Quota.tokenBucket: hand-checked admits/rejects (cap binds, refill " +
+    "min-caps, same-tick burst drains); partition-invariant") {
+    val df = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 5L))
+      .toDF("event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("k", lit("a"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Quota.tokenBucket(d, col("k"), "ts", "event_id",
+        "event_id", capacity = 2, refillPerSec = 1)
+        .select(col("n"), col("n_acc"), col("n_rej"), col("acc_sum"),
+          col("rej_sum"))
+        .as[(Long, Long, Long, Long, Long)].head()
+    // sec0: 1,2 admit (bucket 2), 3 rejected dry; sec1: refill 1 -> 4
+    // admits; sec5: refill min-caps at 2 -> 5 admits
+    assert(run(df) === ((5L, 4L, 1L, 12L, 3L)))
+    assert(run(df.repartition(4)) === ((5L, 4L, 1L, 12L, 3L)))
+  }
+
   test("Stats.mutualInfo: identical columns give MI = H (NMI = 1), " +
     "independent uniform columns give MI = 0") {
     val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
