@@ -165,6 +165,34 @@ object SparkEntry {
       |FROM p WHERE CAST(i AS DOUBLE)/(la + lb - i) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Token-bucket admission truth, shared by the batch fold gate and its
+    * transformWithState streaming twin: the identical integer recurrence
+    * replayed row-by-row through a recursive CTE. */
+  private val rateLimitOracleSql =
+    """WITH RECURSIVE e AS (SELECT user_id % 2 AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP))//1000000//86400 AS tick,
+      |    event_id AS vid,
+      |    row_number() OVER (PARTITION BY user_id % 2
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+      |  FROM events WHERE event_id % 37 = 0),
+      |rec AS (
+      |  SELECT k, rn, tick, CAST(4 AS BIGINT) AS tok, TRUE AS acc, vid
+      |    FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.k, e.rn, e.tick,
+      |      CASE WHEN least(5, r.tok + (e.tick - r.tick)) >= 1
+      |        THEN least(5, r.tok + (e.tick - r.tick)) - 1
+      |        ELSE least(5, r.tok + (e.tick - r.tick)) END,
+      |      least(5, r.tok + (e.tick - r.tick)) >= 1,
+      |      e.vid
+      |    FROM rec r JOIN e ON e.k = r.k AND e.rn = r.rn + 1)
+      |SELECT k, COUNT(*) AS n,
+      |  CAST(COUNT(*) FILTER (WHERE acc) AS BIGINT) AS n_acc,
+      |  CAST(COUNT(*) FILTER (WHERE NOT acc) AS BIGINT) AS n_rej,
+      |  CAST(COALESCE(SUM(vid) FILTER (WHERE acc), 0) AS BIGINT) AS acc_sum,
+      |  CAST(COALESCE(SUM(vid) FILTER (WHERE NOT acc), 0) AS BIGINT) AS rej_sum
+      |FROM rec GROUP BY k ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── Flagship: TPC-H Q1 pricing summary (A-class agg, full scan shape)
@@ -2610,11 +2638,9 @@ object SparkEntry {
     "t5_rate_limit" -> ((s, dir) =>
       graft.operators.Quota.tokenBucket(
         Tables.events(s, dir).filter(col("event_id") % 37 === 0)
-          .withColumn("tick",
-            timestamp_seconds(unix_seconds(col("ts")) / 86400L))
           .withColumn("k", pmod(col("user_id"), lit(2L))),
-        col("k"), "tick", "event_id", "event_id",
-        capacity = 5, refillPerSec = 1)
+        col("k"), "ts", "event_id", "event_id",
+        capacity = 5, refillPerTick = 1, tickSeconds = 86400L)
         .orderBy(col("k"))),
 
     // ── Sampling: deterministic stratified hash sample — selection is a
@@ -4266,6 +4292,33 @@ object SparkEntry {
           statePartitions = 2)
           .select(col("user_id"), col("dt"), col("event_id"))
           .orderBy(col("user_id"), col("dt"))
+      }
+    }),
+
+    // ── T5 streaming: the token-bucket rate limiter through the REAL
+    // stateful path — one (tok, lastTick) pair per key in RocksDB state,
+    // folded per batch in event-time order; the ts-contiguous source
+    // makes the cross-batch order equal the batch operator's, so the
+    // SAME recursive-CTE oracle pins the admitted/rejected sets.
+    "stream_t5_rate_limit" -> ((s, dir) => {
+      withRocksDb(s) {
+        graft.streaming.StreamRunner.collect(
+          graft.streaming.TwsStreams.rateLimit(
+            graft.streaming.Sources.eventsStreamSplit(s, dir)
+              .filter(col("event_id") % 37 === 0)
+              .withWatermark("ts", "0 seconds"),
+            e => e.user_id % 2,
+            capacity = 5, refillPerTick = 1, tickSeconds = 86400L),
+          statePartitions = 2)
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("accepted"), 1L).otherwise(0L)).as("n_acc"),
+            sum(when(col("accepted"), 0L).otherwise(1L)).as("n_rej"),
+            sum(when(col("accepted"), col("event_id")).otherwise(0L))
+              .as("acc_sum"),
+            sum(when(col("accepted"), 0L).otherwise(col("event_id")))
+              .as("rej_sum"))
+          .orderBy(col("k"))
       }
     }),
 
@@ -6401,32 +6454,13 @@ object SparkEntry {
 
     // the identical integer token-bucket recurrence, replayed row-by-row
     // through a recursive CTE (rn+1 per step; first event sees a full
-    // bucket, Δt refill is min-capped, 1 token per admit)
-    "t5_rate_limit" ->
-      """WITH RECURSIVE e AS (SELECT user_id % 2 AS k,
-        |    epoch_us(CAST(ts AS TIMESTAMP))//1000000//86400 AS sec,
-        |    event_id AS vid,
-        |    row_number() OVER (PARTITION BY user_id % 2
-        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP))//1000000//86400,
-        |        event_id) AS rn
-        |  FROM events WHERE event_id % 37 = 0),
-        |rec AS (
-        |  SELECT k, rn, sec, CAST(4 AS BIGINT) AS tok, TRUE AS acc, vid
-        |    FROM e WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.k, e.rn, e.sec,
-        |      CASE WHEN least(5, r.tok + (e.sec - r.sec)) >= 1
-        |        THEN least(5, r.tok + (e.sec - r.sec)) - 1
-        |        ELSE least(5, r.tok + (e.sec - r.sec)) END,
-        |      least(5, r.tok + (e.sec - r.sec)) >= 1,
-        |      e.vid
-        |    FROM rec r JOIN e ON e.k = r.k AND e.rn = r.rn + 1)
-        |SELECT k, COUNT(*) AS n,
-        |  CAST(COUNT(*) FILTER (WHERE acc) AS BIGINT) AS n_acc,
-        |  CAST(COUNT(*) FILTER (WHERE NOT acc) AS BIGINT) AS n_rej,
-        |  CAST(COALESCE(SUM(vid) FILTER (WHERE acc), 0) AS BIGINT) AS acc_sum,
-        |  CAST(COALESCE(SUM(vid) FILTER (WHERE NOT acc), 0) AS BIGINT) AS rej_sum
-        |FROM rec GROUP BY k ORDER BY k""".stripMargin,
+    // bucket, Δtick refill is min-capped, 1 token per admit)
+    "t5_rate_limit" -> rateLimitOracleSql,
+
+    // execution mode must not change admission: the streaming run (keyed
+    // RocksDB state, per-batch event-time folds) answers to the same
+    // recursive-CTE truth
+    "stream_t5_rate_limit" -> rateLimitOracleSql,
 
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents

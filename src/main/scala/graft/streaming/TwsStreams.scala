@@ -281,4 +281,60 @@ object TwsStreams {
         TimeMode.ProcessingTime(), OutputMode.Append())
       .toDF("user_id", "event_id", "had_state")
   }
+
+  case class TokState(tok: Long, lastTick: Long)
+  case class Admit(k: Long, event_id: Long, accepted: Boolean)
+
+  /** T5 streaming twin of [[graft.operators.Quota.tokenBucket]]: the same
+    * integer token-bucket recurrence with ONE (tok, lastTick) pair per
+    * key in the state store — the unbounded-per-key path the batch fold's
+    * scaledoc points to. Within a batch each key's rows fold in
+    * (event-time µs, event_id) order; across batches the ts-contiguous
+    * split source guarantees strictly later timestamps, so the composite
+    * order equals the batch operator's total order and the SAME
+    * recursive-CTE oracle applies verbatim. */
+  private class RateLimitProcessor(capacity: Long, refillPerTick: Long,
+      tickSeconds: Long) extends StatefulProcessor[Long, Event, Admit] {
+    @transient private var st: ValueState[TokState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TokState]("bucket",
+        Encoders.product[TokState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Admit] = {
+      val evs = sorted(rows)
+      if (evs.isEmpty) Iterator.empty
+      else {
+        def tickOf(e: Event): Long =
+          math.floorDiv(micros(e.ts), 1000000L) / tickSeconds
+        var (tok, last) =
+          if (st.exists()) { val s0 = st.get(); (s0.tok, s0.lastTick) }
+          else (capacity, tickOf(evs.head))
+        val out = evs.map { e =>
+          val t = tickOf(e)
+          tok = math.min(capacity, tok + (t - last) * refillPerTick)
+          last = t
+          val ok = tok >= 1
+          if (ok) tok -= 1
+          Admit(key, e.event_id, ok)
+        }
+        st.update(TokState(tok, last))
+        out.iterator
+      }
+    }
+  }
+
+  def rateLimit(events: DataFrame, keyOf: StatefulStreams.Event => Long,
+      capacity: Int, refillPerTick: Int, tickSeconds: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    toEvents(events)
+      .groupByKey(keyOf)
+      .transformWithState(
+        new RateLimitProcessor(capacity.toLong, refillPerTick.toLong,
+          tickSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
 }

@@ -500,7 +500,7 @@ class OperatorsSpec extends SparkSpec {
       .withColumn("k", lit("a"))
     def run(d: org.apache.spark.sql.DataFrame) =
       graft.operators.Quota.tokenBucket(d, col("k"), "ts", "event_id",
-        "event_id", capacity = 2, refillPerSec = 1)
+        "event_id", capacity = 2, refillPerTick = 1)
         .select(col("n"), col("n_acc"), col("n_rej"), col("acc_sum"),
           col("rej_sum"))
         .as[(Long, Long, Long, Long, Long)].head()
