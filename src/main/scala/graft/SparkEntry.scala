@@ -2127,6 +2127,15 @@ object SparkEntry {
           .withColumn("ub", pmod(col("user_id"), lit(5L))),
         "event_type", "ub")),
 
+    // ── A35: chi-square independence + Cramér's V — MI's frequentist
+    // sibling over the same cell table; exact integer/decimal products,
+    // one floor-truncated IEEE division per cell (sqrt is IEEE-exact).
+    "a35_chi2" -> ((s, dir) =>
+      Stats.chiSquare(
+        Tables.events(s, dir)
+          .withColumn("ub", pmod(col("user_id"), lit(5L))),
+        "event_type", "ub")),
+
     // ── A33: Welch's t per group — the A/B readout from one
     // conditional-aggregation pass (no pivot, no second shuffle); exact
     // arm sums make t and the Welch–Satterthwaite df engine-exact.
@@ -6188,6 +6197,33 @@ object SparkEntry {
         |      * 1000000.0)/1000000.0
         |  END AS nmi_t
         |FROM t CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+
+    // identical arithmetic: exact HUGEINT cell products, the same single
+    // division per cell floor-truncated pre-sum, IEEE sqrt for V
+    "a35_chi2" ->
+      """WITH c AS (SELECT event_type AS x, user_id % 5 AS y, COUNT(*) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |nx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM c GROUP BY 1),
+        |ny AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n,
+        |    COUNT(DISTINCT x) AS cx, COUNT(DISTINCT y) AS cy FROM c),
+        |g AS (SELECT nx.x, ny.y, nx.nx, ny.ny, COALESCE(c.nxy, 0) AS nxy0
+        |  FROM nx CROSS JOIN ny LEFT JOIN c ON c.x = nx.x AND c.y = ny.y),
+        |chi AS (SELECT CAST(SUM(CAST(floor(
+        |      CAST(CAST(nxy0 AS HUGEINT) * n - CAST(nx AS HUGEINT) * ny
+        |        AS DOUBLE)
+        |      * (CAST(CAST(nxy0 AS HUGEINT) * n - CAST(nx AS HUGEINT) * ny
+        |          AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * nx * ny AS DOUBLE))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS chi_fp
+        |  FROM g CROSS JOIN t)
+        |SELECT n, CAST(chi_fp AS DOUBLE)/1000000.0 AS chi2_t,
+        |  CAST((cx - 1) * (cy - 1) AS BIGINT) AS dof,
+        |  CASE WHEN (least(cx, cy) - 1) * n > 0 THEN
+        |    floor(sqrt(CAST(chi_fp AS DOUBLE)/1000000.0
+        |      / CAST((least(cx, cy) - 1) * n AS DOUBLE)) * 1000000.0)/1000000.0
+        |  END AS cramers_v_t
+        |FROM t CROSS JOIN chi""".stripMargin,
 
     // Welch from exact arm sums: the same (Σv² − n·mean²)/(n−1) and
     // Welch–Satterthwaite formulas over identical operands, same op order

@@ -277,6 +277,51 @@ object Stats {
             least(col("hx_fp"), col("hy_fp")).cast("double"))).as("nmi_t"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns — MI's frequentist sibling (same ONE (x, y) cell shuffle,
+    * margins re-aggregate the cell table). chi2 = Σ (n_xy·N − n_x·n_y)² /
+    * (N·n_x·n_y): numerator and denominator are exact integer products
+    * (decimal — N·n_x·n_y can reach ~1e18·cells), each cell's quotient is
+    * ONE IEEE division floor-truncated to millionths before the exact
+    * long sum — engine-exact without trusting any libm. Emits chi2, the
+    * degrees of freedom (|X|−1)(|Y|−1), and Cramér's V =
+    * sqrt(chi2 / (N·min(|X|,|Y|)−N)) for an effect size that doesn't
+    * grow with N. */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val nx = cells.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val ny = cells.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).as("n"),
+      count_distinct(col("x")).as("cx"), count_distinct(col("y")).as("cy"))
+    // the statistic runs over the FULL |X|·|Y| grid — an absent cell
+    // contributes (0·N − n_x·n_y)²/(N·n_x·n_y); the grid is margin-table-
+    // sized (categorical cardinalities), never data-sized
+    val chi = nx.crossJoin(broadcast(ny))
+      .join(cells, Seq("x", "y"), "left")
+      .withColumn("nxy0", coalesce(col("nxy"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(floor(
+        (col("nxy0").cast("decimal(20,0)") * col("n") -
+          col("nx").cast("decimal(20,0)") * col("ny"))
+          .cast("decimal(38,0)").cast("double") *
+          ((col("nxy0").cast("decimal(20,0)") * col("n") -
+            col("nx").cast("decimal(20,0)") * col("ny"))
+            .cast("decimal(38,0)").cast("double") /
+            (col("n").cast("decimal(20,0)") * col("nx") * col("ny"))
+              .cast("decimal(38,0)").cast("double")) *
+          lit(1000000.0)).cast("long").as("fp"))
+      .agg(sum(col("fp")).as("chi_fp"))
+    tot.crossJoin(chi)
+      .select(col("n"),
+        (col("chi_fp").cast("double") / lit(1000000.0)).as("chi2_t"),
+        ((col("cx") - 1) * (col("cy") - 1)).as("dof"),
+        when((least(col("cx"), col("cy")) - 1) * col("n") > 0, truncate6(
+          sqrt(col("chi_fp").cast("double") / lit(1000000.0) /
+            ((least(col("cx"), col("cy")) - 1) * col("n")).cast("double"))))
+          .as("cramers_v_t"))
+  }
+
   /** Welch's unequal-variance t statistic per group — the A/B-test
     * readout (treatment vs control on a metric, per experiment cell).
     * ONE conditional-aggregation pass: n/Σv/Σv² per arm ride the same

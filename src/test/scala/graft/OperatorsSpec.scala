@@ -526,6 +526,23 @@ class OperatorsSpec extends SparkSpec {
     assert(i === ((0.0, 0.0)))
   }
 
+  test("Stats.chiSquare: perfect 2x2 dependence gives chi2 = N and V = 1 " +
+    "(zero cells counted); independence gives 0") {
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val d = graft.operators.Stats.chiSquare(dep, "x", "y")
+      .select(col("n"), col("chi2_t"), col("dof"), col("cramers_v_t"))
+      .as[(Long, Double, Long, Double)].head()
+    // diagonal cells contribute 1 each AND the two ZERO cells contribute
+    // 1 each — chi2 = 4 only if the empty grid cells are counted
+    assert(d === ((4L, 4.0, 1L, 1.0)))
+    val ind = Seq(("a", "0"), ("a", "1"), ("b", "0"), ("b", "1"))
+      .toDF("x", "y")
+    val i = graft.operators.Stats.chiSquare(ind, "x", "y")
+      .select(col("chi2_t"), col("cramers_v_t")).as[(Double, Double)].head()
+    assert(i === ((0.0, 0.0)))
+  }
+
   test("Quality.keySkewReport: hottest-key ratio; count ties break to the " +
     "smallest key") {
     val df = (Seq.fill(3)(("g1", 1L)) ++ Seq(("g1", 2L)) ++
