@@ -2127,6 +2127,24 @@ object SparkEntry {
           .withColumn("ub", pmod(col("user_id"), lit(5L))),
         "event_type", "ub")),
 
+    // ── J18: spatial proximity self-join — all point pairs within ε via
+    // grid-cell bucketing (probe cell ⋈ build side exploded to its 3×3
+    // neighborhood; ONE equi-join, never n²); exact all-integer
+    // dx²+dy² ≤ ε² filter. Points are a formula fixture over user ids so
+    // the oracle replays the exhaustive pairwise truth.
+    "j18_spatial_join" -> ((s, dir) => {
+      import graft.functions.HashFns
+      val pts = Tables.events(s, dir)
+        .select(col("event_id").as("id"))
+        .select(col("id"),
+          HashFns.md5Lower64Mod(
+            concat(lit("x:"), col("id").cast("string")), 10000L).as("x"),
+          HashFns.md5Lower64Mod(
+            concat(lit("y:"), col("id").cast("string")), 10000L).as("y"))
+      graft.operators.Spatial.proximityJoin(pts, "id", "x", "y", eps = 30L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── A35: chi-square independence + Cramér's V — MI's frequentist
     // sibling over the same cell table; exact integer/decimal products,
     // one floor-truncated IEEE division per cell (sqrt is IEEE-exact).
@@ -6197,6 +6215,21 @@ object SparkEntry {
         |      * 1000000.0)/1000000.0
         |  END AS nmi_t
         |FROM t CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+
+    // exhaustive pairwise truth over the same formula points — the grid
+    // join must find exactly the all-pairs-within-ε set
+    "j18_spatial_join" ->
+      """WITH p AS (SELECT event_id AS id,
+        |    CAST(md5_number_lower(CONCAT('x:', CAST(event_id AS VARCHAR)))
+        |      % 10000 AS BIGINT) AS x,
+        |    CAST(md5_number_lower(CONCAT('y:', CAST(event_id AS VARCHAR)))
+        |      % 10000 AS BIGINT) AS y
+        |  FROM events)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 900
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // identical arithmetic: exact HUGEINT cell products, the same single
     // division per cell floor-truncated pre-sum, IEEE sqrt for V

@@ -526,6 +526,27 @@ class OperatorsSpec extends SparkSpec {
     assert(i === ((0.0, 0.0)))
   }
 
+  test("Spatial.proximityJoin: finds cross-cell neighbors, excludes " +
+    "just-over-eps, handles co-located points, no duplicate pairs") {
+    // eps=10: cells are 10x10. (9,9)-(11,11) straddle a cell corner at
+    // dist2=8; (9,9)-(0,11) cross cells at dist2=85; (0,0)-(0,11) are 11
+    // apart (>10, adjacent cells — cut by the exact filter); (50,50)
+    // duplicated -> dist2=0 pair
+    val pts = Seq(
+      (1L, 9L, 9L), (2L, 11L, 11L),
+      (3L, 0L, 0L), (4L, 0L, 11L),
+      (5L, 50L, 50L), (6L, 50L, 50L),
+      (7L, 500L, 500L))
+      .toDF("id", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Spatial.proximityJoin(d, "id", "x", "y", eps = 10L)
+        .select(col("id_a"), col("id_b"), col("dist2"))
+        .as[(Long, Long, Long)].collect().toSet
+    val expected = Set((1L, 2L, 8L), (1L, 4L, 85L), (5L, 6L, 0L))
+    assert(run(pts) === expected)
+    assert(run(pts.repartition(5)) === expected)
+  }
+
   test("Stats.chiSquare: perfect 2x2 dependence gives chi2 = N and V = 1 " +
     "(zero cells counted); independence gives 0") {
     val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
