@@ -476,6 +476,39 @@ object ScaleGrowth {
         f"sketch=${row.getInt(2)} vals (flat); est_view=${row.getDouble(0)}%.0f " +
           f"est_inter=${row.getDouble(1)}%.0f")
     },
+    "spatial_grid_join" -> whole { dir =>
+      // grid candidates are density-bounded (9ε² window per point) where
+      // brute force is n per point; within-ε pairs grow with density² at
+      // fixed area — physics, not plan (the counter separates the two)
+      import graft.functions.HashFns
+      val pts = spark.read.parquet(s"$dir/events.parquet")
+        .filter(pmod(col("event_id"), lit(7L)) === 0)
+        .select(col("event_id").as("id"))
+        .select(col("id"),
+          HashFns.md5Lower64Mod(
+            concat(lit("x:"), col("id").cast("string")), 10000L).as("x"),
+          HashFns.md5Lower64Mod(
+            concat(lit("y:"), col("id").cast("string")), 10000L).as("y"))
+      val n = pts.count()
+      val pairs = graft.operators.Spatial
+        .proximityJoin(pts, "id", "x", "y", eps = 30L).count()
+      (pairs, s"pairs=$pairs from n=$n pts (brute = ${n * n / 2} dists; " +
+        "candidates/pt = density*9eps^2, flat in n at fixed density)")
+    },
+    "rate_limit_state" -> whole { dir =>
+      // admission state is one (tok, lastTick) pair per KEY — flat in R;
+      // only admissions/rejections grow with the data
+      val out = graft.operators.Quota.tokenBucket(
+        spark.read.parquet(s"$dir/events.parquet")
+          .filter(col("event_id") % 37 === 0)
+          .withColumn("k", pmod(col("user_id"), lit(16L))),
+        col("k"), "ts", "event_id", "event_id",
+        capacity = 5, refillPerTick = 1, tickSeconds = 86400L)
+        .agg(count(lit(1)).as("keys"), sum(col("n")).as("events"),
+          sum(col("n_acc")).as("acc")).head()
+      (out.getLong(0), s"state rows(keys)=${out.getLong(0)} (FLAT), " +
+        s"events=${out.getLong(1)}, admitted=${out.getLong(2)}")
+    },
     "fuzzy_dist1_blocked" -> whole { dir =>
       // deletion-neighborhood blocking: candidates ~Rx (replicas are
       // id-offset, so pairs stay within replicas) where brute force
