@@ -2135,13 +2135,14 @@ object SparkEntry {
     "j18_spatial_join" -> ((s, dir) => {
       import graft.functions.HashFns
       val pts = Tables.events(s, dir)
+        .filter(pmod(col("event_id"), lit(3L)) === 0)
         .select(col("event_id").as("id"))
         .select(col("id"),
           HashFns.md5Lower64Mod(
             concat(lit("x:"), col("id").cast("string")), 10000L).as("x"),
           HashFns.md5Lower64Mod(
             concat(lit("y:"), col("id").cast("string")), 10000L).as("y"))
-      graft.operators.Spatial.proximityJoin(pts, "id", "x", "y", eps = 30L)
+      graft.operators.Spatial.proximityJoin(pts, "id", "x", "y", eps = 60L)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -6224,11 +6225,11 @@ object SparkEntry {
         |      % 10000 AS BIGINT) AS x,
         |    CAST(md5_number_lower(CONCAT('y:', CAST(event_id AS VARCHAR)))
         |      % 10000 AS BIGINT) AS y
-        |  FROM events)
+        |  FROM events WHERE event_id % 3 = 0)
         |SELECT a.id AS id_a, b.id AS id_b,
         |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
         |FROM p a JOIN p b ON a.id < b.id
-        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 900
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 3600
         |ORDER BY id_a, id_b""".stripMargin,
 
     // identical arithmetic: exact HUGEINT cell products, the same single
