@@ -2127,6 +2127,31 @@ object SparkEntry {
           .withColumn("ub", pmod(col("user_id"), lit(5L))),
         "event_type", "ub")),
 
+    // ── K15: deterministic pseudonymization — direct identifiers replaced
+    // by salted md5 tokens SCAN-SIDE (zero shuffle); the same salt
+    // tokenizes the fact's foreign key, and the gate JOINS ON THE TOKENS:
+    // referential integrity surviving tokenization IS the tested claim.
+    // The oracle replays every token (the portable md5 primitive).
+    "k15_pseudonymize" -> ((s, dir) => {
+      import graft.operators.Erasure
+      val cust = Erasure.pseudonymize(Tables.customer(s, dir),
+        Seq("c_custkey", "c_name"), "s3cret")
+      val ord = Erasure.pseudonymize(Tables.orders(s, dir),
+        Seq("o_custkey"), "s3cret")
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("orders"),
+          count_distinct(col("c_name")).as("name_tokens"),
+          min(col("c_name")).as("min_token"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ── DQ: k-anonymity audit — quasi-identifier group sizes vs the
+    // re-identification floor; two-level agg, one keyed shuffle.
+    "dq_k_anonymity" -> ((s, dir) =>
+      graft.operators.Quality.kAnonymity(Tables.customer(s, dir),
+        Seq("c_mktsegment", "c_nationkey"), k = 10L)),
+
     // ── J18: spatial proximity self-join — all point pairs within ε via
     // grid-cell bucketing (probe cell ⋈ build side exploded to its 3×3
     // neighborhood; ONE equi-join, never n²); exact all-integer
@@ -6216,6 +6241,35 @@ object SparkEntry {
         |      * 1000000.0)/1000000.0
         |  END AS nmi_t
         |FROM t CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+
+    // every token replayed via md5_number_lower (HUGEINT digits == the
+    // decimal(20,0) string), join re-executed ON the tokens
+    "k15_pseudonymize" ->
+      """WITH c AS (SELECT
+        |    CAST(md5_number_lower('s3cret:' || CAST(c_custkey AS VARCHAR))
+        |      AS VARCHAR) AS ck,
+        |    CAST(md5_number_lower('s3cret:' || c_name) AS VARCHAR) AS nm,
+        |    c_mktsegment
+        |  FROM customer),
+        |o AS (SELECT
+        |    CAST(md5_number_lower('s3cret:' || CAST(o_custkey AS VARCHAR))
+        |      AS VARCHAR) AS ok
+        |  FROM orders)
+        |SELECT c_mktsegment, COUNT(*) AS orders,
+        |  COUNT(DISTINCT nm) AS name_tokens, MIN(nm) AS min_token
+        |FROM o JOIN c ON ok = ck
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "dq_k_anonymity" ->
+      """WITH g AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS sz
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_groups,
+        |  CAST(COALESCE(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS groups_below_k,
+        |  CAST(COALESCE(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END), 0)
+        |    AS BIGINT) AS rows_at_risk,
+        |  MIN(sz) AS min_group, MAX(sz) AS max_group
+        |FROM g""".stripMargin,
 
     // exhaustive pairwise truth over the same formula points — the grid
     // join must find exactly the all-pairs-within-ε set

@@ -116,4 +116,22 @@ object Erasure {
         }
       }
     }
+
+  /** Deterministic pseudonymization — the GDPR-friendly middle ground
+    * between keeping PII and deleting rows: each listed column's value is
+    * replaced by the lower-64 md5 of `salt:value` (as an unsigned decimal
+    * string). Same value → same token, so JOINS and GROUP BYs keep
+    * working across tables pseudonymized with the same salt (referential
+    * integrity survives), while the raw value is unrecoverable without
+    * the salt. Pure scan-side projection: zero shuffle, codegen'd hash,
+    * and the md5 primitive is the engine's portable one — an external
+    * auditor (or the DuckDB oracle) can replay every token. NULLs stay
+    * NULL (a token for NULL would fabricate a joinable value). */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(col(c).isNotNull,
+        graft.functions.HashFns.md5Lower64(
+          concat(lit(salt), lit(":"), col(c).cast("string")))
+          .cast("decimal(20,0)").cast("string")))
+    }
 }

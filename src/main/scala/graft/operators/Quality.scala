@@ -143,6 +143,21 @@ object Quality {
               / col("n_chars_t"))).as("coverage"))
   }
 
+  /** k-anonymity audit — the privacy-release check: a row is re-
+    * identifiable when its quasi-identifier combination (zip+age+segment
+    * shapes) is shared by fewer than k rows. Two-level aggregation (the
+    * quasi-group sizes carry map-side combine; the rollup is one row), so
+    * the report costs one keyed shuffle at any scale. Pair with
+    * [[Erasure.pseudonymize]] (tokenize direct identifiers) and coarsen
+    * quasi-columns until `groups_below_k` reaches zero. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("sz") < k, 1L).otherwise(0L)).as("groups_below_k"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_at_risk"),
+        min(col("sz")).as("min_group"),
+        max(col("sz")).as("max_group"))
+
   /** Per-group key-skew diagnostic — the "will this join/agg hot-spot"
     * report you run BEFORE picking a salting factor (the j8 salted-join
     * family consumes exactly this shape). Two-level aggregation: the

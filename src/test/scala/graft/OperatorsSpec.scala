@@ -526,6 +526,40 @@ class OperatorsSpec extends SparkSpec {
     assert(i === ((0.0, 0.0)))
   }
 
+  test("Erasure.pseudonymize: deterministic tokens preserve joins, NULLs " +
+    "stay NULL, different salts break linkage") {
+    import graft.operators.Erasure
+    val a = Seq((1L, "alice"), (2L, "bob"), (3L, null))
+      .toDF("id", "name")
+    val t1 = Erasure.pseudonymize(a, Seq("name"), "s1")
+      .select(col("id"), col("name")).as[(Long, String)].collect().toMap
+    val t2 = Erasure.pseudonymize(a, Seq("name"), "s1")
+      .select(col("id"), col("name")).as[(Long, String)].collect().toMap
+    assert(t1 === t2)                       // deterministic
+    assert(t1(3L) == null)                  // NULL passthrough
+    assert(t1(1L) != "alice" && t1(1L).forall(_.isDigit))
+    val other = Erasure.pseudonymize(a, Seq("name"), "s2")
+      .select(col("id"), col("name")).as[(Long, String)].collect().toMap
+    assert(other(1L) !== t1(1L))            // salt changes the token space
+    // referential integrity: a second table tokenized with the same salt
+    // still joins on the token
+    val b = Seq(("alice", 100L), ("alice", 101L), ("bob", 102L))
+      .toDF("name", "order_id")
+    val joined = Erasure.pseudonymize(b, Seq("name"), "s1")
+      .join(Erasure.pseudonymize(a, Seq("name"), "s1"), "name")
+      .select(col("id"), col("order_id")).as[(Long, Long)].collect().toSet
+    assert(joined === Set((1L, 100L), (1L, 101L), (2L, 102L)))
+  }
+
+  test("Quality.kAnonymity: group sizes vs the floor, hand-checked") {
+    val df = (Seq.fill(12)(("a", 1)) ++ Seq.fill(3)(("a", 2)) ++
+      Seq.fill(1)(("b", 1))).toDF("seg", "nat")
+    val r = graft.operators.Quality.kAnonymity(df, Seq("seg", "nat"), k = 10L)
+      .as[(Long, Long, Long, Long, Long)].head()
+    // groups: (a,1)=12 ok, (a,2)=3 risky, (b,1)=1 risky
+    assert(r === ((3L, 2L, 4L, 1L, 12L)))
+  }
+
   test("Spatial.proximityJoin: finds cross-cell neighbors, excludes " +
     "just-over-eps, handles co-located points, no duplicate pairs") {
     // eps=10: cells are 10x10. (9,9)-(11,11) straddle a cell corner at
