@@ -476,6 +476,39 @@ object ScaleGrowth {
         f"sketch=${row.getInt(2)} vals (flat); est_view=${row.getDouble(0)}%.0f " +
           f"est_inter=${row.getDouble(1)}%.0f")
     },
+    "manifest_prune" -> { dir =>
+      // timed span = manifest build + plan + pruned read; the structural
+      // claim is files_read staying a strict fraction of files_total at
+      // any R (the planned subset follows the PREDICATE, not the data)
+      import graft.operators.Manifest
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val mxv = ev.agg(max(col("user_id"))).head().getLong(0)
+      val path = s"$dir/manifest-store-${System.nanoTime()}"
+      def rmAll(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .foreach(rmAll)
+        f.delete(); ()
+      }
+      try {
+        ev.withColumn("rb", least(
+            floor(col("user_id") * 16.0 / (mxv + 1)).cast("long"), lit(15L)))
+          .repartition(16, col("rb")).drop("rb")
+          .write.mode("overwrite").parquet(path) // layout untimed
+        val t0 = System.nanoTime()
+        val manifest = Manifest.build(spark, path, "user_id")
+          .localCheckpoint(true)
+        val total = manifest.count()
+        val files = Manifest.filesForRange(manifest, 0L, mxv / 4)
+        val n = Manifest.prunedRead(spark, files, "user_id", 0L, mxv / 4)
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, files.size.toLong,
+          s"files read=${files.size}/$total (strict subset at any R); " +
+            s"rows matched=$n")
+      } finally rmAll(new java.io.File(path))
+    },
     "spatial_grid_join" -> whole { dir =>
       // grid candidates are density-bounded (9ε² window per point) where
       // brute force is n per point; within-ε pairs grow with density² at
