@@ -68,6 +68,14 @@ object ScaleGrowth {
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
+  /** Recursive delete for the throwaway disk stores the ops stage. */
+  private def rmAll(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(rmAll)
+    f.delete(); ()
+  }
+
   /** The measured suite: name -> (dir => (claimedSec, rows, note)). Each
     * op times its OWN claimed computation — for most that is the whole
     * closure, but ops with an untimed prep phase (e.g. the distributed
@@ -350,12 +358,6 @@ object ScaleGrowth {
       val ev = spark.read.parquet(s"$dir/events.parquet")
         .withColumn("dt", to_date(col("ts")))
       val path = s"$dir/events_by_day-${System.nanoTime()}"
-      def rmAll(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .foreach(rmAll)
-        f.delete(); ()
-      }
       try {
         ev.write.mode("overwrite").partitionBy("dt").parquet(path)
         val fact = spark.read.parquet(path)
@@ -390,12 +392,6 @@ object ScaleGrowth {
         .select(col("event_id"), col("user_id"), col("value"),
           pmod(col("user_id"), lit(16L)).as("bucket"))
       val path = s"$dir/merge-store-${System.nanoTime()}"
-      def rmAll(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .foreach(rmAll)
-        f.delete(); ()
-      }
       try {
         ev.write.mode("overwrite").partitionBy("bucket").parquet(path)
         val base = ev.filter(col("bucket").isin(2L, 5L))
@@ -423,12 +419,6 @@ object ScaleGrowth {
       val ev = spark.read.parquet(s"$dir/events.parquet")
         .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
       val statePath = s"$dir/incr-state-${System.nanoTime()}"
-      def rmAll(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .foreach(rmAll)
-        f.delete(); ()
-      }
       try {
         Incremental.state(ev.filter(col("dt") < "2024-01-25"),
           Seq("event_type"), Seq("value"), Seq("dt"))
@@ -485,12 +475,6 @@ object ScaleGrowth {
         .select(col("event_id"), col("user_id"), col("value"))
       val mxv = ev.agg(max(col("user_id"))).head().getLong(0)
       val path = s"$dir/manifest-store-${System.nanoTime()}"
-      def rmAll(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .foreach(rmAll)
-        f.delete(); ()
-      }
       try {
         ev.withColumn("rb", least(
             floor(col("user_id") * 16.0 / (mxv + 1)).cast("long"), lit(15L)))
@@ -501,7 +485,7 @@ object ScaleGrowth {
           .localCheckpoint(true)
         val total = manifest.count()
         val files = Manifest.filesForRange(manifest, 0L, mxv / 4)
-        val n = Manifest.prunedRead(spark, files, "user_id", 0L, mxv / 4)
+        val n = Manifest.prunedRead(spark, path, files, "user_id", 0L, mxv / 4)
           .count()
         val sec = (System.nanoTime() - t0) / 1e9
         (sec, files.size.toLong,

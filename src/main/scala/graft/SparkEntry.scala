@@ -1776,7 +1776,7 @@ object SparkEntry {
         val total = manifest.count()
         val hi = mxv / 4
         val files = Manifest.filesForRange(manifest, 0L, hi)
-        val pruned = Manifest.prunedRead(s, files, "user_id", 0L, hi)
+        val pruned = Manifest.prunedRead(s, path, files, "user_id", 0L, hi)
           .agg(count(lit(1)).as("n"),
             sum(floor(col("value") * 1e6).cast("long")).as("v_fp")).head()
         val full = ev.filter(col("user_id") >= 0 && col("user_id") <= hi)

@@ -132,6 +132,6 @@ object Erasure {
       d.withColumn(c, when(col(c).isNotNull,
         graft.functions.HashFns.md5Lower64(
           concat(lit(salt), lit(":"), col(c).cast("string")))
-          .cast("decimal(20,0)").cast("string")))
+          .cast("string")))
     }
 }

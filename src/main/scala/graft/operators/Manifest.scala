@@ -35,10 +35,31 @@ object Manifest {
     manifest.filter(col("mx") >= lo && col("mn") <= hi)
       .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
 
+  /** `input_file_name()` returns a URI (space → %20) and
+    * `DataFrameReader.parquet` treats each path as a GLOB pattern —
+    * decode the URI form and escape glob metacharacters so a legal
+    * directory name like `run[2024]` or one containing a space
+    * round-trips instead of mis-globbing. */
+  private def unglob(uri: String): String = {
+    val decoded =
+      try new org.apache.hadoop.fs.Path(new java.net.URI(uri)).toString
+      catch { case _: java.net.URISyntaxException => uri }
+    decoded.flatMap {
+      case c @ ('*' | '?' | '[' | ']' | '{' | '}') => s"\\$c"
+      case c => c.toString
+    }
+  }
+
   /** Read only the manifest-selected files and re-apply the predicate
-    * (file envelopes over-approximate; the residual filter is exact). */
-  def prunedRead(spark: SparkSession, files: Seq[String], statCol: String,
-      lo: Long, hi: Long): DataFrame =
-    spark.read.parquet(files: _*)
-      .filter(col(statCol) >= lo && col(statCol) <= hi)
+    * (file envelopes over-approximate; the residual filter is exact).
+    * `storePath` anchors the schema when the plan selects NO files — a
+    * range outside every envelope answers with an EMPTY frame of the
+    * store's schema, not an exception. */
+  def prunedRead(spark: SparkSession, storePath: String, files: Seq[String],
+      statCol: String, lo: Long, hi: Long): DataFrame = {
+    val base =
+      if (files.isEmpty) spark.read.parquet(storePath).filter(lit(false))
+      else spark.read.parquet(files.map(unglob): _*)
+    base.filter(col(statCol) >= lo && col(statCol) <= hi)
+  }
 }

@@ -24,7 +24,12 @@ object Spatial {
   def proximityJoin(points: DataFrame, idCol: String, xCol: String,
       yCol: String, eps: Long): DataFrame = {
     require(eps >= 1, s"eps must be >= 1, got $eps")
-    def cellOf(c: Column): Column = floor(c.cast("double") / eps).cast("long")
+    // integer floor division for the cell index: x − pmod(x, ε) is the
+    // exact ε-aligned floor (pmod is non-negative), so the quotient is
+    // exact at ANY magnitude — a double division would mis-bucket
+    // coordinates beyond 2^53 and silently drop true pairs
+    def cellOf(c: Column): Column = ((c - pmod(c, lit(eps)))
+      .cast("decimal(20,0)") / lit(eps)).cast("long")
     val p = points.select(col(idCol).as("id"), col(xCol).cast("long").as("x"),
       col(yCol).cast("long").as("y"))
     val probe = p.select(col("id"), col("x"), col("y"),
@@ -40,10 +45,13 @@ object Spatial {
         (col("bcy") + col("o.dj")).as("cy"))
     val d2 = (col("x") - col("xb")) * (col("x") - col("xb")) +
       (col("y") - col("yb")) * (col("y") - col("yb"))
+    // no dedup needed: the probe row has ONE cell, the build side's 9
+    // neighbor cells are pairwise distinct (at most one offset matches),
+    // and the reverse direction is cut by id < idb — each qualifying
+    // pair joins exactly once
     probe.join(build, Seq("cx", "cy"))
       .filter(col("id") < col("idb"))
       .filter(d2 <= eps * eps)
       .select(col("id").as("id_a"), col("idb").as("id_b"), d2.as("dist2"))
-      .distinct()
   }
 }

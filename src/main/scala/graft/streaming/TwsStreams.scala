@@ -306,8 +306,11 @@ object TwsStreams {
       val evs = sorted(rows)
       if (evs.isEmpty) Iterator.empty
       else {
+        // floorDiv at BOTH levels: plain `/` truncates toward zero and
+        // would disagree with the batch twin's floor() (and the oracle's
+        // `//`) on pre-epoch event times
         def tickOf(e: Event): Long =
-          math.floorDiv(micros(e.ts), 1000000L) / tickSeconds
+          math.floorDiv(math.floorDiv(micros(e.ts), 1000000L), tickSeconds)
         var (tok, last) =
           if (st.exists()) { val s0 = st.get(); (s0.tok, s0.lastTick) }
           else (capacity, tickOf(evs.head))

@@ -46,9 +46,16 @@ class FileMaintenanceSpec extends SparkSpec {
       // range [150, 249] intersects exactly files 1 and 2
       val files = Manifest.filesForRange(m, 150L, 249L)
       assert(files.size === 2)
-      val got = Manifest.prunedRead(spark, files, "k", 150L, 249L)
+      val got = Manifest.prunedRead(spark, path, files, "k", 150L, 249L)
         .agg(count(lit(1)), sum(col("v"))).as[(Long, Long)].head()
       assert(got === ((100L, (150L to 249L).map(_ * 2).sum)))
+      // a range outside every envelope plans ZERO files and answers
+      // with an EMPTY frame of the store's schema — not an exception
+      val none = Manifest.filesForRange(m, 5000L, 6000L)
+      assert(none.isEmpty)
+      val empty = Manifest.prunedRead(spark, path, none, "k", 5000L, 6000L)
+      assert(empty.count() === 0L)
+      assert(empty.columns.toSet === Set("k", "v"))
     } finally rm(path)
   }
 
