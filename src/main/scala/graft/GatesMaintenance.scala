@@ -1,0 +1,803 @@
+package graft
+
+import graft.functions.TimeFns._
+import graft.functions.TextFns._
+import graft.functions.VectorFns
+import graft.multimodal.Multimodal
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lakehouse table maintenance and ingest-edge sources: compaction,
+  * MERGE, manifests, retention, pseudonymization, file-format round-trips.
+  *
+  * Gate registry family split out of SparkEntry (round 13, registry
+  * hygiene); SparkEntry.queries/oracleSql union the six families.
+  */
+private[graft] object GatesMaintenance {
+  import GateSupport._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── Z-order layout key: the native Morton-interleave expression
+    // (expressions/ZValue.scala) computed over two part-derived dims.
+    // The gate pins the BIT-EXACT curve value against an oracle that
+    // spells out the interleave as shifts and ORs — a wrong bit
+    // position, mask, or column order lands a different long. The
+    // layout PAYOFF (per-file min/max envelopes, file skipping) is
+    // measured in ZOrderSpec, where two written layouts are compared;
+    // a value gate is the right oracle shape because layout itself
+    // never changes query answers.
+    "zorder_layout" -> ((s, dir) => {
+      import graft.functions.LayoutFns
+      Tables.part(s, dir).select(col("p_partkey"),
+          pmod(col("p_partkey"), lit(1024L)).as("x"),
+          pmod(expr("p_partkey div 7"), lit(1024L)).as("y"))
+        .select(col("p_partkey"),
+          LayoutFns.zvalue(10, col("x"), col("y")).as("zval"))
+        .orderBy(col("p_partkey"))
+    }),
+
+
+    // ── K8: partition backfill — dynamic partitionOverwriteMode scoped
+    // to one write. The initial store lands TWO poisoned day partitions
+    // (users zeroed on 01-05 and 01-09); the backfill recomputes ONLY
+    // 01-05. Final truth: 01-05 corrected, 01-09 still poisoned, every
+    // other day intact — which distinguishes dynamic overwrite from
+    // both failure modes: a static overwrite would delete the other 28
+    // days (row-count mismatch), a no-op backfill leaves 01-05 poisoned
+    // (hash mismatch). Counting columns only (ct/users) — no double
+    // sums ride the store.
+    "k8_partition_backfill" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-backfill-${System.nanoTime()}"
+      val (dayX, dayY) = ("2024-01-05", "2024-01-09")
+      try {
+        val truth = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("dt"), col("event_type"))
+          .agg(count(lit(1)).as("ct"),
+            countDistinct(col("user_id")).as("users"))
+        val poisoned = truth.withColumn("users",
+          when(col("dt").isin(dayX, dayY), lit(0L)).otherwise(col("users")))
+        poisoned.write.mode("overwrite").partitionBy("dt").parquet(path)
+        graft.streaming.Sinks.overwritePartitions(
+          truth.filter(col("dt") === dayX), path, "dt")
+        s.read.parquet(path)
+          .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+            col("event_type"), col("ct"), col("users"))
+          .orderBy(col("dt"), col("event_type"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
+
+    // ── K10: targeted delete (right-to-be-forgotten) — erase a set of
+    // users from an append-only store by rewriting ONLY the partitions
+    // their keys hash into; every other partition's files must come
+    // through byte-identical. Store = events partitioned by
+    // bucket = user_id mod 16; targets all live in bucket 3, so 15/16
+    // partitions must not churn. The untouched_ok verdict compares the
+    // full (name → size) file map outside bucket 3 before/after and the
+    // oracle pins it to 1 — a full-table rewrite (same rows, new files)
+    // FAILS this gate even though the row answer matches.
+    "k10_targeted_delete" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-erase-${System.nanoTime()}"
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(path))
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(f => f.getPath -> f.length()).toMap
+      }
+      try {
+        val ev = Tables.events(s, dir)
+          .withColumn("bucket", pmod(col("user_id"), lit(16L)))
+        ev.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        val before = files()
+        val targets = ev
+          .filter(col("bucket") === 3 && col("user_id") % 5 === 0)
+          .select(col("user_id"), col("bucket")).distinct()
+        graft.operators.Erasure.deleteKeys(s, path, "bucket", "user_id",
+          targets)
+        val after = files()
+        def outside(m: Map[String, Long]) =
+          m.filter { case (p, _) => !p.contains("bucket=3") }
+        val untouchedOk = outside(before) == outside(after)
+        s.read.parquet(path)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("ct"),
+            countDistinct(col("user_id")).as("users"))
+          .withColumn("untouched_ok", lit(if (untouchedOk) 1L else 0L))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
+
+    // ── K9: small-file compaction — the maintenance pass for fragmented
+    // sinks (streaming writers, backfills, CDC upserts all emit many tiny
+    // files; at 100 TB file listing, not row throughput, becomes the scan
+    // bottleneck). Fixture: orders fractured to 48 files, compacted at a
+    // target size chosen to land single-digit outputs; one round-robin
+    // shuffle so outputs come out even (coalesce would inherit skew).
+    // Rows must survive byte-exactly — the oracle runs on the ORIGINAL
+    // parquet, so a dropped/duplicated row in the rewrite is a hash
+    // mismatch; CompactionSpec pins the file-count mechanics.
+    "k9_compaction" -> ((s, dir) => {
+      val root = shmRoot
+      val uniq = System.nanoTime()
+      val fragPath = s"$root/graft-frag-$uniq"
+      val compactPath = s"$root/graft-compact-$uniq"
+      try {
+        Tables.orders(s, dir).repartition(48)
+          .write.mode("overwrite").parquet(fragPath)
+        val (bytes, _) =
+          graft.operators.Compaction.dataFileStats(s, fragPath)
+        // target ≈ an eighth of the input ⇒ ~8 even-sized outputs; the
+        // listing above is reused (knownBytes), not repeated
+        graft.operators.Compaction.compact(s, fragPath, compactPath,
+          targetBytes = math.max(1L, bytes / 8), knownBytes = Some(bytes))
+        s.read.parquet(compactPath)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("ct"),
+            sum(dec("o_totalprice")).cast("double").as("price_sum"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy(col("o_orderpriority"))
+          .localCheckpoint(true)
+      } finally { rmTree(fragPath); rmTree(compactPath) }
+    }),
+
+
+    // ── K11: copy-on-write MERGE INTO — one source batch carrying all
+    // three arms (WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT
+    // MATCHED INSERT) against a bucket-partitioned parquet store
+    // (operators/Merge.scala). The source only names buckets 2 and 5,
+    // so 6/8 partitions must come through byte-identical — the
+    // untouched_ok verdict compares the full (file → size) map outside
+    // the churned buckets before/after and the oracle pins it to 1: a
+    // full-table rewrite FAILS this gate even with the right rows (the
+    // k10 erasure contract applied to general writes). Updates double
+    // the price, deletes take every third key of bucket 5, inserts are
+    // fresh keys offset by 80M (≡ 0 mod 8, so the partition derivation
+    // is exercised, not bypassed).
+    "k11_merge_upsert" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-merge-${System.nanoTime()}"
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(path))
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(f => f.getPath -> f.length()).toMap
+      }
+      try {
+        val ord = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            dec("o_totalprice").as("price"), col("o_orderpriority"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        ord.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        val before = files()
+        val base = ord.filter(col("bucket").isin(2L, 5L))
+        val updates = base
+          .filter(col("bucket") === 2 && col("o_orderkey") % 3 === 0)
+          .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+          .withColumn("op", lit("U"))
+        val deletes = base
+          .filter(col("bucket") === 5 && col("o_orderkey") % 3 === 1)
+          .withColumn("op", lit("D"))
+        val inserts = base
+          .filter(col("bucket") === 2 && col("o_orderkey") % 3 === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 80000000L)
+          .withColumn("op", lit("I"))
+        Merge.into(s, path, "bucket", "o_orderkey",
+          updates.unionByName(deletes).unionByName(inserts))
+        val after = files()
+        def outside(m: Map[String, Long]) = m.filter { case (p, _) =>
+          !p.contains("bucket=2") && !p.contains("bucket=5") }
+        val untouchedOk = outside(before) == outside(after)
+        s.read.parquet(path)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("ct"),
+            sum(col("price")).cast("double").as("price_sum"),
+            sum(col("o_orderkey")).as("key_sum"),
+            count(when(col("o_orderkey") > 80000000L, 1)).as("inserted_ct"))
+          .withColumn("untouched_ok", lit(if (untouchedOk) 1L else 0L))
+          .orderBy(col("bucket"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
+
+    // ── K12: incremental materialized-aggregate refresh — the batch
+    // "never rescan history" maintenance pass (operators/Incremental:
+    // the k3 serving-re-agg story at rest). History (orders before
+    // 1997) collapses ONCE into a tiny table of MERGEABLE partials
+    // (count/decimal-sum/min/max per priority — avg is derived at read
+    // time, never stored); the refresh scans ONLY the landed delta and
+    // the state table, so its cost is O(delta + groups) regardless of
+    // history size. The oracle recomputes the aggregate over ALL
+    // orders from scratch — equality proves incremental == full
+    // recompute; MergeIncrementalSpec pins that the refresh plan's
+    // inputFiles never touch the history beyond the one state build.
+    "k12_incremental_agg" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-incragg-${System.nanoTime()}"
+      try {
+        val ord = Tables.orders(s, dir).withColumn("o_date",
+          date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        val cut = "1997-01-01"
+        Incremental.state(ord.filter(col("o_date") < cut),
+          Seq("o_orderpriority"), sumCols = Seq("o_totalprice"),
+          minMaxCols = Seq("o_date"))
+          .write.mode("overwrite").parquet(path)
+        val refreshed = Incremental.merge(Seq(
+          s.read.parquet(path),
+          Incremental.state(ord.filter(col("o_date") >= cut),
+            Seq("o_orderpriority"), sumCols = Seq("o_totalprice"),
+            minMaxCols = Seq("o_date"))),
+          Seq("o_orderpriority"))
+        Incremental.finalizeState(refreshed)
+          .select(col("o_orderpriority"), col("cnt"),
+            col("sum_o_totalprice").cast("double").as("price_sum"),
+            col("avg_o_totalprice").as("price_avg"),
+            col("min_o_date").as("dt_min"), col("max_o_date").as("dt_max"))
+          .orderBy(col("o_orderpriority"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
+
+    // ── Source: binaryFile — the raw-asset ingestion path for the
+    // multimodal column family (mm_*): a directory of opaque files
+    // becomes (path, length, content) rows with NO decode step, content
+    // lands as a binary column ready for the mapPartitions feature
+    // extractors. Fixture: every 25th doc's UTF-8 bytes as .bin files
+    // (driver-side staging is fixture setup, not the operator); the
+    // oracle recomputes byte length and md5 from the raw table — length
+    // must be BYTES (strlen), not chars, or the zh docs fail the hash.
+    "source_binary_files" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-bin-${System.nanoTime()}"
+      try {
+        new java.io.File(path).mkdirs()
+        Tables.documents(s, dir)
+          .filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$path/doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        s.read.format("binaryFile").load(path)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+              .cast("long").as("doc_id"),
+            col("length"), md5(col("content")).as("content_md5"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
+
+    // ── K13: retention/TTL partition expiry (Erasure.expirePartitions)
+    // — age out data older than the retention horizon as a pure LISTING
+    // operation: directory names decide, zero data files are opened or
+    // rewritten (the defining economics vs k10's key-level rewrite).
+    // Store = events by day (30 partitions); days before 2024-01-10
+    // expire. Verdicts pin BOTH properties: kept partitions' files are
+    // byte-identical (no rewrite happened) and exactly 9 day-values
+    // dropped; the oracle recomputes the surviving aggregate from the
+    // raw table with the same cutoff.
+    "k13_retention_expire" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-ttl-${System.nanoTime()}"
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(path))
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(f => f.getPath -> f.length()).toMap
+      }
+      try {
+        Tables.events(s, dir)
+          .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.mode("overwrite").partitionBy("dt").parquet(path)
+        val before = files()
+        val dropped = Erasure.expirePartitions(s, path, "dt", "2024-01-10")
+        val after = files()
+        val keptUntouched = after == before.filter { case (p, _) =>
+          !dropped.exists(d => p.contains(s"dt=$d")) }
+        s.read.parquet(path)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("ct"),
+            min(col("dt").cast("string")).as("dt_min"),
+            countDistinct(col("dt")).as("days"))
+          .withColumn("kept_untouched",
+            lit(if (keptUntouched) 1L else 0L))
+          .withColumn("dropped_days", lit(dropped.size.toLong))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
+
+    // ── Manifest-driven file skipping (the Iceberg/Delta data-file-stats
+    // idea): per-file min/max collected ONCE into a file-count-sized
+    // manifest table; a range scan plans its file list FROM the manifest
+    // and reads only intersecting envelopes. The layout writes 16
+    // range-correlated buckets so envelopes are tight; pruned_ok pins
+    // that planning read a strict subset of files, equal_ok pins that the
+    // pruned read's answer equals the full-scan predicate's.
+    "k14_manifest_prune" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val mxv = ev.agg(max(col("user_id"))).head().getLong(0)
+      val path = s"$shmRoot/graft-manifest-${System.nanoTime()}"
+      try {
+        ev.withColumn("rb", least(
+            floor(col("user_id") * 16.0 / (mxv + 1)).cast("long"), lit(15L)))
+          .repartition(16, col("rb")).drop("rb")
+          .write.mode("overwrite").parquet(path)
+        val manifest = Manifest.build(s, path, "user_id")
+          .localCheckpoint(true) // plan + count read one stable snapshot
+        val total = manifest.count()
+        val hi = mxv / 4
+        val files = Manifest.filesForRange(manifest, 0L, hi)
+        val pruned = Manifest.prunedRead(s, path, files, "user_id", 0L, hi)
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1e6).cast("long")).as("v_fp")).head()
+        val full = ev.filter(col("user_id") >= 0 && col("user_id") <= hi)
+          .agg(count(lit(1)),
+            sum(floor(col("value") * 1e6).cast("long"))).head()
+        import s.implicits._
+        Seq((pruned.getLong(0), pruned.getLong(1),
+          files.size < total && files.nonEmpty,
+          pruned.getLong(0) == full.getLong(0) &&
+            pruned.getLong(1) == full.getLong(1)))
+          .toDF("n", "v_fp", "pruned_ok", "equal_ok")
+      } finally rmTree(path)
+    }),
+
+
+    // ── K15: deterministic pseudonymization — direct identifiers replaced
+    // by salted md5 tokens SCAN-SIDE (zero shuffle); the same salt
+    // tokenizes the fact's foreign key, and the gate JOINS ON THE TOKENS:
+    // referential integrity surviving tokenization IS the tested claim.
+    // The oracle replays every token (the portable md5 primitive).
+    "k15_pseudonymize" -> ((s, dir) => {
+      import graft.operators.Erasure
+      val cust = Erasure.pseudonymize(Tables.customer(s, dir),
+        Seq("c_custkey", "c_name"), "s3cret")
+      val ord = Erasure.pseudonymize(Tables.orders(s, dir),
+        Seq("o_custkey"), "s3cret")
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("orders"),
+          count_distinct(col("c_name")).as("name_tokens"),
+          min(col("c_name")).as("min_token"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+
+    // ── CSV source round-trip: the engine's ingest edge is not only
+    // parquet — write customer as headered CSV, read it back through the
+    // declared schema, and aggregate. Doubles survive because Spark
+    // emits shortest-round-trip reprs; the oracle runs on the ORIGINAL
+    // parquet, so any quoting/header/type-inference drift in the CSV
+    // path is a hash mismatch. Materialized so the tmpfs copy sweeps.
+    "source_csv_roundtrip" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-csv-${System.nanoTime()}"
+      try {
+        val base = Tables.customer(s, dir)
+        base.write.mode("overwrite").option("header", "true").csv(path)
+        s.read.schema(base.schema).option("header", "true").csv(path)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("ct"),
+            sum(dec("c_acctbal")).cast("double").as("bal_sum"),
+            countDistinct(col("c_nationkey")).as("nations"))
+          .orderBy(col("c_mktsegment"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
+
+    // ── JSON-lines source round-trip: the reference's native log format
+    // (HTTP collector → Kafka carries JSON lines). Timestamps are the
+    // round-trip risk — the format is pinned to micros on BOTH write and
+    // read, and the oracle (original parquet) compares exact epoch-µs
+    // extrema per event type, so a truncated fraction or a timezone
+    // shift fails the hash, not just a spot check.
+    "source_jsonl_roundtrip" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-jsonl-${System.nanoTime()}"
+      val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+      try {
+        val base = Tables.events(s, dir)
+        base.write.mode("overwrite").option("timestampFormat", fmt).json(path)
+        s.read.schema(base.schema).option("timestampFormat", fmt).json(path)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("ct"),
+            countDistinct(col("user_id")).as("users"),
+            min(unix_micros(col("ts"))).as("min_us"),
+            max(unix_micros(col("ts"))).as("max_us"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
+
+    // ── ORC source round-trip: the second columnar format a lakehouse
+    // ingests (Hive-era estates are ORC). Same contract as the CSV/JSONL
+    // twins — write orders as ORC, read back through the declared schema,
+    // aggregate; the oracle runs on the ORIGINAL parquet, so any type or
+    // timestamp drift through ORC's encoding is a hash mismatch (orders
+    // carries int64/double/string/timestamp — the full primitive
+    // surface). SourceFormatsSpec pins predicate pushdown reaches the
+    // ORC scan, same as parquet.
+    "source_orc_roundtrip" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-orc-${System.nanoTime()}"
+      try {
+        val base = Tables.orders(s, dir)
+        base.write.mode("overwrite").orc(path)
+        s.read.schema(base.schema).orc(path)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("ct"),
+            sum(dec("o_totalprice")).cast("double").as("price_sum"),
+            // o_orderdate surfaces as TIMESTAMP_NTZ (pyarrow default);
+            // the session tz is pinned UTC, so the cast reinterprets the
+            // wall-clock as the same UTC instant (Tables.normalizeEventTs
+            // contract)
+            min(unix_micros(col("o_orderdate").cast("timestamp")))
+              .as("min_date_us"),
+            max(unix_micros(col("o_orderdate").cast("timestamp")))
+              .as("max_date_us"))
+          .orderBy(col("o_orderpriority"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
+
+    // ── XML source round-trip (Spark 4's built-in XML datasource — the
+    // B2B/legacy-feed ingest edge): write customer as row-tagged XML,
+    // read back through the declared schema, aggregate vs the
+    // original-parquet oracle. Doubles survive because the writer emits
+    // shortest-round-trip reprs (the CSV twin's contract); the string
+    // column rides escaping.
+    "source_xml_roundtrip" -> ((s, dir) => {
+      val root = shmRoot
+      val path = s"$root/graft-xml-${System.nanoTime()}"
+      try {
+        val base = Tables.customer(s, dir)
+        base.write.mode("overwrite").option("rowTag", "customer").xml(path)
+        s.read.schema(base.schema).option("rowTag", "customer").xml(path)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("ct"),
+            sum(dec("c_acctbal")).cast("double").as("bal_sum"),
+            countDistinct(col("c_nationkey")).as("nations"),
+            max(length(col("c_name"))).cast("long").as("max_name_len"))
+          .orderBy(col("c_mktsegment"))
+          .localCheckpoint(true)
+      } finally rmTree(path)
+    }),
+
+
+    // ── Schema evolution across parquet generations: a long-lived
+    // dataset's early files lack columns later files carry. mergeSchema
+    // unifies the footers at read time and back-fills nulls — the
+    // no-rewrite evolution path (at 100 TB you cannot rewrite history to
+    // add a column). Generation 1 = even orderkeys without priority;
+    // generation 2 = odd WITH priority; the oracle replays the
+    // generation rule, so a wrong null-fill or a dropped generation is a
+    // hash mismatch.
+    "source_schema_evolution" -> ((s, dir) => {
+      val root = shmRoot
+      val base = s"$root/graft-evo-${System.nanoTime()}"
+      try {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$base/g1")
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$base/g2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$base/g1", s"$base/g2")
+          .groupBy(coalesce(col("o_orderpriority"), lit("PRE_SCHEMA"))
+            .as("priority"))
+          .agg(count(lit(1)).as("ct"),
+            sum(dec("o_totalprice")).cast("double").as("price_sum"),
+            min(col("o_orderkey")).as("min_key"))
+          .orderBy(col("priority"))
+          .localCheckpoint(true)
+      } finally rmTree(base)
+    }),
+
+
+    // ── Hidden file-metadata columns (`_metadata.file_path`) — row-level
+    // provenance without a provenance column: which physical file did
+    // each row come from. The lakehouse debugging/audit primitive
+    // (quarantine a bad file, attribute a corrupt row) and the zero-cost
+    // lineage tier at 100 TB — the path rides the scan, no join, no
+    // extra storage. Fixture writes two single-file generations with a
+    // known key rule; the oracle replays the rule, so a wrong
+    // row-to-file attribution is a hash mismatch.
+    "source_file_metadata" -> ((s, dir) => {
+      val root = shmRoot
+      val base = s"$root/graft-meta-${System.nanoTime()}"
+      try {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderkey") % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/even")
+        o.filter(col("o_orderkey") % 2 =!= 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/odd")
+        s.read.parquet(s"$base/even", s"$base/odd")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            regexp_extract(col("_metadata.file_path"),
+              "/(even|odd)/", 1).as("gen"))
+          .groupBy(col("gen"))
+          .agg(count(lit(1)).as("ct"),
+            sum(dec("o_totalprice")).cast("double").as("price_sum"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy(col("gen"))
+          .localCheckpoint(true)
+      } finally rmTree(base)
+    }),
+
+
+    // ── ANALYZE-style table profile: per-column counts/nulls/NDV/range
+    // in ONE scan (single Aggregate; the unpivot to rows is a free
+    // explode). The HLL NDV rides next to the exact NDV with a checked
+    // 5·rsd verdict (a17 pattern) — at 100 TB the exact arm drops and
+    // the sketch is the answer. Nulls injected on a derived column so
+    // the null-counting arm actually fires. These stats are what a CBO
+    // eats (join order, broadcast thresholds) — profiling IS an engine
+    // feature, not a demo.
+    "table_profile" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(10L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal"),
+        col("c_name"), col("c_mktsegment"), col("c_nationkey"))
+      graft.operators.Profile.profile(c,
+          numeric = Seq("c_custkey", "bal", "c_nationkey"),
+          strings = Seq("c_name", "c_mktsegment"))
+        .orderBy(col("col_name"))
+    })
+  )
+
+  /** DuckDB oracle SQL, column-name-aligned with `queries`. */
+  def oracleSql: Map[String, String] = Map(
+
+    "zorder_layout" -> {
+      // the interleave spelled out: bit i of x → bit 2i, bit i of y →
+      // bit 2i+1 (generated, so the oracle covers every bit position)
+      val interleave = (0 until 10).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH g AS (
+         |  SELECT p_partkey, p_partkey % 1024 AS x,
+         |    (p_partkey // 7) % 1024 AS y
+         |  FROM part)
+         |SELECT p_partkey, $interleave AS zval
+         |FROM g ORDER BY p_partkey""".stripMargin
+    },
+
+
+    "k8_partition_backfill" ->
+      s"""SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS dt,
+         |  event_type, COUNT(*) AS ct,
+         |  CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-09'
+         |       THEN 0 ELSE COUNT(DISTINCT user_id) END AS users
+         |FROM events
+         |GROUP BY 1, 2, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+         |ORDER BY dt, event_type""".stripMargin,
+
+
+    // survivors = everyone outside the target predicate; untouched_ok is
+    // pinned to 1 (15/16 partitions byte-identical)
+    "k10_targeted_delete" ->
+      """SELECT event_type, COUNT(*) AS ct,
+        |  COUNT(DISTINCT user_id) AS users,
+        |  CAST(1 AS BIGINT) AS untouched_ok
+        |FROM events
+        |WHERE NOT (user_id % 16 = 3 AND user_id % 5 = 0)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+
+    // compaction must preserve rows byte-exactly: truth is the ORIGINAL
+    // parquet, not the fragmented copy
+    "k9_compaction" ->
+      """SELECT o_orderpriority, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+
+    // replays all three MERGE arms over the raw table: changed keys leave,
+    // updates and inserts come back as the source's version; untouched_ok
+    // is the pinned partition-churn verdict
+    "k11_merge_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderpriority,
+        |    o_orderkey % 8 AS bucket FROM orders),
+        |u AS (SELECT o_orderkey, o_custkey,
+        |    CAST(price*2 AS DECIMAL(18,2)) AS price, o_orderpriority, bucket
+        |  FROM t WHERE bucket = 2 AND o_orderkey % 3 = 0),
+        |d AS (SELECT o_orderkey FROM t WHERE bucket = 5 AND o_orderkey % 3 = 1),
+        |i AS (SELECT o_orderkey + 80000000 AS o_orderkey, o_custkey, price,
+        |    o_orderpriority, bucket
+        |  FROM t WHERE bucket = 2 AND o_orderkey % 3 = 2),
+        |allkeys AS (SELECT o_orderkey FROM u UNION ALL SELECT o_orderkey FROM d
+        |  UNION ALL SELECT o_orderkey FROM i),
+        |merged AS (
+        |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM allkeys)
+        |  UNION ALL SELECT * FROM u
+        |  UNION ALL SELECT * FROM i)
+        |SELECT bucket, COUNT(*) AS ct,
+        |  CAST(SUM(price) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  COUNT(*) FILTER (WHERE o_orderkey > 80000000) AS inserted_ct,
+        |  CAST(1 AS BIGINT) AS untouched_ok
+        |FROM merged GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+
+    // full recompute over ALL orders — equality proves the incremental
+    // state-merge path reproduces the from-scratch aggregate
+    "k12_incremental_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+        |    AS price_avg,
+        |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS dt_min,
+        |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS dt_max
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+
+    // byte length and md5 recomputed from the raw table (md5 of the
+    // UTF-8 bytes — the portable-hash contract the fingerprint gates pin)
+    "source_binary_files" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
+
+
+    // survivors recomputed with the same cutoff; the 9 dropped days and
+    // the no-rewrite verdict are pinned constants
+    "k13_retention_expire" ->
+      """WITH e AS (SELECT event_type,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt FROM events)
+        |SELECT event_type, COUNT(*) AS ct, MIN(dt) AS dt_min,
+        |  COUNT(DISTINCT dt) AS days,
+        |  CAST(1 AS BIGINT) AS kept_untouched,
+        |  CAST(9 AS BIGINT) AS dropped_days
+        |FROM e WHERE dt >= '2024-01-10'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+
+    // the pruned read must answer exactly like the predicate over the
+    // whole table; the file-skipping booleans are pinned true
+    "k14_manifest_prune" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS v_fp,
+        |  TRUE AS pruned_ok, TRUE AS equal_ok
+        |FROM events
+        |WHERE user_id >= 0
+        |  AND user_id <= (SELECT MAX(user_id) // 4 FROM events)""".stripMargin,
+
+
+    // every token replayed via md5_number_lower (HUGEINT digits == the
+    // decimal(20,0) string), join re-executed ON the tokens
+    "k15_pseudonymize" ->
+      """WITH c AS (SELECT
+        |    CAST(md5_number_lower('s3cret:' || CAST(c_custkey AS VARCHAR))
+        |      AS VARCHAR) AS ck,
+        |    CAST(md5_number_lower('s3cret:' || c_name) AS VARCHAR) AS nm,
+        |    c_mktsegment
+        |  FROM customer),
+        |o AS (SELECT
+        |    CAST(md5_number_lower('s3cret:' || CAST(o_custkey AS VARCHAR))
+        |      AS VARCHAR) AS ok
+        |  FROM orders)
+        |SELECT c_mktsegment, COUNT(*) AS orders,
+        |  COUNT(DISTINCT nm) AS name_tokens, MIN(nm) AS min_token
+        |FROM o JOIN c ON ok = ck
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+
+    "source_csv_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  COUNT(DISTINCT c_nationkey) AS nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+
+    "source_jsonl_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS ct,
+        |  COUNT(DISTINCT user_id) AS users,
+        |  MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS min_us,
+        |  MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+
+    // round-trip truth is the ORIGINAL parquet — drift through ORC's
+    // encoding (types, timestamps) breaks the hash
+    "source_orc_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS min_date_us,
+        |  MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS max_date_us
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+
+    // XML round-trip truth is the ORIGINAL parquet (csv twin's contract)
+    "source_xml_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  COUNT(DISTINCT c_nationkey) AS nations,
+        |  MAX(length(c_name)) AS max_name_len
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+
+    // evolution truth: replay the generation rule over the one table —
+    // wrong null-fill or a dropped generation breaks the hash
+    "source_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'PRE_SCHEMA'
+        |            ELSE o_orderpriority END AS priority,
+        |  COUNT(*) AS ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  MIN(o_orderkey) AS min_key
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
+
+
+    // provenance truth: replay the even/odd file rule — a row attributed
+    // to the wrong file breaks the hash
+    "source_file_metadata" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS gen,
+        |  COUNT(*) AS ct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY gen""".stripMargin,
+
+
+    "table_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS ndv,
+           |  1 AS ndv_approx_ok,
+           |  CAST(MIN($c) AS DOUBLE) AS min_d, CAST(MAX($c) AS DOUBLE) AS max_d,
+           |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+           |FROM c""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS ndv,
+           |  1 AS ndv_approx_ok,
+           |  CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d,
+           |  MIN($c) AS min_s, MAX($c) AS max_s
+           |FROM c""".stripMargin
+      s"""WITH c AS (SELECT c_custkey,
+         |  CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END AS bal,
+         |  c_name, c_mktsegment, c_nationkey FROM customer)
+         |SELECT * FROM (
+         |${Seq(num("c_custkey"), num("bal"), num("c_nationkey"),
+                str("c_name"), str("c_mktsegment")).mkString("\n UNION ALL\n")}
+         |) ORDER BY col_name""".stripMargin
+    }
+  )
+}
