@@ -711,6 +711,122 @@ private[graft] object GatesPipeline {
     }),
 
 
+    // ── Composed IVF-PQ (IVFADC, Jégou et al. 2011 §V) — the
+    // billion-scale layout: the at-rest index stores m-byte PQ codes
+    // PARTITIONED BY IVF cell, so a probe of 4/16 cells deserializes a
+    // quarter of the files and the files hold codes, not vectors (~32×
+    // smaller scan than the raw IVF index — ScaleGrowth measures the
+    // byte ratio). Search = probe cells → ADC over only probed codes →
+    // exact-cosine re-rank of the shortlist. Same one-sided invariant
+    // oracle as sim_topk_pq (both quantizers are data-learned): per
+    // query — exactly k results, k distinct neighbors, dense ordered
+    // ranks, every emitted cosine equal to the exact pairwise cosine
+    // (re-rank fidelity), plus a corpus-level recall floor vs exact
+    // brute force so a broken probe path or scrambled codebook
+    // hash-fails rather than degrading silently.
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+      val centroids = Similarity.trainCentroids(emb, k = 16, iters = 2,
+        sampleRate = 0.5)
+      val cb = Similarity.trainPqCodebooks(emb, m = 8, k = 64, iters = 2,
+        sampleRate = 0.5)
+      val path = s"$shmRoot/graft-ivfpq-${System.nanoTime()}"
+      try {
+        Similarity.buildIvfPqIndex(emb, centroids, cb, path)
+        val ivfpq = Similarity.ivfPqTopKIndexed(s, path, emb, queries,
+          k = 5, centroids, cb, nProbe = 4, shortlist = 50)
+        val exact = ivfpq
+          .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+          .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+          .withColumn("cos_exact",
+            graft.functions.VectorFns.cosine(col("qe"), col("ne")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy("rank")
+        val flagged = exact
+          .withColumn("prev_cos", lag(col("cos"), 1).over(w))
+          .withColumn("prev_nbr", lag(col("neighbor_id"), 1).over(w))
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            (col("cos") === col("cos_exact") &&
+              col("neighbor_id") =!= col("query_id")).as("valid"),
+            (col("prev_cos").isNull || col("prev_cos") > col("cos") ||
+              (col("prev_cos") === col("cos") &&
+                col("prev_nbr") < col("neighbor_id"))).as("ordered"))
+        val perQuery = queries.select(col("vec_id").as("query_id"))
+          .join(flagged.groupBy("query_id").agg(
+            count(lit(1)).as("n_results"),
+            count_distinct(col("neighbor_id")).as("n_distinct"),
+            count_distinct(when(col("rank").between(1, 5), col("rank"))).as("n_ranks"),
+            sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+            sum(when(col("rank") > 1 && col("ordered"), 1L).otherwise(0L)).as("n_ordered")),
+            Seq("query_id"), "left")
+        val overlap = Similarity.bruteForceTopK(emb, queries, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(ivfpq.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"))
+          .agg((count(lit(1)) >= lit(0.2 * 25)).cast("long").as("recall_floor_ok"))
+        perQuery.crossJoin(overlap)
+          .select(col("query_id"),
+            coalesce(col("n_results"), lit(0L)).as("n_results"),
+            coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+            coalesce(col("n_ranks"), lit(0L)).as("n_ranks"),
+            coalesce(col("n_valid"), lit(0L)).as("n_valid"),
+            coalesce(col("n_ordered"), lit(0L)).as("n_ordered"),
+            col("recall_floor_ok"))
+          .orderBy(col("query_id"))
+          .localCheckpoint(true) // materialize before the index sweeps
+      } finally rmTree(path)
+    }),
+
+
+    // ── ANN: IVF retrain + rebuild — the compaction analogue for the
+    // frozen-quantizer contract sim_ivf_append documents: after appends
+    // drift the distribution, the index is read back, a NEW coarse
+    // quantizer is trained on a hash sample, and the rows are rewritten
+    // under the new cell layout. The gate proves search parity on the
+    // unchanged corpus: rebuilt-index search == one-shot in-memory
+    // search with the retrained centroids (n_match: neighbor AND cosine
+    // per rank), every cosine equal to the exact pairwise recompute
+    // (n_valid).
+    "sim_ivf_rebuild" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(3L)) === 0)
+      val queries = emb.filter(col("vec_id") < 5)
+      val c1 = Similarity.trainCentroids(base, k = 16, iters = 2,
+        sampleRate = 0.5)
+      val p1 = s"$shmRoot/graft-ivf-rb1-${System.nanoTime()}"
+      val p2 = s"$shmRoot/graft-ivf-rb2-${System.nanoTime()}"
+      try {
+        Similarity.buildIvfIndex(base, c1, p1)
+        Similarity.appendIvfIndex(delta, c1, p1)
+        val c2 = Similarity.rebuildIvfIndex(s, p1, p2, k = 16, iters = 2,
+          sampleRate = 0.5)
+        val rebuilt = Similarity.ivfTopKIndexed(s, p2, queries, k = 5,
+          c2, nProbe = 4)
+        val one = Similarity.ivfTopK(emb, queries, k = 5, c2, nProbe = 4)
+          .select(col("query_id"), col("rank"),
+            col("neighbor_id").as("nbr1"), col("cos").as("cos1"))
+        rebuilt
+          .join(emb.select(col("vec_id").as("query_id"),
+            col("embedding").as("qe")), "query_id")
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("ne")), "neighbor_id")
+          .withColumn("cos_exact",
+            graft.functions.VectorFns.cosine(col("qe"), col("ne")))
+          .join(one, Seq("query_id", "rank"))
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(col("neighbor_id") === col("nbr1") &&
+              col("cos") === col("cos1"), 1L).otherwise(0L)).as("n_match"),
+            sum(when(col("cos") === col("cos_exact"), 1L).otherwise(0L))
+              .as("n_valid"))
+          .orderBy(col("query_id"))
+          .localCheckpoint(true) // materialize before the index sweeps
+      } finally { rmTree(p1); rmTree(p2) }
+    }),
+
+
     // ── ANN: incremental IVF index maintenance — a vector delta appends
     // into the persisted index by ASSIGNMENT ONLY (the at-rest corpus is
     // never read or rewritten; the coarse quantizer stays frozen), and
@@ -2024,6 +2140,26 @@ private[graft] object GatesPipeline {
         |  CAST(5 AS BIGINT) AS n_results, CAST(5 AS BIGINT) AS n_distinct,
         |  CAST(5 AS BIGINT) AS n_ranks, CAST(5 AS BIGINT) AS n_valid,
         |  CAST(4 AS BIGINT) AS n_ordered, CAST(1 AS BIGINT) AS recall_floor_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""".stripMargin,
+
+
+    // Composed IVF-PQ: same constants as sim_topk_pq (the invariant set a
+    // correct cell-pruned + code-compressed + re-ranked top-5 must hit);
+    // recall floor 0.2 — the composition stacks IVF probe misses on PQ
+    // shortlist misses (measured 0.5-0.8 at these scales).
+    "sim_topk_ivfpq" ->
+      """SELECT vec_id AS query_id,
+        |  CAST(5 AS BIGINT) AS n_results, CAST(5 AS BIGINT) AS n_distinct,
+        |  CAST(5 AS BIGINT) AS n_ranks, CAST(5 AS BIGINT) AS n_valid,
+        |  CAST(4 AS BIGINT) AS n_ordered, CAST(1 AS BIGINT) AS recall_floor_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""".stripMargin,
+
+
+    // retrain+rebuild == one-shot with the retrained centroids (n_match),
+    // every cosine exact (n_valid)
+    "sim_ivf_rebuild" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+        |  CAST(5 AS BIGINT) AS n_match, CAST(5 AS BIGINT) AS n_valid
         |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""".stripMargin,
 
 

@@ -526,6 +526,47 @@ object ScaleGrowth {
       (out.getLong(0), s"state rows(keys)=${out.getLong(0)} (FLAT), " +
         s"events=${out.getLong(1)}, admitted=${out.getLong(2)}")
     },
+    "ivfpq_probed_bytes" -> { dir =>
+      // the IVF-PQ claim: a probe reads p/k of the FILES and the files
+      // hold m-byte codes, not d×4-byte vectors — probed bytes are the
+      // raw-IVF probed bytes shrunk by the code compression ratio, and
+      // both byte counts scale linearly with R (flat ratio). Timed span
+      // = the composed search over the at-rest code index.
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val centroids = Similarity.trainCentroids(emb, k = 16, iters = 2,
+        sampleRate = 0.5).localCheckpoint(true)
+      val cb = Similarity.trainPqCodebooks(emb, m = 8, k = 64, iters = 2,
+        sampleRate = 0.5).localCheckpoint(true)
+      val praw = s"$dir/ivf-raw-${System.nanoTime()}"
+      val ppq = s"$dir/ivf-pq-${System.nanoTime()}"
+      try {
+        Similarity.buildIvfIndex(emb, centroids, praw)
+        Similarity.buildIvfPqIndex(emb, centroids, cb, ppq)
+        val queries = emb.filter(col("vec_id") < 5).localCheckpoint(true)
+        val cells = Similarity.probes(queries, centroids, nProbe = 4)
+          .select(col("cluster_id")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        def dirBytes(root: String, cl: Set[Long]): Long =
+          Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.startsWith("cluster_id=") &&
+              cl(f.getName.stripPrefix("cluster_id=").toLong))
+            .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+            .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+        val all = (1L to 16L).toSet
+        val (pqProbe, rawProbe) = (dirBytes(ppq, cells), dirBytes(praw, cells))
+        val (pqFull, rawFull) = (dirBytes(ppq, all), dirBytes(praw, all))
+        val t0 = System.nanoTime()
+        val n = Similarity.ivfPqTopKIndexed(spark, ppq, emb, queries, k = 5,
+          centroids, cb, nProbe = 4, shortlist = 50).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, pqProbe,
+          f"probed ${cells.size}/16 cells: pq=$pqProbe B vs raw=$rawProbe B " +
+            f"(${rawProbe.toDouble / pqProbe}%.1fx smaller scan); full index " +
+            f"pq=$pqFull B vs raw=$rawFull B (${rawFull.toDouble / pqFull}%.1fx); " +
+            s"results=$n")
+      } finally { rmAll(new java.io.File(praw)); rmAll(new java.io.File(ppq)) }
+    },
     "fuzzy_dist1_blocked" -> whole { dir =>
       // deletion-neighborhood blocking: candidates ~Rx (replicas are
       // id-offset, so pairs stay within replicas) where brute force

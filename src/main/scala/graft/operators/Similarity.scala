@@ -163,7 +163,7 @@ object Similarity {
     * Bounded TopK over (-d2, cluster_id) — score desc on the negated
     * distance = d2 asc, tie on cluster_id asc, identical to the old
     * row_number ordering, without sorting k rows per query. */
-  private def probes(queries: DataFrame, centroids: DataFrame,
+  private[graft] def probes(queries: DataFrame, centroids: DataFrame,
       nProbe: Int): DataFrame = {
     val topk = udaf(graft.functions.TopK.agg(nProbe))
     queries.crossJoin(broadcast(centroids))
@@ -441,8 +441,16 @@ object Similarity {
   def pqTopKReranked(corpus: DataFrame, codes: DataFrame, queries: DataFrame,
       k: Int, codebooks: DataFrame, shortlist: Int = 50): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
-    val cand = pqTopK(codes, queries, shortlist, codebooks)
-      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(corpus, queries,
+      pqTopK(codes, queries, shortlist, codebooks)
+        .select(col("query_id"), col("neighbor_id")), k)
+  }
+
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) candidate set:
+    * only the shortlist rows fetch raw embeddings; the query side is a
+    * broadcast. Shared by every two-tier search path. */
+  private def rerankExact(corpus: DataFrame, queries: DataFrame,
+      cand: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     val scored = cand
@@ -452,5 +460,112 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("embedding")).as("cos"))
     rankTopK(scored, k)
+  }
+
+  // ── Composed IVF-PQ — the billion-scale layout (Jégou et al. 2011 §V:
+  // "IVFADC"): IVF prunes WHICH cells are scanned, PQ shrinks WHAT the
+  // cells store. The at-rest index holds m-byte codes partitioned by
+  // coarse cell — a probe of p of k cells deserializes p/k of the files,
+  // each ~32× smaller than the raw-vector IVF layout — and the search is
+  // probe → ADC over probed codes → exact-cosine re-rank of a shortlist.
+  // Codes quantize the raw vector, not the cell residual (the IVF-Flat-PQ
+  // variant): one pqEncode serves every cell, appends stay
+  // assignment-only, and the re-rank tier restores distance fidelity —
+  // the approximation only costs recall, which the gate floors.
+
+  /** Persist the composed index: (vec_id, codes) partitioned by IVF cell.
+    * One corpus pass for assignment + one for encoding; the two join on
+    * vec_id before the partitioned write. */
+  def buildIvfPqIndex(corpus: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, path: String): Unit =
+    pqEncode(corpus, codebooks).join(assign(corpus, centroids), "vec_id")
+      .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+
+  /** Search a persisted IVF-PQ index: probe nProbe cells per query
+    * (partition-pruning IN filter — only probed cell directories are
+    * read, and they contain codes, not vectors), ADC-score codes against
+    * each probing query's broadcast distance table, shortlist, then
+    * exact-cosine re-rank from `corpus` raw embeddings. Returns
+    * (query_id, neighbor_id, cos, rank). */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, queries: DataFrame, k: Int, centroids: DataFrame,
+      codebooks: DataFrame, nProbe: Int = 2, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val qProbes = probes(queries, centroids, nProbe)
+    val probedClusters = qProbes.select(col("cluster_id"))
+      .distinct().collect().map(_.getLong(0))
+    val cells = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probedClusters.toIndexedSeq: _*))
+    rerankExact(corpus, queries,
+      adcShortlist(cells, qProbes, codebooks, shortlist), k)
+  }
+
+  /** In-memory twin of [[ivfPqTopKIndexed]] (no at-rest index): assign
+    * cells on the fly, restrict ADC to each query's probed cells. The
+    * parity spec pins indexed == in-memory row-for-row. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: DataFrame, codebooks: DataFrame, nProbe: Int = 2,
+      shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val cells = pqEncode(corpus, codebooks)
+      .join(assign(corpus, centroids), "vec_id")
+    val qProbes = probes(queries, centroids, nProbe)
+    rerankExact(corpus, queries,
+      adcShortlist(cells, qProbes, codebooks, shortlist), k)
+  }
+
+  /** ADC restricted to probed cells: candidates come from ONE broadcast
+    * join of the cell-pruned code rows against (query, cell) probe pairs,
+    * then each candidate's approximate distance is the sum of m lookups
+    * in that query's distance table (joined on query_id + subspace +
+    * code, so a code row is only ever scored against queries that probed
+    * its cell). Emits the per-query `shortlist` best (query_id,
+    * neighbor_id) pairs via the bounded TopK aggregation. */
+  private def adcShortlist(cells: DataFrame, qProbes: DataFrame,
+      codebooks: DataFrame, shortlist: Int): DataFrame = {
+    val m = codebooks.agg(count_distinct(col("subspace"))).head().getLong(0).toInt
+    val subDim = codebooks.select(size(col("centroid"))).head().getInt(0)
+    val dt = subvectors(
+        qProbes.select(col("query_id").as("vec_id"), col("q_emb").as("embedding"))
+          .distinct(), m, subDim)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(codebooks, Seq("subspace"))
+      .select(col("query_id"), col("subspace"),
+        col("cluster_id").cast("int").as("code"),
+        l2sq(col("sub"), col("centroid")).as("d2"))
+    val scored = cells
+      .join(broadcast(qProbes.select(col("query_id"), col("cluster_id"))),
+        Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), posexplode(col("codes")))
+      .select(col("query_id"), col("vec_id"),
+        col("pos").cast("int").as("subspace"), col("col").as("code"))
+      .join(broadcast(dt), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("d2a"))
+    rankTopK(
+      scored.select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-col("d2a")).as("cos")), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Retrain + rebuild — the compaction analogue for a frozen-quantizer
+    * index ([[appendIvfIndex]]'s documented maintenance contract): after
+    * enough appends drift the data away from the frozen centroids, read
+    * the index back (it stores raw vectors), retrain on a hash sample,
+    * and rewrite under the new cell layout. Runs on the maintenance
+    * schedule, not the ingest path; search over the rebuilt index with
+    * the new centroids must equal a one-shot build over the same rows
+    * (the sim_ivf_rebuild gate pins this, cosines included). Returns the
+    * retrained centroids (the caller persists them alongside the index). */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      oldPath: String, newPath: String, k: Int, iters: Int = 2,
+      sampleRate: Double = 0.5): DataFrame = {
+    val corpus = spark.read.parquet(oldPath).drop("cluster_id")
+      .localCheckpoint(true) // one read: training sample + rewrite source
+    val centroids = trainCentroids(corpus, k, iters, sampleRate)
+      .localCheckpoint(true) // pin before the rewrite re-reads it
+    buildIvfIndex(corpus, centroids, newPath)
+    centroids
   }
 }

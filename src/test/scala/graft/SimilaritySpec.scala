@@ -65,6 +65,68 @@ class SimilaritySpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("IVF-PQ: indexed search == in-memory composition; the at-rest index " +
+    "stores m-byte codes per cell, never raw vectors") {
+    val path = Files.createTempDirectory("graft-ivfpq").toString + "/index"
+    val centroids = Similarity.trainCentroids(emb, k = 8, iters = 1)
+      .localCheckpoint(true) // pin: both paths must see identical quantizers
+    val cb = Similarity.trainPqCodebooks(emb, m = 8, k = 16, iters = 1,
+      sampleRate = 1.0).localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 3)
+    Similarity.buildIvfPqIndex(emb, centroids, cb, path)
+    val indexed = Similarity.ivfPqTopKIndexed(spark, path, emb, queries,
+      k = 5, centroids, cb, nProbe = 2, shortlist = 20)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted
+    val inMem = Similarity.ivfPqTopK(emb, queries, k = 5, centroids, cb,
+      nProbe = 2, shortlist = 20)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted
+    assert(indexed === inMem)
+    assert(indexed.nonEmpty)
+    // the compression contract: cells hold (vec_id, codes) only — raw
+    // embeddings never land in the index; codes are exactly m entries
+    val idx = spark.read.parquet(path)
+    assert(!idx.columns.contains("embedding"), idx.columns.mkString(","))
+    assert(idx.select(min(size(col("codes"))), max(size(col("codes"))))
+      .as[(Int, Int)].head() === ((8, 8)))
+    // partitioned by cell: probing prunes directories before any row reads
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cluster_id=")).map(_.getName)
+    assert(dirs.length === 8)
+  }
+
+  test("rebuildIvfIndex retrains on the index's own rows and relays out; " +
+    "search over the rebuild == one-shot with the returned centroids") {
+    val p1 = Files.createTempDirectory("graft-ivf-rb").toString + "/index"
+    val p2 = Files.createTempDirectory("graft-ivf-rb").toString + "/index2"
+    val base = emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(3L)) === 0)
+    val c1 = Similarity.trainCentroids(base, k = 8, iters = 1)
+      .localCheckpoint(true)
+    Similarity.buildIvfIndex(base, c1, p1)
+    Similarity.appendIvfIndex(delta, c1, p1)
+    // rebuild with a DIFFERENT k — proves a genuine re-layout, not a copy
+    val c2 = Similarity.rebuildIvfIndex(spark, p1, p2, k = 4, iters = 1,
+      sampleRate = 1.0)
+    val dirs = new java.io.File(p2).listFiles()
+      .filter(_.getName.startsWith("cluster_id=")).map(_.getName)
+    assert(dirs.length === 4)
+    // row conservation: every vector survives the rewrite exactly once
+    assert(spark.read.parquet(p2).select("vec_id").distinct().count() ===
+      emb.count())
+    val queries = emb.filter(col("vec_id") < 3)
+    val rebuilt = Similarity.ivfTopKIndexed(spark, p2, queries, k = 5,
+      c2, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted
+    val one = Similarity.ivfTopK(emb, queries, k = 5, c2, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted
+    assert(rebuilt === one)
+    assert(rebuilt.nonEmpty)
+  }
+
   test("TopK aggregator == window row_number top-k (same rows, same order)") {
     val queries = emb.filter(col("vec_id") < 5)
     val win = Similarity.bruteForceTopKWindow(emb, queries, k = 5)
