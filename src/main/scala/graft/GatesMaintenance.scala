@@ -371,6 +371,47 @@ private[graft] object GatesMaintenance {
     }),
 
 
+    // ── K16: file-level BLOOM skipping in the manifest — the pruning
+    // tier k14's min/max envelopes cannot provide. Layout is hashed by
+    // user_id (uncorrelated with event_id), so every file's event_id
+    // envelope spans nearly the whole id range and envelope pruning
+    // degenerates to reading all 16 files; the per-file Bloom sketch
+    // answers each point probe from the manifest and reads only files
+    // that might contain the key. Per probe key the gate pins: the
+    // pruned read's answer == base-table truth (count + exact value sum
+    // — zero false negatives, the Bloom guarantee), the planned file set
+    // a STRICT subset of the files (pruned_ok), and Bloom-planned files
+    // ⊆ envelope-planned files (subset_ok).
+    "k16_manifest_bloom" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val keys = Seq(3L, 97L, 211L, 499L, 811L)
+      val path = s"$shmRoot/graft-mbloom-${System.nanoTime()}"
+      try {
+        ev.repartition(16, col("user_id"))
+          .write.mode("overwrite").parquet(path)
+        val manifest = Manifest.buildWithBloom(s, path, "event_id",
+          expectedPerFile = 1L << 13, fpp = 0.01)
+          .localCheckpoint(true) // plan + probes read one stable snapshot
+        val total = manifest.count()
+        val rows = keys.map { k =>
+          val fb = Manifest.filesForPoint(manifest, k)
+          val fe = Manifest.filesForRange(manifest, k, k)
+          val r = Manifest.prunedRead(s, path, fb, "event_id", k, k)
+            .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+              coalesce(sum(floor(col("value") * 1e6).cast("long")), lit(0L))
+                .as("v_fp")).head()
+          (k, r.getLong(0), r.getLong(1),
+            fb.nonEmpty && fb.size < total, fb.toSet.subsetOf(fe.toSet))
+        }
+        import s.implicits._
+        rows.toDF("k", "n", "v_fp", "pruned_ok", "subset_ok")
+          .orderBy(col("k"))
+      } finally rmTree(path)
+    }),
+
+
     // ── K15: deterministic pseudonymization — direct identifiers replaced
     // by salted md5 tokens SCAN-SIDE (zero shuffle); the same salt
     // tokenizes the fact's foreign key, and the gate JOINS ON THE TOKENS:
@@ -700,6 +741,17 @@ private[graft] object GatesMaintenance {
         |FROM events
         |WHERE user_id >= 0
         |  AND user_id <= (SELECT MAX(user_id) // 4 FROM events)""".stripMargin,
+
+
+    // per probe key: the Bloom-planned pruned read must answer exactly
+    // the base-table point query (no false negatives); the pruning and
+    // subset verdicts are pinned TRUE
+    "k16_manifest_bloom" ->
+      """SELECT event_id AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS v_fp,
+        |  TRUE AS pruned_ok, TRUE AS subset_ok
+        |FROM events WHERE event_id IN (3, 97, 211, 499, 811)
+        |GROUP BY event_id ORDER BY event_id""".stripMargin,
 
 
     // every token replayed via md5_number_lower (HUGEINT digits == the

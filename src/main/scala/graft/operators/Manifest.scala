@@ -35,6 +35,38 @@ object Manifest {
     manifest.filter(col("mx") >= lo && col("mn") <= hi)
       .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
 
+  /** [[build]] plus a per-file Bloom sketch of `statCol` — the skipping
+    * tier min/max envelopes cannot provide: an EQUALITY probe on a
+    * high-cardinality key under a layout uncorrelated with that key
+    * (every file's [mn, mx] then contains almost any key, so envelope
+    * pruning degenerates to a full scan, while the Bloom answers "this
+    * file cannot contain k" per file with no false negatives). Same
+    * single narrow scan as [[build]]; the sketch adds
+    * ~1.2·expectedPerFile bytes per manifest row at fpp=1%. */
+  def buildWithBloom(spark: SparkSession, path: String, statCol: String,
+      expectedPerFile: Long = 1L << 13, fpp: Double = 0.01): DataFrame = {
+    val bloom = udaf(graft.functions.BloomAgg.agg(expectedPerFile, fpp))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"),
+        count(lit(1)).as("rows"),
+        bloom(col(statCol).cast("long")).as("bloom"))
+  }
+
+  /** Scan plan for an equality probe `statCol = key`: envelope check
+    * first (free, exact for ranges), then each surviving file's Bloom
+    * sketch — a file is read only if it MIGHT contain the key. No false
+    * negatives (every true match is read); fpp bounds the extra files.
+    * Driver-scale by design, like [[filesForRange]]: the manifest has
+    * one row per file and the probe deserializes only envelope
+    * survivors' sketches. */
+  def filesForPoint(manifest: DataFrame, key: Long): Seq[String] =
+    manifest.filter(col("mn") <= key && col("mx") >= key)
+      .select(col("file"), col("bloom")).collect()
+      .filter(r => graft.functions.BloomAgg
+        .readFrom(r.getAs[Array[Byte]]("bloom")).mightContainLong(key))
+      .map(_.getString(0)).toIndexedSeq
+
   /** `input_file_name()` returns a URI (space → %20) and
     * `DataFrameReader.parquet` treats each path as a GLOB pattern —
     * decode the URI form and escape glob metacharacters so a legal

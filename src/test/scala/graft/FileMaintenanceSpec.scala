@@ -59,6 +59,55 @@ class FileMaintenanceSpec extends SparkSpec {
     } finally rm(path)
   }
 
+  test("Manifest Bloom tier: zero false negatives on every present key, " +
+    "false-positive file reads within the fpp budget, probe-compatible " +
+    "with envelope planning") {
+    import graft.operators.Manifest
+    val path = tmpDir("mbloom")
+    try {
+      // 8 files of EVEN keys 0..15998 laid out by id%8, so each file's
+      // [mn, mx] spans ~the whole range (envelopes cannot prune an
+      // equality probe) but every key lives in exactly ONE file (the
+      // Bloom should find it); odd keys sit INSIDE every envelope yet in
+      // no file — the pure false-positive probe
+      spark.range(0, 8000)
+        .select((col("id") * 2).as("k"), (col("id") * 3).as("v"),
+          pmod(col("id"), lit(8L)).as("b"))
+        .repartition(8, col("b")).drop("b")
+        .write.mode("overwrite").parquet(path)
+      // sizing matters: 8000 rows over >=4 files is up to 2000/file; an
+      // undersized sketch (e.g. 1000) silently runs at ~16% fpp instead
+      // of 1% — the "size to maxPartitionBytes/rowWidth" scaladoc rule
+      val m = Manifest.buildWithBloom(spark, path, "k",
+        expectedPerFile = 4000L, fpp = 0.01).localCheckpoint(true)
+      // hash partitioning may collapse residue classes; what matters is
+      // several files, each key in exactly one of them
+      val nFiles = m.count()
+      assert(nFiles >= 4L)
+      // present keys: planned set contains the true file, pruned read
+      // answers exactly (no false negatives — the Bloom guarantee)
+      val present = Seq(10L, 1234L, 4320L, 15998L)
+      present.foreach { k =>
+        val fb = Manifest.filesForPoint(m, k)
+        val fe = Manifest.filesForRange(m, k, k)
+        assert(fb.nonEmpty && fb.toSet.subsetOf(fe.toSet))
+        val got = Manifest.prunedRead(spark, path, fb, "k", k, k)
+          .select("k", "v").as[(Long, Long)].collect()
+        assert(got === Array((k, k / 2 * 3)), s"key $k")
+      }
+      // fpp budget: odd keys are inside every envelope but in no file, so
+      // every planned file is a pure Bloom false positive; at fpp=1%
+      // expect nFiles × 200 probes × 0.01 ≈ 16 hits — allow 5× slack
+      val absents = (1L until 400L by 2L)
+      val hits = absents.map(k => Manifest.filesForPoint(m, k).size).sum
+      assert(hits <= 5 * nFiles * absents.size / 100,
+        s"absent-key file hits $hits exceed the fpp budget")
+      // and the envelope tier alone reads EVERYTHING for a mid-range
+      // point — the degeneration the Bloom column exists to fix
+      assert(Manifest.filesForRange(m, 4000L, 4000L).size === nFiles)
+    } finally rm(path)
+  }
+
   test("plannedFiles: ceil(bytes/target), floor 1") {
     assert(Compaction.plannedFiles(0L, 100L) === 1)
     assert(Compaction.plannedFiles(1L, 100L) === 1)
