@@ -371,6 +371,83 @@ private[graft] object GatesMaintenance {
     }),
 
 
+    // ── K17: snapshot TIME TRAVEL over the COW merge store — versioned
+    // manifests (the lakehouse log): every MERGE commits a new manifest
+    // referencing untouched files unchanged and only churned partitions'
+    // rewritten files; `read(dir, v)` scans exactly snapshot v's file
+    // set. The gate replays two MERGE batches and pins ALL THREE
+    // versions' per-bucket aggregates against a DuckDB replay of the
+    // same merge arms — v1 and v2 must answer IDENTICALLY after later
+    // merges land (history is immutable), v3 is the current state; the
+    // immutable_ok verdict additionally pins that no pre-existing data
+    // file was rewritten or removed by either merge (path + length).
+    "k17_time_travel" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-ttravel-${System.nanoTime()}"
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$path/data"))
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(f => f.getPath -> f.length()).toMap
+      }
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        Versioned.init(s, path, "bucket", base)
+        val f1 = files()
+        // batch 1: update bucket-2 keys %3=0 (price×2), delete bucket-5
+        // keys %3=1, insert bucket-2 keys %3=2 shifted +80M
+        val b1 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 5 && col("k") % 3 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("bucket") === 2 && col("k") % 3 === 2)
+            .withColumn("k", col("k") + 80000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", b1)
+        val f2 = files()
+        // batch 2: delete the batch-1-updated keys, update bucket-7 keys
+        // %5=1 (price×3), insert bucket-7 keys %5=2 shifted +90M
+        val b2 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("op", lit("D"))
+          .unionByName(base.filter(col("bucket") === 7 && col("k") % 5 === 1)
+            .withColumn("price", (col("price") * 3).cast("decimal(18,2)"))
+            .withColumn("op", lit("U")))
+          .unionByName(base.filter(col("bucket") === 7 && col("k") % 5 === 2)
+            .withColumn("k", col("k") + 90000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", b2)
+        val f3 = files()
+        // append-only: every file of an earlier version survives later
+        // merges byte-identical (path + length)
+        val immutable = f1.forall { case (p, n) => f3.get(p).contains(n) } &&
+          f2.forall { case (p, n) => f3.get(p).contains(n) }
+        val snaps = Seq(1L, 2L, 3L).map { v =>
+          Versioned.read(s, path, v)
+            .groupBy(col("bucket"))
+            .agg(count(lit(1)).as("ct"),
+              sum(col("price")).cast("double").as("price_sum"),
+              sum(col("k")).as("key_sum"))
+            .withColumn("version", lit(v))
+        }
+        snaps.reduce(_ unionByName _)
+          .withColumn("immutable_ok", lit(if (immutable) 1L else 0L))
+          .select(col("version"), col("bucket"), col("ct"),
+            col("price_sum"), col("key_sum"), col("immutable_ok"))
+          .orderBy(col("version"), col("bucket"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── K16: file-level BLOOM skipping in the manifest — the pruning
     // tier k14's min/max envelopes cannot provide. Layout is hashed by
     // user_id (uncorrelated with event_id), so every file's event_id
@@ -741,6 +818,48 @@ private[graft] object GatesMaintenance {
         |FROM events
         |WHERE user_id >= 0
         |  AND user_id <= (SELECT MAX(user_id) // 4 FROM events)""".stripMargin,
+
+
+    // all three snapshots replayed: v1 = base, v2 = after batch 1,
+    // v3 = after batch 2 (same MERGE arms in SQL); immutable_ok pinned —
+    // time travel answers from the SAME bytes forever
+    "k17_time_travel" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderkey % 8 AS bucket FROM orders),
+        |v2 AS (
+        |  SELECT k, price, bucket FROM base
+        |    WHERE NOT (bucket = 5 AND k % 3 = 1)
+        |      AND NOT (bucket = 2 AND k % 3 = 0)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 2 AS DECIMAL(18,2)), bucket FROM base
+        |    WHERE bucket = 2 AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 80000000, price, bucket FROM base
+        |    WHERE bucket = 2 AND k % 3 = 2),
+        |v3 AS (
+        |  SELECT k, price, bucket FROM v2
+        |    WHERE NOT (bucket = 2 AND k % 3 = 0)
+        |      AND NOT (bucket = 7 AND k % 5 = 1)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 3 AS DECIMAL(18,2)), bucket FROM base
+        |    WHERE bucket = 7 AND k % 5 = 1
+        |  UNION ALL
+        |  SELECT k + 90000000, price, bucket FROM base
+        |    WHERE bucket = 7 AND k % 5 = 2),
+        |snaps AS (
+        |  SELECT 1 AS version, bucket, COUNT(*) AS ct,
+        |    CAST(SUM(price) AS DOUBLE) AS price_sum,
+        |    CAST(SUM(k) AS BIGINT) AS key_sum FROM base GROUP BY bucket
+        |  UNION ALL
+        |  SELECT 2, bucket, COUNT(*), CAST(SUM(price) AS DOUBLE),
+        |    CAST(SUM(k) AS BIGINT) FROM v2 GROUP BY bucket
+        |  UNION ALL
+        |  SELECT 3, bucket, COUNT(*), CAST(SUM(price) AS DOUBLE),
+        |    CAST(SUM(k) AS BIGINT) FROM v3 GROUP BY bucket)
+        |SELECT version, bucket, ct, price_sum, key_sum,
+        |  CAST(1 AS BIGINT) AS immutable_ok
+        |FROM snaps ORDER BY version, bucket""".stripMargin,
 
 
     // per probe key: the Bloom-planned pruned read must answer exactly

@@ -72,7 +72,7 @@ object Manifest {
     * decode the URI form and escape glob metacharacters so a legal
     * directory name like `run[2024]` or one containing a space
     * round-trips instead of mis-globbing. */
-  private def unglob(uri: String): String = {
+  private[operators] def unglob(uri: String): String = {
     val decoded =
       try new org.apache.hadoop.fs.Path(new java.net.URI(uri)).toString
       catch { case _: java.net.URISyntaxException => uri }

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.Versioned
+import org.apache.spark.sql.functions._
+
+/** Structural contracts of the snapshot-versioned COW store that the
+  * k17_time_travel oracle cannot see: carryover-by-reference (untouched
+  * files appear in consecutive manifests as the SAME paths), write
+  * amplification bounded to churned partitions, and vacuum deleting
+  * exactly the unreferenced files while retained reads stay intact. */
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val root = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    s"$root/graft-spec-$tag-${System.nanoTime()}"
+  }
+
+  private def rm(p: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(go)
+      f.delete(); ()
+    }
+    go(new java.io.File(p))
+  }
+
+  private def manifestFiles(dir: String, v: Long): Set[String] =
+    spark.read.parquet(s"$dir/_log/v=$v")
+      .select(col("file")).distinct().as[String].collect().toSet
+
+  test("merge carries untouched files by reference and writes only the " +
+    "churned partitions; every version stays readable and stable") {
+    val dir = tmpDir("versioned")
+    try {
+      val base = spark.range(0, 400)
+        .select(col("id").as("k"), (col("id") * 10).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      assert(Versioned.init(spark, dir, "bucket", base) === 1L)
+      // touch ONLY bucket 1: update evens, delete k%4==1 (i.e. all of
+      // bucket 1's odd ids are k%4==1 by construction), insert +1000
+      val src = base.filter(col("bucket") === 1 && col("k") % 8 === 1)
+        .withColumn("v", col("v") + 5).withColumn("op", lit("U"))
+        .unionByName(base.filter(col("bucket") === 1 && col("k") % 8 === 5)
+          .withColumn("op", lit("D")))
+        .unionByName(base.filter(col("bucket") === 1 && col("k") % 8 === 1)
+          .withColumn("k", col("k") + 1000L).withColumn("op", lit("I")))
+      assert(Versioned.merge(spark, dir, "bucket", "k", src) === 2L)
+      val m1 = manifestFiles(dir, 1L)
+      val m2 = manifestFiles(dir, 2L)
+      // carryover BY REFERENCE: v2 reuses v1's untouched files verbatim
+      val shared = m1 intersect m2
+      assert(shared.nonEmpty, "no files carried between versions")
+      assert((m2 -- m1).forall(_.contains("/data/v=2/")),
+        "fresh v2 entries must come from v2's own write")
+      // only bucket-1 files were replaced
+      val replaced = m1 -- m2
+      val partsOfReplaced = spark.read.parquet(s"$dir/_log/v=1")
+        .filter(col("file").isin(replaced.toSeq: _*))
+        .select(col("part")).distinct().as[String].collect().toSet
+      assert(partsOfReplaced === Set("1"),
+        s"only bucket 1 may be rewritten, got $partsOfReplaced")
+      // v1 read is the base, v2 read reflects the merge — both stable
+      assert(Versioned.read(spark, dir, 1L).count() === 400L)
+      val v2 = Versioned.read(spark, dir, 2L)
+      assert(v2.filter(col("k") >= 1000L).count() === 50L) // inserts
+      assert(v2.count() === 400L) // 50 deleted, 50 inserted
+      // updates really landed: bucket-1 k%8==1 rows carry v = 10k+5
+      assert(v2.filter(col("k") % 8 === 1 && col("k") < 1000L &&
+        col("v") =!= col("k") * 10 + 5).count() === 0L)
+      assert(Versioned.read(spark, dir).count() === v2.count()) // latest
+    } finally rm(dir)
+  }
+
+  test("vacuum deletes exactly the files no retained manifest references; " +
+    "retained versions read unchanged, dropped versions are gone") {
+    val dir = tmpDir("vacuum")
+    try {
+      val base = spark.range(0, 200)
+        .select(col("id").as("k"), (col("id") * 3).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      val src = base.filter(col("bucket") === 2)
+        .withColumn("v", col("v") + 1).withColumn("op", lit("U"))
+      Versioned.merge(spark, dir, "bucket", "k", src)
+      val keepCount = Versioned.read(spark, dir, 2L).agg(sum(col("v")))
+        .as[Long].head()
+      val deleted = Versioned.vacuum(spark, dir, retainFrom = 2L)
+      // exactly v1's replaced bucket-2 file(s) were orphaned
+      assert(deleted >= 1)
+      assert(Versioned.versions(dir) === Seq(2L))
+      assert(Versioned.read(spark, dir, 2L).agg(sum(col("v")))
+        .as[Long].head() === keepCount)
+      intercept[IllegalArgumentException](Versioned.read(spark, dir, 1L))
+      // idempotent: nothing left to reclaim
+      assert(Versioned.vacuum(spark, dir, retainFrom = 2L) === 0)
+    } finally rm(dir)
+  }
+}
