@@ -526,6 +526,30 @@ object ScaleGrowth {
       (out.getLong(0), s"state rows(keys)=${out.getLong(0)} (FLAT), " +
         s"events=${out.getLong(1)}, admitted=${out.getLong(2)}")
     },
+    "span_trim_threshold" -> { dir =>
+      // span-length sensitivity: spanTrim's rolling window hashes
+      // (graft_span_hashes) cost O(n + k) per doc, so the EXACTSUBSTR
+      // published 50-token threshold should run at ~the 8-token grain's
+      // cost (the old shingle-string path hashed n×k characters and
+      // grew with k). Timed span = the k=50 run; the note carries the
+      // k=8 time for the flat-in-k claim. DedupSpec separately proves
+      // the fixed-grain rewrite is position-equivalent to suffix-array
+      // semantics at threshold k, so k is a POLICY knob, not a recall
+      // approximation.
+      import graft.operators.Dedup
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      def run(k: Int): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = Dedup.spanTrim(docs, k)
+          .agg(sum(col("n_tokens") - col("kept_tokens"))).head().getLong(0)
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (s8, cut8) = run(8)
+      val (s50, cut50) = run(50)
+      (s50, cut50,
+        f"k=50: $cut50 tokens cut in $s50%.2f s vs k=8: $cut8 in " +
+          f"$s8%.2f s (${s50 / s8}%.2fx — flat in k, not ~6x)")
+    },
     "ivfpq_probed_bytes" -> { dir =>
       // the IVF-PQ claim: a probe reads p/k of the FILES and the files
       // hold m-byte codes, not d×4-byte vectors — probed bytes are the

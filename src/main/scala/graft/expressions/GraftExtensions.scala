@@ -58,6 +58,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHashPortable(args(0), intArg(args, 1, "shingleLen"))),
     ("graft_shingles", new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
       (args: Seq[Expression]) => ShingleArray(args(0), intArg(args, 1, "shingleLen"))),
+    ("graft_span_hashes", new ExpressionInfo(classOf[SpanHashes].getName, "graft_span_hashes"),
+      (args: Seq[Expression]) => SpanHashes(args(0), intArg(args, 1, "spanLen"))),
     ("graft_zvalue", new ExpressionInfo(classOf[ZValueInterleave].getName, "graft_zvalue"),
       (args: Seq[Expression]) => ZValueInterleave(args.tail, intArg(args, 0, "bits"))))
 

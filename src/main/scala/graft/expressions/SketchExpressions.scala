@@ -104,6 +104,63 @@ case class ShingleArray(child: Expression, shingleLen: Int)
     copy(child = newChild)
 }
 
+/** Rolling window hashes for the EXACTSUBSTR span-removal rewrite: one
+  * 64-bit polynomial hash PER k-token window position, computed by a
+  * Karp–Rabin roll over per-token xxhash64 values — O(n + k) work per
+  * document instead of the O(n·k) characters the shingle-string path
+  * hashes (graft_shingles materializes every window's joined string, so
+  * its cost GROWS with the span threshold; this stays flat, which is
+  * what makes EXACTSUBSTR's published 50-token threshold affordable).
+  * Same collision class as hashing the window string (64-bit); equal
+  * windows always collide, so the span-removal semantics are unchanged.
+  * Docs shorter than k yield an empty array. SQL: graft_span_hashes
+  * (text, k). */
+case class SpanHashes(child: Expression, spanLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_span_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = Sketches.tokenize(input.asInstanceOf[UTF8String].toString)
+    val n = toks.length
+    val k = spanLen
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = XxHash64Function.hash(
+        UTF8String.fromString(toks(i)), StringType, 42L)
+      i += 1
+    }
+    val B = 1000003L
+    var bk = 1L // B^(k-1), wrapping 64-bit
+    i = 1
+    while (i < k) { bk *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + th(i); i += 1 }
+    val out = new Array[Any](n - k + 1)
+    out(0) = h
+    i = 1
+    while (i <= n - k) {
+      h = (h - th(i - 1) * bk) * B + th(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes =
+    copy(child = newChild)
+}
+
 /** MinHash signature + LSH band keys in one pass:
   * array<struct<band:int, key:long>>, ready to explode into the
   * (band, key) bucket table. SQL: graft_minhash_bands(text, n, k, bands). */

@@ -568,11 +568,14 @@ object Dedup {
   def spanTrim(documents: DataFrame, spanLen: Int = 8): DataFrame = {
     val toks = documents.select(col("doc_id"),
       graft.functions.TextFns.tokensWs(col("text")).as("t"))
+    // window hashes roll in O(n + spanLen) per doc (graft_span_hashes)
+    // instead of materializing each window's joined string — the cost no
+    // longer grows with the threshold, which is what makes EXACTSUBSTR's
+    // published 50-token grain affordable (same 64-bit collision class)
     val spans = toks.filter(size(col("t")) >= spanLen)
-      .select(col("doc_id"), posexplode(call_function("graft_shingles",
+      .select(col("doc_id"), posexplode(call_function("graft_span_hashes",
         array_join(col("t"), " "), lit(spanLen))))
-      .toDF("doc_id", "pos", "sv")
-      .select(col("doc_id"), col("pos"), xxhash64(col("sv")).as("sph"))
+      .toDF("doc_id", "pos", "sph")
     val shared = spans.select(col("doc_id"), col("sph")).distinct()
       .groupBy(col("sph")).agg(count(lit(1)).as("span_df"))
       .filter(col("span_df") >= 2)

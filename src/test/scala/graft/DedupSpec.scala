@@ -372,4 +372,75 @@ class DedupSpec extends SparkSpec {
     assert(r2.select(col("cluster_id")).distinct().count() <= 2L)
     assert(r2.count() === 6L)
   }
+
+  // ── spanTrim ≡ suffix-array EXACTSUBSTR semantics ────────────────────
+  // The published approach (suffix arrays over the corpus) removes every
+  // position inside a cross-doc repeated span of ANY length >= k. The
+  // fixed-grain rewrite marks positions via repeated k-token WINDOWS —
+  // and that is position-equivalent: a window is itself a length-k
+  // repeated span, and any repeated span of length L >= k covers each of
+  // its positions with at least one of its k-sub-windows, every one of
+  // which also repeats. This test pins the equivalence against a brute
+  // reference that enumerates ALL span lengths, so the "arbitrary-length
+  // repeats" tier needs no separate suffix-sort implementation.
+  test("spanTrim == suffix-array semantics: a position is removed exactly " +
+    "when it lies inside a cross-doc repeated token span of length >= k") {
+    val fixture: Seq[(Long, String)] = Seq(
+      (1L, "a b c d e f g h"),          // shares c..f (len 4) with doc 2
+      (2L, "x y c d e f z w"),
+      (3L, "p q r s t u v"),            // shares p..s (len 4) with doc 5
+      (4L, "a b c d e f g h"),          // exact duplicate of doc 1
+      (5L, "m n o p q r s"),
+      (6L, "c d e q r s t"),            // two shorter overlaps: c d e / q r s t
+      (7L, "k l m n k l m n")           // WITHIN-doc repeat only: never removed
+    )
+    val toks = fixture.toMap.map { case (id, t) => id -> t.split(" ") }
+    def bruteKept(k: Int): Map[Long, Seq[String]] =
+      toks.map { case (id, t) =>
+        val cov = Array.fill(t.length)(false)
+        for {
+          i <- t.indices
+          j <- (i + k) to t.length        // candidate span [i, j), len >= k
+          w = t.slice(i, j).toSeq
+          if toks.exists { case (oid, ot) =>
+            oid != id && ot.sliding(w.length).map(_.toSeq).contains(w) }
+          p <- i until j
+        } cov(p) = true
+        id -> t.indices.filterNot(cov).map(t)
+      }
+    val df = fixture.toDF("doc_id", "text")
+    for (k <- Seq(3, 4, 5)) {
+      val got = Dedup.spanTrim(df, k)
+        .select("doc_id", "n_tokens", "kept_tokens", "trimmed_text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val ref = bruteKept(k)
+      ref.foreach { case (id, kept) =>
+        val (n, nKept, text) = got(id)
+        assert(n === toks(id).length.toLong, s"k=$k doc=$id")
+        assert(nKept === kept.length.toLong, s"k=$k doc=$id")
+        assert(text === kept.mkString(" "), s"k=$k doc=$id")
+      }
+    }
+  }
+
+  test("graft_span_hashes: equal windows collide, sliding matches a " +
+    "direct recompute, short docs yield an empty array") {
+    val df = Seq(
+      (1L, "one two three four five one two three"),
+      (2L, "zero one two three nine"),
+      (3L, "a b")                        // shorter than k=3: empty
+    ).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+        call_function("graft_span_hashes", col("text"), lit(3)).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(rows(3L).isEmpty)
+    assert(rows(1L).length === 6 && rows(2L).length === 3)
+    // "one two three" occurs at doc1 pos 0 and pos 5, and doc2 pos 1 —
+    // all three window hashes identical; neighbors differ
+    assert(rows(1L)(0) === rows(1L)(5))
+    assert(rows(1L)(0) === rows(2L)(1))
+    assert(rows(1L)(0) !== rows(1L)(1))
+    assert(rows(2L)(0) !== rows(2L)(1))
+  }
 }
