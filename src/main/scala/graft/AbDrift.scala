@@ -86,11 +86,60 @@ object AbDrift {
     // SPARK_GRAFT_AB_ARMS=name,name narrows the arm set (any
     // SparkEntry.queries key is an arm) — e.g. re-measuring one mover
     // with the exact arm composition of an earlier banked run.
+    // r13 arms: the chained multiple-stateful-operator gates carry two
+    // state stores × partitions × batches of pure commit I/O for tiny
+    // state. Lever candidates: state partition count (sp1 halves commits
+    // vs the banked sp2), RocksDB+changelog (the r12 tws verdict), and
+    // the single-stateful peer at identical source/batching for the
+    // "within 1.5×" target. All arms share eventsStreamSplit => equal
+    // micro-batch counts by construction.
+    def chainedAgg(sp: Int): Long =
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.WindowedStreams.chainedStats(
+          graft.streaming.Sources.eventsStreamSplit(spark, sfDir)),
+        statePartitions = sp).count()
+    def singleAgg(sp: Int): Long =
+      graft.streaming.StreamRunner.collect(
+        graft.streaming.Sources.eventsStreamSplit(spark, sfDir)
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "60 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("ct")),
+        statePartitions = sp).count()
+    def rocksCl(body: => Long): Long =
+      withConf("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        withConf("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")(body)
+      }
+    val customArms: Map[String, () => Long] = Map(
+      "ch_agg_sp1" -> (() => chainedAgg(1)),
+      "ch_agg_sp2" -> (() => chainedAgg(2)),
+      "ch_agg_rocks" -> (() => rocksCl(chainedAgg(2))),
+      "single_agg_sp2" -> (() => singleAgg(2)),
+      "ch_join_sp1" -> (() => {
+        val ev = graft.streaming.Sources.eventsStreamSplit(spark, sfDir)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        graft.streaming.StreamRunner.collect(
+          graft.streaming.WindowedStreams.intervalJoin(
+              views, clicks, "v_user", "c_user", "v_ts", "c_ts",
+              lowerSec = 0L, upperSec = 600L)
+            .groupBy(window(col("v_ts"), "3600 seconds"))
+            .agg(count(lit(1)).as("pair_ct")),
+          statePartitions = 1).count()
+      }),
+      "ch_join_sp2" -> (() => SparkEntry.queries("stream_chained_join_agg")(spark, sfDir).count()),
+      "ch_join_rocks" -> (() => rocksCl(
+        SparkEntry.queries("stream_chained_join_agg")(spark, sfDir).count())))
+
     val defaultArms = Seq("dedup_clusters", "text_bpe_encode", "sim_topk_pq")
     val armNames = sys.env.get("SPARK_GRAFT_AB_ARMS")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(defaultArms)
     val arms: Seq[(String, () => Long)] = armNames.map(n =>
-      n -> (() => SparkEntry.queries(n)(spark, sfDir).count()))
+      n -> customArms.getOrElse(n,
+        () => SparkEntry.queries(n)(spark, sfDir).count()))
     // retired earlier-r12 helpers kept compilable for arm re-activation
     locally { val _ = (j1 _, twsUv _, Similarity) }
 
