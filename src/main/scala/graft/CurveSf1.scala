@@ -25,10 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object CurveSf1 {
 
-  private val Gates = Seq(
+  private val DefaultGates = Seq(
     "dedup_clusters", // runs first: carries the shared pair-scan memo
     "stream_a1_product_stats", "stream_a9_sliding_window",
     "stream_j7_interval_left", "stream_j1_interval_join", "stream_a4_sql")
+
+  /** SPARK_GRAFT_CURVE_GATES=g1,g2 overrides the measured set (the
+    * ScaleGrowth SCALE_ONLY idiom) — r13 runs the r12/r13 newcomers. */
+  private def Gates: Seq[String] =
+    sys.env.get("SPARK_GRAFT_CURVE_GATES")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(DefaultGates)
 
   private val Offset = 1000000000L
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
@@ -75,6 +81,13 @@ object CurveSf1 {
     writeAsFile(replicate(emb, i => emb.select(
         (col("vec_id") + lit(i * Offset)).as("vec_id"),
         col("embedding"), col("label"))), "embeddings")
+    // id-offset orders replicas (k17_time_travel's fixture): payload
+    // columns pass through, keys shift so replica buckets interleave
+    val ord = raw("orders")
+    writeAsFile(replicate(ord, i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * Offset))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * Offset))),
+      "orders")
   }
 
   def main(args: Array[String]): Unit = {
@@ -84,7 +97,7 @@ object CurveSf1 {
     // cache keyed on a fingerprint of the SOURCE fixtures: a driver-side
     // data regeneration must invalidate the synthesized corpus, or stale
     // pre-regeneration replicas would silently feed the curve
-    val fp = Seq("events", "documents", "embeddings").map { t =>
+    val fp = Seq("events", "documents", "embeddings", "orders").map { t =>
       val f = new java.io.File(s"$sf01/$t.parquet")
       s"$t:${f.length()}:${f.lastModified()}"
     }.mkString("\n")
