@@ -111,7 +111,36 @@ object AbDrift {
         withConf("spark.sql.streaming.stateStore.rocksdb." +
           "changelogCheckpointing.enabled", "true")(body)
       }
+    // r13 as-of tier arms: the SAME as-of result (each lineitem → latest
+    // commit-date row of its supplier at-or-before shipdate) computed by
+    // the composed union+window operator vs the engine-native
+    // AsOfJoinExec. Both arms pay the right-side (key, ts) dedup; the
+    // delta is the operator itself (widened union + running window vs
+    // co-partitioned merge with O(1) state).
+    def asofLineitem(exec: Boolean): Long = {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_shipdate"))
+      val right = Tables.lineitem(spark, sfDir)
+        .select(col("l_suppkey").as("rk"), col("l_commitdate").as("rt"))
+      val out =
+        if (exec)
+          graft.operators.Joins.asOfJoinExec(
+            li, right.filter(col("rk").isNotNull && col("rt").isNotNull)
+              .distinct(),
+            Seq("l_suppkey" -> "rk"), "l_shipdate", "rt")
+            .select(col("l_orderkey"), col("rt"))
+        else
+          graft.operators.Joins.asOfJoin(
+            li, right, "l_suppkey", "rk", "l_shipdate", "rt",
+            payload = Seq("rt"))
+            .select(col("l_orderkey"), col("asof.rt"))
+      out.count()
+    }
+
     val customArms: Map[String, () => Long] = Map(
+      "asof_composed" -> (() => asofLineitem(exec = false)),
+      "asof_exec" -> (() => asofLineitem(exec = true)),
       "ch_agg_sp1" -> (() => chainedAgg(1)),
       "ch_agg_sp2" -> (() => chainedAgg(2)),
       "ch_agg_rocks" -> (() => rocksCl(chainedAgg(2))),

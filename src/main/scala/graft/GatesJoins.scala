@@ -384,6 +384,35 @@ private[graft] object GatesJoins {
             concat(lit("y:"), col("id").cast("string")), 10000L).as("y"))
       graft.operators.Spatial.proximityJoin(pts, "id", "x", "y", eps = 60L)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+
+    // ── J19: engine-native as-of join (custom Catalyst physical operator,
+    // graft.plans.AsOfJoinExec) — j6's semantics as a first-class plan
+    // node instead of the union+window composition: SMJ-style required
+    // distribution/ordering, one merge pass with O(1) candidate state.
+    // Each order looks up the customer's most recent PRIOR order day
+    // (strict <, within a 90-day tolerance) and that day's max price.
+    // The right side is struct-max-deduped to unique (custkey, day) so
+    // the as-of match is deterministic (see AsOfOn scaladoc); the oracle
+    // is DuckDB's native ASOF LEFT JOIN with the tolerance replayed as a
+    // post-join CASE (exact: the as-of match is the LATEST at-or-before,
+    // so it is out of tolerance iff every candidate is).
+    // AsOfJoinPlanSpec pins the plan shape (AsOfJoinExec node, no generic
+    // join fallback, <=2 key shuffles, zero exchanges when pre-partitioned).
+    "j19_asof_exec" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val right = o.groupBy(
+          col("o_custkey").as("ck"), col("o_orderdate").as("od"))
+        .agg(max(col("o_totalprice")).as("day_max_price"))
+      val left = o.select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      Joins.asOfJoinExec(left, right, Seq("o_custkey" -> "ck"),
+          "o_orderdate", "od",
+          strict = true, tolerance = Some(90L * 86400L * 1000000L))
+        .select(col("o_orderkey"), col("od").as("prev_date"),
+          col("day_max_price").as("prev_price"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -582,6 +611,23 @@ private[graft] object GatesJoins {
         |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
         |FROM p a JOIN p b ON a.id < b.id
         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 3600
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+
+    // DuckDB's native ASOF LEFT JOIN; the 90-day tolerance is replayed as
+    // a post-join CASE (exact — see the j19 gate comment)
+    "j19_asof_exec" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS ck, o_orderdate AS od,
+        |    MAX(o_totalprice) AS p
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o1.o_orderkey,
+        |  CASE WHEN epoch_us(o1.o_orderdate) - epoch_us(r.od)
+        |         <= 7776000000000 THEN r.od END AS prev_date,
+        |  CASE WHEN epoch_us(o1.o_orderdate) - epoch_us(r.od)
+        |         <= 7776000000000 THEN r.p END AS prev_price
+        |FROM orders o1 ASOF LEFT JOIN r
+        |  ON o1.o_custkey = r.ck AND o1.o_orderdate > r.od
+        |ORDER BY o1.o_orderkey""".stripMargin
   )
 }

@@ -11,10 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `spark.sql.extensions=graft.expressions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // Runs ahead of the built-in JoinSelection (extraPlanningStrategies
+    // precede the built-ins in SparkPlanner.strategies).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -29,6 +33,12 @@ object GraftExtensions {
       val id = FunctionIdentifier(name)
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
+    // Sessions built via withExtensions already carry the strategy; for a
+    // harness-constructed session, experimental.extraStrategies is the
+    // public runtime hook (consulted first by the planner).
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
   private def one(name: String, f: Expression => Expression)
       : (String, ExpressionInfo, Seq[Expression] => Expression) =
@@ -61,7 +71,10 @@ object GraftExtensions {
     ("graft_span_hashes", new ExpressionInfo(classOf[SpanHashes].getName, "graft_span_hashes"),
       (args: Seq[Expression]) => SpanHashes(args(0), intArg(args, 1, "spanLen"))),
     ("graft_zvalue", new ExpressionInfo(classOf[ZValueInterleave].getName, "graft_zvalue"),
-      (args: Seq[Expression]) => ZValueInterleave(args.tail, intArg(args, 0, "bits"))))
+      (args: Seq[Expression]) => ZValueInterleave(args.tail, intArg(args, 0, "bits"))),
+    ("graft_asof_on", new ExpressionInfo(classOf[graft.plans.AsOfOn].getName, "graft_asof_on"),
+      (args: Seq[Expression]) =>
+        graft.plans.AsOfOn(args(0), args(1), args(2), args(3))))
 
   /** Extract a literal int parameter from a function call argument. */
   private def intArg(args: Seq[Expression], i: Int, name: String): Int = {

@@ -323,4 +323,39 @@ object Joins {
     val filtered = fact.filter(probe)
     filtered.join(build, filtered(factKey) === build(buildKey))
   }
+
+  /** Engine-native as-of join via the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]]): for each left row, the latest right
+    * row with rightTs <= leftTs (strict: <) per key, optionally within
+    * `tolerance` (in the time column's internal unit — days for DATE,
+    * microseconds for TIMESTAMP, the raw value for integer epochs).
+    *
+    * The join is declared as a regular `left.join(right, cond, type)`
+    * whose condition carries the `graft_asof_on` marker; the injected
+    * AsOfJoinStrategy plans it into the single-pass merge exec with
+    * SMJ-style required distribution/ordering (so EnsureRequirements
+    * co-partitions the sides and a bucketed layout skips the shuffle
+    * entirely). Compare `asOfJoin` above: same semantics on a unique
+    * (key, ts) right side, but no union widening and O(1) merge state
+    * instead of a running window. Right rows that tie on (key, ts) make
+    * the match nondeterministic (as in any engine-native ASOF) — dedup
+    * them first (see the j19 gate's struct-max recipe).
+    *
+    * `joinType`: "left" (non-matching left rows survive with nulls) or
+    * "inner" (they drop). */
+  def asOfJoinExec(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTs: String, rightTs: String,
+      strict: Boolean = false,
+      tolerance: Option[Long] = None,
+      joinType: String = "left"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one equi-key pair")
+    graft.expressions.GraftExtensions.ensureRegistered(left.sparkSession)
+    val eq = keys.map { case (lk, rk) => left.col(lk) === right.col(rk) }
+    val marker = call_function("graft_asof_on",
+      left.col(leftTs), right.col(rightTs), lit(strict),
+      tolerance.map(lit(_)).getOrElse(lit(null)))
+    left.join(right, (eq :+ marker).reduce(_ && _), joinType)
+  }
 }
