@@ -31,6 +31,21 @@ object AbDrift {
     val spark = Sessions.tuned("local[32]", "32")
     import graft.operators.Similarity
 
+    // SPARK_GRAFT_AB_STAGES=1: print per-stage wall times — attribute an
+    // arm's cost to its stages instead of guessing from plan shape.
+    if (sys.env.get("SPARK_GRAFT_AB_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = (for (s <- si.submissionTime; c <- si.completionTime)
+              yield c - s).getOrElse(-1L)
+            println(f"[stage] id=${si.stageId}%-4d tasks=${si.numTasks}%-3d " +
+              f"ms=$ms%-6d ${si.name.linesIterator.next().take(80)}")
+          }
+        })
+
     def reset(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
@@ -111,36 +126,62 @@ object AbDrift {
         withConf("spark.sql.streaming.stateStore.rocksdb." +
           "changelogCheckpointing.enabled", "true")(body)
       }
-    // r13 as-of tier arms: the SAME as-of result (each lineitem → latest
-    // commit-date row of its supplier at-or-before shipdate) computed by
-    // the composed union+window operator vs the engine-native
-    // AsOfJoinExec. Both arms pay the right-side (key, ts) dedup; the
-    // delta is the operator itself (widened union + running window vs
-    // co-partitioned merge with O(1) state).
+    // r13 as-of tier arms: the SAME as-of result (each lineitem → its
+    // supplier's latest distinct ship date at-or-before the row's own
+    // shipdate) computed by the composed union+window operator vs the
+    // engine-native AsOfJoinExec. Both arms pay the right-side (key, ts)
+    // dedup; the delta is the operator itself (widened union + running
+    // window vs co-partitioned merge with O(1) state).
     def asofLineitem(exec: Boolean): Long = {
       val li = Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
           col("l_shipdate"))
       val right = Tables.lineitem(spark, sfDir)
-        .select(col("l_suppkey").as("rk"), col("l_commitdate").as("rt"))
+        .select(col("l_suppkey").as("rk"), col("l_shipdate").as("rt"))
+        .filter(col("rk").isNotNull && col("rt").isNotNull)
+        .distinct() // both arms pay the identical dedup
       val out =
         if (exec)
           graft.operators.Joins.asOfJoinExec(
-            li, right.filter(col("rk").isNotNull && col("rt").isNotNull)
-              .distinct(),
-            Seq("l_suppkey" -> "rk"), "l_shipdate", "rt")
+            li, right, Seq("l_suppkey" -> "rk"), "l_shipdate", "rt")
             .select(col("l_orderkey"), col("rt"))
         else
           graft.operators.Joins.asOfJoin(
             li, right, "l_suppkey", "rk", "l_shipdate", "rt",
             payload = Seq("rt"))
-            .select(col("l_orderkey"), col("asof.rt"))
-      out.count()
+            .select(col("l_orderkey"), col("asof.rt").as("rt"))
+      // checksum agg, NOT count(): count() lets the optimizer prune the
+      // whole window (and with it the union shuffle and the distinct) out
+      // of the composed arm — the r13 first-cut A/B measured a no-op.
+      out.agg(sum(pmod(xxhash64(col("l_orderkey"), col("rt")),
+        lit(1000000007L)))).head().getLong(0)
+    }
+
+    // isolation arm: the exec tier's EXACT input machinery (two key
+    // shuffles + (key, time) sorts) with a trivial zip instead of the
+    // merge — attributes the composed-vs-exec delta to Spark plumbing vs
+    // the merge loop itself.
+    def asofInputsOnly(): Long = {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_shipdate"))
+        .repartition(32, col("l_suppkey"))
+        .sortWithinPartitions(col("l_suppkey"), col("l_shipdate"))
+      val right = Tables.lineitem(spark, sfDir)
+        .select(col("l_suppkey").as("rk"), col("l_shipdate").as("rt"))
+        .filter(col("rk").isNotNull && col("rt").isNotNull)
+        .distinct()
+        .repartition(32, col("rk"))
+        .sortWithinPartitions(col("rk"), col("rt"))
+      li.queryExecution.toRdd.zipPartitions(right.queryExecution.toRdd) {
+        (a, b) => Iterator.single(a.size.toLong + b.size.toLong)
+      }.sum().toLong
     }
 
     val customArms: Map[String, () => Long] = Map(
       "asof_composed" -> (() => asofLineitem(exec = false)),
       "asof_exec" -> (() => asofLineitem(exec = true)),
+      "asof_inputs" -> (() => asofInputsOnly()),
       "ch_agg_sp1" -> (() => chainedAgg(1)),
       "ch_agg_sp2" -> (() => chainedAgg(2)),
       "ch_agg_rocks" -> (() => rocksCl(chainedAgg(2))),

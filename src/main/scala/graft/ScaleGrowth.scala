@@ -591,6 +591,24 @@ object ScaleGrowth {
             s"results=$n")
       } finally { rmAll(new java.io.File(praw)); rmAll(new java.io.File(ppq)) }
     },
+    "asof_merge_join" -> whole { dir =>
+      // engine-native as-of exec (j19 tier): each event → its user's
+      // latest strictly-prior click. Structural claims: output rows R×
+      // (LEFT as-of is row-preserving), matched rows R× (id-offset
+      // replicas are user-disjoint, so no cross-family matches), merge
+      // state O(1) per partition by construction; the <=2-key-shuffle
+      // plan shape is pinned by AsOfJoinPlanSpec, so time must track the
+      // sort+shuffle of the inputs — ~R×.
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("rk"), col("ts").as("rt"))
+        .filter(col("rk").isNotNull && col("rt").isNotNull).distinct()
+      val row = graft.operators.Joins.asOfJoinExec(left, right,
+          Seq("user_id" -> "rk"), "ts", "rt", strict = true)
+        .agg(count(lit(1)).as("n"), count(col("rt")).as("m")).head()
+      (row.getLong(0), s"matched=${row.getLong(1)} of ${row.getLong(0)} lefts")
+    },
     "fuzzy_dist1_blocked" -> whole { dir =>
       // deletion-neighborhood blocking: candidates ~Rx (replicas are
       // id-offset, so pairs stay within replicas) where brute force

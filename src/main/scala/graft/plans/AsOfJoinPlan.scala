@@ -249,10 +249,25 @@ case class AsOfJoinExec(
         case other => throw new IllegalStateException(
           s"unreachable: tolerance over non-integral time value $other")
       }
+      // Integer-backed times (date/timestamp/integral) compare as primitive
+      // longs instead of through the boxing interpreted ordering — the
+      // merge's hot comparison.
+      val intTime = timeType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      def cmpTime(rt: Any, lt: Any): Int =
+        if (intTime) java.lang.Long.compare(asLong(rt), asLong(lt))
+        else timeOrd.compare(rt, lt)
+      val hasTol = tol.isDefined
+      val tolV = tol.getOrElse(Long.MaxValue)
 
       val buffered = rIter.buffered
       // The single candidate: the latest right row consumed so far that has
-      // non-null key and time. Emission re-checks its key against the
+      // non-null key and time AND whose key can still meet a left row (left
+      // keys only grow, so rows consumed with rk < lk are dead — skipped
+      // without the copy). Emission re-checks the candidate key against the
       // current left key, so a stale candidate from an earlier key is inert.
       var candRow: InternalRow = null
       var candKey: UnsafeRow = null
@@ -270,30 +285,32 @@ case class AsOfJoinExec(
           val r = buffered.head
           val rk = rKeyProj(r)
           val c = keyOrd.compare(rk, lk)
-          val consume =
-            if (c != 0) c < 0
-            else {
-              val rt = rTimeEval.eval(r)
+          if (c < 0) {
+            buffered.next() // dead row: can never match this or a later left
+          } else if (c > 0) {
+            continue = false
+          } else {
+            val rt = rTimeEval.eval(r)
+            val consume =
               if (rt == null) true
               else if (lt == null) false
               else {
-                val tc = timeOrd.compare(rt, lt)
+                val tc = cmpTime(rt, lt)
                 if (isStrict) tc < 0 else tc <= 0
               }
-            }
-          if (consume) {
-            buffered.next()
-            val rt = rTimeEval.eval(r)
-            if (!rk.anyNull && rt != null) {
-              candRow = r.copy()
-              candKey = rk.copy()
-              candTime = rt
-            }
-          } else continue = false
+            if (consume) {
+              buffered.next()
+              if (rt != null && !rk.anyNull) {
+                candRow = r.copy()
+                candKey = rk.copy()
+                candTime = rt
+              }
+            } else continue = false
+          }
         }
         val matched = candRow != null && lt != null && !lk.anyNull &&
           keyOrd.compare(candKey, lk) == 0 &&
-          tol.forall(t => asLong(lt) - asLong(candTime) <= t)
+          (!hasTol || asLong(lt) - asLong(candTime) <= tolV)
         if (matched) {
           numOutputRows += 1
           numMatched += 1
