@@ -209,7 +209,7 @@ object AbDrift {
       .map(_.split(",").map(_.trim).toSeq).getOrElse(defaultArms)
     val arms: Seq[(String, () => Long)] = armNames.map(n =>
       n -> customArms.getOrElse(n,
-        () => SparkEntry.queries(n)(spark, sfDir).count()))
+        () => { Sessions.force(SparkEntry.queries(n)(spark, sfDir)); 0L }))
     // retired earlier-r12 helpers kept compilable for arm re-activation
     locally { val _ = (j1 _, twsUv _, Similarity) }
 

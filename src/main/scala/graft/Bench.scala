@@ -30,7 +30,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     // absorb session/JIT/codegen warmup so the first measured query isn't
     // charged for it
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    try Sessions.force(SparkEntry.queries("q1_agg")(spark, sfDir))
     catch { case _: Throwable => () }
     // Per-PLAN warmup at the smallest sf: whichever query first touches a
     // codegen/JIT path pays its compile cost — measured 1.6s of first-
@@ -47,7 +47,7 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!name.startsWith("stream_") && only.forall(_.contains(name)))
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          try Sessions.force(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     else
       // a silently-skipped warmup reintroduces the exact first-touch
@@ -113,7 +113,11 @@ object Bench {
       reset()
       current = name
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      // Sessions.force, NOT count(): a bare count lets the optimizer prune
+      // unused aggregates/windows/projections/sorts out of the timed plan —
+      // the bench then under-measures exactly the gates with the most
+      // compute (see BASELINE.md "r13 bench methodology fix").
+      val ok = try { Sessions.force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       // progress events ride the async listener bus; drain it (untimed
       // would be wrong — the events ARE part of the gate's lifecycle, but
       // dispatch latency is micro) before handing attribution to the next

@@ -124,7 +124,7 @@ object CurveSf1 {
     }
     // plan warmup (untimed, tiny)
     Gates.foreach { g =>
-      try SparkEntry.queries(g)(spark, "/root/testdata/sf0.001").count()
+      try Sessions.force(SparkEntry.queries(g)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
       reset()
     }
@@ -132,7 +132,8 @@ object CurveSf1 {
       (1 to 2).map { _ =>
         reset()
         val t0 = System.nanoTime()
-        SparkEntry.queries(g)(spark, dir).count()
+        // force, not count: see Bench — count() times a pruned plan
+        Sessions.force(SparkEntry.queries(g)(spark, dir))
         (System.nanoTime() - t0) / 1e9
       }.min
     println("| gate | sf0.1 s | sf1 s | ratio |")

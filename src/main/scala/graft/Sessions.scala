@@ -43,4 +43,17 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Force FULL computation of a DataFrame for timing harnesses.
+    *
+    * `.count()` is the wrong action for measurement: the optimizer prunes
+    * everything a bare row count doesn't need — unused aggregate
+    * expressions, windows, final projections, sorts — so a count-actioned
+    * arm times a row-count-only plan, not the gate's work (the r13 as-of
+    * A/B measured its composed arm as a no-op this way; see BASELINE.md
+    * "r13 as-of tier attribution"). The noop v2 sink consumes every output
+    * row with zero serialization cost, so the timed span is exactly the
+    * query as a user would materialize it. */
+  def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
 }
