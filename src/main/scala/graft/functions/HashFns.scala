@@ -92,7 +92,14 @@ object HashFns {
     conv(le, 16, 10).cast("decimal(20,0)")
   }
 
-  /** md5Lower64 mod m, as a long (m must fit in a positive long). */
-  def md5Lower64Mod(c: Column, m: Long): Column =
-    pmod(md5Lower64(c), lit(m).cast("decimal(20,0)")).cast("long")
+  /** md5Lower64 mod m, as a long (m must fit in a positive long).
+    * Evaluated by the native codegen'd [[graft.expressions.Md5Mod]] —
+    * bit-identical to `pmod(md5Lower64(c), m)` (and to DuckDB's
+    * `md5_number_lower(x) % m`) but ~20× cheaper per call: digest bytes →
+    * long → remainderUnsigned, no hex/conv/decimal round-trip. */
+  def md5Lower64Mod(c: Column, m: Long): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expressions.Md5Mod(
+      GraftColumnBridge.expression(c.cast("string")), m))
+  }
 }

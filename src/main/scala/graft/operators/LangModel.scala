@@ -41,16 +41,24 @@ object LangModel {
     * (0.0 for docs with < 2 tokens). Unseen words/bigrams smooth to
     * (0 + 1)/(0 + V). */
   def bigramNll(corpus: DataFrame, docs: DataFrame): DataFrame = {
-    val uni = corpus
-      .select(explode(TextFns.tokensWs(col("text"))).as("w1"))
+    // Tokenize ONCE into a materialized column. Passing tokensWs(text)
+    // straight into bigramPairs inlines the full split into every
+    // element_at inside the transform lambda — the doc is re-tokenized
+    // twice PER BIGRAM (r13 PlanDump: the scan stage ran ~100× over
+    // cost). A separate projection pins one evaluation per row;
+    // CollapseProject keeps non-cheap multiply-referenced aliases.
+    val corpusToks = corpus.select(TextFns.tokensWs(col("text")).as("toks"))
+    val uni = corpusToks
+      .select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocabSize = uni.agg(count(lit(1)).cast("double").as("v"))
-    val bi = corpus
-      .select(explode(bigramPairs(TextFns.tokensWs(col("text")))).as("p"))
+    val bi = corpusToks
+      .select(explode(bigramPairs(col("toks"))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
     val occurrences = docs
-      .select(col("doc_id"), explode(bigramPairs(TextFns.tokensWs(col("text")))).as("p"))
+      .select(col("doc_id"), TextFns.tokensWs(col("text")).as("toks"))
+      .select(col("doc_id"), explode(bigramPairs(col("toks"))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val scored = occurrences
       .join(bi, Seq("w1", "w2"), "left")
