@@ -507,10 +507,17 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("lb")), "doc_b")
       .filter(least(col("la"), col("lb")).cast("double") >=
         lit(minJaccard) * greatest(col("la"), col("lb")))
+    // native two-pointer merge over the sorted distinct hash arrays:
+    // size(array_intersect) allocated a hash set per candidate pair and
+    // was the gate's dominant stage (see SortedLongIntersectCount).
+    import org.apache.spark.sql.GraftColumnBridge
     lenOk
       .join(docSets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
       .join(docSets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("inter", GraftColumnBridge.column(
+        graft.expressions.SortedLongIntersectCount(
+          GraftColumnBridge.expression(col("sa")),
+          GraftColumnBridge.expression(col("sb")))))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("la") + col("lb") - col("inter")))
           .as("jaccard"))
