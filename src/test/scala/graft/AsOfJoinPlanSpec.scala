@@ -141,6 +141,23 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("graft_asof_on")), ex.toString)
   }
 
+  test("pure-SQL surface: graft_asof_on in a JOIN ... ON clause plans " +
+      "into AsOfJoinExec") {
+    graft.expressions.GraftExtensions.ensureRegistered(spark)
+    Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 50L, "l3"))
+      .toDF("k", "t", "lv").createOrReplaceTempView("asof_l")
+    Seq((1L, 100L, "r@100"), (1L, 150L, "r@150"), (1L, 300L, "r@300"))
+      .toDF("rk", "rt", "rv").createOrReplaceTempView("asof_r")
+    val df = spark.sql(
+      """SELECT lv, rv FROM asof_l LEFT JOIN asof_r
+        |ON k = rk AND graft_asof_on(t, rt, false, NULL)""".stripMargin)
+    val out = df.as[(String, String)].collect().toMap
+    assert(out === Map("l1" -> "r@100", "l2" -> "r@150", "l3" -> null))
+    assert(planOf(df).contains("AsOfJoin"))
+    spark.catalog.dropTempView("asof_l")
+    spark.catalog.dropTempView("asof_r")
+  }
+
   test("date-typed time columns work, with tolerance in days") {
     val left = Seq(("2021-08-10", 1L), ("2021-09-30", 2L)).toDF("d", "id")
       .select(col("d").cast("date").as("d"), col("id"))
