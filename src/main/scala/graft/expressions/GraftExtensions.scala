@@ -74,7 +74,24 @@ object GraftExtensions {
       (args: Seq[Expression]) => ZValueInterleave(args.tail, intArg(args, 0, "bits"))),
     ("graft_asof_on", new ExpressionInfo(classOf[graft.plans.AsOfOn].getName, "graft_asof_on"),
       (args: Seq[Expression]) =>
-        graft.plans.AsOfOn(args(0), args(1), args(2), args(3))))
+        graft.plans.AsOfOn(args(0), args(1), args(2), args(3))),
+    ("graft_md5_mod", new ExpressionInfo(classOf[Md5Mod].getName, "graft_md5_mod"),
+      (args: Seq[Expression]) => Md5Mod(args(0), longArg(args, 1, "modulus"))),
+    ("graft_sorted_intersect", new ExpressionInfo(
+      classOf[SortedLongIntersectCount].getName, "graft_sorted_intersect"),
+      (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1))))
+
+  /** Extract a literal long parameter (int literals widen). */
+  private def longArg(args: Seq[Expression], i: Int, name: String): Long = {
+    require(args.length > i && args(i).foldable,
+      s"argument $i ($name) must be a literal integer")
+    args(i).eval(null) match {
+      case n: Int => n.toLong
+      case n: Long => n
+      case other => throw new IllegalArgumentException(
+        s"argument $i ($name) must be an integer literal, got $other")
+    }
+  }
 
   /** Extract a literal int parameter from a function call argument. */
   private def intArg(args: Seq[Expression], i: Int, name: String): Int = {
