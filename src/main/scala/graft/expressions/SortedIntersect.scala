@@ -15,19 +15,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * 7.8 s of a 6.2 s-median gate's wall). The caller guarantees both inputs
   * are sorted ascending and duplicate-free (collect_set + sort_array), so
   * the count equals array_intersect's distinct-element semantics exactly.
+  *
+  * PRECONDITION (public SQL surface `graft_sorted_intersect` too): both
+  * arrays must be sorted ascending with distinct elements, or the count is
+  * silently wrong. Arrays that ADMIT null elements (containsNull=true) are
+  * rejected at analysis time — a null element would unbox to 0L and corrupt
+  * the merge; build inputs with collect_set/sort_array (null-free by
+  * construction) or filter nulls before aggregating.
   */
 case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted intersect needs two array<bigint> children, got " +
-        s"${left.dataType.sql} and ${right.dataType.sql}")
+      "graft_sorted_intersect needs two array<bigint> children that cannot " +
+        "contain null elements (inputs must be sorted ascending and " +
+        s"distinct, e.g. sort_array(collect_set(x))); got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}" +
+        (Seq(left, right).map(_.dataType).collectFirst {
+          case ArrayType(LongType, true) =>
+            " — an array admitting nulls would unbox null to 0 and return " +
+              "a silently wrong count"
+        }.getOrElse("")))
   }
   override def dataType: DataType = IntegerType
 

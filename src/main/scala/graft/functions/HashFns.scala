@@ -96,10 +96,14 @@ object HashFns {
     * Evaluated by the native codegen'd [[graft.expressions.Md5Mod]] —
     * bit-identical to `pmod(md5Lower64(c), m)` (and to DuckDB's
     * `md5_number_lower(x) % m`) but ~20× cheaper per call: digest bytes →
-    * long → remainderUnsigned, no hex/conv/decimal round-trip. */
+    * long → remainderUnsigned, no hex/conv/decimal round-trip. Requires a
+    * StringType input (Md5Mod.checkInputDataTypes fails analysis loudly);
+    * callers hashing numbers must cast explicitly so the hashed rendering
+    * is a visible, deliberate choice — an implicit cast here would make
+    * binary vs decimal-text hashing an invisible behavior change. */
   def md5Lower64Mod(c: Column, m: Long): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(graft.expressions.Md5Mod(
-      GraftColumnBridge.expression(c.cast("string")), m))
+      GraftColumnBridge.expression(c), m))
   }
 }

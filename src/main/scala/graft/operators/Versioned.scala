@@ -116,9 +116,21 @@ object Versioned {
     * else upserts). Data files of prior versions are never touched: the
     * affected-partition files' surviving rows and the upserts land under
     * `data/v=next`, every untouched file is carried into the next
-    * manifest by reference. Returns the committed version. */
+    * manifest by reference. Returns the committed version.
+    *
+    * CONTRACT: `keyCol` must determine `partCol` — a key never moves
+    * between partition values across versions. The churned-partitions-only
+    * rewrite depends on it: the anti-join that retires stale rows runs
+    * only over source-affected partitions, so a key arriving under a NEW
+    * partition value would leave its old row alive elsewhere (duplicate
+    * key). `checkKeyMoves=true` verifies the contract per merge by
+    * semi-joining source keys against the UNTOUCHED files' key column
+    * (a key-column-only projected scan — correct but proportional to
+    * table keys, so it is an opt-in audit lever, not the default path;
+    * at 100 TB run it on the maintenance schedule, not per commit). */
   def merge(spark: SparkSession, dir: String, partCol: String,
-      keyCol: String, source: DataFrame, opCol: String = "op"): Long = {
+      keyCol: String, source: DataFrame, opCol: String = "op",
+      checkKeyMoves: Boolean = false): Long = {
     require(source.filter(col(partCol).isNull).isEmpty,
       s"Versioned.merge: source carries NULL $partCol values — fix the " +
         "partition derivation upstream")
@@ -130,6 +142,23 @@ object Versioned {
       .collect().map(_.getString(0)).toSet
     val touched = manifest.filter { case (_, p, _) => affected(p) }
       .map(_._1).toSet
+    if (checkKeyMoves) {
+      val untouched = manifest.filter { case (f, _, _) => !touched(f) }
+        .map(_._1).toIndexedSeq
+      if (untouched.nonEmpty) {
+        val moved = readFiles(spark, dir, untouched)
+          .select(col(keyCol))
+          .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+          .limit(5).collect()
+        require(moved.isEmpty,
+          s"Versioned.merge: source keys ${moved.map(_.get(0)).mkString(", ")}" +
+            " already live under a DIFFERENT partition value — a key must " +
+            s"determine its $partCol (the merge would otherwise leave the " +
+            "old row alive and commit duplicate keys). Fix the partition " +
+            "derivation upstream, or route the move as a delete under the " +
+            "old partition plus an insert under the new one.")
+      }
+    }
     // rewrite all rows of touched files (with partitionBy layout a file
     // serves exactly one partition value — the rewrite set IS the
     // affected partitions, nothing more)

@@ -39,4 +39,17 @@ class SortedIntersectSpec extends SparkSpec {
     assert(ex.getMessage.contains("array<bigint>") ||
       ex.getMessage.contains("DATATYPE"), ex.getMessage)
   }
+
+  test("arrays that ADMIT null elements are rejected at analysis time " +
+    "(a null element would unbox to 0 and corrupt the merge)") {
+    val df = Seq((Seq(Option(1L), Option(2L)), Seq(Option(1L))))
+      .toDF("a", "b")
+    assert(df.schema("a").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val ex = intercept[Exception] {
+      df.select(native(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("null") || ex.getMessage.contains("DATATYPE"),
+      ex.getMessage)
+  }
 }

@@ -73,6 +73,36 @@ class VersionedSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("checkKeyMoves fails loudly when a source key already lives under " +
+    "a different partition value, and passes when keys stay put") {
+    val dir = tmpDir("keymove")
+    try {
+      val base = spark.range(0, 100)
+        .select(col("id").as("k"), (col("id") * 10).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      // k=5 lives under bucket 1; the source claims it under bucket 2 —
+      // without the check the stale bucket-1 row would survive the merge
+      val moving = Seq((5L, 999L, 2L, "U")).toDF("k", "v", "bucket", "op")
+      val ex = intercept[IllegalArgumentException] {
+        Versioned.merge(spark, dir, "bucket", "k", moving,
+          checkKeyMoves = true)
+      }
+      assert(ex.getMessage.contains("DIFFERENT partition"), ex.getMessage)
+      // and the silent failure mode it guards against is real: without
+      // the check the merged snapshot carries k=5 twice
+      val silent = Versioned.merge(spark, dir, "bucket", "k", moving)
+      assert(Versioned.read(spark, dir, silent)
+        .filter(col("k") === 5L).count() === 2L)
+      // a partition-stable source passes the check
+      val stable = Seq((6L, 999L, 2L, "U")).toDF("k", "v", "bucket", "op")
+      val v3 = Versioned.merge(spark, dir, "bucket", "k", stable,
+        checkKeyMoves = true)
+      assert(Versioned.read(spark, dir, v3)
+        .filter(col("k") === 6L).count() === 1L)
+    } finally rm(dir)
+  }
+
   test("vacuum deletes exactly the files no retained manifest references; " +
     "retained versions read unchanged, dropped versions are gone") {
     val dir = tmpDir("vacuum")
