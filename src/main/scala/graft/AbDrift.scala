@@ -202,7 +202,33 @@ object AbDrift {
       }),
       "ch_join_sp2" -> (() => SparkEntry.queries("stream_chained_join_agg")(spark, sfDir).count()),
       "ch_join_rocks" -> (() => rocksCl(
-        SparkEntry.queries("stream_chained_join_agg")(spark, sfDir).count())))
+        SparkEntry.queries("stream_chained_join_agg")(spark, sfDir).count())),
+      // r14 commit-floor levers (verdict task 5). Async progress
+      // tracking is NOT an arm: AsyncProgressTrackingMicroBatchExecution
+      // .checkNotStatefulStreamingQuery rejects stateful queries outright
+      // in Spark 4.1, so the lever is ineligible for this gate by the
+      // engine's own contract — recorded as a verdict line, not measured.
+      // ch_join_maint: defer the state-store maintenance thread past the
+      // run (no mid-run snapshot/cleanup work competes with commits).
+      // ch_join_unload: unloadOnCommit=true — the opposite direction
+      // (drop each store after commit, reload next batch); bounds how
+      // much provider-cache retention is WORTH.
+      "ch_join_maint" -> (() =>
+        withConf("spark.sql.streaming.stateStore.maintenanceInterval", "600s") {
+          SparkEntry.queries("stream_chained_join_agg")(spark, sfDir).count()
+        }),
+      "ch_join_unload" -> (() =>
+        withConf("spark.sql.streaming.stateStore.unloadOnCommit", "true") {
+          SparkEntry.queries("stream_chained_join_agg")(spark, sfDir).count()
+        }),
+      "ch_agg_maint" -> (() =>
+        withConf("spark.sql.streaming.stateStore.maintenanceInterval", "600s") {
+          chainedAgg(2)
+        }),
+      "ch_agg_unload" -> (() =>
+        withConf("spark.sql.streaming.stateStore.unloadOnCommit", "true") {
+          chainedAgg(2)
+        }))
 
     val defaultArms = Seq("dedup_clusters", "text_bpe_encode", "sim_topk_pq")
     val armNames = sys.env.get("SPARK_GRAFT_AB_ARMS")

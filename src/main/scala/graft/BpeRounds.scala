@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Bpe
+
+/** Rounds-dimension evidence for BPE induction (r13 verdict task 1):
+  * the data dimension is covered by ScaleGrowth; THIS harness varies the
+  * number of learned merges at fixed data and prints time vs merges for
+  * the sequential tier ([[Bpe.merges]], one driver round per merge) and
+  * the batched tier ([[Bpe.mergesBatched]], up to 8 triple-disjoint
+  * merges per round). The claim under test: sequential cost grows ~1 s
+  * per MERGE (driver scheduling dominates vocabulary-sized work), while
+  * batched cost grows ~1 s per BATCH — near-flat per merge as rounds
+  * scale, which is what 10³-merge tokenizers need.
+  *
+  * Prints a SCALE.md-ready markdown table; each configuration also
+  * reports its learned-merge count (batched selection can fill short of
+  * batchSize when the candidate window runs dry).
+  */
+object BpeRounds {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = Sessions.tuned("local[32]", "32")
+    val docs = Tables.documents(spark, sfDir)
+
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+
+    // untimed warmup (JIT + codegen) on the smallest configuration of
+    // each tier so neither pays the first-run tax in the table
+    Bpe.merges(docs, rounds = 2).collect()
+    Bpe.mergesBatched(docs, batches = 1, batchSize = 8, window = 48).collect()
+
+    println(s"| tier | merges learned | driver rounds | sec | sec/merge | ($sfDir) |")
+    println("|---|---|---|---|---|---|")
+    for (r <- Seq(8, 16, 32)) {
+      val (sec, n) = timed(Bpe.merges(docs, rounds = r).count())
+      println(f"| sequential | $n | $r | $sec%.2f | ${sec / n}%.3f | |")
+    }
+    for (b <- Seq(1, 2, 4, 8)) {
+      val (sec, n) =
+        timed(Bpe.mergesBatched(docs, batches = b, batchSize = 8,
+          window = 48).count())
+      println(f"| batched(8/round) | $n | $b | $sec%.2f | ${sec / n}%.3f | |")
+    }
+    spark.stop()
+  }
+}

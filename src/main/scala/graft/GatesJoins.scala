@@ -413,6 +413,51 @@ private[graft] object GatesJoins {
         .select(col("o_orderkey"), col("od").as("prev_date"),
           col("day_max_price").as("prev_price"))
         .orderBy(col("o_orderkey"))
+    }),
+
+
+    // ── J20: ZERO-EXCHANGE bucketed as-of join — the payoff the exec
+    // tier was built for (r13 verdict task 2). Both sides written
+    // bucketBy(8) on the key (j11's one-off layout cost), then the SAME
+    // as-of join as j19 runs against the bucketed tables: AsOfJoinExec's
+    // ClusteredDistribution is already satisfied by the bucketed scans,
+    // so EnsureRequirements inserts only per-partition sorts — the gate
+    // REQUIREs the executed join plan to contain the AsOfJoin node and
+    // ZERO Exchange of any kind before returning rows. Oracle: identical
+    // SQL to j19_asof_exec — the layout must not change the answer, so
+    // this gate also hash-pins j20 == j19 transitively.
+    "j20_asof_bucketed" -> ((s, dir) => {
+      val root = shmRoot
+      val uniq = System.nanoTime()
+      val (ltab, rtab) = (s"graft_asof_l_$uniq", s"graft_asof_r_$uniq")
+      val (lpath, rpath) = (s"$root/$ltab", s"$root/$rtab")
+      try {
+        val o = Tables.orders(s, dir)
+        graft.operators.Bucketing.writeBucketed(
+          o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          ltab, lpath, "o_custkey", numBuckets = 8)
+        graft.operators.Bucketing.writeBucketed(
+          o.groupBy(col("o_custkey").as("ck"), col("o_orderdate").as("od"))
+            .agg(max(col("o_totalprice")).as("day_max_price")),
+          rtab, rpath, "ck", numBuckets = 8)
+        val out = Joins.asOfJoinExec(s.table(ltab), s.table(rtab),
+            Seq("o_custkey" -> "ck"), "o_orderdate", "od",
+            strict = true, tolerance = Some(90L * 86400L * 1000000L))
+          .select(col("o_orderkey"), col("od").as("prev_date"),
+            col("day_max_price").as("prev_price"))
+        val qe = out.queryExecution
+        val ck = out.localCheckpoint(true) // materialize, then pin the plan
+        val p = qe.executedPlan.toString.split("== Initial Plan ==").head
+        require(p.contains("AsOfJoin"),
+          s"bucketed as-of did not plan the native exec:\n${p.take(2000)}")
+        require(!p.contains("Exchange"),
+          s"bucketed as-of join must be exchange-free:\n${p.take(2000)}")
+        ck.orderBy(col("o_orderkey"))
+      } finally {
+        graft.operators.Bucketing.drop(s, ltab)
+        graft.operators.Bucketing.drop(s, rtab)
+        rmTree(lpath); rmTree(rpath)
+      }
     })
   )
 
@@ -617,6 +662,24 @@ private[graft] object GatesJoins {
     // DuckDB's native ASOF LEFT JOIN; the 90-day tolerance is replayed as
     // a post-join CASE (exact — see the j19 gate comment)
     "j19_asof_exec" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS ck, o_orderdate AS od,
+        |    MAX(o_totalprice) AS p
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o1.o_orderkey,
+        |  CASE WHEN epoch_us(o1.o_orderdate) - epoch_us(r.od)
+        |         <= 7776000000000 THEN r.od END AS prev_date,
+        |  CASE WHEN epoch_us(o1.o_orderdate) - epoch_us(r.od)
+        |         <= 7776000000000 THEN r.p END AS prev_price
+        |FROM orders o1 ASOF LEFT JOIN r
+        |  ON o1.o_custkey = r.ck AND o1.o_orderdate > r.od
+        |ORDER BY o1.o_orderkey""".stripMargin,
+
+
+    // Same oracle as j19_asof_exec, verbatim: the bucketed layout must
+    // not change the answer (and matching both gates to one oracle pins
+    // j20 == j19 transitively).
+    "j20_asof_bucketed" ->
       """WITH r AS (
         |  SELECT o_custkey AS ck, o_orderdate AS od,
         |    MAX(o_totalprice) AS p

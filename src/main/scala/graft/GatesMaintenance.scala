@@ -448,6 +448,93 @@ private[graft] object GatesMaintenance {
     }),
 
 
+    // ── K18: VACUUM of the versioned COW store (r13 verdict task 3) —
+    // the reclamation pass k17's append-only economics promise. Same
+    // two merge batches as k17, then vacuum(retainFrom=2) and pin the
+    // three things users actually need from vacuum: (1) retained reads
+    // are bit-identical pre/post (aggregates collected before the
+    // vacuum compare equal after), (2) the surviving data files are
+    // EXACTLY the union of retained manifests' file sets — a strict
+    // subset of the pre-vacuum files with >=1 orphan actually deleted,
+    // (3) reading the vacuumed version fails LOUDLY (the silent-empty
+    // failure mode is the time-travel bug users hit). Verdicts ride as
+    // 1/0 columns; the oracle replays v2/v3 and pins the verdicts true.
+    "k18_vacuum" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-vacuum-${System.nanoTime()}"
+      def dataFiles(): Set[String] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$path/data"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getCanonicalPath).toSet
+      }
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        Versioned.init(s, path, "bucket", base)
+        val b1 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 5 && col("k") % 3 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("bucket") === 2 && col("k") % 3 === 2)
+            .withColumn("k", col("k") + 80000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", b1)
+        val b2 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("op", lit("D"))
+          .unionByName(base.filter(col("bucket") === 7 && col("k") % 5 === 1)
+            .withColumn("price", (col("price") * 3).cast("decimal(18,2)"))
+            .withColumn("op", lit("U")))
+          .unionByName(base.filter(col("bucket") === 7 && col("k") % 5 === 2)
+            .withColumn("k", col("k") + 90000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", b2)
+        def snap(v: Long) = Versioned.read(s, path, v)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("ct"),
+            sum(col("price")).cast("double").as("price_sum"),
+            sum(col("k")).as("key_sum"))
+          .select(lit(v).as("version"), col("bucket"), col("ct"),
+            col("price_sum"), col("key_sum"))
+        val pre = Seq(2L, 3L).map(v => snap(v).localCheckpoint(true))
+          .reduce(_ unionByName _)
+        val preRows = pre.collect().toSet
+        val reachable = Seq(2L, 3L).flatMap { v =>
+          s.read.parquet(s"$path/_log/v=$v")
+            .select(col("file")).distinct().collect().map(r =>
+              new java.io.File(new org.apache.hadoop.fs.Path(
+                new java.net.URI(r.getString(0))).toUri.getPath)
+                .getCanonicalPath)
+        }.toSet
+        val before = dataFiles()
+        val deleted = Versioned.vacuum(s, path, retainFrom = 2L)
+        val after = dataFiles()
+        val filesExact = after == reachable && deleted >= 1 &&
+          after.subsetOf(before) && after != before
+        val readFails =
+          try { Versioned.read(s, path, 1L); false }
+          catch { case _: IllegalArgumentException => true }
+        val post = Seq(2L, 3L).map(snap).reduce(_ unionByName _)
+          .localCheckpoint(true)
+        val prePostOk = post.collect().toSet == preRows
+        post
+          .withColumn("files_exact_ok", lit(if (filesExact) 1L else 0L))
+          .withColumn("read_fails_ok", lit(if (readFails) 1L else 0L))
+          .withColumn("pre_post_ok", lit(if (prePostOk) 1L else 0L))
+          .orderBy(col("version"), col("bucket"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── K16: file-level BLOOM skipping in the manifest — the pruning
     // tier k14's min/max envelopes cannot provide. Layout is hashed by
     // user_id (uncorrelated with event_id), so every file's event_id
@@ -859,6 +946,46 @@ private[graft] object GatesMaintenance {
         |    CAST(SUM(k) AS BIGINT) FROM v3 GROUP BY bucket)
         |SELECT version, bucket, ct, price_sum, key_sum,
         |  CAST(1 AS BIGINT) AS immutable_ok
+        |FROM snaps ORDER BY version, bucket""".stripMargin,
+
+
+    // k17's v2/v3 replay (v1 is vacuumed away); the reachable-file,
+    // loud-failure, and pre/post verdicts are pinned TRUE
+    "k18_vacuum" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderkey % 8 AS bucket FROM orders),
+        |v2 AS (
+        |  SELECT k, price, bucket FROM base
+        |    WHERE NOT (bucket = 5 AND k % 3 = 1)
+        |      AND NOT (bucket = 2 AND k % 3 = 0)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 2 AS DECIMAL(18,2)), bucket FROM base
+        |    WHERE bucket = 2 AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 80000000, price, bucket FROM base
+        |    WHERE bucket = 2 AND k % 3 = 2),
+        |v3 AS (
+        |  SELECT k, price, bucket FROM v2
+        |    WHERE NOT (bucket = 2 AND k % 3 = 0)
+        |      AND NOT (bucket = 7 AND k % 5 = 1)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 3 AS DECIMAL(18,2)), bucket FROM base
+        |    WHERE bucket = 7 AND k % 5 = 1
+        |  UNION ALL
+        |  SELECT k + 90000000, price, bucket FROM base
+        |    WHERE bucket = 7 AND k % 5 = 2),
+        |snaps AS (
+        |  SELECT 2 AS version, bucket, COUNT(*) AS ct,
+        |    CAST(SUM(price) AS DOUBLE) AS price_sum,
+        |    CAST(SUM(k) AS BIGINT) AS key_sum FROM v2 GROUP BY bucket
+        |  UNION ALL
+        |  SELECT 3, bucket, COUNT(*), CAST(SUM(price) AS DOUBLE),
+        |    CAST(SUM(k) AS BIGINT) FROM v3 GROUP BY bucket)
+        |SELECT version, bucket, ct, price_sum, key_sum,
+        |  CAST(1 AS BIGINT) AS files_exact_ok,
+        |  CAST(1 AS BIGINT) AS read_fails_ok,
+        |  CAST(1 AS BIGINT) AS pre_post_ok
         |FROM snaps ORDER BY version, bucket""".stripMargin,
 
 

@@ -277,6 +277,36 @@ private[graft] object GatesPipeline {
     }),
 
 
+    // ── Text: BATCHED BPE induction — the rounds-dimension scale path
+    // (r13 verdict task 1): 5 driver-coordinated rounds learn ≥32 merges
+    // (up to 8 triple-disjoint pairs per round from a 48-candidate
+    // window). The oracle replays candidate ranking, the greedy
+    // disjoint selection (recursive CTE), the one-pass multi-rule fold,
+    // and the running symbol ledger — so the whole batched semantics is
+    // pinned, not just pair counting. The in-engine measured-vs-derived
+    // symbol-total assert runs on every batch as a distributed invariant.
+    "text_bpe_batch" -> ((s, dir) =>
+      Bpe.mergesBatched(Tables.documents(s, dir),
+          batches = 5, batchSize = 8, window = 48)
+        .orderBy(col("merge_idx"))),
+
+
+    // ── Text: BATCHED BPE ENCODE — segment the corpus with the ~39
+    // learned merges, one fold pass per BATCH (constant expression depth
+    // in batch size; 5 nested folds instead of 39).
+    "text_bpe_batch_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val led = Bpe.mergesBatched(docs, batches = 5, batchSize = 8,
+        window = 48).orderBy(col("merge_idx")).collect()
+      val batches = led.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map(_._2
+        .sortBy(_.getLong(0)).map(r => (r.getString(2), r.getString(3))).toSeq)
+      Bpe.encodeBatches(docs, batches)
+        .select(col("doc_id"), size(col("bpe")).cast("long").as("n_bpe"),
+          concat_ws(" ", slice(col("bpe"), 1, 3)).as("head"))
+        .orderBy(col("doc_id"))
+    }),
+
+
     // ── Text: PII scrubbing. The fixture has no organic PII, so the gate
     // deterministically injects a doc_id-derived email + phone before
     // scrubbing — the regex path is exercised byte-for-byte on every row
@@ -871,6 +901,70 @@ private[graft] object GatesPipeline {
     }),
 
 
+    // ── ANN: IVF-PQ incremental append (r13 verdict task 4) — the
+    // composed index's ingest path: the delta PQ-encodes against the
+    // FROZEN codebooks and coarse-assigns against the FROZEN centroids,
+    // landing as new code files inside existing cell directories. The
+    // gate pins the full invariant set: search over the appended index
+    // == the in-memory one-shot twin over base∪delta with the same
+    // quantizers per (query, rank) — neighbor AND cosine (n_match) —
+    // every emitted cosine equal to the exact pairwise recompute
+    // (n_valid), and the base index files BYTE-IDENTICAL after the
+    // append (path+length snapshot, base_files_ok).
+    "sim_ivfpq_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(3L)) === 0)
+      val queries = emb.filter(col("vec_id") < 5)
+      val centroids = Similarity.trainCentroids(base, k = 16, iters = 2,
+        sampleRate = 0.5)
+      val cb = Similarity.trainPqCodebooks(base, m = 8, k = 64, iters = 2,
+        sampleRate = 0.5)
+      val path = s"$shmRoot/graft-ivfpq-append-${System.nanoTime()}"
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(path))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.length()).toMap
+      }
+      try {
+        Similarity.buildIvfPqIndex(base, centroids, cb, path)
+        val baseFiles = files()
+        Similarity.appendIvfPqIndex(delta, centroids, cb, path)
+        val after = files()
+        val baseOk = baseFiles.forall { case (p, n) =>
+          after.get(p).contains(n) } && after.size > baseFiles.size
+        val inc = Similarity.ivfPqTopKIndexed(s, path, emb, queries,
+          k = 5, centroids, cb, nProbe = 4, shortlist = 50)
+        val one = Similarity.ivfPqTopK(emb, queries, k = 5, centroids,
+          cb, nProbe = 4, shortlist = 50)
+          .select(col("query_id"), col("rank"),
+            col("neighbor_id").as("nbr1"), col("cos").as("cos1"))
+        inc
+          .join(emb.select(col("vec_id").as("query_id"),
+            col("embedding").as("qe")), "query_id")
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("ne")), "neighbor_id")
+          .withColumn("cos_exact",
+            graft.functions.VectorFns.cosine(col("qe"), col("ne")))
+          .join(one, Seq("query_id", "rank"))
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(col("neighbor_id") === col("nbr1") &&
+              col("cos") === col("cos1"), 1L).otherwise(0L)).as("n_match"),
+            sum(when(col("cos") === col("cos_exact"), 1L).otherwise(0L))
+              .as("n_valid"))
+          .withColumn("base_files_ok", lit(if (baseOk) 1L else 0L))
+          .orderBy(col("query_id"))
+          .localCheckpoint(true) // materialize before the index sweeps
+      } finally rmTree(path)
+    }),
+
+
     "sim_topk_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
@@ -1172,7 +1266,97 @@ private[graft] object GatesPipeline {
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
+  /** Generated oracle for the batched BPE gates. One block per round:
+    * pair counts → ranked `window`-candidate list → GREEDY triple-disjoint
+    * selection (recursive CTE keyed on candidate rank, the t5_rate_limit
+    * fold-replay pattern) → one-pass multi-rule merge fold. Every chained
+    * CTE is MATERIALIZED: DuckDB inlines CTEs by default, and the
+    * recursion would otherwise re-derive the whole upstream round chain
+    * per iteration (measured: the un-hinted form does not terminate at
+    * sf0.001; hinted, 0.3 s). */
+  private def bpeBatchSql(batches: Int, batchSize: Int, window: Int,
+      encodeTail: Boolean): String = {
+    def block(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"""p$r AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b,
+         |    CAST(SUM(wct) AS BIGINT) AS ct
+         |  FROM $prev, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+         |c$r AS MATERIALIZED (SELECT a, b, ct,
+         |    row_number() OVER (ORDER BY ct DESC, a, b) AS rk
+         |  FROM p$r ORDER BY ct DESC, a, b LIMIT $window),
+         |g$r AS (
+         |  SELECT 0 AS rk,
+         |    CAST([] AS STRUCT(a VARCHAR, b VARCHAR, ct BIGINT)[]) AS sel
+         |  UNION ALL
+         |  SELECT c.rk,
+         |    CASE WHEN len(g.sel) >= $batchSize OR list_has_any(
+         |        [c.a, c.b, c.a || c.b],
+         |        flatten(list_transform(g.sel, s -> [s.a, s.b, s.a || s.b])))
+         |      THEN g.sel
+         |      ELSE list_append(g.sel, {'a': c.a, 'b': c.b, 'ct': c.ct}) END
+         |  FROM g$r g JOIN c$r c ON c.rk = g.rk + 1),
+         |sel$r AS MATERIALIZED (SELECT sel FROM g$r ORDER BY rk DESC LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT word, wct,
+         |    CASE WHEN len(syms) <= 1 THEN syms
+         |    ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+         |      WHEN len(list_filter(sel$r.sel,
+         |        m -> ends_with('|'||acc, '|'||m.a) AND x = m.b)) > 0
+         |      THEN acc||x ELSE acc||'|'||x END), '|') END AS syms
+         |  FROM $prev CROSS JOIN sel$r)""".stripMargin
+    }
+    val header =
+      s"""WITH RECURSIVE v0 AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wct FROM (
+         |    SELECT unnest(list_filter(
+         |      string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS word
+         |    FROM documents)
+         |  GROUP BY word),
+         |s0 AS MATERIALIZED (SELECT word, wct, list_transform(range(1, length(word)+1),
+         |    i -> substr(word, i, 1)) AS syms FROM v0),
+         |n0 AS MATERIALIZED (SELECT CAST(SUM(wct*len(syms)) AS BIGINT) AS total FROM s0),
+         |""".stripMargin
+    val blocks = (1 to batches).map(block).mkString(",\n")
+    if (!encodeTail) {
+      val unions = (1 to batches).map(r =>
+        s"""SELECT $r AS batch, u.i AS pos, sel[u.i].a AS lhs,
+           |    sel[u.i].b AS rhs, sel[u.i].ct AS ct
+           |  FROM sel$r, UNNEST(range(1, len(sel)+1)) AS u(i)""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      header + blocks + s""",
+        |mrows AS ($unions),
+        |ord AS (SELECT *, row_number() OVER (ORDER BY batch, pos) AS merge_idx
+        |  FROM mrows)
+        |SELECT merge_idx, CAST(batch AS BIGINT) AS batch, lhs, rhs,
+        |  CAST(ct AS BIGINT) AS ct,
+        |  CAST(n0.total - SUM(ct) OVER (ORDER BY merge_idx) AS BIGINT) AS syms_after
+        |FROM ord, n0 ORDER BY merge_idx""".stripMargin
+    } else {
+      val last = s"s$batches"
+      header + blocks + s""",
+        |t AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (SELECT doc_id, toks[u.i] AS pos_word, u.i AS pos FROM t,
+        |  UNNEST(range(1, len(toks)+1)) AS u(i)),
+        |enc AS (SELECT w.doc_id, CAST(SUM(len($last.syms)) AS BIGINT) AS n_bpe,
+        |    array_to_string(flatten(list($last.syms ORDER BY w.pos))[1:3], ' ') AS head
+        |  FROM w JOIN $last ON w.pos_word = $last.word GROUP BY w.doc_id)
+        |SELECT d.doc_id, COALESCE(enc.n_bpe, 0) AS n_bpe,
+        |  COALESCE(enc.head, '') AS head
+        |FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    }
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    // Batched BPE: the generated round blocks replay candidate ranking,
+    // greedy disjoint selection, and the one-pass multi-rule fold —
+    // see bpeBatchSql.
+    "text_bpe_batch" ->
+      bpeBatchSql(batches = 5, batchSize = 8, window = 48, encodeTail = false),
+    "text_bpe_batch_encode" ->
+      bpeBatchSql(batches = 5, batchSize = 8, window = 48, encodeTail = true),
 
     "sample_cap_per_source" ->
       """WITH r AS (SELECT doc_id, source,
@@ -2167,6 +2351,15 @@ private[graft] object GatesPipeline {
     "sim_ivf_append" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
         |  CAST(5 AS BIGINT) AS n_match, CAST(5 AS BIGINT) AS n_valid
+        |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""".stripMargin,
+
+
+    // code-append == one-shot in-memory twin per (query, rank) with both
+    // quantizers frozen; base index files byte-identical after the append
+    "sim_ivfpq_append" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+        |  CAST(5 AS BIGINT) AS n_match, CAST(5 AS BIGINT) AS n_valid,
+        |  CAST(1 AS BIGINT) AS base_files_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""".stripMargin,
 
 

@@ -263,6 +263,36 @@ private[graft] object GatesStreaming {
         .orderBy(col("user_id"), col("dt"))),
 
 
+    // ── T2 streaming under PATHOLOGICAL KEY SKEW (r13 verdict task 6):
+    // the same ValueState dedup with 50% of all events remapped onto ONE
+    // user key (event_id parity — deterministic, oracle-replayable), the
+    // rest offset into a disjoint key range. The stateful operator must
+    // answer exactly the uniform-twin rule — first event per (key, day)
+    // in (ts, event_id) arrival order — with the hot key's whole volume
+    // draining through one group iterator per micro-batch. Chunks reuse
+    // the canonical ts-contiguous split (remapped per chunk), so state
+    // carry-over across batch boundaries is exercised under the skew.
+    // ScaleGrowth's stream_uv_hotkey_state row quantifies the cost vs
+    // the uniform twin; this gate pins the ANSWER doesn't move.
+    "stream_skew_hotkey" -> ((s, dir) => {
+      val chunks = graft.streaming.Sources.eventsSplitChunks(s, dir).map { f =>
+        s.read.parquet(f.getPath).withColumn("user_id",
+          when(pmod(col("event_id"), lit(2L)) === 0, lit(77777L))
+            .otherwise(col("user_id") + 100000L))
+      }
+      val stage = s"$shmRoot/graft-hotkey-${System.nanoTime()}"
+      try {
+        graft.streaming.StreamRunner.collect(
+          graft.streaming.StatefulStreams.uvDedup(
+            graft.streaming.Sources.stagedChunkStream(s, chunks, Some(stage))),
+          statePartitions = 2)
+          .select(col("user_id"), col("dt"), col("event_id"))
+          .orderBy(col("user_id"), col("dt"))
+          .localCheckpoint(true) // materialize before the stage sweeps
+      } finally rmTree(stage)
+    }),
+
+
     // ── Streaming exact dedup under at-least-once REPLAY: the staged
     // chunks re-deliver the ENTIRE previous chunk (chunk i = Eᵢ ∪ Eᵢ₋₁,
     // event_id mod 3 split — a transport redelivering a whole segment),
@@ -1076,6 +1106,21 @@ private[graft] object GatesStreaming {
         |    row_number() OVER (PARTITION BY user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
         |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
         |  FROM events)
+        |SELECT user_id, dt, event_id FROM f WHERE rn = 1 ORDER BY user_id, dt""".stripMargin,
+
+
+    // the uniform-twin rule under the deterministic hot-key remap: skew
+    // must not move the answer
+    "stream_skew_hotkey" ->
+      """WITH e AS (SELECT event_id, ts,
+        |    CASE WHEN event_id % 2 = 0 THEN 77777
+        |         ELSE user_id + 100000 END AS user_id
+        |  FROM events),
+        |f AS (SELECT user_id,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt, event_id,
+        |    row_number() OVER (PARTITION BY user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM e)
         |SELECT user_id, dt, event_id FROM f WHERE rn = 1 ORDER BY user_id, dt""".stripMargin,
 
 

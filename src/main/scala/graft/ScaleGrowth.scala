@@ -200,6 +200,25 @@ object ScaleGrowth {
         graft.streaming.StatefulStreams.uvDedup(synthEventsStream(spark, dir))).count()
       (n, "FMGWS state rows = distinct users (grows Rx)")
     },
+    "stream_uv_hotkey_state" -> whole { dir =>
+      // pathological-key twin of stream_uv_dedup_state: 50% of events
+      // collapse onto ONE user. FMGWS state stays one row per distinct
+      // key (the hot key is a single row — state does NOT grow with the
+      // hot key's event share); the cost it concentrates is the hot
+      // key's per-batch group iterator, which one task drains. The delta
+      // vs the uniform twin at each scale QUANTIFIES that cost.
+      val src = synthEventsStream(spark, dir)
+        .withColumn("user_id",
+          when(pmod(col("event_id"), lit(2L)) === 0, lit(77777L))
+            .otherwise(col("user_id") + 100000L))
+      val out = graft.streaming.StreamRunner.collect(
+        graft.streaming.StatefulStreams.uvDedup(src))
+        .localCheckpoint(true)
+      val n = out.count()
+      val hotRows = out.filter(col("user_id") === 77777L).count()
+      (n, s"hot key emits $hotRows of $n dedup rows (one state row " +
+        "holds 50% of events)")
+    },
     "stream_session_state" -> whole { dir =>
       val n = graft.streaming.StreamRunner.collect(
         graft.streaming.WindowedStreams.sessionStats(
@@ -608,6 +627,17 @@ object ScaleGrowth {
           Seq("user_id" -> "rk"), "ts", "rt", strict = true)
         .agg(count(lit(1)).as("n"), count(col("rt")).as("m")).head()
       (row.getLong(0), s"matched=${row.getLong(1)} of ${row.getLong(0)} lefts")
+    },
+    "bpe_batch_induction" -> whole { dir =>
+      // batched BPE induction (4 rounds × ≤8 merges): the per-round work
+      // is vocabulary-sized, so time should grow well under data ratio
+      // at 10× corpus (vocab grows sub-linearly in tokens); the rounds
+      // dimension is measured separately by graft.BpeRounds
+      val led = graft.operators.Bpe.mergesBatched(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        batches = 4, batchSize = 8, window = 48)
+      val n = led.count()
+      (n, s"merges=$n in 4 batches")
     },
     "fuzzy_dist1_blocked" -> whole { dir =>
       // deletion-neighborhood blocking: candidates ~Rx (replicas are

@@ -3,7 +3,6 @@ package graft.operators
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Byte-pair-encoding merge induction (Sennrich et al. 2016,
   * arXiv:1508.07909) — the tokenizer-vocabulary learning step of a
@@ -39,6 +38,32 @@ object Bpe {
         i => struct(element_at(syms, i).as("a"),
           element_at(syms, i + 1).as("b"))))
 
+  /** Greedy left-to-right application of a SET of merge rules in one
+    * fold pass. Exact equivalent of applying the rules one-by-one when
+    * the rules are pairwise TRIPLE-DISJOINT ({lhs, rhs, lhs+rhs} sets
+    * share no symbol, the [[mergesBatched]] selection invariant): a
+    * merge's output symbol is then never an operand of another rule, so
+    * merges cannot cascade within the batch, and each adjacent pair in
+    * the pre-batch stream merges iff its rule is in the set — the same
+    * decision the per-rule sequential scans make. One pass keeps the
+    * expression tree CONSTANT-depth in the batch size (an 8-rule batch
+    * is 8 OR-terms inside one aggregate, not 8 nested aggregates). */
+  private[graft] def applyMergeSet(syms: Column,
+      rules: Seq[(String, String)]): Column =
+    if (rules.isEmpty) syms
+    else when(size(syms) <= 1, syms).otherwise(
+      split(
+        aggregate(
+          slice(syms, lit(2), size(syms) - 1),
+          element_at(syms, 1),
+          (acc, x) =>
+            when(rules.map { case (l, r) =>
+                endswith(concat(lit("|"), acc), lit("|" + l)) && x === lit(r)
+              }.reduce(_ || _),
+              concat(acc, x))
+              .otherwise(concat(acc, lit("|"), x))),
+        "\\|"))
+
   /** Greedy left-to-right application of one merge rule to a symbol
     * array (see object doc for why the string fold is exact). */
   private[graft] def applyMerge(syms: Column, lhs: String, rhs: String): Column =
@@ -60,51 +85,141 @@ object Bpe {
     * decreasing by `ct` each round — the compression ledger).
     *
     * Eager (like trainCentroids): each round materializes the argmax
-    * pair — one driver row per round. The vocab table is persisted and
-    * rolled forward; intermediate generations unpersist as soon as the
-    * next is materialized, so peak cache is two vocab copies. */
+    * pair — one driver row per round. Each generation is
+    * `localCheckpoint`ed (vocabulary-sized, eager): rolling the vocab
+    * forward under plain `persist` keeps the whole applyMerge lineage in
+    * the logical plan, and re-canonicalizing that growing tree for cache
+    * substitution every round made induction QUADRATIC in rounds
+    * (measured at sf0.1: 8 rounds 4 s, 16 rounds 55 s); the checkpoint
+    * truncates the plan to a constant-depth scan per round. */
   def merges(documents: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
     val spark = documents.sparkSession
     import spark.implicits._
 
-    val vocab0 = documents
+    var vocab = documents
       .select(explode(TextFns.tokensWs(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wct"))
       .select(col("word"), col("wct"),
         transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1))).as("syms"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
-    var vocab = vocab0
     val ledger = Seq.newBuilder[(Long, String, String, Long, Long)]
-    try {
-      for (r <- 1 to rounds) {
-        val top = vocab
-          .select(col("wct"), explode(adjPairs(col("syms"))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("wct")).as("ct"))
-          .orderBy(col("ct").desc, col("a").asc, col("b").asc)
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val (lhs, rhs, ct) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          val next = vocab
-            .select(col("word"), col("wct"),
-              applyMerge(col("syms"), lhs, rhs).as("syms"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val symsAfter = next
-            .agg(sum(col("wct") * size(col("syms"))).cast("long")).as[Long].head()
-          if (vocab ne vocab0) vocab.unpersist()
-          vocab = next
-          ledger += ((r.toLong, lhs, rhs, ct, symsAfter))
-        }
+    for (r <- 1 to rounds) {
+      val top = vocab
+        .select(col("wct"), explode(adjPairs(col("syms"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wct")).as("ct"))
+        .orderBy(col("ct").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (lhs, rhs, ct) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        vocab = vocab
+          .select(col("word"), col("wct"),
+            applyMerge(col("syms"), lhs, rhs).as("syms"))
+          .localCheckpoint(true)
+        val symsAfter = vocab
+          .agg(sum(col("wct") * size(col("syms"))).cast("long")).as[Long].head()
+        ledger += ((r.toLong, lhs, rhs, ct, symsAfter))
       }
-    } finally {
-      if (vocab ne vocab0) vocab.unpersist()
-      vocab0.unpersist()
     }
     ledger.result().toDF("round", "lhs", "rhs", "ct", "syms_after")
+  }
+
+  /** Batched BPE merge induction — the rounds-dimension scale path.
+    *
+    * [[merges]] runs one driver-coordinated round per merge; real
+    * tokenizers need 10³–10⁵ merges, where per-round job-scheduling
+    * latency (~1 s on a busy cluster) dominates the vocabulary-sized
+    * work. This variant learns up to `batchSize` merges per round:
+    *
+    *   1. one pair-count aggregate over the cached vocab (as before);
+    *   2. collect the top-`window` candidate pairs ordered by
+    *      (ct DESC, a, b) — bounded driver metadata, `window` rows;
+    *   3. greedily select candidates whose TRIPLE sets {lhs, rhs,
+    *      lhs+rhs} are pairwise disjoint, stopping at `batchSize`.
+    *      Disjointness makes the snapshot counts exact at application
+    *      time (merging one selected pair can neither create nor
+    *      destroy occurrences of another) and merges non-cascading, so
+    *      the batch applies in ONE fold pass ([[applyMergeSet]]) in any
+    *      order;
+    *   4. apply + materialize once per round, not once per merge.
+    *
+    * The first merge of every round is exactly sequential BPE's argmax;
+    * later in-batch picks are the standard batched approximation (a
+    * sequential learner could prefer a pair the batch's earlier merges
+    * just created). `batchSize = 1` reduces to [[merges]] exactly.
+    *
+    * Ledger: one row per LEARNED MERGE — (merge_idx, batch, lhs, rhs,
+    * ct, syms_after), `syms_after` the running corpus symbol total
+    * (strictly decreasing by each merge's ct; disjointness makes the
+    * per-merge attribution exact, and the measured post-batch total is
+    * asserted equal to the derived one every round). */
+  def mergesBatched(documents: DataFrame, batches: Int, batchSize: Int,
+      window: Int = 0): DataFrame = {
+    require(batches >= 1 && batches <= 64,
+      s"batches must be in [1, 64], got $batches")
+    require(batchSize >= 1 && batchSize <= 64,
+      s"batchSize must be in [1, 64], got $batchSize")
+    val win = if (window > 0) window else math.max(4 * batchSize, 16)
+    require(win >= batchSize, s"window $win must be >= batchSize $batchSize")
+    val spark = documents.sparkSession
+    import spark.implicits._
+
+    var vocab = documents
+      .select(explode(TextFns.tokensWs(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wct"))
+      .select(col("word"), col("wct"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
+      .localCheckpoint(true) // constant-depth plan per round (see merges)
+    var total = vocab.agg(sum(col("wct") * size(col("syms"))).cast("long"))
+      .as[Long].head()
+    var idx = 0L
+    val ledger = Seq.newBuilder[(Long, Long, String, String, Long, Long)]
+    for (b <- 1 to batches) {
+      val cands = vocab
+        .select(col("wct"), explode(adjPairs(col("syms"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wct")).as("ct"))
+        .orderBy(col("ct").desc, col("a").asc, col("b").asc)
+        .limit(win).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val sel = Seq.newBuilder[(String, String, Long)]
+      var taken = 0
+      var used = Set.empty[String]
+      for ((a, bb, ct) <- cands if taken < batchSize) {
+        val triple = Set(a, bb, a + bb)
+        if ((triple & used).isEmpty) {
+          sel += ((a, bb, ct)); used ++= triple; taken += 1
+        }
+      }
+      val chosen = sel.result()
+      if (chosen.nonEmpty) {
+        vocab = vocab
+          .select(col("word"), col("wct"),
+            applyMergeSet(col("syms"),
+              chosen.map(c => (c._1, c._2))).as("syms"))
+          .localCheckpoint(true)
+        val measured = vocab
+          .agg(sum(col("wct") * size(col("syms"))).cast("long")).as[Long].head()
+        val derived = total - chosen.map(_._3).sum
+        require(measured == derived,
+          s"Bpe.mergesBatched: batch $b applied ${chosen.size} merges but " +
+            s"the corpus symbol total moved $total -> $measured, expected " +
+            s"$derived — the triple-disjointness invariant is broken")
+        var running = total
+        for ((l, r, ct) <- chosen) {
+          idx += 1
+          running -= ct
+          ledger += ((idx, b.toLong, l, r, ct, running))
+        }
+        total = measured
+      }
+    }
+    ledger.result().toDF("merge_idx", "batch", "lhs", "rhs", "ct", "syms_after")
   }
 
   /** Segment the corpus with an ordered merge list (the output of
@@ -117,16 +232,30 @@ object Bpe {
     * the corpus words (AQE broadcasts it when it fits; hash join
     * otherwise). Reassembly is a per-doc sort+flatten of that doc's own
     * words — row-bounded, never wider than the document itself. */
-  def encode(documents: DataFrame, mergeList: Seq[(String, String)]): DataFrame = {
+  def encode(documents: DataFrame, mergeList: Seq[(String, String)]): DataFrame =
+    encodeWith(documents, chars =>
+      mergeList.foldLeft(chars) { case (c, (l, r)) => applyMerge(c, l, r) })
+
+  /** Segment the corpus with BATCHED merges (the output of
+    * [[mergesBatched]], grouped by its `batch` column, batches in order,
+    * merges within a batch in learned order): each batch applies as ONE
+    * fold pass ([[applyMergeSet]] — exact under the selection's
+    * triple-disjointness), so a 32-merge 4-batch chain is 4 nested
+    * folds, not 32. Same join-back/reassembly shape as [[encode]]. */
+  def encodeBatches(documents: DataFrame,
+      batchedMerges: Seq[Seq[(String, String)]]): DataFrame =
+    encodeWith(documents, chars =>
+      batchedMerges.foldLeft(chars)((c, batch) => applyMergeSet(c, batch)))
+
+  private def encodeWith(documents: DataFrame,
+      foldSyms: Column => Column): DataFrame = {
     val words = documents.select(col("doc_id"),
       posexplode(TextFns.tokensWs(col("text"))))
       .toDF("doc_id", "pos", "word")
     val chars = transform(sequence(lit(1), length(col("word"))),
       i => col("word").substr(i, lit(1)))
     val vocab = words.select(col("word")).distinct()
-      .select(col("word"),
-        mergeList.foldLeft(chars) { case (c, (l, r)) => applyMerge(c, l, r) }
-          .as("syms"))
+      .select(col("word"), foldSyms(chars).as("syms"))
     val agg = words.join(vocab, "word")
       .groupBy(col("doc_id"))
       .agg(flatten(transform(

@@ -60,4 +60,71 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.merges(docs.repartition(7), rounds = 3).collect().toSeq
     assert(a === b)
   }
+
+  test("mergesBatched with batchSize=1 is exactly sequential merges") {
+    val docs = Seq(
+      (1L, "spark spark shark park"), (2L, "spar spars park hark"),
+      (3L, "lower flower tower power")).toDF("doc_id", "text")
+    val seq = Bpe.merges(docs, rounds = 6).orderBy("round")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    val bat = Bpe.mergesBatched(docs, batches = 6, batchSize = 1)
+      .orderBy("merge_idx")
+      .as[(Long, Long, String, String, Long, Long)].collect().toSeq
+    assert(bat.map(r => (r._1, r._3, r._4, r._5, r._6)) === seq)
+    assert(bat.map(_._2) === (1L to 6L))  // one merge per batch
+  }
+
+  test("applyMergeSet on triple-disjoint rules equals sequential " +
+    "per-rule application, in any rule order") {
+    val rules = Seq(("a", "b"), ("c", "d"), ("x", "y"))
+    val df = Seq(
+      Seq("a", "b", "c", "d", "a", "b"),
+      Seq("c", "a", "b", "d"),          // (a,b) merges, c/d stay apart
+      Seq("x", "y", "x", "y", "x"),     // greedy overlap within one rule
+      Seq("q"), Seq.empty[String]
+    ).toDF("syms")
+    val setWise = df.select(Bpe.applyMergeSet(col("syms"), rules).as("m"))
+      .as[Seq[String]].collect().toSeq
+    val seqWise = df.select(rules.foldLeft(col("syms")) {
+        case (c, (l, r)) => Bpe.applyMerge(c, l, r) }.as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(setWise === seqWise)
+    val reversed = df.select(
+        Bpe.applyMergeSet(col("syms"), rules.reverse).as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(setWise === reversed)
+    assert(setWise.head === Seq("ab", "cd", "ab"))
+  }
+
+  test("mergesBatched: batch selection skips symbol-sharing and " +
+    "result-colliding candidates; ledger falls by ct per merge") {
+    // pair counts: (a,b)=4 picked first; (b,c)=3 shares b -> skipped;
+    // (x,y)=3 disjoint -> picked second within the same batch
+    val docs = Seq(
+      (1L, "abc abc abc ab xy xy xy")).toDF("doc_id", "text")
+    val led = Bpe.mergesBatched(docs, batches = 1, batchSize = 4,
+        window = 16).orderBy("merge_idx")
+      .as[(Long, Long, String, String, Long, Long)].collect().toSeq
+    assert(led.map(r => (r._3, r._4)).contains(("a", "b")))
+    assert(led.map(r => (r._3, r._4)).contains(("x", "y")))
+    assert(!led.map(r => (r._3, r._4)).contains(("b", "c")),
+      s"(b,c) shares b with the already-selected (a,b): $led")
+    // every ledger step drops syms_after by exactly its ct
+    val docsTotal = 17L  // chars in all words: 3*3 + 2 + 3*2
+    led.foldLeft(docsTotal) { case (prev, r) =>
+      assert(r._6 === prev - r._5, s"ledger step $r from $prev"); r._6 }
+  }
+
+  test("encodeBatches equals encode on the flat merge list when batches " +
+    "are triple-disjoint") {
+    val docs = Seq((1L, "abab cdcd ab"), (2L, ""), (3L, "dcba")).toDF("doc_id", "text")
+    val batches = Seq(Seq(("a", "b"), ("c", "d")), Seq(("ab", "ab")))
+    val flat = batches.flatten
+    val a = Bpe.encodeBatches(docs, batches).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().toSeq
+    val b = Bpe.encode(docs, flat).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(a === b)
+    assert(a.head._2 === Seq("abab", "cd", "cd", "ab"))
+  }
 }

@@ -77,6 +77,7 @@ def compare(name, spark_df, duck_df):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -112,6 +113,17 @@ def main():
         ok += flag == "PASS"
         print(f"{k:<{width}}  {flag}  {v if v != 'OK' else ''}")
     print(f"\n{ok}/{len(results)} pass")
+    if json_out:
+        payload = {
+            "sf_dir": sfdir,
+            "gates": {k: {"verdict": ("PASS" if v == "OK" or
+                          (v.startswith("rows-only: ") and "EMPTY" not in v)
+                          else "FAIL"), "detail": v}
+                      for k, v in sorted(results.items())},
+            "pass": ok, "total": len(results),
+        }
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":
