@@ -648,6 +648,31 @@ private[graft] object GatesStreaming {
         .orderBy(col("stt"), col("event_type"))),
 
 
+    // ── A1 streaming under HOT-GROUP SKEW (the windowed-agg half of
+    // r13 verdict task 6; stream_skew_hotkey covers the FMGWS half):
+    // 50% of events remap onto ONE event_type, so a single (window,
+    // type) group carries half of every micro-batch INCLUDING its
+    // collect_set(user_id) state — unlike the dedup's one-row-per-key
+    // state, a hot windowed group's state GROWS with the hot share.
+    // Complete-mode answer must equal the uniform replay of the remap.
+    "stream_skew_hotagg" -> ((s, dir) => {
+      val chunks = graft.streaming.Sources.eventsSplitChunks(s, dir).map { f =>
+        s.read.parquet(f.getPath).withColumn("event_type",
+          when(pmod(col("event_id"), lit(2L)) === 0, lit("hot_type"))
+            .otherwise(col("event_type")))
+      }
+      val stage = s"$shmRoot/graft-hotagg-${System.nanoTime()}"
+      try {
+        graft.streaming.StreamRunner.collect(
+          graft.streaming.WindowedStreams.productStats(
+            graft.streaming.Sources.stagedChunkStream(s, chunks, Some(stage))),
+          outputMode = "complete")
+          .orderBy(col("stt"), col("event_type"))
+          .localCheckpoint(true) // materialize before the stage sweeps
+      } finally rmTree(stage)
+    }),
+
+
     // ── Chained stateful aggregation (Spark 4 multiple stateful
     // operators): 60s pre-agg feeds a 600s re-agg in ONE streaming query —
     // the cascaded-rollup shape that cuts the coarse level's shuffle and
@@ -1311,6 +1336,23 @@ private[graft] object GatesStreaming {
     "stream_a1_product_stats" ->
       """WITH w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//10000000)*10000000 AS us,
         |                  event_type, value, user_id FROM events)
+        |SELECT strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(make_timestamp(us + 10000000), '%Y-%m-%d %H:%M:%S') AS edt,
+        |       event_type, COUNT(*) AS ct,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount,
+        |       COUNT(DISTINCT user_id) AS user_ct
+        |FROM w GROUP BY us, event_type ORDER BY us, event_type""".stripMargin,
+
+
+    // the uniform replay of the hot-type remap: one group holding 50%
+    // of events (and its whole distinct-user set) must not move the answer
+    "stream_skew_hotagg" ->
+      """WITH e AS (SELECT ts, value, user_id,
+        |    CASE WHEN event_id % 2 = 0 THEN 'hot_type'
+        |         ELSE event_type END AS event_type
+        |  FROM events),
+        |w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//10000000)*10000000 AS us,
+        |             event_type, value, user_id FROM e)
         |SELECT strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS stt,
         |       strftime(make_timestamp(us + 10000000), '%Y-%m-%d %H:%M:%S') AS edt,
         |       event_type, COUNT(*) AS ct,

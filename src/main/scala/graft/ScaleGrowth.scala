@@ -219,6 +219,29 @@ object ScaleGrowth {
       (n, s"hot key emits $hotRows of $n dedup rows (one state row " +
         "holds 50% of events)")
     },
+    "stream_agg_hotgroup_state" -> whole { dir =>
+      // hot-GROUP twin of stream_window_products: 50% of events collapse
+      // onto ONE event_type. Unlike FMGWS dedup (one state row per key
+      // regardless of share), the windowed agg's hot (window, type) group
+      // carries half of every batch's rows AND its distinct-user
+      // collect_set state — so the hot group's state GROWS with the hot
+      // share. Output rows stay bounded by window x type; the delta vs
+      // the uniform twin charts what one hot group costs the agg commit.
+      val src = synthEventsStream(spark, dir)
+        .withColumn("event_type",
+          when(pmod(col("event_id"), lit(2L)) === 0, lit("hot_type"))
+            .otherwise(col("event_type")))
+      val out = graft.streaming.StreamRunner.collect(
+        graft.streaming.WindowedStreams.productStats(src),
+        outputMode = "complete")
+        .localCheckpoint(true)
+      val n = out.count()
+      val hot = out.filter(col("event_type") === "hot_type")
+        .agg(sum(col("ct")), sum(col("user_ct"))).head()
+      (n, s"hot group holds ct=${hot.getLong(0)} users=${hot.getLong(1)} " +
+        "across its windows (state grows with hot share; rows stay " +
+        "window x type)")
+    },
     "stream_session_state" -> whole { dir =>
       val n = graft.streaming.StreamRunner.collect(
         graft.streaming.WindowedStreams.sessionStats(
