@@ -165,6 +165,21 @@ private[graft] object GatesGmall {
         .orderBy(col("k"))),
 
 
+    // ── T5, bounded-state tier: the SAME recurrence folded in one lazy
+    // pass over a (key, us, tie)-secondary-sorted partition — per-key
+    // state is O(1) (tok, lastTick) instead of the array tier's
+    // O(events) collect_list, so a hot tenant streams through a task
+    // instead of materializing. Shares the array tier's oracle verbatim:
+    // admitted/rejected SETS must be identical.
+    "t5_rate_limit_sorted" -> ((s, dir) =>
+      graft.operators.Quota.tokenBucketSorted(
+        Tables.events(s, dir).filter(col("event_id") % 37 === 0)
+          .withColumn("k", pmod(col("user_id"), lit(2L))),
+        col("k"), "ts", "event_id", "event_id",
+        capacity = 5, refillPerTick = 1, tickSeconds = 86400L)
+        .orderBy(col("k"))),
+
+
     // ── K7: SCD2 dim history from a changelog — unchanged consecutive
     // versions compact away; each change opens [ts, next change ts), the
     // last version per key is open-ended. Pairs with j6_asof_join for
@@ -657,6 +672,7 @@ private[graft] object GatesGmall {
     // through a recursive CTE (rn+1 per step; first event sees a full
     // bucket, Δtick refill is min-capped, 1 token per admit)
     "t5_rate_limit" -> rateLimitOracleSql,
+    "t5_rate_limit_sorted" -> rateLimitOracleSql,
 
 
     "k7_scd2_history" ->

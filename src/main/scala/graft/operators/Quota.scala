@@ -70,4 +70,82 @@ object Quota {
       (size(col("a")).cast("long") - col("s.n_acc")).as("n_rej"),
       col("s.acc_sum").as("acc_sum"), col("s.rej_sum").as("rej_sum"))
   }
+
+  /** Bounded-state tier of [[tokenBucket]]: identical recurrence and
+    * output, but per-key state is O(1) instead of O(key's events).
+    *
+    * Where [[tokenBucket]] materializes each key's full event array
+    * (`collect_list` → HOF fold — fine for tenant-grained keys, the
+    * batch-audit shape), this tier repartitions by key, secondary-sorts
+    * each partition by (key, time µs, tie), and folds the recurrence in
+    * ONE lazy pass over the sorted iterator — the classic
+    * repartition+sortWithinPartitions+mapPartitions pattern for
+    * sequential per-key folds. A key whose events dwarf task memory
+    * (one hot tenant with 10⁹ events) streams through instead of
+    * allocating an array, so this is the 100 TB ingest-audit posture;
+    * both tiers share one oracle (same recurrence, same output schema).
+    */
+  def tokenBucketSorted(df: DataFrame, keyCol: Column, tsCol: String,
+      tieCol: String, valueIdCol: String, capacity: Int,
+      refillPerTick: Int, tickSeconds: Long = 1L): DataFrame = {
+    require(capacity >= 1 && refillPerTick >= 1 && tickSeconds >= 1)
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val evs = df.select(keyCol.as("k"),
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      floor(unix_seconds(col(tsCol).cast("timestamp")) / tickSeconds)
+        .cast("long").as("tick"),
+      col(tieCol).cast("long").as("tie"),
+      col(valueIdCol).cast("long").as("vid"))
+    val keyType = evs.schema("k").dataType
+    val outSchema = StructType(Seq(
+      StructField("k", keyType), StructField("n", LongType, nullable = false),
+      StructField("n_acc", LongType, nullable = false),
+      StructField("n_rej", LongType, nullable = false),
+      StructField("acc_sum", LongType, nullable = false),
+      StructField("rej_sum", LongType, nullable = false)))
+    val cap = capacity.toLong
+    val refill = refillPerTick.toLong
+    val sorted = evs.repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("us"), col("tie"))
+    sorted.mapPartitions { it =>
+      new Iterator[Row] {
+        private var pending: Row = null // summary ready to emit
+        private var cur: Row = null     // first row of the next key group
+        private def summarize(): Unit = {
+          // folds ONE key's run of rows starting at `cur`; O(1) state
+          val key = cur.get(0)
+          var tok = cap
+          var last = cur.getLong(2) // first event: Δ = 0, full bucket
+          var n = 0L; var nAcc = 0L; var accSum = 0L; var rejSum = 0L
+          var row = cur
+          while (row != null) {
+            val tick = row.getLong(2); val vid = row.getLong(4)
+            tok = math.min(cap, tok + (tick - last) * refill)
+            last = tick
+            if (tok >= 1L) { tok -= 1L; nAcc += 1L; accSum += vid }
+            else rejSum += vid
+            n += 1L
+            row = if (it.hasNext) {
+              val nx = it.next()
+              if (java.util.Objects.equals(nx.get(0), key)) nx
+              else { cur = nx; null }
+            } else { cur = null; null }
+          }
+          pending = Row(key, n, nAcc, n - nAcc, accSum, rejSum)
+        }
+        override def hasNext: Boolean = {
+          if (pending == null) {
+            if (cur == null && it.hasNext) cur = it.next()
+            if (cur != null) summarize()
+          }
+          pending != null
+        }
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = pending; pending = null; r
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

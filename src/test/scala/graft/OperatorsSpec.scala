@@ -510,6 +510,30 @@ class OperatorsSpec extends SparkSpec {
     assert(run(df.repartition(4)) === ((5L, 4L, 1L, 12L, 3L)))
   }
 
+  test("Quota.tokenBucketSorted: O(1)-state tier matches the array tier " +
+    "exactly (multi-key, multi-tick, partition-invariant)") {
+    // 3 keys x 40 events with bursts and gaps; tie order matters within
+    // a second (event_id breaks ties)
+    val df = (0 until 120).map { i =>
+      (i.toLong, (i % 3).toString, (i / 3 % 7).toLong * (i % 5))
+    }.toDF("event_id", "k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    def cols(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), col("n"), col("n_acc"), col("n_rej"),
+        col("acc_sum"), col("rej_sum")).orderBy(col("k"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val arr = cols(graft.operators.Quota.tokenBucket(df, col("k"), "ts",
+      "event_id", "event_id", capacity = 3, refillPerTick = 2))
+    val srt = cols(graft.operators.Quota.tokenBucketSorted(df, col("k"),
+      "ts", "event_id", "event_id", capacity = 3, refillPerTick = 2))
+    assert(srt === arr)
+    assert(arr.map(_._2).sum === 120L)
+    val srt4 = cols(graft.operators.Quota.tokenBucketSorted(
+      df.repartition(4), col("k"), "ts", "event_id", "event_id",
+      capacity = 3, refillPerTick = 2))
+    assert(srt4 === arr)
+  }
+
   test("Stats.mutualInfo: identical columns give MI = H (NMI = 1), " +
     "independent uniform columns give MI = 0") {
     val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
