@@ -535,6 +535,91 @@ private[graft] object GatesMaintenance {
     }),
 
 
+    // ── K19: SCHEMA EVOLUTION on the versioned COW store — the other
+    // dimension time travel must survive: a merge (mergeSchema=true)
+    // introduces a column the snapshot lacks. The committed sidecar
+    // schema (in the log, not inferred from N footers) drives each
+    // read, so: a read at v1 answers in v1's own NARROWER schema
+    // (v1_narrow_ok), carried pre-evolution files fill the new column
+    // with NULLs at later versions, a post-evolution merge whose SOURCE
+    // lacks the column writes NULL for it (whole-row replace, not
+    // coalesce — pinned by the b2 update arm), the v3 rewrite slice
+    // mixes pre- and post-evolution files and reconciles, and no prior
+    // data file is ever rewritten for any of this (immutable_ok).
+    "k19_schema_evolution" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-schevo-${System.nanoTime()}"
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$path/data"))
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(f => f.getPath -> f.length()).toMap
+      }
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        val withPrio = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"),
+            substring(col("o_orderpriority"), 1, 1).as("prio"))
+        Versioned.init(s, path, "bucket", base)
+        val f1 = files()
+        // batch 1 INTRODUCES prio: update bucket-3 %2=0 (price×2 + prio),
+        // delete bucket-6 %3=0, insert bucket-3 %2=1 shifted +70M
+        val b1 =
+          withPrio.filter(col("bucket") === 3 && col("k") % 2 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(withPrio.filter(col("bucket") === 6 && col("k") % 3 === 0)
+            .withColumn("op", lit("D")))
+          .unionByName(withPrio.filter(col("bucket") === 3 && col("k") % 2 === 1)
+            .withColumn("k", col("k") + 70000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", b1, mergeSchema = true)
+        // batch 2's source LACKS prio: update bucket-3 %4=0 (price×5 —
+        // those keys HAD prio at v2; replace semantics must null it),
+        // insert bucket-0 %5=0 shifted +90M. Its rewrite slice mixes a
+        // post-evolution file (bucket 3, v2) and a pre-evolution carried
+        // file (bucket 0, v1).
+        val b2 =
+          base.filter(col("bucket") === 3 && col("k") % 4 === 0)
+            .withColumn("price", (col("price") * 5).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 0 && col("k") % 5 === 0)
+            .withColumn("k", col("k") + 90000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", b2, mergeSchema = true)
+        val f3 = files()
+        val immutable = f1.forall { case (p, n) => f3.get(p).contains(n) }
+        val v1Narrow = !Versioned.read(s, path, 1L).columns.contains("prio")
+        val snaps = Seq(1L, 2L, 3L).map { v =>
+          val r = Versioned.read(s, path, v)
+          val withP = if (r.columns.contains("prio")) r
+            else r.withColumn("prio", lit(null).cast("string"))
+          withP.groupBy(col("bucket"))
+            .agg(count(lit(1)).as("ct"),
+              sum(col("price")).cast("double").as("price_sum"),
+              sum(col("k")).as("key_sum"),
+              count(col("prio")).as("prio_ct"))
+            .withColumn("version", lit(v))
+        }
+        snaps.reduce(_ unionByName _)
+          .withColumn("v1_narrow_ok", lit(if (v1Narrow) 1L else 0L))
+          .withColumn("immutable_ok", lit(if (immutable) 1L else 0L))
+          .select(col("version"), col("bucket"), col("ct"),
+            col("price_sum"), col("key_sum"), col("prio_ct"),
+            col("v1_narrow_ok"), col("immutable_ok"))
+          .orderBy(col("version"), col("bucket"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── K16: file-level BLOOM skipping in the manifest — the pruning
     // tier k14's min/max envelopes cannot provide. Layout is hashed by
     // user_id (uncorrelated with event_id), so every file's event_id
@@ -986,6 +1071,58 @@ private[graft] object GatesMaintenance {
         |  CAST(1 AS BIGINT) AS files_exact_ok,
         |  CAST(1 AS BIGINT) AS read_fails_ok,
         |  CAST(1 AS BIGINT) AS pre_post_ok
+        |FROM snaps ORDER BY version, bucket""".stripMargin,
+
+
+    // replay all three schema-evolution snapshots: v1 pre-evolution
+    // (prio NULL everywhere — the Spark side reads v1 in its own narrow
+    // schema and widens with NULLs for the comparison), v2 introduces
+    // prio on the merged rows only, v3's prio-less source NULLs the
+    // column on its updated keys (whole-row replace). The +70M/+90M key
+    // offsets are chosen collision-free mod 4/5 so the carried-row
+    // filters replay by predicate. Verdict columns pinned true.
+    "k19_schema_evolution" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderkey % 8 AS bucket,
+        |    substr(o_orderpriority, 1, 1) AS prio0 FROM orders),
+        |v1 AS (SELECT k, price, bucket, CAST(NULL AS VARCHAR) AS prio
+        |  FROM base),
+        |v2 AS (
+        |  SELECT k, price, bucket, prio FROM v1
+        |    WHERE NOT (bucket = 3 AND k % 2 = 0)
+        |      AND NOT (bucket = 6 AND k % 3 = 0)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 2 AS DECIMAL(18,2)), bucket, prio0
+        |    FROM base WHERE bucket = 3 AND k % 2 = 0
+        |  UNION ALL
+        |  SELECT k + 70000000, price, bucket, prio0 FROM base
+        |    WHERE bucket = 3 AND k % 2 = 1),
+        |v3 AS (
+        |  SELECT k, price, bucket, prio FROM v2
+        |    WHERE NOT (bucket = 3 AND k % 4 = 0)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 5 AS DECIMAL(18,2)), bucket,
+        |    CAST(NULL AS VARCHAR) FROM base WHERE bucket = 3 AND k % 4 = 0
+        |  UNION ALL
+        |  SELECT k + 90000000, price, bucket, CAST(NULL AS VARCHAR)
+        |    FROM base WHERE bucket = 0 AND k % 5 = 0),
+        |snaps AS (
+        |  SELECT 1 AS version, bucket, COUNT(*) AS ct,
+        |    CAST(SUM(price) AS DOUBLE) AS price_sum,
+        |    CAST(SUM(k) AS BIGINT) AS key_sum,
+        |    CAST(COUNT(prio) AS BIGINT) AS prio_ct FROM v1 GROUP BY bucket
+        |  UNION ALL
+        |  SELECT 2, bucket, COUNT(*), CAST(SUM(price) AS DOUBLE),
+        |    CAST(SUM(k) AS BIGINT), CAST(COUNT(prio) AS BIGINT)
+        |    FROM v2 GROUP BY bucket
+        |  UNION ALL
+        |  SELECT 3, bucket, COUNT(*), CAST(SUM(price) AS DOUBLE),
+        |    CAST(SUM(k) AS BIGINT), CAST(COUNT(prio) AS BIGINT)
+        |    FROM v3 GROUP BY bucket)
+        |SELECT version, bucket, ct, price_sum, key_sum, prio_ct,
+        |  CAST(1 AS BIGINT) AS v1_narrow_ok,
+        |  CAST(1 AS BIGINT) AS immutable_ok
         |FROM snaps ORDER BY version, bucket""".stripMargin,
 
 

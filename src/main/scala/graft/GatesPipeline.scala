@@ -294,6 +294,25 @@ private[graft] object GatesPipeline {
     // ── Text: BATCHED BPE ENCODE — segment the corpus with the ~39
     // learned merges, one fold pass per BATCH (constant expression depth
     // in batch size; 5 nested folds instead of 39).
+    // ── Text: TABLE-DRIVEN BPE ENCODE — the 10³–10⁵-merge tier: same
+    // learned merges as text_bpe_batch_encode but segmented by
+    // Bpe.encodeTable (one mapPartitions JVM pass per distinct word,
+    // rule table broadcast) instead of nested Catalyst folds — plan
+    // depth is CONSTANT in the merge count, so this is the encode a
+    // real-vocabulary tokenizer runs. Exact-parity contract: shares
+    // text_bpe_batch_encode's oracle verbatim.
+    "text_bpe_encode_table" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val led = Bpe.mergesBatched(docs, batches = 5, batchSize = 8,
+        window = 48).orderBy(col("merge_idx")).collect()
+      val flat = led.map(r => (r.getString(2), r.getString(3))).toSeq
+      Bpe.encodeTable(docs, flat)
+        .select(col("doc_id"), size(col("bpe")).cast("long").as("n_bpe"),
+          concat_ws(" ", slice(col("bpe"), 1, 3)).as("head"))
+        .orderBy(col("doc_id"))
+    }),
+
+
     "text_bpe_batch_encode" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val led = Bpe.mergesBatched(docs, batches = 5, batchSize = 8,
@@ -1356,6 +1375,11 @@ private[graft] object GatesPipeline {
     "text_bpe_batch" ->
       bpeBatchSql(batches = 5, batchSize = 8, window = 48, encodeTail = false),
     "text_bpe_batch_encode" ->
+      bpeBatchSql(batches = 5, batchSize = 8, window = 48, encodeTail = true),
+    // table-driven encode answers to the SAME replay: sequential
+    // application of the flat learned list == batch-wise folds under the
+    // selection's triple-disjointness (BpeSpec pins all three tiers equal)
+    "text_bpe_encode_table" ->
       bpeBatchSql(batches = 5, batchSize = 8, window = 48, encodeTail = true),
 
     "sample_cap_per_source" ->

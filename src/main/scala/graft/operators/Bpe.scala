@@ -256,6 +256,13 @@ object Bpe {
       i => col("word").substr(i, lit(1)))
     val vocab = words.select(col("word")).distinct()
       .select(col("word"), foldSyms(chars).as("syms"))
+    reassemble(documents, words, vocab)
+  }
+
+  /** Join the segmented vocabulary back to the corpus words and
+    * reassemble per-doc symbol sequences (see [[encode]] scale shape). */
+  private def reassemble(documents: DataFrame, words: DataFrame,
+      vocab: DataFrame): DataFrame = {
     val agg = words.join(vocab, "word")
       .groupBy(col("doc_id"))
       .agg(flatten(transform(
@@ -264,5 +271,74 @@ object Bpe {
     documents.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("bpe"), array().cast("array<string>")).as("bpe"))
+  }
+
+  /** Segment the corpus with a LARGE ordered merge table — the
+    * 10³–10⁵-merge encode tier real tokenizers need, where
+    * [[encode]]/[[encodeBatches]] can't go: each nested fold level
+    * re-references its input expression several times, so the expression
+    * TREE grows ~4× per merge (resp. per batch) — exponential, with a
+    * practical analyzer ceiling around 6 levels (measured: 8 nested
+    * applyMerge folds never leave analysis). This tier
+    * keeps the identical distributed shape (distinct-word projection →
+    * segment → join back → per-doc reassembly) but segments each word in
+    * ONE `mapPartitions` JVM pass with the rule table broadcast once per
+    * executor.
+    *
+    * Semantics are EXACTLY [[encode]]'s: rules apply in learned order,
+    * each as a greedy left-to-right non-overlapping scan — including the
+    * order-sensitive corner where a later rule materializes a symbol an
+    * earlier rule wanted (the earlier rule stays un-applied, same as the
+    * fold chain). A per-word symbol-set prefilter skips rules whose
+    * operands aren't both present, so a table of M rules costs ~O(M)
+    * hash probes per distinct word plus O(word) per APPLIED rule —
+    * independent of Catalyst plan depth, flat per merge as M scales. */
+  def encodeTable(documents: DataFrame,
+      mergeList: Seq[(String, String)]): DataFrame = {
+    val spark = documents.sparkSession
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val rulesB = spark.sparkContext.broadcast(mergeList.toArray)
+    val words = documents.select(col("doc_id"),
+      posexplode(TextFns.tokensWs(col("text"))))
+      .toDF("doc_id", "pos", "word")
+    val outSchema = StructType(Seq(
+      StructField("word", StringType),
+      StructField("syms", ArrayType(StringType, containsNull = false))))
+    val vocab = words.select(col("word")).distinct()
+      .mapPartitions { it =>
+        val rules = rulesB.value
+        it.map { r =>
+          val w = r.getString(0)
+          var syms = Array.tabulate(w.length)(i => w.substring(i, i + 1))
+          if (syms.length >= 2) {
+            val present = scala.collection.mutable.HashSet.empty[String]
+            syms.foreach(present += _)
+            var k = 0
+            while (k < rules.length && syms.length >= 2) {
+              val (lhs, rhs) = rules(k)
+              if (present.contains(lhs) && present.contains(rhs)) {
+                // greedy left-to-right non-overlapping scan for THIS rule
+                var applied = false
+                val out = Array.newBuilder[String]
+                var j = 0
+                while (j < syms.length) {
+                  if (j < syms.length - 1 && syms(j) == lhs &&
+                      syms(j + 1) == rhs) {
+                    out += lhs + rhs; applied = true; j += 2
+                  } else { out += syms(j); j += 1 }
+                }
+                if (applied) {
+                  syms = out.result()
+                  present.clear(); syms.foreach(present += _)
+                }
+              }
+              k += 1
+            }
+          }
+          Row(w, syms.toSeq)
+        }
+      }(Encoders.row(outSchema))
+    reassemble(documents, words, vocab.toDF())
   }
 }

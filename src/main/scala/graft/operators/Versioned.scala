@@ -87,20 +87,57 @@ object Versioned {
     fileParts(spark, dataDir(dir, 1L), partCol)
       .coalesce(1).write.mode("errorifexists")
       .parquet(s"${logRoot(dir)}/v=1")
+    writeSchema(dir, 1L, df.schema)
     1L
+  }
+
+  /** The snapshot SCHEMA lives in the log, not in data-file footers —
+    * the lakehouse contract: reading a 100 TB snapshot must not open N
+    * footers to discover columns (parquet `mergeSchema` inference), and
+    * a version's schema is a COMMITTED fact, not whatever the reader
+    * infers. Stored as an underscore-prefixed sidecar inside the
+    * version's manifest directory (Spark's file readers ignore `_`
+    * paths, so the manifest parquet scan is unaffected). Pre-evolution
+    * stores have no sidecar and fall back to inference. */
+  private def schemaFile(dir: String, v: Long) =
+    new java.io.File(s"${logRoot(dir)}/v=$v/_schema.json")
+
+  private def writeSchema(dir: String, v: Long,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val f = schemaFile(dir, v)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath,
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def readSchema(dir: String,
+      v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val f = schemaFile(dir, v)
+    if (!f.exists()) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** Read a set of manifest-listed data files. The payload carries the
     * partition column as ordinary data; any inferred directory column is
     * dropped defensively. */
   private def readFiles(spark: SparkSession, dir: String,
-      files: Seq[String]): DataFrame =
-    spark.read.parquet(files.map(Manifest.unglob): _*)
+      files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    reader.parquet(files.map(Manifest.unglob): _*)
       .drop(PartDir)
+  }
 
   /** Scan snapshot `version` (defaults to the latest): exactly the files
     * its manifest lists, nothing newer, nothing vacuumed-in-place —
-    * `AS OF` semantics. */
+    * `AS OF` semantics. Under schema evolution the committed sidecar
+    * schema drives the scan: files written BEFORE a column existed fill
+    * it with NULLs (by-name parquet resolution), and a read at an OLD
+    * version answers in that version's own (narrower) schema. */
   def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
     val v = if (version < 0) latest(dir) else version
     require(versions(dir).contains(v),
@@ -108,7 +145,7 @@ object Versioned {
     val files = spark.read.parquet(s"${logRoot(dir)}/v=$v")
       .select(col("file")).distinct()
       .collect().map(_.getString(0))
-    readFiles(spark, dir, files.toIndexedSeq)
+    readFiles(spark, dir, files.toIndexedSeq, readSchema(dir, v))
   }
 
   /** MERGE `source` into the latest snapshot, committing a NEW version
@@ -130,7 +167,7 @@ object Versioned {
     * at 100 TB run it on the maintenance schedule, not per commit). */
   def merge(spark: SparkSession, dir: String, partCol: String,
       keyCol: String, source: DataFrame, opCol: String = "op",
-      checkKeyMoves: Boolean = false): Long = {
+      checkKeyMoves: Boolean = false, mergeSchema: Boolean = false): Long = {
     require(source.filter(col(partCol).isNull).isEmpty,
       s"Versioned.merge: source carries NULL $partCol values — fix the " +
         "partition derivation upstream")
@@ -146,7 +183,7 @@ object Versioned {
       val untouched = manifest.filter { case (f, _, _) => !touched(f) }
         .map(_._1).toIndexedSeq
       if (untouched.nonEmpty) {
-        val moved = readFiles(spark, dir, untouched)
+        val moved = readFiles(spark, dir, untouched, readSchema(dir, v))
           .select(col(keyCol))
           .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
           .limit(5).collect()
@@ -164,11 +201,33 @@ object Versioned {
     // affected partitions, nothing more)
     val slice =
       if (touched.isEmpty) read(spark, dir, v).filter(lit(false))
-      else readFiles(spark, dir, touched.toIndexedSeq)
+      else readFiles(spark, dir, touched.toIndexedSeq, readSchema(dir, v))
     val kept = slice.join(
       source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     val upserts = source.filter(col(opCol) =!= "D").drop(opCol)
-    val out = kept.unionByName(upserts.select(kept.columns.map(col): _*))
+    // Schema evolution (opt-in, the Delta/Iceberg mergeSchema contract):
+    // source columns the snapshot lacks JOIN the schema; prior files are
+    // never rewritten for it — they fill the new column with NULLs at
+    // read time via the committed sidecar schema. Without the flag, the
+    // historical behavior stands: the source is projected onto the
+    // snapshot's columns (extra source columns dropped), and a source
+    // MISSING a snapshot column fails the projection loudly.
+    val out =
+      if (!mergeSchema)
+        kept.unionByName(upserts.select(kept.columns.map(col): _*))
+      else {
+        val keptTypes = kept.schema.map(f => f.name -> f.dataType)
+        val srcTypes = upserts.schema.map(f => f.name -> f.dataType)
+        val added = srcTypes.filterNot { case (n, _) =>
+          kept.columns.contains(n) }
+        val missing = keptTypes.filterNot { case (n, _) =>
+          upserts.columns.contains(n) }
+        val keptW = added.foldLeft(kept) { case (d, (n, t)) =>
+          d.withColumn(n, lit(null).cast(t)) }
+        val upsW = missing.foldLeft(upserts) { case (d, (n, t)) =>
+          d.withColumn(n, lit(null).cast(t)) }
+        keptW.unionByName(upsW.select(keptW.columns.map(col): _*))
+      }
     writeData(out, dir, next, partCol)
     // an all-deletes merge writes no data files at all — the new
     // manifest is then just the carryover (the schema is pinned so the
@@ -200,6 +259,7 @@ object Versioned {
     carriedDf.unionByName(fresh)
       .coalesce(1).write.mode("errorifexists")
       .parquet(s"${logRoot(dir)}/v=$next")
+    writeSchema(dir, next, out.schema)
     next
   }
 

@@ -115,6 +115,80 @@ class BpeSpec extends SparkSpec {
       assert(r._6 === prev - r._5, s"ledger step $r from $prev"); r._6 }
   }
 
+  test("encodeTable equals encode: cascades, empties, singletons") {
+    val docs = Seq((1L, "abab ab"), (2L, ""), (3L, "ba"), (4L, "x abab"))
+      .toDF("doc_id", "text")
+    val rules = Seq(("a", "b"), ("ab", "ab"))
+    val t = Bpe.encodeTable(docs, rules).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().toSeq
+    val e = Bpe.encode(docs, rules).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(t === e)
+    assert(t.head._2 === Seq("abab", "ab"))
+  }
+
+  test("encodeTable: rule order is sequential — a later rule cannot " +
+    "resurrect an earlier one (exact encode parity on the corner)") {
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    // (ab,c) runs FIRST but symbol "ab" doesn't exist yet -> no-op;
+    // then (a,b) -> [ab, c]; the now-present "ab" must NOT re-trigger
+    // the earlier (ab,c) rule
+    val rules = Seq(("ab", "c"), ("a", "b"))
+    val t = Bpe.encodeTable(docs, rules)
+      .as[(Long, Seq[String])].head()._2
+    val e = Bpe.encode(docs, rules)
+      .as[(Long, Seq[String])].head()._2
+    assert(t === Seq("ab", "c"))
+    assert(t === e)
+    // reversed order DOES cascade: (a,b) -> [ab, c], then (ab,c) -> [abc]
+    assert(Bpe.encodeTable(docs, rules.reverse)
+      .as[(Long, Seq[String])].head()._2 === Seq("abc"))
+  }
+
+  test("encodeTable equals encode under LEARNED merges on a real corpus " +
+    "slice; partition-invariant") {
+    val docs = Seq(
+      (1L, "spark spark shark park lower flower"),
+      (2L, "spar spars park hark tower power"),
+      (3L, "lower flower tower power spark")).toDF("doc_id", "text")
+    // encode's nested-fold tree grows ~4x PER MERGE (each applyMerge
+    // level references syms several times), so the fold tier's practical
+    // ceiling is a handful of merges — 5 here; the large-table case below
+    // compares against encodeBatches, whose depth is per-BATCH
+    val learned = Bpe.merges(docs, rounds = 5).orderBy("round")
+      .select(col("lhs"), col("rhs"))
+      .as[(String, String)].collect().toSeq
+    val e = Bpe.encode(docs, learned).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().toSeq
+    val t = Bpe.encodeTable(docs, learned).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(t === e)
+    val t7 = Bpe.encodeTable(docs.repartition(7), learned).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(t7 === e)
+  }
+
+  test("encodeTable equals encodeBatches on a LARGE learned table (the " +
+    "merge-count regime the fold tiers cannot reach)") {
+    val docs = Seq(
+      (1L, "international internationalization nation nationalize"),
+      (2L, "internal internet interstellar station relation"),
+      (3L, "the then there these those than that this"),
+      (4L, "rational rationale ration national notion motion"))
+      .toDF("doc_id", "text")
+    val led = Bpe.mergesBatched(docs, batches = 4, batchSize = 8,
+      window = 48).orderBy("merge_idx")
+      .as[(Long, Long, String, String, Long, Long)].collect().toSeq
+    assert(led.size >= 20, s"fixture learned only ${led.size} merges")
+    val batches = led.groupBy(_._2).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._1).map(r => (r._3, r._4)))
+    val b = Bpe.encodeBatches(docs, batches).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().toSeq
+    val t = Bpe.encodeTable(docs, batches.flatten).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(t === b)
+  }
+
   test("encodeBatches equals encode on the flat merge list when batches " +
     "are triple-disjoint") {
     val docs = Seq((1L, "abab cdcd ab"), (2L, ""), (3L, "dcba")).toDF("doc_id", "text")

@@ -127,4 +127,70 @@ class VersionedSpec extends SparkSpec {
       assert(Versioned.vacuum(spark, dir, retainFrom = 2L) === 0)
     } finally rm(dir)
   }
+
+  test("mergeSchema evolution: old versions keep their narrow schema, " +
+    "carried files read NULL for the new column, a prio-less later " +
+    "source NULLs it on replace, and no prior file is rewritten") {
+    val dir = tmpDir("schevo")
+    try {
+      val base = spark.range(0, 40)
+        .select(col("id").as("k"), (col("id") * 3).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      def dataFiles(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$dir/data"))
+          .filter(f => f.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.length()).toMap
+      }
+      val f1 = dataFiles()
+      // v2: bucket-1 keys upsert WITH a new string column `tag`
+      val src2 = base.filter(col("bucket") === 1)
+        .withColumn("tag", concat(lit("t"), col("k")))
+        .withColumn("op", lit("U"))
+      Versioned.merge(spark, dir, "bucket", "k", src2, mergeSchema = true)
+      // v1 read: narrow schema, untouched
+      val v1 = Versioned.read(spark, dir, 1L)
+      assert(!v1.columns.contains("tag"))
+      assert(v1.count() === 40L)
+      // v2 read: widened; carried buckets NULL, merged bucket populated
+      val v2 = Versioned.read(spark, dir, 2L)
+      assert(v2.columns.contains("tag"))
+      val tags = v2.groupBy(col("bucket"))
+        .agg(count(col("tag")).as("ct")).as[(Long, Long)].collect().toMap
+      assert(tags(1L) === 10L)
+      assert(tags(0L) === 0L && tags(2L) === 0L && tags(3L) === 0L)
+      // v3: a source WITHOUT tag updates two bucket-1 keys -> tag NULLs
+      // on replace (its slice mixes nothing here, but the upsert side is
+      // the schema-missing direction)
+      val src3 = base.filter(col("bucket") === 1 && col("k") < 10)
+        .withColumn("v", col("v") + 100).withColumn("op", lit("U"))
+      Versioned.merge(spark, dir, "bucket", "k", src3, mergeSchema = true)
+      val v3 = Versioned.read(spark, dir, 3L)
+      val t3 = v3.filter(col("bucket") === 1)
+        .select(col("k"), col("tag")).as[(Long, Option[String])]
+        .collect().toMap
+      assert(t3.filter(_._1 < 10).forall(_._2.isEmpty))
+      assert(t3.filter(_._1 >= 10).forall(kv => kv._2.contains(s"t${kv._1}")))
+      // append-only survives evolution
+      val f3 = dataFiles()
+      assert(f1.forall { case (p, n) => f3.get(p).contains(n) })
+      // without the flag, an extra source column is still dropped (the
+      // historical projection behavior), and a source MISSING a snapshot
+      // column fails loudly instead of silently nulling
+      val src4 = base.filter(col("bucket") === 2)
+        .withColumn("tag", lit(null).cast("string"))
+        .withColumn("extra", lit(1L)).withColumn("op", lit("U"))
+      Versioned.merge(spark, dir, "bucket", "k", src4)
+      assert(!Versioned.read(spark, dir, 4L).columns.contains("extra"))
+      val srcMissing = base.filter(col("bucket") === 2)
+        .withColumn("op", lit("U"))
+      intercept[org.apache.spark.sql.AnalysisException](
+        Versioned.merge(spark, dir, "bucket", "k", srcMissing))
+    } finally rm(dir)
+  }
 }
