@@ -45,6 +45,46 @@ object BpeRounds {
           window = 48).count())
       println(f"| batched(8/round) | $n | $b | $sec%.2f | ${sec / n}%.3f | |")
     }
+
+    // ENCODE tiers vs merge-table size (r14): encodeBatches' expression
+    // tree grows ~4x per batch (exponential — the analyzer ceiling), so
+    // its curve bends with the table; encodeTable is one constant-depth
+    // mapPartitions pass whose per-rule cost is an O(1) set probe — the
+    // 10^3+-merge regime. Both forced through a count of exploded
+    // symbols so the whole segmentation materializes.
+    val led = Bpe.mergesBatched(docs, batches = 8, batchSize = 8,
+      window = 48).orderBy(org.apache.spark.sql.functions.col("merge_idx"))
+      .collect()
+    val batched = led.groupBy(_.getLong(1)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getLong(0))
+        .map(r => (r.getString(2), r.getString(3))).toSeq)
+    def force(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.functions._
+      df.select(explode(col("bpe")).as("s"))
+        .agg(sum(length(col("s")))).head().getLong(0)
+    }
+    println()
+    println(s"| encode tier | merges | sec | sec/merge | ($sfDir) |")
+    println("|---|---|---|---|---|")
+    // warmups
+    force(Bpe.encodeBatches(docs, batched.take(1)))
+    force(Bpe.encodeTable(docs, batched.take(1).flatten))
+    for (b <- Seq(2, 4, 5)) {
+      // the fold tier stops at 5 batches: its expression tree grows ~4x
+      // per nesting level, and past ~6 levels analysis never returns
+      val rules = batched.take(b)
+      val n = rules.map(_.size).sum
+      val (secB, _) = timed(force(Bpe.encodeBatches(docs, rules)))
+      println(f"| encodeBatches | $n | $secB%.2f | ${secB / n}%.3f | |")
+    }
+    for (b <- Seq(2, 4, 5, 8)) {
+      val rules = batched.take(b)
+      val n = rules.map(_.size).sum
+      val (secT, _) = timed(force(Bpe.encodeTable(docs, rules.flatten)))
+      println(f"| encodeTable | $n | $secT%.2f | ${secT / n}%.3f | |")
+    }
+    println("| encodeBatches | (8 batches) | DNF | analyzer ceiling: " +
+      "tree ~4^8 x base | |")
     spark.stop()
   }
 }

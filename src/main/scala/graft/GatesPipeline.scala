@@ -313,9 +313,13 @@ private[graft] object GatesPipeline {
     }),
 
 
+    // (4 batches, not 5: the fold tree grows ~4x per batch — BpeRounds
+    // measures 3.5 s at 4 batches vs 16.3 s at 5 at sf0.1 — and the
+    // large-table regime is text_bpe_encode_table's job; this gate pins
+    // the FOLD tier's semantics at its economic depth)
     "text_bpe_batch_encode" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val led = Bpe.mergesBatched(docs, batches = 5, batchSize = 8,
+      val led = Bpe.mergesBatched(docs, batches = 4, batchSize = 8,
         window = 48).orderBy(col("merge_idx")).collect()
       val batches = led.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map(_._2
         .sortBy(_.getLong(0)).map(r => (r.getString(2), r.getString(3))).toSeq)
@@ -1375,7 +1379,7 @@ private[graft] object GatesPipeline {
     "text_bpe_batch" ->
       bpeBatchSql(batches = 5, batchSize = 8, window = 48, encodeTail = false),
     "text_bpe_batch_encode" ->
-      bpeBatchSql(batches = 5, batchSize = 8, window = 48, encodeTail = true),
+      bpeBatchSql(batches = 4, batchSize = 8, window = 48, encodeTail = true),
     // table-driven encode answers to the SAME replay: sequential
     // application of the flat learned list == batch-wise folds under the
     // selection's triple-disjointness (BpeSpec pins all three tiers equal)
