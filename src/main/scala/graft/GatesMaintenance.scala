@@ -535,6 +535,63 @@ private[graft] object GatesMaintenance {
     }),
 
 
+    // ── K20: ERASURE × VACUUM — right-to-be-forgotten on the COW
+    // store. A COW delete only removes rows from the NEW version; the
+    // victims' bytes survive in prior versions' files until vacuum
+    // reclaims them — the compliance gap auditors actually probe. The
+    // gate erases every key %97==0 (coprime to the bucket count, so
+    // victims span partitions), pins that BEFORE vacuum a v1 read still
+    // shows all victims (pre_vacuum_visible_ok — the documented
+    // retention risk, why erasure SLAs are vacuum SLAs), then vacuums
+    // and PHYSICALLY scans every surviving data file: zero victim keys
+    // anywhere on disk (physical_gone_ok), with the latest read's
+    // per-bucket aggregates oracle-matched.
+    "k20_erasure_vacuum" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-erasure-${System.nanoTime()}"
+      def survivors(): Seq[String] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$path/data"))
+          .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      }
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        Versioned.init(s, path, "bucket", base)
+        val victims = base.filter(col("k") % 97 === 0)
+        val nVictims = victims.count()
+        Versioned.merge(s, path, "bucket", "k",
+          victims.withColumn("op", lit("D")))
+        val preVisible = Versioned.read(s, path, 1L)
+          .join(victims.select(col("k")), Seq("k"), "left_semi")
+          .count() == nVictims
+        Versioned.vacuum(s, path, retainFrom = 2L)
+        val physGone = s.read.parquet(survivors(): _*)
+          .join(victims.select(col("k")), Seq("k"), "left_semi")
+          .count() == 0L
+        Versioned.read(s, path, 2L)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("ct"),
+            sum(col("price")).cast("double").as("price_sum"),
+            sum(col("k")).as("key_sum"))
+          .withColumn("erased_ct", lit(nVictims))
+          .withColumn("pre_vacuum_visible_ok",
+            lit(if (preVisible) 1L else 0L))
+          .withColumn("physical_gone_ok", lit(if (physGone) 1L else 0L))
+          .select(col("bucket"), col("ct"), col("price_sum"),
+            col("key_sum"), col("erased_ct"),
+            col("pre_vacuum_visible_ok"), col("physical_gone_ok"))
+          .orderBy(col("bucket"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── K19: SCHEMA EVOLUTION on the versioned COW store — the other
     // dimension time travel must survive: a merge (mergeSchema=true)
     // introduces a column the snapshot lacks. The committed sidecar
@@ -1072,6 +1129,23 @@ private[graft] object GatesMaintenance {
         |  CAST(1 AS BIGINT) AS read_fails_ok,
         |  CAST(1 AS BIGINT) AS pre_post_ok
         |FROM snaps ORDER BY version, bucket""".stripMargin,
+
+
+    // post-erasure latest state per bucket; the pre-vacuum visibility
+    // and physical-scan verdicts are pinned true
+    "k20_erasure_vacuum" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderkey % 8 AS bucket FROM orders),
+        |v2 AS (SELECT * FROM base WHERE k % 97 <> 0)
+        |SELECT bucket, COUNT(*) AS ct,
+        |  CAST(SUM(price) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE k % 97 = 0)
+        |    AS erased_ct,
+        |  CAST(1 AS BIGINT) AS pre_vacuum_visible_ok,
+        |  CAST(1 AS BIGINT) AS physical_gone_ok
+        |FROM v2 GROUP BY bucket ORDER BY bucket""".stripMargin,
 
 
     // replay all three schema-evolution snapshots: v1 pre-evolution
