@@ -221,6 +221,17 @@ object AbDrift {
         withConf("spark.sql.streaming.stateStore.unloadOnCommit", "true") {
           SparkEntry.queries("stream_chained_join_agg")(spark, sfDir).count()
         }),
+      // r14 rate-limit tiers: array (collect_list + HOF fold) vs sorted
+      // (secondary-sorted mapPartitions, O(1) per-key state) on the SAME
+      // t5 inputs — the absolute numbers size what the bounded-state
+      // posture costs/saves at tenant-grained keys. Checksum-forced.
+      "t5_array" -> (() => {
+        Sessions.force(SparkEntry.queries("t5_rate_limit")(spark, sfDir)); 0L
+      }),
+      "t5_sorted" -> (() => {
+        Sessions.force(
+          SparkEntry.queries("t5_rate_limit_sorted")(spark, sfDir)); 0L
+      }),
       "ch_agg_maint" -> (() =>
         withConf("spark.sql.streaming.stateStore.maintenanceInterval", "600s") {
           chainedAgg(2)
