@@ -673,6 +673,32 @@ private[graft] object GatesStreaming {
     }),
 
 
+    // ── The MITIGATION for the hot windowed group: the same hot-type
+    // remap through a two-level SALTED rollup (chained stateful aggs in
+    // one query) — the hot group's rows and its distinct-user state
+    // split across 8 salt sub-groups before a re-agg folds the closed
+    // partials. user_ct stays exact (salt is a function of user_id, so
+    // per-salt sets are disjoint). Append mode: the oracle applies the
+    // watermark cutoff (windows with end <= final wm), same as
+    // stream_chained_agg.
+    "stream_skew_salted" -> ((s, dir) => {
+      val chunks = graft.streaming.Sources.eventsSplitChunks(s, dir).map { f =>
+        s.read.parquet(f.getPath).withColumn("event_type",
+          when(pmod(col("event_id"), lit(2L)) === 0, lit("hot_type"))
+            .otherwise(col("event_type")))
+      }
+      val stage = s"$shmRoot/graft-skewsalt-${System.nanoTime()}"
+      try {
+        graft.streaming.StreamRunner.collect(
+          graft.streaming.WindowedStreams.productStatsSalted(
+            graft.streaming.Sources.stagedChunkStream(s, chunks, Some(stage))),
+          statePartitions = 1)
+          .orderBy(col("stt"), col("event_type"))
+          .localCheckpoint(true) // materialize before the stage sweeps
+      } finally rmTree(stage)
+    }),
+
+
     // ── Chained stateful aggregation (Spark 4 multiple stateful
     // operators): 60s pre-agg feeds a 600s re-agg in ONE streaming query —
     // the cascaded-rollup shape that cuts the coarse level's shuffle and
@@ -1359,6 +1385,26 @@ private[graft] object GatesStreaming {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount,
         |       COUNT(DISTINCT user_id) AS user_ct
         |FROM w GROUP BY us, event_type ORDER BY us, event_type""".stripMargin,
+
+
+    // the uniform replay of the hot remap under the append cutoff —
+    // salting must not move any window's answer
+    "stream_skew_salted" ->
+      """WITH e AS (SELECT ts, value, user_id,
+        |    CASE WHEN event_id % 2 = 0 THEN 'hot_type'
+        |         ELSE event_type END AS event_type
+        |  FROM events),
+        |w AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP))//10000000)*10000000 AS us,
+        |             event_type, value, user_id FROM e),
+        |fin AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))//1000)*1000 AS wm_us
+        |        FROM events)
+        |SELECT strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(make_timestamp(us + 10000000), '%Y-%m-%d %H:%M:%S') AS edt,
+        |       event_type, COUNT(*) AS ct,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount,
+        |       COUNT(DISTINCT user_id) AS user_ct
+        |FROM w, fin WHERE us + 10000000 <= wm_us
+        |GROUP BY us, event_type ORDER BY us, event_type""".stripMargin,
 
 
     "stream_chained_agg" ->

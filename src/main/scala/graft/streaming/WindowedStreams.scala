@@ -32,6 +32,37 @@ object WindowedStreams {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("event_type"), col("ct"), col("amount"), col("user_ct"))
 
+  /** Hot-GROUP mitigation for [[productStats]]: two-level SALTED rollup
+    * in ONE streaming query (chained stateful aggregations). Level 1
+    * pre-aggregates by (window, type, salt = user_id mod `salts`) — a
+    * hot (window, type) group's rows AND its distinct-user state split
+    * across `salts` sub-groups, so no single task drains the hot group
+    * and no single state row holds its whole user set; level 2
+    * re-windows the closed partials and folds them. `user_ct` stays
+    * EXACT: salt is a function of user_id, so per-salt user sets are
+    * disjoint and their sizes add. Chained aggs require append mode —
+    * emits the windows the watermark closed (same contract as
+    * [[chainedStats]]). */
+  def productStatsSalted(events: DataFrame, windowSec: Int = 10,
+      salts: Int = 8, watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$windowSec seconds"),
+        col("event_type"),
+        pmod(col("user_id"), lit(salts.toLong)).as("salt"))
+      .agg(count(lit(1)).as("ct"),
+        sum(col("value").cast("decimal(18,2)")).as("amount"),
+        size(collect_set(col("user_id"))).cast("long").as("user_ct"))
+      .groupBy(window(col("window"), s"$windowSec seconds").as("w"),
+        col("event_type"))
+      .agg(sum(col("ct")).as("ct"),
+        sum(col("amount")).cast("double").as("amount"),
+        sum(col("user_ct")).as("user_ct"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("ct"), col("amount"), col("user_ct"))
+
   /** A2 streaming: visitor cube cell — window x type x cohort. */
   def visitorStats(events: DataFrame, windowSec: Int = 60,
       watermark: String = "14 seconds"): DataFrame =
