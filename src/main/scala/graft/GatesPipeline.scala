@@ -618,6 +618,30 @@ private[graft] object GatesPipeline {
     }),
 
 
+    // ── Dedup: the AT-REST index round-trip — the band index is WRITTEN
+    // to disk partitioned by band (the persisted layout the scaladoc
+    // promises: incremental ingestion probes O(bands × docs) index rows,
+    // never re-shingles history text) and read back before the probe.
+    // Same fixture and oracle as dedup_incremental: the disk round-trip
+    // must not move the candidate set or any jaccard.
+    "dedup_index_atrest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      val history = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      val path = s"$shmRoot/graft-bandidx-${System.nanoTime()}"
+      try {
+        Dedup.minhashBandIndex(history)
+          .write.partitionBy("band").mode("overwrite").parquet(path)
+        val idx = s.read.parquet(path)
+          .select(col("doc_id"),
+            col("band").cast("int").as("band"), col("key"))
+        Dedup.incrementalNearDups(incoming, history, idx)
+          .orderBy(col("doc_a"), col("doc_b"))
+          .localCheckpoint(true) // materialize before the index sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── Dedup: SimHash — portable twin (md5-lower-64 bit votes)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairsPortable(Tables.documents(s, dir), maxHamming = 8,
@@ -1370,6 +1394,36 @@ private[graft] object GatesPipeline {
         |ORDER BY d.doc_id""".stripMargin
     }
   }
+
+  // shared by dedup_incremental and dedup_index_atrest (the at-rest
+  // index round-trip must not move the candidate set or any jaccard)
+  private val dedupIncrementalSql: String =
+    s"""WITH perms(i, a, b) AS (VALUES ${permValuesSql(64)}),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+        |  FROM toks),
+        |hv AS (SELECT doc_id, CAST(md5_number_lower(sv) % 2147483647 AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(s) AS sv FROM sh)),
+        |mh AS (SELECT doc_id, p.i AS i,
+        |    MIN((CAST(p.a AS BIGINT) * hv.h + p.b) % 2147483647) AS m
+        |  FROM hv CROSS JOIN perms p GROUP BY doc_id, p.i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+        |  FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+        |p2 AS (SELECT c.doc_a, c.doc_b, len(list_intersect(sa.s, sb.s)) AS i2,
+        |    len(sa.s) AS la, len(sb.s) AS lb
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+        |    JOIN sh sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, CAST(i2 AS DOUBLE)/(la + lb - i2) AS jaccard
+        |FROM p2 WHERE CAST(i2 AS DOUBLE)/(la + lb - i2) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -2209,33 +2263,8 @@ private[graft] object GatesPipeline {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
 
-    "dedup_incremental" ->
-      s"""WITH perms(i, a, b) AS (VALUES ${permValuesSql(64)}),
-        |toks AS (SELECT doc_id,
-        |    list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
-        |  FROM toks),
-        |hv AS (SELECT doc_id, CAST(md5_number_lower(sv) % 2147483647 AS BIGINT) AS h
-        |  FROM (SELECT doc_id, unnest(s) AS sv FROM sh)),
-        |mh AS (SELECT doc_id, p.i AS i,
-        |    MIN((CAST(p.a AS BIGINT) * hv.h + p.b) % 2147483647) AS m
-        |  FROM hv CROSS JOIN perms p GROUP BY doc_id, p.i),
-        |bk AS (SELECT doc_id, i // 4 AS band,
-        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
-        |  FROM mh GROUP BY doc_id, i // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
-        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
-        |p2 AS (SELECT c.doc_a, c.doc_b, len(list_intersect(sa.s, sb.s)) AS i2,
-        |    len(sa.s) AS la, len(sb.s) AS lb
-        |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
-        |    JOIN sh sb ON sb.doc_id = c.doc_b)
-        |SELECT doc_a, doc_b, CAST(i2 AS DOUBLE)/(la + lb - i2) AS jaccard
-        |FROM p2 WHERE CAST(i2 AS DOUBLE)/(la + lb - i2) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_index_atrest" -> dedupIncrementalSql,
 
 
     // Recomputes graft_simhash_p verbatim: per-shingle md5-lower-64 bit
