@@ -262,6 +262,15 @@ private[graft] object GatesPipeline {
     }),
 
 
+    // ── Text: bigram COLLOCATIONS by PMI — phrase detection over the
+    // corpus (pairs co-occurring above chance; minCount=5 guards the
+    // hapax pathology). One double rational + ln, floor-truncated —
+    // the lm-score exactness recipe; count-table-sized joins only.
+    "text_collocations" -> ((s, dir) =>
+      LangModel.collocations(Tables.documents(s, dir), minCount = 5L)
+        .orderBy(col("w1"), col("w2"))),
+
+
     // ── Text: BPE ENCODE — segment the corpus with the 4 learned merges
     // (vocab-sized merge application, joined back to corpus words; per-doc
     // reassembly is row-bounded). n_bpe + ordered head pin both the
@@ -1745,6 +1754,29 @@ private[graft] object GatesPipeline {
     // Same smoothed-bigram arithmetic as LangModel.bigramNll, operand for
     // operand: one IEEE division inside ln on exact ints, per-occurrence
     // floor to millionths, exact long sums, one final mean division.
+    // PMI replayed with the identical double op order and truncation
+    "text_collocations" ->
+      """WITH t AS (SELECT list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM uni),
+        |bo AS (SELECT toks[u.i] AS w1, toks[u.i+1] AS w2
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |  FROM bo GROUP BY 1, 2),
+        |nb AS (SELECT CAST(SUM(c12) AS DOUBLE) AS n_bi_total FROM bi)
+        |SELECT bi.w1, bi.w2, bi.c12,
+        |  floor(ln((CAST(bi.c12 AS DOUBLE) * nu.n_uni * nu.n_uni)
+        |      / (nb.n_bi_total * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+        |    * 1000000.0) / 1000000.0 AS pmi_t
+        |FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2
+        |CROSS JOIN nu CROSS JOIN nb
+        |WHERE bi.c12 >= 5
+        |ORDER BY w1, w2""".stripMargin,
+
+
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, list_filter(
         |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks

@@ -80,4 +80,42 @@ object LangModel {
             (col("nll_fp_sum").cast("double") / lit(1000000.0)) / col("n_bi")))
           .as("avg_nll"))
   }
+
+  /** Bigram collocations by pointwise mutual information — phrase
+    * detection (the word2vec-phrases / corpus-prep role: "new york"
+    * co-occurs far above chance; "of the" does not). For each adjacent
+    * pair with corpus count ≥ `minCount` (the standard guard against the
+    * PMI hapax pathology — rare pairs otherwise max the score):
+    *
+    *   pmi = ln( (c12 · N²) / (B · c1 · c2) )
+    *
+    * with N = total tokens, B = total bigram occurrences. The rational
+    * is evaluated in ONE double expression with a fixed multiplication
+    * order (mirrored operand-for-operand by the oracle) and the ln
+    * floor-truncates to millionths — the text_lm_score exactness recipe.
+    *
+    * Scale shape: two count shuffles (unigram, bigram — both map-side
+    * combined), then joins over COUNT TABLES only (bigram-type-sized,
+    * ≪ corpus; AQE broadcasts the unigram side when it fits). The
+    * corpus itself is scanned twice and never re-shuffled. */
+  def collocations(corpus: DataFrame, minCount: Long = 5L): DataFrame = {
+    val toks = corpus.select(TextFns.tokensWs(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).cast("double").as("n_uni"))
+    val bi = toks.select(explode(bigramPairs(col("toks"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val nBi = bi.agg(sum(col("c12")).cast("double").as("n_bi_total"))
+    bi.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c12"),
+        TextFns.truncate6(log(
+          (col("c12").cast("double") * col("n_uni") * col("n_uni"))
+            / (col("n_bi_total") * col("c1").cast("double")
+              * col("c2").cast("double")))).as("pmi_t"))
+  }
 }

@@ -293,6 +293,35 @@ class OperatorsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("LangModel.collocations: hand-checked PMI, minCount guard, " +
+    "partition invariance") {
+    import graft.operators.LangModel
+    // "x y" x3 always together; "a" pairs promiscuously
+    val corpus = Seq(
+      (1L, "x y x y x y"), (2L, "a b a c a b a c")).toDF("doc_id", "text")
+    // uni: x=3 y=3 a=4 b=2 c=2 -> N=14; bigrams: (x,y)=3 (y,x)=2
+    // (a,b)=2 (b,a)=2 (a,c)=2 (c,a)=1 -> B=12
+    val r = LangModel.collocations(corpus, minCount = 2L)
+      .orderBy("w1", "w2")
+      .as[(String, String, Long, Double)].collect().toSeq
+    def pmi(c12: Long, c1: Long, c2: Long) =
+      math.floor(math.log((c12.toDouble * 14.0 * 14.0) /
+        (12.0 * c1.toDouble * c2.toDouble)) * 1e6) / 1e6
+    assert(r.map(t => (t._1, t._2, t._3)) === Seq(
+      ("a", "b", 2L), ("a", "c", 2L), ("b", "a", 2L), ("x", "y", 3L),
+      ("y", "x", 2L)))
+    assert(r.find(t => t._1 == "x" && t._2 == "y").get._4 === pmi(3, 3, 3))
+    assert(r.find(t => t._1 == "a" && t._2 == "b").get._4 === pmi(2, 4, 2))
+    // (c,a)=1 falls under minCount
+    assert(!r.exists(t => t._1 == "c"))
+    // the exclusive pair scores strictly above the promiscuous one
+    assert(pmi(3, 3, 3) > pmi(2, 4, 2))
+    val p = LangModel.collocations(corpus.repartition(5), minCount = 2L)
+      .orderBy("w1", "w2")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(p === r)
+  }
+
   test("Quality.topNgramCoverage: argmax gram, lexicographic ties, " +
     "coverage fraction; short and empty docs degrade cleanly") {
     import graft.operators.Quality
