@@ -848,6 +848,18 @@ private[graft] object GatesBatch {
         .orderBy(col("user_id"))),
 
 
+    // ── A25, bounded-state tier: the SAME EMA recurrence folded lazily
+    // over a (user, ts, event_id)-secondary-sorted partition — O(1)
+    // per-key state instead of collect_list (the t5_rate_limit_sorted
+    // pattern); identical IEEE op sequence, so it shares the array
+    // tier's oracle verbatim.
+    "a25_ema_sorted" -> ((s, dir) =>
+      graft.operators.Stats.emaSorted(Tables.events(s, dir),
+          col("user_id"), "ts", "event_id", "value", alpha = 0.2)
+        .select(col("k").as("user_id"), col("n").as("n_events"), col("ema"))
+        .orderBy(col("user_id"))),
+
+
     // ── A11: LAG window — per-user inter-event gaps (the session-gap
     // primitive as an analytic function). Exact integer microsecond sums
     // + ONE final division keep the double bit-identical across engines;
@@ -1566,6 +1578,16 @@ private[graft] object GatesBatch {
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
+  // shared by a25_ema (array-tier HOF fold) and a25_ema_sorted (r14
+  // bounded-state tier): both replay the SAME IEEE op sequence
+  private val emaOracleSql: String =
+    """WITH seq AS (SELECT user_id, COUNT(*) AS n_events,
+      |    list(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vals
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) AS ema
+      |FROM seq ORDER BY user_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q1_agg" ->
@@ -2024,13 +2046,8 @@ private[graft] object GatesBatch {
     // Same sequential fold, same (ts, event_id) order: list_reduce's
     // first lambda arg is the accumulator, seeded with the first element
     // exactly like the Spark side's aggregate(slice(...), seq[0], ...)
-    "a25_ema" ->
-      """WITH seq AS (SELECT user_id, COUNT(*) AS n_events,
-        |    list(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vals
-        |  FROM events GROUP BY user_id)
-        |SELECT user_id, n_events,
-        |  list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) AS ema
-        |FROM seq ORDER BY user_id""".stripMargin,
+    "a25_ema" -> emaOracleSql,
+    "a25_ema_sorted" -> emaOracleSql,
 
 
     "f_array_hofs" ->

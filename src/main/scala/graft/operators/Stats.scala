@@ -369,4 +369,59 @@ object Stats {
       .select(gs ++ Seq(col("n_a"), col("n_b"), col("mean_a_t"),
         col("mean_b_t"), col("t_t"), col("df_t")): _*)
   }
+
+  /** Bounded-state tier of the per-key EMA (the a25 fold): identical
+    * recurrence (seed = first value in (ts, tie) order; acc' = α·x +
+    * (1−α)·acc, the exact IEEE op sequence of the array tier's HOF and
+    * the oracle's list_reduce) folded in ONE lazy pass over a
+    * (key, ts, tie)-secondary-sorted partition — per-key state is one
+    * (acc, n) pair instead of the array tier's collect_list, so a key
+    * with 10⁹ events streams through a task (the
+    * [[Quota.tokenBucketSorted]] pattern). Returns (k, n, ema). */
+  def emaSorted(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+      tsCol: String, tieCol: String, valueCol: String,
+      alpha: Double): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    val beta = 1.0 - alpha
+    val evs = df.select(keyCol.as("k"), col(tsCol).as("ts"),
+      col(tieCol).as("tie"), col(valueCol).cast("double").as("v"))
+    val keyType = evs.schema("k").dataType
+    val outSchema = StructType(Seq(
+      StructField("k", keyType),
+      StructField("n", LongType, nullable = false),
+      StructField("ema", DoubleType, nullable = false)))
+    evs.repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("ts"), col("tie"))
+      .mapPartitions { it =>
+        new Iterator[Row] {
+          private var pending: Row = null
+          private var cur: Row = null
+          private def summarize(): Unit = {
+            val key = cur.get(0)
+            var acc = cur.getDouble(3)
+            var n = 1L
+            var row: Row = if (it.hasNext) it.next() else null
+            while (row != null &&
+                java.util.Objects.equals(row.get(0), key)) {
+              acc = alpha * row.getDouble(3) + beta * acc
+              n += 1L
+              row = if (it.hasNext) it.next() else null
+            }
+            cur = row
+            pending = Row(key, n, acc)
+          }
+          override def hasNext: Boolean = {
+            if (pending == null && cur != null) summarize()
+            if (pending == null && it.hasNext) { cur = it.next(); summarize() }
+            pending != null
+          }
+          override def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = pending; pending = null; r
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
 }

@@ -293,6 +293,34 @@ class OperatorsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("Stats.emaSorted: bitwise-equal to the array-tier HOF fold, " +
+    "multi-key, partition-invariant, singletons seed-only") {
+    val df = (0 until 90).map { i =>
+      (i.toLong, (i % 4).toLong, i / 4, 1.0 + (i % 7) * 0.31)
+    }.toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    def arr(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        expr("sort_array(collect_list(struct(ts, event_id, value)))").as("seq"))
+      .select(col("user_id"), col("n"),
+        expr("aggregate(slice(transform(seq, s -> s.value), 2, " +
+          "greatest(size(seq) - 1, 0)), transform(seq, s -> s.value)[0], " +
+          "(acc, x) -> 0.2D * x + 0.8D * acc)").as("ema"))
+      .orderBy(col("user_id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    def srt(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Stats.emaSorted(d, col("user_id"), "ts", "event_id",
+          "value", alpha = 0.2)
+        .orderBy(col("k")).as[(Long, Long, Double)].collect().toSeq
+    val a = arr(df)
+    assert(srt(df) === a)           // bitwise: no tolerance
+    assert(srt(df.repartition(7)) === a)
+    val single = Seq((1L, 9L, 0, 42.5)).toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    assert(srt(single) === Seq((9L, 1L, 42.5)))
+  }
+
   test("LangModel.collocations: hand-checked PMI, minCount guard, " +
     "partition invariance") {
     import graft.operators.LangModel
