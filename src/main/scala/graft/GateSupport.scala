@@ -155,6 +155,18 @@ private[graft] object GateSupport {
       |FROM p WHERE CAST(i AS DOUBLE)/(la + lb - i) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Per-key EMA truth (seed = first value in (ts, event_id) order,
+    * acc' = 0.2x + 0.8acc — one exact IEEE op sequence), shared by the
+    * a25 array-tier gate, the r14 sorted bounded-state tier, and the
+    * transformWithState streaming twin. */
+  private[graft] val emaOracleSql =
+    """WITH seq AS (SELECT user_id, COUNT(*) AS n_events,
+      |    list(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vals
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) AS ema
+      |FROM seq ORDER BY user_id""".stripMargin
+
   /** Token-bucket admission truth, shared by the batch fold gate and its
     * transformWithState streaming twin: the identical integer recurrence
     * replayed row-by-row through a recursive CTE. */

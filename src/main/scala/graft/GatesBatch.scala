@@ -1578,16 +1578,6 @@ private[graft] object GatesBatch {
   )
 
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
-  // shared by a25_ema (array-tier HOF fold) and a25_ema_sorted (r14
-  // bounded-state tier): both replay the SAME IEEE op sequence
-  private val emaOracleSql: String =
-    """WITH seq AS (SELECT user_id, COUNT(*) AS n_events,
-      |    list(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vals
-      |  FROM events GROUP BY user_id)
-      |SELECT user_id, n_events,
-      |  list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) AS ema
-      |FROM seq ORDER BY user_id""".stripMargin
-
   def oracleSql: Map[String, String] = Map(
 
     "q1_agg" ->

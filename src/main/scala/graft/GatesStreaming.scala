@@ -411,6 +411,27 @@ private[graft] object GatesStreaming {
     // folded per batch in event-time order; the ts-contiguous source
     // makes the cross-batch order equal the batch operator's, so the
     // SAME recursive-CTE oracle pins the admitted/rejected sets.
+    // ── A25 streaming: per-key EMA through transformWithState — one
+    // (acc, n) pair per key; the final per-key snapshot must equal the
+    // batch fold BITWISE (same IEEE sequence via the ts-contiguous
+    // composite order), so the array tier's oracle applies verbatim.
+    "stream_a25_ema" -> ((s, dir) => {
+      withRocksDb(s) {
+        graft.streaming.StreamRunner.collect(
+          graft.streaming.TwsStreams.ema(
+            graft.streaming.Sources.eventsStreamSplit(s, dir)
+              .withWatermark("ts", "0 seconds"),
+            e => e.user_id, alpha = 0.2),
+          statePartitions = 2)
+          .groupBy(col("k"))
+          .agg(max(col("n")).as("n_events"),
+            expr("max_by(ema, n)").as("ema"))
+          .select(col("k").as("user_id"), col("n_events"), col("ema"))
+          .orderBy(col("user_id"))
+      }
+    }),
+
+
     "stream_t5_rate_limit" -> ((s, dir) => {
       withRocksDb(s) {
         graft.streaming.StreamRunner.collect(
@@ -1215,6 +1236,7 @@ private[graft] object GatesStreaming {
     // RocksDB state, per-batch event-time folds) answers to the same
     // recursive-CTE truth
     "stream_t5_rate_limit" -> rateLimitOracleSql,
+    "stream_a25_ema" -> emaOracleSql,
 
 
     // same oracle again: timers-and-TTL API twin, identical bounce rule

@@ -328,6 +328,55 @@ object TwsStreams {
     }
   }
 
+  case class EmaState(acc: Double, n: Long)
+  case class EmaSnap(k: Long, n: Long, ema: Double)
+
+  /** A25 streaming twin of the per-key EMA: ONE (acc, n) pair per key in
+    * the state store — the unbounded-per-key path (same contract family
+    * as [[rateLimit]] vs the batch fold). Within a batch each key's rows
+    * fold in (event-time µs, event_id) order; the ts-contiguous split
+    * source makes the cross-batch composite equal the batch total order,
+    * so the recurrence sees the IDENTICAL IEEE op sequence and the batch
+    * oracle applies to the final snapshot verbatim (bitwise doubles).
+    * Emits one running (k, n, ema) snapshot per key per batch; the final
+    * snapshot per key is the series EMA. */
+  private class EmaProcessor(alpha: Double)
+      extends StatefulProcessor[Long, Event, EmaSnap] {
+    @transient private var st: ValueState[EmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EmaState]("ema",
+        Encoders.product[EmaState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[EmaSnap] = {
+      val evs = sorted(rows)
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val beta = 1.0 - alpha
+        var (acc, n) =
+          if (st.exists()) { val s0 = st.get(); (s0.acc, s0.n) }
+          else (0.0, 0L)
+        var rest = evs
+        if (n == 0L) { acc = evs.head.value; n = 1L; rest = evs.tail }
+        rest.foreach { e => acc = alpha * e.value + beta * acc; n += 1L }
+        st.update(EmaState(acc, n))
+        Iterator.single(EmaSnap(key, n, acc))
+      }
+    }
+  }
+
+  def ema(events: DataFrame, keyOf: StatefulStreams.Event => Long,
+      alpha: Double): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    toEvents(events)
+      .groupByKey(keyOf)
+      .transformWithState(new EmaProcessor(alpha),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
   def rateLimit(events: DataFrame, keyOf: StatefulStreams.Event => Long,
       capacity: Int, refillPerTick: Int, tickSeconds: Long): DataFrame = {
     val spark = events.sparkSession
