@@ -95,7 +95,10 @@ object Quota {
       unix_micros(col(tsCol).cast("timestamp")).as("us"),
       floor(unix_seconds(col(tsCol).cast("timestamp")) / tickSeconds)
         .cast("long").as("tick"),
-      col(tieCol).cast("long").as("tie"),
+      // tie keeps its ORIGINAL type: it exists only for the sort, and a
+      // long cast would re-order string ties differently from the array
+      // tier's struct sort
+      col(tieCol).as("tie"),
       col(valueIdCol).cast("long").as("vid"))
     val keyType = evs.schema("k").dataType
     val outSchema = StructType(Seq(
