@@ -178,10 +178,43 @@ object AbDrift {
       }.sum().toLong
     }
 
+    // r14: the zero-exchange payoff — the SAME as-of join over
+    // PRE-BUCKETED tables (the j20 path): AsOfJoinExec's required
+    // distribution is satisfied by the bucketed layout, so the timed
+    // region pays only the per-partition sorts + the merge, no
+    // exchange. The one-time bucketBy write happens OUTSIDE the timed
+    // thunks (lazy, first use), like any at-rest layout; tables are
+    // dropped before spark.stop().
+    lazy val asofBucketedTables: (String, String, String, String) = {
+      val uniq = System.nanoTime()
+      val (lt, rt) = (s"graft_ab_asof_l_$uniq", s"graft_ab_asof_r_$uniq")
+      val (lp, rp) = (s"${GateSupport.shmRoot}/$lt", s"${GateSupport.shmRoot}/$rt")
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_shipdate"))
+      val right = Tables.lineitem(spark, sfDir)
+        .select(col("l_suppkey").as("rk"), col("l_shipdate").as("rt"))
+        .filter(col("rk").isNotNull && col("rt").isNotNull)
+        .distinct()
+      graft.operators.Bucketing.writeBucketed(li, lt, lp, "l_suppkey", 32)
+      graft.operators.Bucketing.writeBucketed(right, rt, rp, "rk", 32)
+      (lt, rt, lp, rp)
+    }
+    def asofBucketedArm(): Long = {
+      val (lt, rt, _, _) = asofBucketedTables
+      val out = graft.operators.Joins.asOfJoinExec(
+          spark.table(lt), spark.table(rt),
+          Seq("l_suppkey" -> "rk"), "l_shipdate", "rt")
+        .select(col("l_orderkey"), col("rt"))
+      out.agg(sum(pmod(xxhash64(col("l_orderkey"), col("rt")),
+        lit(1000000007L)))).head().getLong(0)
+    }
+
     val customArms: Map[String, () => Long] = Map(
       "asof_composed" -> (() => asofLineitem(exec = false)),
       "asof_exec" -> (() => asofLineitem(exec = true)),
       "asof_inputs" -> (() => asofInputsOnly()),
+      "asof_bucketed" -> (() => asofBucketedArm()),
       "ch_agg_sp1" -> (() => chainedAgg(1)),
       "ch_agg_sp2" -> (() => chainedAgg(2)),
       "ch_agg_rocks" -> (() => rocksCl(chainedAgg(2))),
@@ -269,6 +302,12 @@ object AbDrift {
       val v = timings(name).sorted
       val med = v(v.size / 2)
       println(f"[ab] $name%-18s median $med%7.3f  min ${v.head}%7.3f  max ${v.last}%7.3f  n=${v.size}")
+    }
+    if (armNames.contains("asof_bucketed")) {
+      val (lt, rt, lp, rp) = asofBucketedTables
+      graft.operators.Bucketing.drop(spark, lt)
+      graft.operators.Bucketing.drop(spark, rt)
+      GateSupport.rmTree(lp); GateSupport.rmTree(rp)
     }
     spark.stop()
   }
