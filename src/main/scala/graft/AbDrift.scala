@@ -210,7 +210,37 @@ object AbDrift {
         lit(1000000007L)))).head().getLong(0)
     }
 
+    // r14: price the at-rest dedup index — incremental ingest with the
+    // history band index computed INLINE (re-shingles all history text
+    // every run) vs probed from its persisted layout (reads O(bands ×
+    // docs) index rows, zero history re-shingling). Write is one-time,
+    // outside the timed region.
+    lazy val bandIndexPath: String = {
+      val p = s"${GateSupport.shmRoot}/graft_ab_bandidx_${System.nanoTime()}"
+      val docs = Tables.documents(spark, sfDir)
+      graft.operators.Dedup.minhashBandIndex(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L))
+        .write.partitionBy("band").mode("overwrite").parquet(p)
+      p
+    }
+    def dedupIncArm(atRest: Boolean): Long = {
+      val docs = Tables.documents(spark, sfDir)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      val history = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      val idx =
+        if (atRest) spark.read.parquet(bandIndexPath)
+          .select(col("doc_id"), col("band").cast("int").as("band"),
+            col("key"))
+        else graft.operators.Dedup.minhashBandIndex(history)
+      val out = graft.operators.Dedup
+        .incrementalNearDups(incoming, history, idx)
+      out.agg(sum(pmod(xxhash64(col("doc_a"), col("doc_b"),
+        col("jaccard")), lit(1000000007L)))).head().getLong(0)
+    }
+
     val customArms: Map[String, () => Long] = Map(
+      "dedup_inc_inline" -> (() => dedupIncArm(atRest = false)),
+      "dedup_inc_atrest" -> (() => dedupIncArm(atRest = true)),
       "asof_composed" -> (() => asofLineitem(exec = false)),
       "asof_exec" -> (() => asofLineitem(exec = true)),
       "asof_inputs" -> (() => asofInputsOnly()),
@@ -303,6 +333,8 @@ object AbDrift {
       val med = v(v.size / 2)
       println(f"[ab] $name%-18s median $med%7.3f  min ${v.head}%7.3f  max ${v.last}%7.3f  n=${v.size}")
     }
+    if (armNames.contains("dedup_inc_atrest"))
+      GateSupport.rmTree(bandIndexPath)
     if (armNames.contains("asof_bucketed")) {
       val (lt, rt, lp, rp) = asofBucketedTables
       graft.operators.Bucketing.drop(spark, lt)
