@@ -535,6 +535,57 @@ private[graft] object GatesMaintenance {
     }),
 
 
+    // ── K21: row-level CHANGE FEED between versions (the lakehouse CDF
+    // role): every key inserted/updated/deleted over an interval, with
+    // U/I carrying the new row and D the retired one. The COW layout
+    // prices it at churned-partitions: files shared by both manifests
+    // are byte-identical, so only non-shared files are read and
+    // rewritten-but-unchanged rows compare equal and drop out. Both a
+    // single-merge interval (v2→v3) and a multi-merge one (v1→v3 —
+    // update-then-delete must collapse to D, insert-then-keep to I) on
+    // the k17 fixture; oracle replays both snapshots and full-outer
+    // diffs them (same answer as the file-pruned plan by construction).
+    "k21_change_feed" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-cdf-${System.nanoTime()}"
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        Versioned.init(s, path, "bucket", base)
+        val b1 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 5 && col("k") % 3 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("bucket") === 2 && col("k") % 3 === 2)
+            .withColumn("k", col("k") + 80000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", b1)
+        val b2 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("op", lit("D"))
+          .unionByName(base.filter(col("bucket") === 7 && col("k") % 5 === 1)
+            .withColumn("price", (col("price") * 3).cast("decimal(18,2)"))
+            .withColumn("op", lit("U")))
+          .unionByName(base.filter(col("bucket") === 7 && col("k") % 5 === 2)
+            .withColumn("k", col("k") + 90000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", b2)
+        val d23 = Versioned.changes(s, path, 2L, 3L, "k")
+          .withColumn("iv", lit("v2_v3"))
+        val d13 = Versioned.changes(s, path, 1L, 3L, "k")
+          .withColumn("iv", lit("v1_v3"))
+        d23.unionByName(d13)
+          .select(col("iv"), col("op"), col("k"),
+            col("price").cast("double").as("price"), col("bucket"))
+          .orderBy(col("iv"), col("op"), col("k"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── K20: ERASURE × VACUUM — right-to-be-forgotten on the COW
     // store. A COW delete only removes rows from the NEW version; the
     // victims' bytes survive in prior versions' files until vacuum
@@ -1129,6 +1180,54 @@ private[graft] object GatesMaintenance {
         |  CAST(1 AS BIGINT) AS read_fails_ok,
         |  CAST(1 AS BIGINT) AS pre_post_ok
         |FROM snaps ORDER BY version, bucket""".stripMargin,
+
+
+    // both intervals replayed as snapshot full-outer diffs — identical
+    // to the file-pruned plan because shared files are byte-identical
+    "k21_change_feed" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderkey % 8 AS bucket FROM orders),
+        |v2 AS (
+        |  SELECT k, price, bucket FROM base
+        |    WHERE NOT (bucket = 5 AND k % 3 = 1)
+        |      AND NOT (bucket = 2 AND k % 3 = 0)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 2 AS DECIMAL(18,2)), bucket FROM base
+        |    WHERE bucket = 2 AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 80000000, price, bucket FROM base
+        |    WHERE bucket = 2 AND k % 3 = 2),
+        |v3 AS (
+        |  SELECT k, price, bucket FROM v2
+        |    WHERE NOT (bucket = 2 AND k % 3 = 0)
+        |      AND NOT (bucket = 7 AND k % 5 = 1)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 3 AS DECIMAL(18,2)), bucket FROM base
+        |    WHERE bucket = 7 AND k % 5 = 1
+        |  UNION ALL
+        |  SELECT k + 90000000, price, bucket FROM base
+        |    WHERE bucket = 7 AND k % 5 = 2),
+        |d AS (
+        |  SELECT 'v2_v3' AS iv,
+        |    CASE WHEN o.k IS NULL THEN 'I' WHEN n.k IS NULL THEN 'D'
+        |      WHEN o.price IS DISTINCT FROM n.price
+        |        OR o.bucket IS DISTINCT FROM n.bucket THEN 'U' END AS op,
+        |    COALESCE(n.k, o.k) AS k,
+        |    CASE WHEN n.k IS NULL THEN o.price ELSE n.price END AS price,
+        |    CASE WHEN n.k IS NULL THEN o.bucket ELSE n.bucket END AS bucket
+        |  FROM v2 o FULL OUTER JOIN v3 n ON o.k = n.k
+        |  UNION ALL
+        |  SELECT 'v1_v3',
+        |    CASE WHEN o.k IS NULL THEN 'I' WHEN n.k IS NULL THEN 'D'
+        |      WHEN o.price IS DISTINCT FROM n.price
+        |        OR o.bucket IS DISTINCT FROM n.bucket THEN 'U' END,
+        |    COALESCE(n.k, o.k),
+        |    CASE WHEN n.k IS NULL THEN o.price ELSE n.price END,
+        |    CASE WHEN n.k IS NULL THEN o.bucket ELSE n.bucket END
+        |  FROM base o FULL OUTER JOIN v3 n ON o.k = n.k)
+        |SELECT iv, op, k, CAST(price AS DOUBLE) AS price, bucket
+        |FROM d WHERE op IS NOT NULL ORDER BY iv, op, k""".stripMargin,
 
 
     // post-erasure latest state per bucket; the pre-vacuum visibility

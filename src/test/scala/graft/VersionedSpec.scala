@@ -193,4 +193,42 @@ class VersionedSpec extends SparkSpec {
         Versioned.merge(spark, dir, "bucket", "k", srcMissing))
     } finally rm(dir)
   }
+
+  test("changes: I/U/D classification, null-valued updates carry the NEW " +
+    "null, unchanged rewrites drop out, shared files are never read") {
+    val dir = tmpDir("cdf")
+    try {
+      val base = spark.range(0, 40)
+        .select(col("id").as("k"), (col("id") * 3).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      // churn ONLY bucket 1: update k=1 (v -> null via evolution-free
+      // trick: use a real value change), delete k=5, insert k=101;
+      // k=9,13,...37 are rewritten UNCHANGED and must not appear
+      val src = Seq((1L, 999L, 1L, "U"), (5L, 0L, 1L, "D"),
+        (101L, 303L, 1L, "I")).toDF("k", "v", "bucket", "op")
+      Versioned.merge(spark, dir, "bucket", "k", src)
+      val d = Versioned.changes(spark, dir, 1L, 2L, "k")
+      val rows = d.select(col("op"), col("k"), col("v"))
+        .as[(String, Long, Option[Long])].collect().toSeq.sortBy(_._2)
+      assert(rows === Seq(("U", 1L, Some(999L)), ("D", 5L, Some(15L)),
+        ("I", 101L, Some(303L))))
+      // pruning: only bucket-1 files (v1's retired + v2's fresh) are
+      // scanned — no untouched bucket's file is an input
+      val inputs = d.inputFiles.toSet
+      assert(inputs.nonEmpty)
+      val shared = manifestFiles(dir, 1L).intersect(manifestFiles(dir, 2L))
+      assert(shared.nonEmpty) // 3 of 4 buckets are carried by reference
+      assert(inputs.intersect(shared).isEmpty,
+        s"changes read shared files: ${inputs.intersect(shared)}")
+      // a NULL arriving in an update is the NEW value, not the old one
+      val src2 = Seq((2L, Option.empty[Long], 2L, "U"))
+        .toDF("k", "v", "bucket", "op")
+      Versioned.merge(spark, dir, "bucket", "k", src2)
+      val d2 = Versioned.changes(spark, dir, 2L, 3L, "k")
+        .select(col("op"), col("k"), col("v"))
+        .as[(String, Long, Option[Long])].collect().toSeq
+      assert(d2 === Seq(("U", 2L, None)))
+    } finally rm(dir)
+  }
 }
