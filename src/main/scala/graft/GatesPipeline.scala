@@ -1345,7 +1345,7 @@ private[graft] object GatesPipeline {
          |    CAST([] AS STRUCT(a VARCHAR, b VARCHAR, ct BIGINT)[]) AS sel
          |  UNION ALL
          |  SELECT c.rk,
-         |    CASE WHEN len(g.sel) >= $batchSize OR list_has_any(
+         |    CASE WHEN len(g.sel) >= $batchSize OR c.a = c.b OR list_has_any(
          |        [c.a, c.b, c.a || c.b],
          |        flatten(list_transform(g.sel, s -> [s.a, s.b, s.a || s.b])))
          |      THEN g.sel

@@ -25,11 +25,36 @@ import org.apache.spark.sql.functions._
   * A newly formed merge can never re-match as `lhs` in the same round
   * (its text is lhs+rhs ≠ lhs since rhs is non-empty), so the fold is
   * exactly the sequential greedy scan — and it is replayable
-  * operand-for-operand in the DuckDB oracle via list_reduce. Symbols
-  * must not contain '|' (true for whitespace-split tokens here; a
-  * byte-level variant would escape first).
+  * operand-for-operand in the DuckDB oracle via list_reduce.
+  *
+  * PRECONDITION of every fold tier ([[applyMerge]], [[applyMergeSet]],
+  * hence [[merges]]/[[mergesBatched]]/[[encode]]/[[encodeBatches]]): no
+  * symbol may contain '|' — a literal pipe inside a token corrupts the
+  * separator-based matching (BpeSpec pins the divergence on a
+  * constructed pipe word). Whitespace-split tokens containing '|' are
+  * legal input to [[encodeTable]], whose JVM scan compares whole symbols
+  * and needs no separator; a byte-level fold variant would escape first.
+  *
+  * Durability: generations roll forward via `localCheckpoint` (blocks in
+  * executor storage, NOT on reliable storage) — an executor loss during
+  * induction fails the job and induction restarts from the corpus. The
+  * trade is deliberate: induction is minutes-scale and restartable, and
+  * reliable checkpointing would pay a distributed-FS write per round.
   */
 object Bpe {
+
+  /** Free a prior generation's `localCheckpoint` storage. The
+    * checkpointed blocks live in the block manager at RDD level;
+    * `Dataset.unpersist` only consults the SQL cache manager (a no-op for
+    * checkpoints), so the RDD itself must be unpersisted — without this,
+    * peak executor storage grows one vocabulary copy per round until the
+    * ContextCleaner happens to collect the dropped references. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   /** Adjacent symbol pairs of a symbol array, as (a, b) structs. */
   private def adjPairs(syms: Column): Column =
@@ -116,15 +141,18 @@ object Bpe {
       if (top.nonEmpty) {
         val (lhs, rhs, ct) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val prev = vocab
         vocab = vocab
           .select(col("word"), col("wct"),
             applyMerge(col("syms"), lhs, rhs).as("syms"))
           .localCheckpoint(true)
+        freeCheckpoint(prev) // next generation is materialized; hold 2, not O(rounds)
         val symsAfter = vocab
           .agg(sum(col("wct") * size(col("syms"))).cast("long")).as[Long].head()
         ledger += ((r.toLong, lhs, rhs, ct, symsAfter))
       }
     }
+    freeCheckpoint(vocab)
     ledger.result().toDF("round", "lhs", "rhs", "ct", "syms_after")
   }
 
@@ -144,7 +172,14 @@ object Bpe {
     *      time (merging one selected pair can neither create nor
     *      destroy occurrences of another) and merges non-cascading, so
     *      the batch applies in ONE fold pass ([[applyMergeSet]]) in any
-    *      order;
+    *      order. SELF-PAIRS (lhs == rhs) are skipped: their snapshot
+    *      count includes overlapping occurrences while the greedy scan
+    *      merges only ⌊run/2⌋ per run (word "aaa" under (a,a): ct = 2
+    *      but symbols drop by 1), so no exact per-merge attribution
+    *      exists for them — they would break the conservation `require`
+    *      on valid input. A skipped self-pair stays a candidate and its
+    *      count shrinks as its neighbors merge — the same batched
+    *      approximation as any deferred candidate;
     *   4. apply + materialize once per round, not once per merge.
     *
     * The first merge of every round is exactly sequential BPE's argmax;
@@ -159,10 +194,10 @@ object Bpe {
     * asserted equal to the derived one every round). */
   def mergesBatched(documents: DataFrame, batches: Int, batchSize: Int,
       window: Int = 0): DataFrame = {
-    require(batches >= 1 && batches <= 64,
-      s"batches must be in [1, 64], got $batches")
-    require(batchSize >= 1 && batchSize <= 64,
-      s"batchSize must be in [1, 64], got $batchSize")
+    require(batches >= 1 && batches <= 4096,
+      s"batches must be in [1, 4096], got $batches")
+    require(batchSize >= 1 && batchSize <= 256,
+      s"batchSize must be in [1, 256], got $batchSize")
     val win = if (window > 0) window else math.max(4 * batchSize, 16)
     require(win >= batchSize, s"window $win must be >= batchSize $batchSize")
     val spark = documents.sparkSession
@@ -192,17 +227,22 @@ object Bpe {
       var used = Set.empty[String]
       for ((a, bb, ct) <- cands if taken < batchSize) {
         val triple = Set(a, bb, a + bb)
-        if ((triple & used).isEmpty) {
+        // a != bb: self-pairs have no exact count attribution (overlap —
+        // see the selection doc above) and their triple {a, aa} would
+        // make the conservation require fire on valid input
+        if (a != bb && (triple & used).isEmpty) {
           sel += ((a, bb, ct)); used ++= triple; taken += 1
         }
       }
       val chosen = sel.result()
       if (chosen.nonEmpty) {
+        val prev = vocab
         vocab = vocab
           .select(col("word"), col("wct"),
             applyMergeSet(col("syms"),
               chosen.map(c => (c._1, c._2))).as("syms"))
           .localCheckpoint(true)
+        freeCheckpoint(prev) // hold 2 generations, not O(batches)
         val measured = vocab
           .agg(sum(col("wct") * size(col("syms"))).cast("long")).as[Long].head()
         val derived = total - chosen.map(_._3).sum
@@ -219,6 +259,7 @@ object Bpe {
         total = measured
       }
     }
+    freeCheckpoint(vocab)
     ledger.result().toDF("merge_idx", "batch", "lhs", "rhs", "ct", "syms_after")
   }
 

@@ -289,9 +289,21 @@ object Versioned {
     val (m1, m2) = (manifestFiles(fromV), manifestFiles(toV))
     val schema = readSchema(dir, toV)
     def slice(files: Set[String]): DataFrame =
-      if (files.isEmpty)
-        // schema-correct empty frame
-        readFiles(spark, dir, m2.toIndexedSeq, schema).filter(lit(false))
+      if (files.isEmpty) schema match {
+        // schema-correct empty frame straight from the committed sidecar
+        // — robust even when toV's own manifest is EMPTY (an all-deletes
+        // merge that retired every file), where a zero-path parquet read
+        // would throw instead of answering with an empty feed
+        case Some(sch) => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+        case None =>
+          require(m2.nonEmpty,
+            s"Versioned.changes: version $toV has an empty manifest and " +
+              "no committed _schema.json sidecar to derive the change-feed " +
+              "schema from (pre-evolution store) — re-commit any version " +
+              "to materialize the sidecar")
+          readFiles(spark, dir, m2.toIndexedSeq, schema).filter(lit(false))
+      }
       else readFiles(spark, dir, files.toIndexedSeq, schema)
     val oldS = slice(m1 -- m2)
     val newS = slice(m2 -- m1)

@@ -201,4 +201,42 @@ class BpeSpec extends SparkSpec {
     assert(a === b)
     assert(a.head._2 === Seq("abab", "cd", "cd", "ab"))
   }
+
+  test("pipe-containing words: encodeTable segments exactly; the fold " +
+    "tiers' documented no-'|' precondition is real (divergence pinned)") {
+    // "a|b" tokenizes to symbols [a, |, b]; rule (a,b) must NOT apply
+    // (the operands are not adjacent)
+    val docs = Seq((1L, "a|b ab")).toDF("doc_id", "text")
+    val rules = Seq(("a", "b"))
+    val t = Bpe.encodeTable(docs, rules).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().head._2
+    assert(t === Seq("a", "|", "b", "ab"),
+      "encodeTable compares whole symbols — a literal '|' is just a symbol")
+    // the fold tier encodes its accumulator as a '|'-joined string, so the
+    // same input CORRUPTS: this pins that the precondition is load-bearing,
+    // not decorative (if this ever starts matching encodeTable, the
+    // precondition note in Bpe's scaladoc can be dropped)
+    val f = Bpe.encode(docs, rules).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().head._2
+    assert(f !== t)
+    assert(f.take(4) === Seq("a", "", "", "b"),
+      "the pipe symbol dissolves into separator positions in the fold tier")
+  }
+
+  test("mergesBatched: self-pairs (lhs == rhs) are never selected — the " +
+    "overlap pathology ('aaa' under (a,a)) cannot fire the conservation " +
+    "require on valid input") {
+    // (a,a) has the highest snapshot count (ct=2 from "aaa" + 2 from
+    // "aa aa" words) but must be skipped; the runner-up disjoint pairs
+    // are learned instead and every batch's ledger stays conservation-exact
+    val docs = Seq((1L, "aaa aaa aaa xy xy")).toDF("doc_id", "text")
+    val led = Bpe.mergesBatched(docs, batches = 2, batchSize = 4, window = 16)
+      .orderBy("merge_idx")
+      .as[(Long, Long, String, String, Long, Long)].collect().toSeq
+    assert(led.nonEmpty)
+    assert(led.forall { case (_, _, l, r, _, _) => l != r },
+      s"self-pair leaked into the selection: $led")
+    // (x,y) ct=2 is learnable and must appear
+    assert(led.exists { case (_, _, l, r, _, _) => l == "x" && r == "y" })
+  }
 }
