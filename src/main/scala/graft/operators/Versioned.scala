@@ -34,6 +34,65 @@ object Versioned {
   private def logRoot(dir: String) = s"$dir/_log"
   private def dataDir(dir: String, v: Long) = s"$dir/data/v=$v"
 
+  /** Column-mapping key: a logical column's PHYSICAL (on-disk) name,
+    * carried as StructField metadata inside the committed sidecar schema
+    * (one sidecar, no second mapping file — schema.json round-trips
+    * metadata). Absent key = identity. A RENAME commits a new sidecar
+    * whose field keeps the old physical name — zero data files move; a
+    * read at any version answers in that version's own logical names. */
+  private val PhysKey = "graft.physical"
+
+  private def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+  /** logical name -> physical name (identity entries included). */
+  private def mapping(schema: Option[org.apache.spark.sql.types.StructType])
+      : Map[String, String] =
+    schema.map(_.fields.map(f => f.name -> physName(f)).toMap)
+      .getOrElse(Map.empty)
+
+  private def physicalSchema(logical: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      logical.fields.map(f =>
+        org.apache.spark.sql.types.StructField(physName(f), f.dataType,
+          f.nullable)))
+
+  /** Re-attach physical-name metadata onto a plain (post-projection)
+    * logical schema before committing it — `select(... .as(name))` strips
+    * field metadata, and losing the mapping would orphan every
+    * renamed-column data file. */
+  private def withPhysMeta(logical: org.apache.spark.sql.types.StructType,
+      m: Map[String, String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(logical.fields.map { f =>
+      m.get(f.name).filter(_ != f.name) match {
+        case Some(p) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysKey, p).build())
+        case None => f
+      }
+    })
+
+  /** Union two manifest frames whose stats columns may differ (a stats
+    * manifest carried into a stats-less commit or vice versa): missing
+    * columns fill with NULL — and a NULL envelope means "unknown, always
+    * read", so mixed manifests stay CORRECT, just less prunable. */
+  private def alignUnion(a: DataFrame, b: DataFrame): DataFrame = {
+    val aT = a.schema.map(f => f.name -> f.dataType)
+    val bT = b.schema.map(f => f.name -> f.dataType)
+    val a2 = bT.filterNot { case (n, _) => a.columns.contains(n) }
+      .foldLeft(a) { case (d, (n, t)) => d.withColumn(n, lit(null).cast(t)) }
+    val b2 = aT.filterNot { case (n, _) => b.columns.contains(n) }
+      .foldLeft(b) { case (d, (n, t)) => d.withColumn(n, lit(null).cast(t)) }
+    a2.unionByName(b2.select(a2.columns.map(col): _*))
+  }
+
+  /** Per-file Bloom sizing for stats-carrying manifests (the k16
+    * file-skipping tier): ~1.2·expected bytes per manifest row at 1% fpp
+    * — kilobytes per file, negligible next to the file itself. */
+  private val StatsBloomExpected = 1L << 13
+  private val StatsBloomFpp = 0.01
+
   /** Committed versions, ascending (directory listing of the log — one
     * entry per version, no file reads). */
   def versions(dir: String): Seq[Long] =
@@ -48,16 +107,33 @@ object Versioned {
     vs.last
   }
 
-  /** (file, part, rows) for every data file under `path` — the manifest
-    * rows for a freshly-written version. One narrow scan of the new
-    * files only (`partCol` is stored IN the data, so no directory
-    * inference is involved). */
+  /** (file, part, rows[, mn, mx, bloom]) for every data file under
+    * `path` — the manifest rows for a freshly-written version. One
+    * narrow scan of the new files only (`partCol` is stored IN the data,
+    * so no directory inference is involved). With `statsCol` (PHYSICAL
+    * name) the same scan also collects the per-(file, part) min/max
+    * envelope and Bloom sketch of that column — the Iceberg/Delta
+    * data-file-stats idea committed INTO the snapshot's manifest, so
+    * point/range reads at `AS OF` can prune files before planning the
+    * scan ([[readPoint]]/[[readRange]]). Stats columns ride as longs
+    * (the column must cast); collection cost is the same single narrow
+    * scan, widened by one column. */
   private def fileParts(spark: SparkSession, path: String,
-      partCol: String): DataFrame =
-    spark.read.parquet(path).drop(PartDir)
+      partCol: String, statsCol: Option[String]): DataFrame = {
+    val base = spark.read.parquet(path).drop(PartDir)
       .groupBy(input_file_name().as("file"),
         col(partCol).cast("string").as("part"))
-      .agg(count(lit(1)).as("rows"))
+    statsCol match {
+      case None => base.agg(count(lit(1)).as("rows"))
+      case Some(c) =>
+        val bloom = udaf(graft.functions.BloomAgg.agg(
+          StatsBloomExpected, StatsBloomFpp))
+        base.agg(count(lit(1)).as("rows"),
+          min(col(c).cast("long")).as("mn"),
+          max(col(c).cast("long")).as("mx"),
+          bloom(col(c).cast("long")).as("bloom"))
+    }
+  }
 
   /** Reserved directory-level name for the partition value. The value is
     * ALSO kept as a regular data column, so manifest-listed files can be
@@ -77,14 +153,20 @@ object Versioned {
       .write.partitionBy(PartDir).mode("errorifexists")
       .parquet(dataDir(dir, v))
 
-  /** Create version 1 from `df`. */
+  /** Create version 1 from `df`. `statsCol` opts the store into
+    * stats-carrying manifests: every commit's manifest rows then carry
+    * the per-(file, part) min/max envelope + Bloom sketch of that column
+    * (cast to long), and [[readPoint]]/[[readRange]] prune files from the
+    * manifest BEFORE the scan. Pass the SAME statsCol to every
+    * subsequent [[merge]]/[[compact]] — a commit without it carries
+    * NULL stats for its fresh files (correct, unprunable). */
   def init(spark: SparkSession, dir: String, partCol: String,
-      df: DataFrame): Long = {
+      df: DataFrame, statsCol: Option[String] = None): Long = {
     require(versions(dir).isEmpty, s"Versioned: $dir already initialized")
     require(partCol != PartDir && !df.columns.contains(PartDir),
       s"Versioned: column name $PartDir is reserved")
     writeData(df, dir, 1L, partCol)
-    fileParts(spark, dataDir(dir, 1L), partCol)
+    fileParts(spark, dataDir(dir, 1L), partCol, statsCol)
       .coalesce(1).write.mode("errorifexists")
       .parquet(s"${logRoot(dir)}/v=1")
     writeSchema(dir, 1L, df.schema)
@@ -121,16 +203,30 @@ object Versioned {
       .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
-  /** Read a set of manifest-listed data files. The payload carries the
-    * partition column as ordinary data; any inferred directory column is
-    * dropped defensively. */
+  /** Read a set of manifest-listed data files, answering in the
+    * committed schema's LOGICAL names: the scan runs under the PHYSICAL
+    * schema (renamed columns keep their on-disk name — the column-mapping
+    * contract, so renames never rewrite data), then projects physical →
+    * logical. Any inferred directory column is dropped defensively. */
   private def readFiles(spark: SparkSession, dir: String,
       files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    val reader = schema.fold(spark.read)(spark.read.schema)
-    reader.parquet(files.map(Manifest.unglob): _*)
-      .drop(PartDir)
-  }
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema match {
+      case Some(sch) =>
+        spark.read.schema(physicalSchema(sch))
+          .parquet(files.map(Manifest.unglob): _*)
+          .select(sch.fields.map(f => col(physName(f)).as(f.name)).toSeq: _*)
+      case None =>
+        spark.read.parquet(files.map(Manifest.unglob): _*).drop(PartDir)
+    }
+
+  /** Schema-correct EMPTY frame for a snapshot (logical names). */
+  private def emptyFrame(spark: SparkSession,
+      sch: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+        f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
 
   /** Scan snapshot `version` (defaults to the latest): exactly the files
     * its manifest lists, nothing newer, nothing vacuumed-in-place —
@@ -146,6 +242,86 @@ object Versioned {
       .select(col("file")).distinct()
       .collect().map(_.getString(0))
     readFiles(spark, dir, files.toIndexedSeq, readSchema(dir, v))
+  }
+
+  /** Manifest rows for version `v`, collected: (file, Option[(mn, mx,
+    * bloom)]) per (file, part). Driver-scale by design — the manifest has
+    * one row per (file, partition value), the same boundedness as every
+    * index probe here. Rows from stats-less commits carry None. */
+  private def statRows(spark: SparkSession, dir: String, v: Long)
+      : Array[(String, Option[(Long, Long, Array[Byte])])] = {
+    val m = spark.read.parquet(s"${logRoot(dir)}/v=$v")
+    if (!m.columns.contains("mn"))
+      m.select(col("file")).distinct().collect()
+        .map(r => (r.getString(0), None))
+    else
+      m.select(col("file"), col("mn"), col("mx"), col("bloom")).collect()
+        .map { r =>
+          val st =
+            if (r.isNullAt(1) || r.isNullAt(2)) None
+            else Some((r.getLong(1), r.getLong(2),
+              if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3)))
+          (r.getString(0), st)
+        }
+  }
+
+  /** Range read `lo <= keyCol <= hi` at snapshot `version`, planning its
+    * file list FROM the manifest: a file is scanned only if SOME of its
+    * (file, part) envelopes intersects the range (NULL stats = unknown =
+    * always read). The answer is exactly `read(v).filter(...)` — the
+    * envelope over-approximates and the residual filter is exact — but at
+    * 100 TB the plan reads the matching files, not the snapshot. This is
+    * the reference's dim point-lookup pattern (util/DimUtil.java:30-32,
+    * `select * where id = ?`) done at lakehouse scale, composed with
+    * time travel. */
+  def readRange(spark: SparkSession, dir: String, keyCol: String,
+      lo: Long, hi: Long, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latest(dir) else version
+    require(versions(dir).contains(v),
+      s"Versioned: version $v not in ${versions(dir)}")
+    val sch = readSchema(dir, v)
+    val files = statRows(spark, dir, v)
+      .filter { case (_, st) =>
+        st.forall { case (mn, mx, _) => mx >= lo && mn <= hi } }
+      .map(_._1).distinct.toIndexedSeq
+    val base =
+      if (files.nonEmpty) readFiles(spark, dir, files, sch)
+      else sch match {
+        case Some(s0) => emptyFrame(spark, s0)
+        case None => read(spark, dir, v).filter(lit(false))
+      }
+    base.filter(col(keyCol).cast("long") >= lo &&
+      col(keyCol).cast("long") <= hi)
+  }
+
+  /** Point read `keyCol = key` at snapshot `version` — the envelope
+    * check first (free), then each surviving (file, part) row's Bloom
+    * sketch: a file is scanned only if it MIGHT contain the key. No
+    * false negatives (the Bloom guarantee), fpp bounds the extra files.
+    * Under a partition layout uncorrelated with the key (the common
+    * hash-bucket case) every envelope spans the key range and min/max
+    * pruning degenerates — the Bloom tier is what keeps a point lookup
+    * at `AS OF` from scanning the snapshot. */
+  def readPoint(spark: SparkSession, dir: String, keyCol: String,
+      key: Long, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latest(dir) else version
+    require(versions(dir).contains(v),
+      s"Versioned: version $v not in ${versions(dir)}")
+    val sch = readSchema(dir, v)
+    val files = statRows(spark, dir, v)
+      .filter { case (_, st) =>
+        st.forall { case (mn, mx, bloom) =>
+          mn <= key && mx >= key &&
+            (bloom == null || graft.functions.BloomAgg.readFrom(bloom)
+              .mightContainLong(key)) } }
+      .map(_._1).distinct.toIndexedSeq
+    val base =
+      if (files.nonEmpty) readFiles(spark, dir, files, sch)
+      else sch match {
+        case Some(s0) => emptyFrame(spark, s0)
+        case None => read(spark, dir, v).filter(lit(false))
+      }
+    base.filter(col(keyCol).cast("long") === key)
   }
 
   /** MERGE `source` into the latest snapshot, committing a NEW version
@@ -167,21 +343,25 @@ object Versioned {
     * at 100 TB run it on the maintenance schedule, not per commit). */
   def merge(spark: SparkSession, dir: String, partCol: String,
       keyCol: String, source: DataFrame, opCol: String = "op",
-      checkKeyMoves: Boolean = false, mergeSchema: Boolean = false): Long = {
+      checkKeyMoves: Boolean = false, mergeSchema: Boolean = false,
+      statsCol: Option[String] = None): Long = {
     require(source.filter(col(partCol).isNull).isEmpty,
       s"Versioned.merge: source carries NULL $partCol values — fix the " +
         "partition derivation upstream")
     val v = latest(dir)
     val next = v + 1
-    val manifest = spark.read.parquet(s"${logRoot(dir)}/v=$v")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val mDf = spark.read.parquet(s"${logRoot(dir)}/v=$v")
+    val mSchema = mDf.schema
+    val mRows = mDf.collect()
+    val (fIdx, pIdx) = (mSchema.fieldIndex("file"), mSchema.fieldIndex("part"))
+    val manifest = mRows.map(r => (r.getString(fIdx), r.getString(pIdx)))
     val affected = source.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
-    val touched = manifest.filter { case (_, p, _) => affected(p) }
+    val touched = manifest.filter { case (_, p) => affected(p) }
       .map(_._1).toSet
     if (checkKeyMoves) {
-      val untouched = manifest.filter { case (f, _, _) => !touched(f) }
-        .map(_._1).toIndexedSeq
+      val untouched = manifest.filter { case (f, _) => !touched(f) }
+        .map(_._1).distinct.toIndexedSeq
       if (untouched.nonEmpty) {
         val moved = readFiles(spark, dir, untouched, readSchema(dir, v))
           .select(col(keyCol))
@@ -228,7 +408,15 @@ object Versioned {
           d.withColumn(n, lit(null).cast(t)) }
         keptW.unionByName(upsW.select(keptW.columns.map(col): _*))
       }
-    writeData(out, dir, next, partCol)
+    // write PHYSICAL column names: `out` is logical (the slice read
+    // projected physical -> logical), but data files always carry the
+    // physical namespace — the column-mapping contract that lets a rename
+    // commit move zero bytes. Columns added by mergeSchema map identity.
+    val prevMap = mapping(readSchema(dir, v))
+    val outPhys = out.select(out.columns.map(n =>
+      col(n).as(prevMap.getOrElse(n, n))).toIndexedSeq: _*)
+    val physPart = prevMap.getOrElse(partCol, partCol)
+    writeData(outPhys, dir, next, physPart)
     // an all-deletes merge writes no data files at all — the new
     // manifest is then just the carryover (the schema is pinned so the
     // empty case still commits a readable manifest)
@@ -246,20 +434,163 @@ object Versioned {
       else f.getName.endsWith(".parquet")
     val fresh =
       if (anyParquet(new java.io.File(dataDir(dir, next))))
-        fileParts(spark, dataDir(dir, next), partCol)
-          .select(col("file"), col("part"), col("rows").cast("long"))
+        fileParts(spark, dataDir(dir, next), physPart,
+          statsCol.map(c => prevMap.getOrElse(c, c)))
       else spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         manifestSchema)
-    val carried = manifest.filter { case (f, _, _) => !touched(f) }
+    // carry untouched files' manifest rows VERBATIM (stats included —
+    // their files are byte-identical, so their envelopes/sketches stay
+    // exact forever); alignUnion NULL-fills when the two sides' stats
+    // columns differ (stats added or dropped mid-history)
+    val carried = mRows.filter(r => !touched(r.getString(fIdx)))
     val carriedDf = spark.createDataFrame(
-      java.util.Arrays.asList(carried.toIndexedSeq.map {
-        case (f, p, n) => org.apache.spark.sql.Row(f, p, n) }: _*),
-      manifestSchema)
-    carriedDf.unionByName(fresh)
+      java.util.Arrays.asList(carried.toIndexedSeq: _*), mSchema)
+    alignUnion(carriedDf, fresh)
       .coalesce(1).write.mode("errorifexists")
       .parquet(s"${logRoot(dir)}/v=$next")
-    writeSchema(dir, next, out.schema)
+    writeSchema(dir, next, withPhysMeta(out.schema, prevMap))
+    next
+  }
+
+  /** Bin-pack the latest snapshot's SMALL files into fewer, larger
+    * files, committed as a NEW version (the lakehouse OPTIMIZE /
+    * rewrite-data-files maintenance pass). A long-lived store's merge
+    * history leaves each churned partition one file per commit and many
+    * tiny partitions one tiny file each; nothing else can retire that
+    * tail without breaking `AS OF`. Compaction can, because it commits:
+    * the new manifest references the packed files, every PRIOR manifest
+    * still references the fragments (old versions read byte-identically
+    * until [[vacuum]] reclaims them), and the data files a packed file
+    * replaced are never mutated.
+    *
+    * Packing is greedy by ascending row count into bins of at most
+    * `maxGroupRows` rows; only bins holding >= 2 files rewrite (a
+    * singleton bin is already compact — carried by reference). A packed
+    * file may serve MULTIPLE partition values; the manifest maps
+    * (file, part) pairs, and [[merge]] already rewrites whole touched
+    * files, so a later merge on any packed partition simply re-splits
+    * that file — correctness is unchanged, the rewrite just spans the
+    * bin. Pass the store's `statsCol` to keep the packed files'
+    * envelopes/sketches prunable.
+    *
+    * At 100 TB: the plan is driver-side over the manifest (file-count
+    * rows); each bin rewrite is an independent job reading only its own
+    * fragments — a maintenance scheduler runs bins concurrently and
+    * resumes after failure by re-running unpacked bins. Returns the
+    * committed version. */
+  def compact(spark: SparkSession, dir: String, partCol: String,
+      statsCol: Option[String] = None, maxGroupRows: Long = 1L << 20): Long = {
+    val v = latest(dir)
+    val next = v + 1
+    val sch = readSchema(dir, v)
+    val prevMap = mapping(sch)
+    val mDf = spark.read.parquet(s"${logRoot(dir)}/v=$v")
+    val mSchema = mDf.schema
+    val mRows = mDf.collect()
+    val (fIdx, rIdx) = (mSchema.fieldIndex("file"), mSchema.fieldIndex("rows"))
+    val fileRows = mRows.groupBy(_.getString(fIdx)).view
+      .mapValues(_.map(_.getLong(rIdx)).sum).toSeq
+      .sortBy { case (f, n) => (n, f) } // ascending: pack the tail first
+    val groups = Vector.newBuilder[Vector[String]]
+    var cur = Vector.empty[String]
+    var curRows = 0L
+    for ((f, n) <- fileRows) {
+      if (cur.nonEmpty && curRows + n > maxGroupRows) {
+        groups += cur; cur = Vector(f); curRows = n
+      } else { cur :+= f; curRows += n }
+    }
+    if (cur.nonEmpty) groups += cur
+    val rewrite = groups.result().filter(_.size >= 2)
+    require(rewrite.nonEmpty,
+      s"Versioned.compact: nothing to compact under $dir — every bin " +
+        s"holds a single file at maxGroupRows=$maxGroupRows (raise it, " +
+        "or the store is already compact)")
+    val physSch = sch.map(physicalSchema)
+    require(!physSch.exists(_.fieldNames.contains("__bin")),
+      "Versioned: column name __bin is reserved (compaction bin dirs)")
+    rewrite.zipWithIndex.foreach { case (g, i) =>
+      // physical read, physical write: compaction moves bytes between
+      // files, never through the logical namespace — and reading under
+      // the committed physical schema NULL-fills columns the oldest
+      // fragments predate (schema evolution), exactly like any read
+      val reader = physSch.fold(spark.read)(spark.read.schema)
+      reader.parquet(g.map(Manifest.unglob): _*)
+        .coalesce(1).write.mode("errorifexists")
+        .parquet(s"${dataDir(dir, next)}/__bin=$i")
+    }
+    val physPart = prevMap.getOrElse(partCol, partCol)
+    val fresh = fileParts(spark, dataDir(dir, next), physPart,
+      statsCol.map(c => prevMap.getOrElse(c, c)))
+    val packed = rewrite.flatten.toSet
+    val carried = mRows.filter(r => !packed(r.getString(fIdx)))
+    val carriedDf = spark.createDataFrame(
+      java.util.Arrays.asList(carried.toIndexedSeq: _*), mSchema)
+    alignUnion(carriedDf, fresh)
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(s"${logRoot(dir)}/v=$next")
+    sch.foreach(s0 => writeSchema(dir, next, s0))
+    next
+  }
+
+  /** RENAME a column — a metadata-only commit (the Delta column-mapping
+    * contract): the new version's sidecar schema carries the new LOGICAL
+    * name while the field keeps its on-disk PHYSICAL name, the manifest
+    * is copied by reference, and ZERO data files are touched. A read at
+    * any PRIOR version still answers in that version's own names (each
+    * sidecar is a committed fact); a later [[merge]]'s fresh files keep
+    * writing the physical name, so one physical schema spans the whole
+    * history. Returns the committed version. */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String): Long = {
+    val v = latest(dir)
+    val next = v + 1
+    val sch = readSchema(dir, v).getOrElse(throw new IllegalArgumentException(
+      s"Versioned.renameColumn: $dir has no committed _schema.json " +
+        "sidecar (pre-evolution store) — commit any merge first"))
+    require(sch.fieldNames.contains(from),
+      s"Versioned.renameColumn: no column $from in ${sch.fieldNames.toSeq}")
+    require(!sch.fieldNames.contains(to),
+      s"Versioned.renameColumn: column $to already exists")
+    require(to != PartDir, s"Versioned: column name $PartDir is reserved")
+    val newSch = org.apache.spark.sql.types.StructType(sch.fields.map { f =>
+      if (f.name != from) f
+      else {
+        val phys = physName(f)
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        val md = (if (phys != to) mb.putString(PhysKey, phys)
+                  else mb.remove(PhysKey)).build()
+        org.apache.spark.sql.types.StructField(to, f.dataType, f.nullable, md)
+      }
+    })
+    spark.read.parquet(s"${logRoot(dir)}/v=$v")
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(s"${logRoot(dir)}/v=$next")
+    writeSchema(dir, next, newSch)
+    next
+  }
+
+  /** DROP a column — metadata-only, like [[renameColumn]]: the new
+    * sidecar schema simply omits the field; data files keep the bytes
+    * (prior versions still read them) until their files churn out of
+    * later manifests naturally. Do NOT drop the partition or merge-key
+    * column — later merges need both (the store does not record them, so
+    * this cannot be validated here). */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long = {
+    val v = latest(dir)
+    val next = v + 1
+    val sch = readSchema(dir, v).getOrElse(throw new IllegalArgumentException(
+      s"Versioned.dropColumn: $dir has no committed _schema.json sidecar"))
+    require(sch.fieldNames.contains(name),
+      s"Versioned.dropColumn: no column $name in ${sch.fieldNames.toSeq}")
+    require(sch.fields.length >= 2,
+      "Versioned.dropColumn: refusing to drop the last column")
+    spark.read.parquet(s"${logRoot(dir)}/v=$v")
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(s"${logRoot(dir)}/v=$next")
+    writeSchema(dir, next,
+      org.apache.spark.sql.types.StructType(sch.fields.filter(_.name != name)))
     next
   }
 
@@ -277,7 +608,23 @@ object Versioned {
     * evolution both slices read through `toV`'s committed schema, so a
     * column added in the interval shows as NULL-before. */
   def changes(spark: SparkSession, dir: String, fromV: Long, toV: Long,
-      keyCol: String): DataFrame = {
+      keyCol: String): DataFrame = changesImpl(spark, dir, fromV, toV,
+        keyCol, withPreImages = false)
+
+  /** [[changes]] with UPDATE PRE-IMAGES (the full Delta-CDF row
+    * contract): an updated key emits TWO rows — op "U_pre" carrying the
+    * retired values and "U_post" the surviving ones — alongside "I" and
+    * "D". This is the shape an incremental consumer needs to maintain a
+    * downstream AGGREGATE without recompute: sum the payload with sign
+    * +1 for I/U_post and -1 for D/U_pre and the delta applies in one
+    * pass, in any order (addition commutes — see the stream_k21_cdf
+    * gate). Same churned-partitions-only file pruning as [[changes]]. */
+  def changesWithPreImages(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long, keyCol: String): DataFrame =
+    changesImpl(spark, dir, fromV, toV, keyCol, withPreImages = true)
+
+  private def changesImpl(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long, keyCol: String, withPreImages: Boolean): DataFrame = {
     require(fromV < toV, s"Versioned.changes: need fromV < toV, got $fromV >= $toV")
     val vs = versions(dir)
     require(vs.contains(fromV) && vs.contains(toV),
@@ -313,18 +660,29 @@ object Versioned {
       struct(payload.map(col): _*).as("__o"))
     val n = newS.select(col(keyCol),
       struct(payload.map(col): _*).as("__n"))
-    o.join(n, Seq(keyCol), "full_outer")
+    val diffed = o.join(n, Seq(keyCol), "full_outer")
       .withColumn("op",
         when(col("__o").isNull, "I")
           .when(col("__n").isNull, "D")
           .when(!(col("__o") <=> col("__n")), "U"))
       .filter(col("op").isNotNull) // rewritten-but-unchanged drops out
-      .select(Seq(col("op"), col(keyCol)) ++ payload.map(c =>
+    if (!withPreImages)
+      diffed.select(Seq(col("op"), col(keyCol)) ++ payload.map(c =>
         // U/I carry the NEW row's values (even where the new value is
         // NULL — coalesce would wrongly resurrect the old one); D
         // carries the retired row's
         when(col("op") === "D", col(s"__o.$c"))
           .otherwise(col(s"__n.$c")).as(c)): _*)
+    else
+      // an update fans out into its pre/post pair scan-side (one
+      // explode, no second diff pass)
+      diffed.select(col(keyCol), col("__o"), col("__n"),
+          explode(when(col("op") === "U",
+            array(lit("U_pre"), lit("U_post")))
+            .otherwise(array(col("op")))).as("op"))
+        .select(Seq(col("op"), col(keyCol)) ++ payload.map(c =>
+          when(col("op").isin("D", "U_pre"), col(s"__o.$c"))
+            .otherwise(col(s"__n.$c")).as(c)): _*)
   }
 
   /** Reclaim history: drop manifests BELOW `retainFrom` and delete every

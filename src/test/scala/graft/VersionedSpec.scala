@@ -231,4 +231,200 @@ class VersionedSpec extends SparkSpec {
       assert(d2 === Seq(("U", 2L, None)))
     } finally rm(dir)
   }
+
+  test("changes: an all-deletes merge that retires EVERY file still " +
+    "answers (empty toV manifest; schema from the committed sidecar)") {
+    val dir = tmpDir("cdf-empty")
+    try {
+      val base = spark.range(0, 10)
+        .select(col("id").as("k"), (col("id") * 3).as("v"),
+          lit(0L).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      Versioned.merge(spark, dir, "bucket", "k",
+        base.withColumn("op", lit("D")))
+      assert(manifestFiles(dir, 2L).isEmpty, "v2 should reference no files")
+      val d = Versioned.changes(spark, dir, 1L, 2L, "k")
+        .select(col("op"), col("k")).as[(String, Long)].collect().toSeq
+      assert(d.size === 10 && d.forall(_._1 == "D"))
+      // and the other direction: resurrecting from empty is all inserts
+      Versioned.merge(spark, dir, "bucket", "k",
+        base.limit(3).withColumn("op", lit("I")))
+      val d2 = Versioned.changes(spark, dir, 2L, 3L, "k")
+        .select(col("op")).as[String].collect().toSeq
+      assert(d2.size === 3 && d2.forall(_ == "I"))
+    } finally rm(dir)
+  }
+
+  test("changesWithPreImages: updates fan into U_pre/U_post; signed " +
+    "application reproduces the aggregate delta exactly") {
+    val dir = tmpDir("cdf-pre")
+    try {
+      val base = spark.range(0, 40)
+        .select(col("id").as("k"), (col("id") * 3).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      val src = Seq((1L, 999L, 1L, "U"), (5L, 0L, 1L, "D"),
+        (101L, 303L, 1L, "I")).toDF("k", "v", "bucket", "op")
+      Versioned.merge(spark, dir, "bucket", "k", src)
+      val d = Versioned.changesWithPreImages(spark, dir, 1L, 2L, "k")
+        .select(col("op"), col("k"), col("v"))
+        .as[(String, Long, Long)].collect().toSeq.sortBy(r => (r._2, r._1))
+      assert(d === Seq(("U_post", 1L, 999L), ("U_pre", 1L, 3L),
+        ("D", 5L, 15L), ("I", 101L, 303L)))
+      // signed fold: sum(v) moves by exactly the signed delta
+      val delta = d.map { case (op, _, v) =>
+        if (op == "I" || op == "U_post") v else -v }.sum
+      val s1 = Versioned.read(spark, dir, 1L).agg(sum("v")).as[Long].head()
+      val s2 = Versioned.read(spark, dir, 2L).agg(sum("v")).as[Long].head()
+      assert(s1 + delta === s2)
+    } finally rm(dir)
+  }
+
+  test("stats manifests: readRange/readPoint prune files BEFORE the scan " +
+    "and answer exactly like the full-scan filter") {
+    val dir = tmpDir("skip")
+    try {
+      // range-correlated partitioning (16 contiguous key buckets) so
+      // min/max envelopes are tight for ranges; point probes exercise
+      // the Bloom tier regardless of layout
+      val base = spark.range(0, 1600)
+        .select(col("id").as("k"), (col("id") * 7).as("v"),
+          (col("id") / 100).cast("long").as("bucket"))
+      Versioned.init(spark, dir, "bucket", base, statsCol = Some("k"))
+      // churn two buckets so v2 mixes fresh and carried stats rows
+      val src = base.filter(col("bucket").isin(3L, 11L) && col("k") % 5 === 0)
+        .withColumn("v", col("v") + 1).withColumn("op", lit("U"))
+      Versioned.merge(spark, dir, "bucket", "k", src, statsCol = Some("k"))
+      for (v <- Seq(1L, 2L)) {
+        val full = Versioned.read(spark, dir, v)
+        val all = full.inputFiles.toSet
+        val r = Versioned.readRange(spark, dir, "k", 250L, 449L, v)
+        val rTruth = full.filter(col("k") >= 250 && col("k") <= 449)
+        assert(r.inputFiles.toSet.subsetOf(all))
+        assert(r.inputFiles.length === 3, // exactly buckets 2, 3, 4
+          s"range read planned ${r.inputFiles.length} files at v=$v")
+        assert(r.orderBy("k").collect().toSeq ===
+          rTruth.orderBy("k").collect().toSeq)
+        val p = Versioned.readPoint(spark, dir, "k", 777L, v)
+        assert(p.inputFiles.length <= 2, "point read should prune to ~1 file")
+        assert(p.collect().toSeq ===
+          full.filter(col("k") === 777).collect().toSeq)
+        // absent key: no false negatives required, pruning may even reach
+        // zero files; the answer must be empty either way
+        val miss = Versioned.readPoint(spark, dir, "k", 999999L, v)
+        assert(miss.count() === 0L)
+        assert(miss.inputFiles.length <= 1)
+      }
+    } finally rm(dir)
+  }
+
+  test("compact: packs small files into a committed version; prior " +
+    "versions read byte-identically, later merges re-split packed files, " +
+    "vacuum reclaims the fragments") {
+    val dir = tmpDir("compact")
+    try {
+      val base = spark.range(0, 640)
+        .select(col("id").as("k"), (col("id") * 7).as("v"),
+          pmod(col("id"), lit(16L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base, statsCol = Some("k"))
+      val preRows = Versioned.read(spark, dir, 1L)
+        .orderBy("k").collect().toSeq
+      val m1 = manifestFiles(dir, 1L)
+      assert(m1.size === 16)
+      val v2 = Versioned.compact(spark, dir, "bucket",
+        statsCol = Some("k"), maxGroupRows = 200L)
+      assert(v2 === 2L)
+      val m2 = manifestFiles(dir, 2L)
+      assert(m2.size < m1.size, s"file count must drop: ${m2.size}")
+      assert(Versioned.read(spark, dir, 2L).orderBy("k").collect().toSeq
+        === preRows, "compaction must not change the answer")
+      assert(Versioned.read(spark, dir, 1L).orderBy("k").collect().toSeq
+        === preRows, "the pre-compact version must still read")
+      // packed-file stats still prune point reads
+      val p = Versioned.readPoint(spark, dir, "k", 333L, 2L)
+      assert(p.count() === 1L && p.inputFiles.length < m2.size)
+      // a merge touching a PACKED partition rewrites that whole file and
+      // re-attributes every partition it served
+      val src = Seq((3L, -1L, 3L, "U")).toDF("k", "v", "bucket", "op")
+      val v3 = Versioned.merge(spark, dir, "bucket", "k", src,
+        statsCol = Some("k"))
+      val r3 = Versioned.read(spark, dir, v3)
+      assert(r3.count() === 640)
+      assert(r3.filter(col("k") === 3).select(col("v")).as[Long].head() === -1L)
+      assert(Versioned.read(spark, dir, 2L).orderBy("k").collect().toSeq
+        === preRows, "v2 unchanged after the post-compact merge")
+      // vacuum to v2: the fragment files (v1-only) are reclaimed,
+      // retained reads intact
+      val deleted = Versioned.vacuum(spark, dir, retainFrom = 2L)
+      assert(deleted >= 1)
+      assert(Versioned.read(spark, dir, 2L).orderBy("k").collect().toSeq
+        === preRows)
+      intercept[IllegalArgumentException] {
+        Versioned.read(spark, dir, 1L)
+      }
+    } finally rm(dir)
+  }
+
+  test("renameColumn/dropColumn: metadata-only commits — zero data files " +
+    "move, each version answers in its OWN names, merges after a rename " +
+    "keep writing the physical name") {
+    val dir = tmpDir("rename")
+    def dataFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$dir/data"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.length()).toMap
+    }
+    try {
+      val base = spark.range(0, 200)
+        .select(col("id").as("k"), (col("id") * 3).as("price"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      val before = dataFiles()
+      val v2 = Versioned.renameColumn(spark, dir, "price", "amount")
+      assert(v2 === 2L)
+      assert(dataFiles() === before, "a rename must move zero data bytes")
+      assert(Versioned.read(spark, dir, 1L).columns.toSeq
+        === Seq("k", "price", "bucket"))
+      assert(Versioned.read(spark, dir, 2L).columns.toSeq
+        === Seq("k", "amount", "bucket"))
+      assert(Versioned.read(spark, dir, 2L).agg(sum("amount")).as[Long].head()
+        === base.agg(sum("price")).as[Long].head())
+      // merge AFTER the rename: source speaks the new logical name; the
+      // fresh files keep the PHYSICAL name on disk
+      val src = Seq((1L, 999L, 1L, "U"), (1001L, 5L, 1L, "I"))
+        .toDF("k", "amount", "bucket", "op")
+      val v3 = Versioned.merge(spark, dir, "bucket", "k", src)
+      val r3 = Versioned.read(spark, dir, v3)
+      assert(r3.columns.toSeq === Seq("k", "amount", "bucket"))
+      assert(r3.filter(col("k") === 1).select(col("amount"))
+        .as[Long].head() === 999L)
+      assert(r3.count() === 201)
+      val freshFile = (manifestFiles(dir, 3L) -- manifestFiles(dir, 2L)).head
+      val raw = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(new java.net.URI(freshFile)).toString)
+      assert(raw.columns.contains("price") && !raw.columns.contains("amount"),
+        s"fresh files must keep the physical name: ${raw.columns.toSeq}")
+      // changes across the rename answer in toV's names
+      val d = Versioned.changesWithPreImages(spark, dir, 2L, 3L, "k")
+      assert(d.columns.contains("amount"))
+      assert(d.count() === 3) // U_pre + U_post + I
+      // drop: metadata-only; old versions keep the column
+      val preDrop = dataFiles()
+      val v4 = Versioned.dropColumn(spark, dir, "amount")
+      assert(dataFiles() === preDrop)
+      assert(Versioned.read(spark, dir, v4).columns.toSeq === Seq("k", "bucket"))
+      assert(Versioned.read(spark, dir, 3L).columns.toSeq
+        === Seq("k", "amount", "bucket"))
+      // a merge after the drop writes files WITHOUT the dropped column
+      val src2 = Seq((2L, 2L, "U")).toDF("k", "bucket", "op")
+      val v5 = Versioned.merge(spark, dir, "bucket", "k", src2)
+      assert(Versioned.read(spark, dir, v5).columns.toSeq === Seq("k", "bucket"))
+      assert(Versioned.read(spark, dir, v5).count() === 201)
+    } finally rm(dir)
+  }
 }
