@@ -643,6 +643,238 @@ private[graft] object GatesMaintenance {
     }),
 
 
+    // ── K22: PREDICATE FILE-SKIPPING inside the versioned store (r14
+    // verdict task 1) — the manifests committed at init/merge carry
+    // per-(file, part) min/max envelopes + Bloom sketches of the key
+    // column, and readPoint/readRange plan their file list FROM the
+    // manifest before the scan: the reference's dim point lookup
+    // (util/DimUtil.java:30-32, `select * where id = ?`) composed with
+    // time travel. Layout: 16 range-correlated key buckets (envelopes
+    // tight for ranges) + one churned low-key zone, so v2 mixes carried
+    // and fresh stats rows. Four probes × two versions; per probe the
+    // gate pins pruned_ok (planned files a STRICT subset of the
+    // snapshot's) and equal_ok (pruned answer == full-scan filter), and
+    // the oracle replays every probe's values over the replayed
+    // snapshots. The miss probe lands outside every envelope — zero
+    // files planned, empty answer, no exception.
+    "k22_versioned_skipping" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-vskip-${System.nanoTime()}"
+      try {
+        val raw = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"))
+        val mx = raw.agg(max(col("k"))).head().getLong(0)
+        val cut = mx / 8
+        val base = raw.withColumn("bucket",
+          least(floor(col("k") * 16.0 / (mx + 1)).cast("long"), lit(15L)))
+        Versioned.init(s, path, "bucket", base, statsCol = Some("k"))
+        val b1 =
+          base.filter(col("k") <= cut && col("k") % 3 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("k") <= cut && col("k") % 3 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("k") <= cut && col("k") % 3 === 2)
+            .withColumn("k", col("k") + 80000000L)
+            .withColumn("bucket", lit(99L))
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", b1, statsCol = Some("k"))
+        val mid = mx / 2
+        val pHit = raw.filter(col("k") >= mid).agg(min(col("k")))
+          .head().getLong(0)
+        val pUpd = raw.filter(col("k") <= cut && col("k") % 3 === 0)
+          .agg(min(col("k"))).head().getLong(0)
+        val pMiss = mx + 123456789L
+        val probes = Seq(
+          ("hit", pHit, pHit), ("miss", pMiss, pMiss),
+          ("range", mid, mid + mx / 8), ("upd", pUpd, pUpd))
+        val rows = Seq(1L, 2L).flatMap { v =>
+          val full = Versioned.read(s, path, v)
+          val allFiles = full.inputFiles.length
+          probes.map { case (label, lo, hi) =>
+            val pruned =
+              if (lo == hi) Versioned.readPoint(s, path, "k", lo, v)
+              else Versioned.readRange(s, path, "k", lo, hi, v)
+            def summarize(df: org.apache.spark.sql.DataFrame) = {
+              val r = df.agg(count(lit(1)),
+                coalesce(sum(col("price")), lit(0).cast("decimal(18,2)"))
+                  .cast("double"),
+                coalesce(sum(col("k")), lit(0L))).head()
+              (r.getLong(0), r.getDouble(1), r.getLong(2))
+            }
+            val got = summarize(pruned)
+            val want = summarize(
+              full.filter(col("k") >= lo && col("k") <= hi))
+            val prunedOk = pruned.inputFiles.length < allFiles
+            ((v, label, got._1, got._2, got._3,
+              if (prunedOk) 1L else 0L, if (got == want) 1L else 0L))
+          }
+        }
+        import s.implicits._
+        rows.toDF("version", "probe", "n", "price_sum", "key_sum",
+          "pruned_ok", "equal_ok")
+          .orderBy(col("version"), col("probe"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
+    // ── K23: COMPACTION of the versioned store as a COMMITTED version —
+    // the maintenance pass that retires the small-file tail without
+    // breaking AS OF (r14 verdict task 2). 64 one-file partitions + one
+    // merge; compact bin-packs them into ~8 files committed as v3 whose
+    // manifest drops the fragments while v2's still references them.
+    // Pins: file count strictly drops, the post-compact latest read
+    // equals the pre-compact collected aggregate, the pre-compact
+    // version still answers identically (until vacuum), and vacuum then
+    // reclaims the fragments leaving EXACTLY v3's reachable set on disk
+    // (the k18 pin), with v2 reads failing loudly after.
+    "k23_versioned_compact" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-vcompact-${System.nanoTime()}"
+      def dataFiles(): Set[String] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$path/data"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getCanonicalPath).toSet
+      }
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(64L)).as("bucket"))
+        Versioned.init(s, path, "bucket", base, statsCol = Some("k"))
+        val b1 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 5 && col("k") % 3 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("bucket") === 2 && col("k") % 3 === 2)
+            .withColumn("k", col("k") + 80000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", b1, statsCol = Some("k"))
+        def snap(v: Long) = Versioned.read(s, path, v)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("ct"),
+            sum(col("price")).cast("double").as("price_sum"),
+            sum(col("k")).as("key_sum"))
+        def manifestCount(v: Long): Long =
+          s.read.parquet(s"$path/_log/v=$v")
+            .select(col("file")).distinct().count()
+        val pre = snap(2L).localCheckpoint(true)
+        val preRows = pre.collect().toSet
+        val total = Versioned.read(s, path, 2L).count()
+        val v3 = Versioned.compact(s, path, "bucket",
+          statsCol = Some("k"), maxGroupRows = math.max(1L, total / 8))
+        val filesDrop = manifestCount(v3) < manifestCount(2L)
+        val latestEqual = snap(v3).collect().toSet == preRows
+        val preIntact = snap(2L).collect().toSet == preRows
+        val reachable = s.read.parquet(s"$path/_log/v=$v3")
+          .select(col("file")).distinct().collect().map(r =>
+            new java.io.File(new org.apache.hadoop.fs.Path(
+              new java.net.URI(r.getString(0))).toUri.getPath)
+              .getCanonicalPath).toSet
+        val before = dataFiles()
+        val deleted = Versioned.vacuum(s, path, retainFrom = v3)
+        val after = dataFiles()
+        val vacuumExact = after == reachable && deleted >= 1 &&
+          after.subsetOf(before) && after != before
+        val readFails =
+          try { Versioned.read(s, path, 2L); false }
+          catch { case _: IllegalArgumentException => true }
+        val postVacuum = snap(v3).collect().toSet == preRows
+        snap(v3)
+          .withColumn("files_drop_ok", lit(if (filesDrop) 1L else 0L))
+          .withColumn("latest_equal_ok", lit(if (latestEqual) 1L else 0L))
+          .withColumn("pre_intact_ok", lit(if (preIntact) 1L else 0L))
+          .withColumn("vacuum_exact_ok", lit(if (vacuumExact) 1L else 0L))
+          .withColumn("read_fails_ok", lit(if (readFails) 1L else 0L))
+          .withColumn("post_vacuum_ok", lit(if (postVacuum) 1L else 0L))
+          .orderBy(col("bucket"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
+    // ── K24: COLUMN RENAME via logical column mapping (r14 verdict task
+    // 7, the other half of the k19 lakehouse schema contract): a rename
+    // is a metadata-only commit — the new sidecar schema carries the new
+    // logical name, the field keeps its on-disk physical name, the
+    // manifest is copied by reference, and ZERO data bytes move (pinned:
+    // the full data-file (path -> length) map is IDENTICAL across the
+    // rename commit). Reads answer in each version's OWN names (v1/v2:
+    // price; v3/v4: amount — the `cols` column pins the names
+    // themselves); a post-rename merge speaks the new logical name while
+    // its fresh files keep writing the physical one.
+    "k24_column_rename" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-vrename-${System.nanoTime()}"
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$path/data"))
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(f => f.getPath -> f.length()).toMap
+      }
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        Versioned.init(s, path, "bucket", base)
+        val b1 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 5 && col("k") % 3 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("bucket") === 2 && col("k") % 3 === 2)
+            .withColumn("k", col("k") + 80000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", b1)
+        val f2 = files()
+        val v3 = Versioned.renameColumn(s, path, "price", "amount")
+        val zeroIo = files() == f2
+        // post-rename merge SPEAKS the new logical name
+        val renamed = base.withColumnRenamed("price", "amount")
+        val b2 =
+          renamed.filter(col("bucket") === 7 && col("k") % 5 === 1)
+            .withColumn("amount", (col("amount") * 3).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(renamed.filter(col("bucket") === 7 && col("k") % 5 === 2)
+            .withColumn("k", col("k") + 90000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", b2)
+        val f4 = files()
+        val immutable = f2.forall { case (p, n) => f4.get(p).contains(n) }
+        val snaps = Seq(1L, 2L, 3L, 4L).map { v =>
+          val r = Versioned.read(s, path, v)
+          val valCol = if (r.columns.contains("amount")) "amount" else "price"
+          r.groupBy(col("bucket"))
+            .agg(count(lit(1)).as("ct"),
+              sum(col(valCol)).cast("double").as("val_sum"),
+              sum(col("k")).as("key_sum"))
+            .withColumn("version", lit(v))
+            .withColumn("cols", lit(r.columns.mkString(",")))
+        }
+        snaps.reduce(_ unionByName _)
+          .withColumn("rename_zero_io_ok", lit(if (zeroIo) 1L else 0L))
+          .withColumn("immutable_ok", lit(if (immutable) 1L else 0L))
+          .select(col("version"), col("bucket"), col("ct"), col("val_sum"),
+            col("key_sum"), col("cols"), col("rename_zero_io_ok"),
+            col("immutable_ok"))
+          .orderBy(col("version"), col("bucket"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── K19: SCHEMA EVOLUTION on the versioned COW store — the other
     // dimension time travel must survive: a merge (mergeSchema=true)
     // introduces a column the snapshot lacks. The committed sidecar
@@ -1245,6 +1477,124 @@ private[graft] object GatesMaintenance {
         |  CAST(1 AS BIGINT) AS pre_vacuum_visible_ok,
         |  CAST(1 AS BIGINT) AS physical_gone_ok
         |FROM v2 GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+
+    // every probe replayed over the replayed snapshots (v1 = base, v2 =
+    // after the low-key-zone merge); the pruning verdicts are pinned —
+    // the file-skipping mechanics are in-gate requires on inputFiles
+    "k22_versioned_skipping" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |mxv AS (SELECT MAX(k) AS mx FROM base),
+        |v2 AS (
+        |  SELECT k, price FROM base, mxv
+        |    WHERE NOT (k <= mx//8 AND k % 3 IN (0, 1))
+        |  UNION ALL
+        |  SELECT k, CAST(price * 2 AS DECIMAL(18,2)) FROM base, mxv
+        |    WHERE k <= mx//8 AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 80000000, price FROM base, mxv
+        |    WHERE k <= mx//8 AND k % 3 = 2),
+        |probes AS (
+        |  SELECT 'hit' AS probe,
+        |    (SELECT MIN(k) FROM base, mxv WHERE k >= mx//2) AS lo,
+        |    (SELECT MIN(k) FROM base, mxv WHERE k >= mx//2) AS hi
+        |  UNION ALL SELECT 'miss', (SELECT mx + 123456789 FROM mxv),
+        |    (SELECT mx + 123456789 FROM mxv)
+        |  UNION ALL SELECT 'range', (SELECT mx//2 FROM mxv),
+        |    (SELECT mx//2 + mx//8 FROM mxv)
+        |  UNION ALL SELECT 'upd',
+        |    (SELECT MIN(k) FROM base, mxv WHERE k <= mx//8 AND k % 3 = 0),
+        |    (SELECT MIN(k) FROM base, mxv WHERE k <= mx//8 AND k % 3 = 0)),
+        |snap AS (SELECT 1 AS version, k, price FROM base
+        |  UNION ALL SELECT 2, k, price FROM v2),
+        |vers AS (SELECT 1 AS version UNION ALL SELECT 2)
+        |SELECT CAST(v.version AS BIGINT) AS version, p.probe,
+        |  CAST(COUNT(s.k) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(s.price), 0) AS DOUBLE) AS price_sum,
+        |  CAST(COALESCE(SUM(s.k), 0) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS pruned_ok, CAST(1 AS BIGINT) AS equal_ok
+        |FROM probes p CROSS JOIN vers v
+        |LEFT JOIN snap s ON s.version = v.version
+        |  AND s.k >= p.lo AND s.k <= p.hi
+        |GROUP BY v.version, p.probe
+        |ORDER BY version, probe""".stripMargin,
+
+
+    // compaction preserves the snapshot bit-for-bit: truth is the v2
+    // merge replay; every maintenance verdict is pinned true
+    "k23_versioned_compact" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderkey % 64 AS bucket FROM orders),
+        |v2 AS (
+        |  SELECT k, price, bucket FROM base
+        |    WHERE NOT (bucket = 2 AND k % 3 = 0)
+        |      AND NOT (bucket = 5 AND k % 3 = 1)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 2 AS DECIMAL(18,2)), bucket FROM base
+        |    WHERE bucket = 2 AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 80000000, price, bucket FROM base
+        |    WHERE bucket = 2 AND k % 3 = 2)
+        |SELECT bucket, COUNT(*) AS ct,
+        |  CAST(SUM(price) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS files_drop_ok,
+        |  CAST(1 AS BIGINT) AS latest_equal_ok,
+        |  CAST(1 AS BIGINT) AS pre_intact_ok,
+        |  CAST(1 AS BIGINT) AS vacuum_exact_ok,
+        |  CAST(1 AS BIGINT) AS read_fails_ok,
+        |  CAST(1 AS BIGINT) AS post_vacuum_ok
+        |FROM v2 GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+
+    // four snapshots replayed; v3 answers with v2's VALUES under the new
+    // name (a rename moves no data — the cols strings pin the names
+    // themselves, the zero-IO verdict pins the bytes)
+    "k24_column_rename" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderkey % 8 AS bucket FROM orders),
+        |v2 AS (
+        |  SELECT k, price, bucket FROM base
+        |    WHERE NOT (bucket = 5 AND k % 3 = 1)
+        |      AND NOT (bucket = 2 AND k % 3 = 0)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 2 AS DECIMAL(18,2)), bucket FROM base
+        |    WHERE bucket = 2 AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 80000000, price, bucket FROM base
+        |    WHERE bucket = 2 AND k % 3 = 2),
+        |v4 AS (
+        |  SELECT k, price, bucket FROM v2
+        |    WHERE NOT (bucket = 7 AND k % 5 = 1)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 3 AS DECIMAL(18,2)), bucket FROM base
+        |    WHERE bucket = 7 AND k % 5 = 1
+        |  UNION ALL
+        |  SELECT k + 90000000, price, bucket FROM base
+        |    WHERE bucket = 7 AND k % 5 = 2),
+        |snaps AS (
+        |  SELECT 1 AS version, 'k,price,bucket' AS cols, bucket,
+        |    COUNT(*) AS ct, CAST(SUM(price) AS DOUBLE) AS val_sum,
+        |    CAST(SUM(k) AS BIGINT) AS key_sum FROM base GROUP BY bucket
+        |  UNION ALL
+        |  SELECT 2, 'k,price,bucket', bucket, COUNT(*),
+        |    CAST(SUM(price) AS DOUBLE), CAST(SUM(k) AS BIGINT)
+        |    FROM v2 GROUP BY bucket
+        |  UNION ALL
+        |  SELECT 3, 'k,amount,bucket', bucket, COUNT(*),
+        |    CAST(SUM(price) AS DOUBLE), CAST(SUM(k) AS BIGINT)
+        |    FROM v2 GROUP BY bucket
+        |  UNION ALL
+        |  SELECT 4, 'k,amount,bucket', bucket, COUNT(*),
+        |    CAST(SUM(price) AS DOUBLE), CAST(SUM(k) AS BIGINT)
+        |    FROM v4 GROUP BY bucket)
+        |SELECT CAST(version AS BIGINT) AS version, bucket, ct, val_sum,
+        |  key_sum, cols, CAST(1 AS BIGINT) AS rename_zero_io_ok,
+        |  CAST(1 AS BIGINT) AS immutable_ok
+        |FROM snaps ORDER BY version, bucket""".stripMargin,
 
 
     // replay all three schema-evolution snapshots: v1 pre-evolution
