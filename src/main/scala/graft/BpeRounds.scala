@@ -45,6 +45,24 @@ object BpeRounds {
           window = 48).count())
       println(f"| batched(8/round) | $n | $b | $sec%.2f | ${sec / n}%.3f | |")
     }
+    // the >=256-merge regime (r15): word units exhaust this corpus's
+    // 31-word vocabulary (~89 merges and dry), so the large tier
+    // induces over 128-char SEQUENCE units — byte-level-tokenizer
+    // shape, open-ended merge space. Flat sec/merge at 288 merges is
+    // the order-of-magnitude point the r14 table lacked.
+    import org.apache.spark.sql.functions._
+    val units = docs.filter(length(col("text")) > 0)
+      .select(explode(transform(
+        sequence(lit(1), length(col("text")), lit(128)),
+        i => col("text").substr(i, lit(128)))).as("unit"))
+    Bpe.mergesBatchedUnits(units, batches = 1, batchSize = 8,
+      window = 64).count() // untimed warmup
+    for (b <- Seq(8, 18, 36)) {
+      val (sec, n) =
+        timed(Bpe.mergesBatchedUnits(units, batches = b, batchSize = 8,
+          window = 64).count())
+      println(f"| batched-chunks(8/round) | $n | $b | $sec%.2f | ${sec / n}%.3f | |")
+    }
 
     // ENCODE tiers vs merge-table size (r14): encodeBatches' expression
     // tree grows ~4x per batch (exponential — the analyzer ceiling), so

@@ -300,6 +300,32 @@ private[graft] object GatesPipeline {
         .orderBy(col("merge_idx"))),
 
 
+    // ── Text: LARGE-DEPTH BPE induction — the ≥256-merge regime real
+    // tokenizers live in (r14 verdict task 6). Word units exhaust on
+    // this corpus (31 distinct words — every word collapses to one
+    // symbol by ~merge 89), which is exactly why byte-level tokenizers
+    // induce over SEQUENCES: the units here are 128-char document
+    // chunks (spaces are symbols), giving an open-ended merge space.
+    // 36 batches x 8 triple-disjoint merges learn 288; the in-engine
+    // conservation require runs per batch, the in-gate require pins
+    // >= 256 actually learned, and the oracle replays candidate
+    // ranking, greedy selection, fold application, and the ledger for
+    // all 36 rounds.
+    "text_bpe_merges_large" -> ((s, dir) => {
+      val units = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(explode(transform(
+          sequence(lit(1), length(col("text")), lit(128)),
+          i => col("text").substr(i, lit(128)))).as("unit"))
+      val led = Bpe.mergesBatchedUnits(units, batches = 36, batchSize = 8,
+          window = 64)
+        .orderBy(col("merge_idx")).localCheckpoint(true)
+      require(led.count() >= 256,
+        s"text_bpe_merges_large: learned ${led.count()} merges, need >= 256")
+      led
+    }),
+
+
     // ── Text: BATCHED BPE ENCODE — segment the corpus with the ~39
     // learned merges, one fold pass per BATCH (constant expression depth
     // in batch size; 5 nested folds instead of 39).
@@ -1330,8 +1356,22 @@ private[graft] object GatesPipeline {
     * recursion would otherwise re-derive the whole upstream round chain
     * per iteration (measured: the un-hinted form does not terminate at
     * sf0.001; hinted, 0.3 s). */
+  /** The default induction unit: whitespace words (tokensWs replay). */
+  private val bpeWordUnitsSql: String =
+    """SELECT unnest(list_filter(
+      |      string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS word
+      |    FROM documents""".stripMargin
+
+  /** Sequence units for the large-merge tier: fixed 128-char document
+    * chunks (1-based char slicing, truncating tail — the exact replay of
+    * Spark's substr(i, 128) over sequence(1, len, 128)); empty chunks
+    * filtered like the engine side. */
+  private val bpeChunkUnitsSql: String =
+    """SELECT unnest([text[i:i+127] for i in range(1, length(text)+1, 128)]) AS word
+      |    FROM documents WHERE length(text) > 0""".stripMargin
+
   private def bpeBatchSql(batches: Int, batchSize: Int, window: Int,
-      encodeTail: Boolean): String = {
+      encodeTail: Boolean, unitsSql: String = bpeWordUnitsSql): String = {
     def block(r: Int): String = {
       val prev = s"s${r - 1}"
       s"""p$r AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b,
@@ -1363,10 +1403,8 @@ private[graft] object GatesPipeline {
     val header =
       s"""WITH RECURSIVE v0 AS MATERIALIZED (
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wct FROM (
-         |    SELECT unnest(list_filter(
-         |      string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS word
-         |    FROM documents)
-         |  GROUP BY word),
+         |    $unitsSql)
+         |  WHERE word <> '' GROUP BY word),
          |s0 AS MATERIALIZED (SELECT word, wct, list_transform(range(1, length(word)+1),
          |    i -> substr(word, i, 1)) AS syms FROM v0),
          |n0 AS MATERIALIZED (SELECT CAST(SUM(wct*len(syms)) AS BIGINT) AS total FROM s0),
@@ -1441,6 +1479,10 @@ private[graft] object GatesPipeline {
     // see bpeBatchSql.
     "text_bpe_batch" ->
       bpeBatchSql(batches = 5, batchSize = 8, window = 48, encodeTail = false),
+    // the 288-merge chunk-unit tier: same generated replay, sequence units
+    "text_bpe_merges_large" ->
+      bpeBatchSql(batches = 36, batchSize = 8, window = 64,
+        encodeTail = false, unitsSql = bpeChunkUnitsSql),
     "text_bpe_batch_encode" ->
       bpeBatchSql(batches = 4, batchSize = 8, window = 48, encodeTail = true),
     // table-driven encode answers to the SAME replay: sequential

@@ -193,6 +193,21 @@ object Bpe {
     * per-merge attribution exact, and the measured post-batch total is
     * asserted equal to the derived one every round). */
   def mergesBatched(documents: DataFrame, batches: Int, batchSize: Int,
+      window: Int = 0): DataFrame =
+    mergesBatchedUnits(
+      documents.select(explode(TextFns.tokensWs(col("text"))).as("unit")),
+      batches, batchSize, window)
+
+  /** [[mergesBatched]] over CALLER-CHOSEN symbol sequences — one row per
+    * `unit` string (duplicates weight the counts), symbols = the unit's
+    * characters. Whitespace words hit a vocabulary-richness ceiling on
+    * small-alphabet corpora (every word collapses to one symbol and
+    * induction runs dry); the byte/char-level tokenizers that need
+    * 10²–10⁵ merges feed SEQUENCE units instead (fixed-size document
+    * chunks — spaces are just symbols), which is what this entry point
+    * is for (see text_bpe_merges_large). Unit strings must not contain
+    * '|' (object-doc precondition). */
+  def mergesBatchedUnits(units: DataFrame, batches: Int, batchSize: Int,
       window: Int = 0): DataFrame = {
     require(batches >= 1 && batches <= 4096,
       s"batches must be in [1, 4096], got $batches")
@@ -200,11 +215,15 @@ object Bpe {
       s"batchSize must be in [1, 256], got $batchSize")
     val win = if (window > 0) window else math.max(4 * batchSize, 16)
     require(win >= batchSize, s"window $win must be >= batchSize $batchSize")
-    val spark = documents.sparkSession
+    val spark = units.sparkSession
     import spark.implicits._
 
-    var vocab = documents
-      .select(explode(TextFns.tokensWs(col("text"))).as("word"))
+    var vocab = units
+      .select(col("unit").as("word"))
+      // empty units carry no pairs and would trip sequence(1, 0)'s
+      // descending-step inference — drop them (tokensWs never emits any;
+      // sequence units may, e.g. chunking an empty document)
+      .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("wct"))
       .select(col("word"), col("wct"),
         transform(sequence(lit(1), length(col("word"))),

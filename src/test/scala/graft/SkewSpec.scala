@@ -143,4 +143,56 @@ class SkewSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("sim_knn_hotcell: a hot IVF cell (~50% of the corpus under one " +
+    "centroid) is split by AQE skew-join inside knnJoinIvf, and the " +
+    "split plan's answer matches the unsplit twin row-for-row") {
+    import graft.operators.Similarity
+    // 8000 vectors, dim 4: every even id lands in the hot region around
+    // (10,0,0,0); odd ids spread over 7 cold regions at x=100..700. The
+    // jitter keeps vectors distinct without moving any off its centroid.
+    val corpus = spark.range(8000).select(col("id").as("vec_id"),
+      array(
+        when(col("id") % 2 === 0, lit(10.0))
+          .otherwise((col("id") % 7 + 1) * 100.0),
+        (col("id") % 17).cast("double") / 1000.0,
+        (col("id") % 13).cast("double") / 1000.0,
+        lit(0.0)).as("embedding"))
+    val centroids = (Seq((0L, Seq(10.0, 0.0, 0.0, 0.0))) ++
+      (1 to 7).map(r => (r.toLong, Seq(r * 100.0, 0.0, 0.0, 0.0))))
+      .toDF("cluster_id", "centroid")
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    def run(skewOn: Boolean): (Seq[(Long, Long, Double, Int)], String) = {
+      val confs = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+        "spark.sql.adaptive.skewJoin.enabled" -> skewOn.toString,
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.shuffle.partitions" -> "32",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val q = Similarity.knnJoinIvf(queries, corpus, k = 3,
+          centroids = centroids, nProbe = 1)
+        val rows = q.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSeq.sorted
+        (rows, q.queryExecution.executedPlan.toString)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    val (split, splitPlan) = run(skewOn = true)
+    // the claim under test (Similarity.knnJoinIvf doc): a residually hot
+    // cell IS AQE skew-join territory — the executed SMJ must carry the
+    // skew=true split, not just tolerate the straggler
+    assert(splitPlan.contains("skew=true"), splitPlan.take(1500))
+    val (unsplit, unsplitPlan) = run(skewOn = false)
+    assert(!unsplitPlan.contains("skew=true"))
+    assert(split === unsplit,
+      "AQE skew split changed the kNN answer")
+    assert(split.nonEmpty && split.size === unsplit.size)
+  }
 }
