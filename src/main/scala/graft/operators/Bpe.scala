@@ -43,18 +43,11 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Free a prior generation's `localCheckpoint` storage. The
-    * checkpointed blocks live in the block manager at RDD level;
-    * `Dataset.unpersist` only consults the SQL cache manager (a no-op for
-    * checkpoints), so the RDD itself must be unpersisted — without this,
-    * peak executor storage grows one vocabulary copy per round until the
-    * ContextCleaner happens to collect the dropped references. */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
+  /** Free a prior generation's `localCheckpoint` storage — without
+    * this, peak executor storage grows one vocabulary copy per round
+    * until the ContextCleaner happens to collect the dropped references.
+    * Precise (frees exactly the wrapped RDD): see [[CheckpointUtil]]. */
+  private def freeCheckpoint(df: DataFrame): Unit = CheckpointUtil.free(df)
 
   /** Adjacent symbol pairs of a symbol array, as (a, b) structs. */
   private def adjPairs(syms: Column): Column =

@@ -73,7 +73,14 @@ object Pretrain {
     * them once the result is consumed (Bench's inter-query hygiene pass
     * covers the gate path the same way). */
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
-      shingleLen: Int = 8, broadcastMaxIds: Long = 1L << 22): DataFrame = {
+      shingleLen: Int = 8, broadcastMaxIds: Long = 1L << 22): DataFrame =
+    decontaminateImpl(corpus, evalDocs, shingleLen, broadcastMaxIds)._1
+
+  /** Shared body: returns (anti-joined result, the checkpointed
+    * contaminated-ids sliver) so [[decontaminateScoped]] can release
+    * EXACTLY its own blocks once the result is consumed. */
+  private def decontaminateImpl(corpus: DataFrame, evalDocs: DataFrame,
+      shingleLen: Int, broadcastMaxIds: Long): (DataFrame, DataFrame) = {
     def sh(df: DataFrame, cols: Column*): DataFrame = df.select(
       cols :+ explode(array_distinct(call_function("graft_shingles",
         col("text"), lit(shingleLen)))).as("__sh"): _*)
@@ -87,7 +94,7 @@ object Pretrain {
     val antiSide =
       if (contaminated.count() <= broadcastMaxIds) broadcast(contaminated)
       else contaminated
-    corpus.join(antiSide, Seq("doc_id"), "left_anti")
+    (corpus.join(antiSide, Seq("doc_id"), "left_anti"), contaminated)
   }
 
   /** Bloom-filter decontamination — the zero-shuffle scale tier of
@@ -130,24 +137,20 @@ object Pretrain {
   }
 
   /** [[decontaminate]] with bounded block lifetime: runs `consume` on the
-    * clean corpus, then unpersists every RDD block the call materialized
+    * clean corpus, then unpersists the RDD blocks the call materialized
     * (the contaminated-ids localCheckpoint), so repeated pipeline calls
     * do not accumulate storage memory. `consume` must fully drain the
     * result (write/collect/count) — the blocks are gone when it returns.
-    *
-    * Block tracking is a before/after diff of the session's persistent
-    * RDDs, which assumes no CONCURRENT persist activity on the same
-    * SparkSession during the call — the single-pipeline shape this stage
-    * runs in. */
+    * Release is PRECISE (exactly this call's checkpoint, via
+    * CheckpointUtil) — safe under concurrent queries on one session,
+    * unlike the registry diff it replaced in r15. */
   def decontaminateScoped[T](corpus: DataFrame, evalDocs: DataFrame,
       shingleLen: Int = 8, broadcastMaxIds: Long = 1L << 22)(
       consume: DataFrame => T): T = {
-    val sc = corpus.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    try consume(decontaminate(corpus, evalDocs, shingleLen, broadcastMaxIds))
-    finally sc.getPersistentRDDs
-      .filter { case (id, _) => !before.contains(id) }
-      .values.foreach(_.unpersist(blocking = false))
+    val (clean, ckpt) =
+      decontaminateImpl(corpus, evalDocs, shingleLen, broadcastMaxIds)
+    try consume(clean)
+    finally CheckpointUtil.free(ckpt)
   }
 
   /** Semantic decontamination — the embedding-level sibling of the n-gram

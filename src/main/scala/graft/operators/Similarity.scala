@@ -86,35 +86,30 @@ object Similarity {
       sampleRate: Double = 1.0): DataFrame = {
     require(sampleRate > 0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1], got $sampleRate")
-    val sc = corpus.sparkSession.sparkContext
     // Block lifetime: each localCheckpoint below is released as soon as
-    // its successor materializes (the before/after persistent-RDD diff —
-    // the decontaminateScoped idiom, same single-pipeline no-concurrent-
-    // persist assumption), so a call leaves behind ONLY the returned
+    // its successor materializes (CheckpointUtil.free on exactly the
+    // wrapped RDD — concurrency-safe, unlike the registry diff this
+    // replaced in r15), so a call leaves behind ONLY the returned
     // final centroids' blocks (which must outlive the lazy consumers;
     // Bench's hygiene pass / spark.catalog.clearCache() reclaims those).
-    var releasable = Set.empty[Int]
+    var prevGen: Option[DataFrame] = None
     def swapCheckpoint(df: DataFrame): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true) // eager — safe to drop inputs now
-      val fresh = (sc.getPersistentRDDs.keySet -- before).toSet
-      releasable.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      releasable = fresh
+      prevGen.foreach(CheckpointUtil.free)
+      prevGen = Some(out)
       out
     }
     // sample lazily and COUNT first: the thin-sample fallback must not
     // pay for (or leak) a checkpoint it will never read
-    var trainIds = Set.empty[Int]
+    var pinnedSample: Option[DataFrame] = None
     val train =
       if (sampleRate >= 1.0) corpus
       else {
         val s = Sampling.hashSample(corpus, col("vec_id"), sampleRate)
         if (s.count() >= 4L * k) {
           // pinned once: every Lloyd iteration re-reads the sample
-          val before = sc.getPersistentRDDs.keySet
           val pinned = s.localCheckpoint(true)
-          trainIds = (sc.getPersistentRDDs.keySet -- before).toSet
+          pinnedSample = Some(pinned)
           pinned
         } else corpus
       }
@@ -142,8 +137,7 @@ object Similarity {
     }
     // the final Lloyd result is materialized — the training sample has no
     // remaining reader
-    trainIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    pinnedSample.foreach(CheckpointUtil.free)
     centroids
   }
 

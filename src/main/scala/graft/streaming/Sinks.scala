@@ -169,15 +169,12 @@ object Sinks {
     * would DELETE every other day. At 100 TB the write cost is the
     * churned partitions, never the table. */
   def overwritePartitions(df: DataFrame, path: String,
-      partCol: String): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val before = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
-    finally before match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+      partCol: String): Unit =
+    // the write OPTION scopes dynamic mode to this one write — unlike a
+    // set/restore of the session conf, which races under concurrent
+    // queries on one session (another writer in the window would
+    // silently pick up dynamic semantics; ConcurrencySpec is the guard)
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
 }
