@@ -36,6 +36,19 @@ object StreamRunner {
     if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
     else System.getProperty("java.io.tmpdir")
 
+  /** Sweep a bounded run's throwaway checkpoint/stage dir. Every entry
+    * point cleans up in a finally — before r15 only runForeachBatch did,
+    * and a long bench session left thousands of committed-offset dirs on
+    * tmpfs (a leak, and at 100 TB a checkpoint-store bill). */
+  private def sweep(path: String): Unit = {
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory)
+        Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      x.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   /** @param statePartitions shuffle/state partition count for THIS query.
     *   Stateful commit cost is per-store-per-partition-per-batch file I/O,
     *   independent of state volume — a stream-stream join carries 4 stores
@@ -62,7 +75,10 @@ object StreamRunner {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      sweep(ckpt) // the memory-sink table outlives the checkpoint
+    }
     spark.table(name)
   }
 
@@ -95,7 +111,10 @@ object StreamRunner {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      sweep(ckpt)
+    }
     require(schema != null, "collectBatches: the stream produced no batches")
     val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
     acc.forEach(a => a.foreach(rows.add))
@@ -122,12 +141,7 @@ object StreamRunner {
       q.awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", before)
-      def rm(x: java.io.File): Unit = {
-        if (x.isDirectory)
-          Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        x.delete(); ()
-      }
-      rm(new java.io.File(ckpt))
+      sweep(ckpt)
     }
   }
 
@@ -185,10 +199,12 @@ object StreamRunner {
         q.awaitTermination()
       } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     }
-    stageUp(chunks.take(splitAt))
-    lifecycle()
-    stageUp(chunks.drop(splitAt))
-    lifecycle()
+    try {
+      stageUp(chunks.take(splitAt))
+      lifecycle()
+      stageUp(chunks.drop(splitAt))
+      lifecycle() // the SHARED checkpoint must survive between lifecycles
+    } finally { sweep(ckpt); sweep(stage.getPath) }
     require(schema != null, "collectResumed: the stream produced no batches")
     val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
     acc.forEach(a => a.foreach(rows.add))
@@ -219,7 +235,10 @@ object StreamRunner {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      sweep(ckpt)
+    }
     require(state.get != null, "foldBatches: the stream produced no batches")
     state.get
   }
