@@ -9,13 +9,21 @@ import org.apache.spark.sql.functions._
   * the transaction log + `VERSION AS OF`).
   *
   * Layout under `dir`:
-  *   - `data/v=N/…parquet` — files WRITTEN BY version N (append-only:
-  *     once written, never rewritten or deleted by later merges)
-  *   - `_log/v=N/…parquet` — version N's manifest: (file, part, rows),
-  *     one row per (data file, partition value) it serves. A snapshot
-  *     IS its manifest's file set; untouched files are carried into the
+  *   - `data/v=N-<token>/…parquet` — files WRITTEN BY an attempt at
+  *     version N (append-only: once written, never rewritten or deleted
+  *     by later merges). The token is writer-unique, so concurrent
+  *     attempts never mix files; manifests reference files by absolute
+  *     path, so the dir name carries no read semantics.
+  *   - `_log/v=N/…parquet` — version N's manifest: (file, part, rows
+  *     [, mn, mx, bloom]), one row per (data file, partition value) it
+  *     serves, plus the committed `_schema.json` sidecar. A snapshot IS
+  *     its manifest's file set; untouched files are carried into the
   *     next manifest BY REFERENCE, so a merge writes only churned
-  *     partitions' rows plus one tiny manifest.
+  *     partitions' rows plus one tiny manifest. The manifest dir is
+  *     staged and RENAMED into place atomically — the single commit
+  *     point: of N racing writers exactly one commits version N, the
+  *     rest throw and retry against the new latest (optimistic
+  *     concurrency, the Delta log-store contract on a local FS).
   *
   * `read(dir, v)` plans from the manifest (file-count-sized, like every
   * index probe here) and scans exactly that snapshot's files — old
@@ -32,7 +40,53 @@ import org.apache.spark.sql.functions._
 object Versioned {
 
   private def logRoot(dir: String) = s"$dir/_log"
-  private def dataDir(dir: String, v: Long) = s"$dir/data/v=$v"
+
+  /** WRITER-UNIQUE data dir for an attempted commit of version `v`. The
+    * token makes concurrent writers collision-free on the data side
+    * (two racing merges never mix files in one dir — manifests reference
+    * files by absolute path, so the dir name carries no read semantics);
+    * the COMMIT POINT is the atomic manifest rename in
+    * [[commitManifest]], and a losing attempt's data dir becomes an
+    * unreferenced orphan that [[recover]]/[[vacuum]] reclaims. */
+  private def newDataDir(dir: String, v: Long) =
+    s"$dir/data/v=$v-${System.nanoTime()}"
+
+  /** Commit version `v`: the manifest (plus the committed `_schema.json`
+    * sidecar) is written to a temp dir inside the log and RENAMED into
+    * place atomically — the Delta-style single commit point. Exactly one
+    * of N racing writers wins the rename; losers get a loud
+    * IllegalStateException and retry against the new latest (their data
+    * dirs are token-unique orphans, reclaimed by maintenance). Local-FS
+    * rename is atomic; an object-store deployment would slot a log-store
+    * CAS here, exactly like Delta's LogStore abstraction. */
+  private def commitManifest(spark: SparkSession, dir: String, v: Long,
+      manifest: DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    val tmp = s"${logRoot(dir)}/.tmp-v=$v-${System.nanoTime()}"
+    manifest.coalesce(1).write.mode("errorifexists").parquet(tmp)
+    schema.foreach(s0 => writeSchemaFile(new java.io.File(tmp), s0))
+    val src = java.nio.file.Paths.get(tmp)
+    val dst = java.nio.file.Paths.get(s"${logRoot(dir)}/v=$v")
+    try {
+      java.nio.file.Files.move(src, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } catch {
+      case e @ (_: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.DirectoryNotEmptyException |
+                _: java.nio.file.FileSystemException) =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(tmp))
+        throw new IllegalStateException(
+          s"Versioned: version $v was committed by a concurrent writer — " +
+            "re-read latest() and retry the operation", e)
+    }
+  }
 
   /** Column-mapping key: a logical column's PHYSICAL (on-disk) name,
     * carried as StructField metadata inside the committed sidecar schema
@@ -142,16 +196,16 @@ object Versioned {
     * name-collision trap a payload column called "v" would spring). */
   private val PartDir = "__part"
 
-  /** Write `df` as version `v`'s data: one directory per partition value
-    * keeps the file↔partition mapping exact BY CONSTRUCTION (a file can
-    * only ever serve one partition value, so a merge never drags
-    * unaffected rows into a rewrite), independent of task count or AQE
-    * partition coalescing. */
-  private def writeData(df: DataFrame, dir: String, v: Long,
-      partCol: String): Unit =
+  /** Write `df` as an attempted version's data under `path` (a
+    * [[newDataDir]]): one directory per partition value keeps the
+    * file↔partition mapping exact BY CONSTRUCTION (a file can only ever
+    * serve one partition value, so a merge never drags unaffected rows
+    * into a rewrite), independent of task count or AQE partition
+    * coalescing. */
+  private def writeData(df: DataFrame, path: String, partCol: String): Unit =
     df.withColumn(PartDir, col(partCol)).repartition(col(partCol))
       .write.partitionBy(PartDir).mode("errorifexists")
-      .parquet(dataDir(dir, v))
+      .parquet(path)
 
   /** Create version 1 from `df`. `statsCol` opts the store into
     * stats-carrying manifests: every commit's manifest rows then carry
@@ -165,11 +219,10 @@ object Versioned {
     require(versions(dir).isEmpty, s"Versioned: $dir already initialized")
     require(partCol != PartDir && !df.columns.contains(PartDir),
       s"Versioned: column name $PartDir is reserved")
-    writeData(df, dir, 1L, partCol)
-    fileParts(spark, dataDir(dir, 1L), partCol, statsCol)
-      .coalesce(1).write.mode("errorifexists")
-      .parquet(s"${logRoot(dir)}/v=1")
-    writeSchema(dir, 1L, df.schema)
+    val dataPath = newDataDir(dir, 1L)
+    writeData(df, dataPath, partCol)
+    commitManifest(spark, dir, 1L,
+      fileParts(spark, dataPath, partCol, statsCol), Some(df.schema))
     1L
   }
 
@@ -184,9 +237,9 @@ object Versioned {
   private def schemaFile(dir: String, v: Long) =
     new java.io.File(s"${logRoot(dir)}/v=$v/_schema.json")
 
-  private def writeSchema(dir: String, v: Long,
+  private def writeSchemaFile(manifestDir: java.io.File,
       schema: org.apache.spark.sql.types.StructType): Unit = {
-    val f = schemaFile(dir, v)
+    val f = new java.io.File(manifestDir, "_schema.json")
     f.getParentFile.mkdirs()
     java.nio.file.Files.write(f.toPath,
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -416,7 +469,8 @@ object Versioned {
     val outPhys = out.select(out.columns.map(n =>
       col(n).as(prevMap.getOrElse(n, n))).toIndexedSeq: _*)
     val physPart = prevMap.getOrElse(partCol, partCol)
-    writeData(outPhys, dir, next, physPart)
+    val dataPath = newDataDir(dir, next)
+    writeData(outPhys, dataPath, physPart)
     // an all-deletes merge writes no data files at all — the new
     // manifest is then just the carryover (the schema is pinned so the
     // empty case still commits a readable manifest)
@@ -433,8 +487,8 @@ object Versioned {
           .exists(anyParquet)
       else f.getName.endsWith(".parquet")
     val fresh =
-      if (anyParquet(new java.io.File(dataDir(dir, next))))
-        fileParts(spark, dataDir(dir, next), physPart,
+      if (anyParquet(new java.io.File(dataPath)))
+        fileParts(spark, dataPath, physPart,
           statsCol.map(c => prevMap.getOrElse(c, c)))
       else spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -446,10 +500,8 @@ object Versioned {
     val carried = mRows.filter(r => !touched(r.getString(fIdx)))
     val carriedDf = spark.createDataFrame(
       java.util.Arrays.asList(carried.toIndexedSeq: _*), mSchema)
-    alignUnion(carriedDf, fresh)
-      .coalesce(1).write.mode("errorifexists")
-      .parquet(s"${logRoot(dir)}/v=$next")
-    writeSchema(dir, next, withPhysMeta(out.schema, prevMap))
+    commitManifest(spark, dir, next, alignUnion(carriedDf, fresh),
+      Some(withPhysMeta(out.schema, prevMap)))
     next
   }
 
@@ -509,6 +561,7 @@ object Versioned {
     val physSch = sch.map(physicalSchema)
     require(!physSch.exists(_.fieldNames.contains("__bin")),
       "Versioned: column name __bin is reserved (compaction bin dirs)")
+    val dataPath = newDataDir(dir, next)
     rewrite.zipWithIndex.foreach { case (g, i) =>
       // physical read, physical write: compaction moves bytes between
       // files, never through the logical namespace — and reading under
@@ -517,19 +570,16 @@ object Versioned {
       val reader = physSch.fold(spark.read)(spark.read.schema)
       reader.parquet(g.map(Manifest.unglob): _*)
         .coalesce(1).write.mode("errorifexists")
-        .parquet(s"${dataDir(dir, next)}/__bin=$i")
+        .parquet(s"$dataPath/__bin=$i")
     }
     val physPart = prevMap.getOrElse(partCol, partCol)
-    val fresh = fileParts(spark, dataDir(dir, next), physPart,
+    val fresh = fileParts(spark, dataPath, physPart,
       statsCol.map(c => prevMap.getOrElse(c, c)))
     val packed = rewrite.flatten.toSet
     val carried = mRows.filter(r => !packed(r.getString(fIdx)))
     val carriedDf = spark.createDataFrame(
       java.util.Arrays.asList(carried.toIndexedSeq: _*), mSchema)
-    alignUnion(carriedDf, fresh)
-      .coalesce(1).write.mode("errorifexists")
-      .parquet(s"${logRoot(dir)}/v=$next")
-    sch.foreach(s0 => writeSchema(dir, next, s0))
+    commitManifest(spark, dir, next, alignUnion(carriedDf, fresh), sch)
     next
   }
 
@@ -564,10 +614,8 @@ object Versioned {
         org.apache.spark.sql.types.StructField(to, f.dataType, f.nullable, md)
       }
     })
-    spark.read.parquet(s"${logRoot(dir)}/v=$v")
-      .coalesce(1).write.mode("errorifexists")
-      .parquet(s"${logRoot(dir)}/v=$next")
-    writeSchema(dir, next, newSch)
+    commitManifest(spark, dir, next,
+      spark.read.parquet(s"${logRoot(dir)}/v=$v"), Some(newSch))
     next
   }
 
@@ -586,11 +634,10 @@ object Versioned {
       s"Versioned.dropColumn: no column $name in ${sch.fieldNames.toSeq}")
     require(sch.fields.length >= 2,
       "Versioned.dropColumn: refusing to drop the last column")
-    spark.read.parquet(s"${logRoot(dir)}/v=$v")
-      .coalesce(1).write.mode("errorifexists")
-      .parquet(s"${logRoot(dir)}/v=$next")
-    writeSchema(dir, next,
-      org.apache.spark.sql.types.StructType(sch.fields.filter(_.name != name)))
+    commitManifest(spark, dir, next,
+      spark.read.parquet(s"${logRoot(dir)}/v=$v"),
+      Some(org.apache.spark.sql.types.StructType(
+        sch.fields.filter(_.name != name))))
     next
   }
 
@@ -683,6 +730,49 @@ object Versioned {
         .select(Seq(col("op"), col(keyCol)) ++ payload.map(c =>
           when(col("op").isin("D", "U_pre"), col(s"__o.$c"))
             .otherwise(col(s"__n.$c")).as(c)): _*)
+  }
+
+  /** Reclaim CRASHED and LOST-RACE commit attempts: every attempt
+    * writes its data under a token-unique dir and only the atomic
+    * manifest rename commits it, so a writer that died mid-attempt (or
+    * lost the race) leaves a data dir no manifest references — invisible
+    * to reads, never blocking (the next attempt takes a fresh token),
+    * just occupying space. This deletes every data dir with ZERO files
+    * referenced by any committed manifest, plus any stranded `.tmp-v=*`
+    * manifest staging dirs, and returns the removed data-dir names. Run
+    * it like [[vacuum]] — from the maintenance schedule with writers
+    * quiesced; an IN-FLIGHT attempt looks exactly like a crash from
+    * here. */
+  def recover(spark: SparkSession, dir: String): Seq[String] = {
+    val referenced = versions(dir).flatMap { v =>
+      spark.read.parquet(s"${logRoot(dir)}/v=$v")
+        .select(col("file")).distinct()
+        .collect().map(r => new java.io.File(
+          new org.apache.hadoop.fs.Path(
+            new java.net.URI(r.getString(0))).toUri.getPath).getCanonicalPath)
+    }.toSet
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .toSeq.flatMap(files)
+      else Seq(f)
+    val orphaned = Option(new java.io.File(s"$dir/data").listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        !files(d).exists(f => f.getName.endsWith(".parquet") &&
+          referenced(f.getCanonicalPath)))
+      .map(_.getName).sorted.toIndexedSeq
+    orphaned.foreach(n => rm(new java.io.File(s"$dir/data/$n")))
+    Option(new java.io.File(logRoot(dir)).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".tmp-v="))
+      .foreach(rm)
+    orphaned
   }
 
   /** Reclaim history: drop manifests BELOW `retainFrom` and delete every

@@ -52,8 +52,8 @@ class VersionedSpec extends SparkSpec {
       // carryover BY REFERENCE: v2 reuses v1's untouched files verbatim
       val shared = m1 intersect m2
       assert(shared.nonEmpty, "no files carried between versions")
-      assert((m2 -- m1).forall(_.contains("/data/v=2/")),
-        "fresh v2 entries must come from v2's own write")
+      assert((m2 -- m1).forall(_.contains("/data/v=2-")),
+        "fresh v2 entries must come from v2's own (token-unique) write")
       // only bucket-1 files were replaced
       val replaced = m1 -- m2
       val partsOfReplaced = spark.read.parquet(s"$dir/_log/v=1")
@@ -425,6 +425,71 @@ class VersionedSpec extends SparkSpec {
       val v5 = Versioned.merge(spark, dir, "bucket", "k", src2)
       assert(Versioned.read(spark, dir, v5).columns.toSeq === Seq("k", "bucket"))
       assert(Versioned.read(spark, dir, v5).count() === 201)
+    } finally rm(dir)
+  }
+
+  test("optimistic concurrency: racing merges get exactly one winner, " +
+    "the loser fails loudly, the store stays consistent; recover() " +
+    "unblocks a crashed commit") {
+    val dir = tmpDir("occ")
+    try {
+      val base = spark.range(0, 100)
+        .select(col("id").as("k"), (col("id") * 3).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      val srcA = Seq((1L, 9111L, 1L, "U")).toDF("k", "v", "bucket", "op")
+      val srcB = Seq((2L, 9222L, 2L, "U")).toDF("k", "v", "bucket", "op")
+      // race two merges; both read latest=1 and target v=2
+      import scala.concurrent._
+      import scala.concurrent.duration._
+      import ExecutionContext.Implicits.global
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def arm(src: org.apache.spark.sql.DataFrame) = Future {
+        gate.await()
+        try Right(Versioned.merge(spark, dir, "bucket", "k", src))
+        catch { case e: Throwable => Left(e) }
+      }
+      val (fa, fb) = (arm(srcA), arm(srcB))
+      gate.countDown()
+      val results = Await.result(Future.sequence(Seq(fa, fb)), 5.minutes)
+      val winners = results.collect { case Right(v) => v }
+      val losers = results.collect { case Left(e) => e }
+      // both read latest=1 and target v=2; the atomic manifest rename
+      // admits EXACTLY one — the loser throws the retry-signaling error
+      assert(winners === Seq(2L), s"expected one winner, got $results")
+      assert(losers.size === 1)
+      assert(losers.head.isInstanceOf[IllegalStateException] ||
+        losers.head.getMessage.contains("concurrent"),
+        s"loser should fail with the concurrency signal: ${losers.head}")
+      // the store is consistent: exactly ONE of the updates landed, the
+      // loser's data dir is an unreferenced orphan invisible to reads
+      val latest = Versioned.read(spark, dir)
+      assert(latest.count() === 100)
+      val updated = latest.filter(col("v").isin(9111L, 9222L)).count()
+      assert(updated === 1L, "exactly one racing update must land")
+      // the loser does NOT block: ITS retry takes a fresh token and wins
+      val aWon = latest.filter(col("v") === 9111L).count() === 1L
+      val v3 = Versioned.merge(spark, dir, "bucket", "k",
+        if (aWon) srcB else srcA)
+      assert(v3 === 3L)
+      assert(Versioned.read(spark, dir)
+        .filter(col("v").isin(9111L, 9222L)).count() === 2L)
+      // a crashed/lost attempt's data dir is reclaimed by recover():
+      // plant one alongside the real orphan the lost race left behind
+      val junk = new java.io.File(s"$dir/data/v=9-555/junk")
+      junk.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(junk, "part-zzz.parquet").toPath,
+        Array[Byte](1, 2, 3))
+      val preReads = Versioned.read(spark, dir).orderBy("k").collect().toSeq
+      val recovered = Versioned.recover(spark, dir)
+      assert(recovered.exists(_.startsWith("v=9-555")),
+        s"planted orphan not reclaimed: $recovered")
+      assert(recovered.size >= 2, // the lost-race data dir goes too
+        s"the losing attempt's data dir should be orphaned: $recovered")
+      assert(Versioned.read(spark, dir).orderBy("k").collect().toSeq
+        === preReads, "recover must not touch committed data")
+      assert(Versioned.read(spark, dir, 1L).count() === 100)
     } finally rm(dir)
   }
 }
