@@ -541,9 +541,24 @@ object Versioned {
     val mSchema = mDf.schema
     val mRows = mDf.collect()
     val (fIdx, rIdx) = (mSchema.fieldIndex("file"), mSchema.fieldIndex("rows"))
+    val mnIdx =
+      if (mSchema.fieldNames.contains("mn")) Some(mSchema.fieldIndex("mn"))
+      else None
+    // Pack order decides post-compact SKIPPING quality: packing by size
+    // scrambles key ranges, so a packed file's envelope spans everything
+    // and readPoint/readRange degrade to scanning every bin. With stats
+    // present, pack by ascending key envelope instead — bins then hold
+    // CONTIGUOUS key ranges and the packed files stay as prunable as the
+    // fragments were (files with NULL stats sort last, packed together).
     val fileRows = mRows.groupBy(_.getString(fIdx)).view
-      .mapValues(_.map(_.getLong(rIdx)).sum).toSeq
-      .sortBy { case (f, n) => (n, f) } // ascending: pack the tail first
+      .mapValues { rs =>
+        val n = rs.map(_.getLong(rIdx)).sum
+        val mn = mnIdx.flatMap(i => rs.flatMap(r =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i))).minOption)
+        (n, mn)
+      }.toSeq
+      .sortBy { case (f, (n, mn)) => (mn.getOrElse(Long.MaxValue), n, f) }
+      .map { case (f, (n, _)) => (f, n) }
     val groups = Vector.newBuilder[Vector[String]]
     var cur = Vector.empty[String]
     var curRows = 0L

@@ -315,6 +315,22 @@ class VersionedSpec extends SparkSpec {
         assert(miss.count() === 0L)
         assert(miss.inputFiles.length <= 1)
       }
+      // compaction packs by KEY ADJACENCY when stats exist, so the packed
+      // files' envelopes stay contiguous and skipping survives: 16 files
+      // of 100 keys pack into 4 bins of contiguous 400-key ranges
+      val v3 = Versioned.compact(spark, dir, "bucket",
+        statsCol = Some("k"), maxGroupRows = 400L)
+      val full3 = Versioned.read(spark, dir, v3)
+      val r3 = Versioned.readRange(spark, dir, "k", 250L, 449L, v3)
+      assert(r3.inputFiles.length <= 2, // bins [0,399] and [400,799] only
+        s"key-adjacent packing should keep range pruning tight, " +
+          s"planned ${r3.inputFiles.length} of ${full3.inputFiles.length}")
+      assert(r3.orderBy("k").collect().toSeq ===
+        full3.filter(col("k") >= 250 && col("k") <= 449)
+          .orderBy("k").collect().toSeq)
+      val p3 = Versioned.readPoint(spark, dir, "k", 777L, v3)
+      assert(p3.inputFiles.length === 1)
+      assert(p3.count() === 1L)
     } finally rm(dir)
   }
 
