@@ -182,10 +182,14 @@ object Versioned {
       case Some(c) =>
         val bloom = udaf(graft.functions.BloomAgg.agg(
           StatsBloomExpected, StatsBloomFpp))
+        // stats_col records WHICH (physical) column the envelope/sketch
+        // describe — a probe on any OTHER column must not prune with
+        // them (silent wrong answers), it falls back to reading the file
         base.agg(count(lit(1)).as("rows"),
           min(col(c).cast("long")).as("mn"),
           max(col(c).cast("long")).as("mx"),
           bloom(col(c).cast("long")).as("bloom"))
+          .withColumn("stats_col", lit(c))
     }
   }
 
@@ -298,20 +302,27 @@ object Versioned {
   }
 
   /** Manifest rows for version `v`, collected: (file, Option[(mn, mx,
-    * bloom)]) per (file, part). Driver-scale by design — the manifest has
-    * one row per (file, partition value), the same boundedness as every
-    * index probe here. Rows from stats-less commits carry None. */
-  private def statRows(spark: SparkSession, dir: String, v: Long)
+    * bloom)]) per (file, part) — stats usable for pruning a probe on
+    * PHYSICAL column `probeCol` only. Rows whose stats describe a
+    * DIFFERENT column (or no column — stats-less commits, pre-stats_col
+    * manifests) come back None = unknown = always read: mis-attributed
+    * envelopes would prune away true matches, a silent wrong answer.
+    * Driver-scale by design — one row per (file, partition value), the
+    * same boundedness as every index probe here. */
+  private def statRows(spark: SparkSession, dir: String, v: Long,
+      probeCol: String)
       : Array[(String, Option[(Long, Long, Array[Byte])])] = {
     val m = spark.read.parquet(s"${logRoot(dir)}/v=$v")
-    if (!m.columns.contains("mn"))
+    if (!m.columns.contains("mn") || !m.columns.contains("stats_col"))
       m.select(col("file")).distinct().collect()
         .map(r => (r.getString(0), None))
     else
-      m.select(col("file"), col("mn"), col("mx"), col("bloom")).collect()
+      m.select(col("file"), col("mn"), col("mx"), col("bloom"),
+          col("stats_col")).collect()
         .map { r =>
           val st =
-            if (r.isNullAt(1) || r.isNullAt(2)) None
+            if (r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(4) ||
+                r.getString(4) != probeCol) None
             else Some((r.getLong(1), r.getLong(2),
               if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3)))
           (r.getString(0), st)
@@ -333,7 +344,9 @@ object Versioned {
     require(versions(dir).contains(v),
       s"Versioned: version $v not in ${versions(dir)}")
     val sch = readSchema(dir, v)
-    val files = statRows(spark, dir, v)
+    val probePhys = sch.flatMap(_.fields.find(_.name == keyCol))
+      .map(physName).getOrElse(keyCol)
+    val files = statRows(spark, dir, v, probePhys)
       .filter { case (_, st) =>
         st.forall { case (mn, mx, _) => mx >= lo && mn <= hi } }
       .map(_._1).distinct.toIndexedSeq
@@ -361,7 +374,9 @@ object Versioned {
     require(versions(dir).contains(v),
       s"Versioned: version $v not in ${versions(dir)}")
     val sch = readSchema(dir, v)
-    val files = statRows(spark, dir, v)
+    val probePhys = sch.flatMap(_.fields.find(_.name == keyCol))
+      .map(physName).getOrElse(keyCol)
+    val files = statRows(spark, dir, v, probePhys)
       .filter { case (_, st) =>
         st.forall { case (mn, mx, bloom) =>
           mn <= key && mx >= key &&

@@ -315,6 +315,16 @@ class VersionedSpec extends SparkSpec {
         assert(miss.count() === 0L)
         assert(miss.inputFiles.length <= 1)
       }
+      // stats IDENTITY: the manifest records which column its envelopes
+      // describe — a probe on a DIFFERENT column must not prune with
+      // them (that would silently drop true matches); it reads the full
+      // file list and still answers exactly
+      val fullV = Versioned.read(spark, dir, 2L)
+      val pv = Versioned.readPoint(spark, dir, "v", 770L, 2L)
+      assert(pv.inputFiles.length === fullV.inputFiles.length,
+        "a probe on a non-stats column must fall back to the full file list")
+      assert(pv.collect().toSeq ===
+        fullV.filter(col("v") === 770L).collect().toSeq)
       // compaction packs by KEY ADJACENCY when stats exist, so the packed
       // files' envelopes stay contiguous and skipping survives: 16 files
       // of 100 keys pack into 4 bins of contiguous 400-key ranges
