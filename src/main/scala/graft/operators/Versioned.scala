@@ -65,6 +65,12 @@ object Versioned {
     val tmp = s"${logRoot(dir)}/.tmp-v=$v-${System.nanoTime()}"
     manifest.coalesce(1).write.mode("errorifexists").parquet(tmp)
     schema.foreach(s0 => writeSchemaFile(new java.io.File(tmp), s0))
+    // commit wall-time rides the atomic rename with everything else —
+    // the TIMESTAMP AS OF resolution source ([[readAsOf]])
+    java.nio.file.Files.write(
+      new java.io.File(tmp, "_commit.json").toPath,
+      s"""{"version": $v, "ts_millis": ${System.currentTimeMillis()}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val src = java.nio.file.Paths.get(tmp)
     val dst = java.nio.file.Paths.get(s"${logRoot(dir)}/v=$v")
     try {
@@ -299,6 +305,36 @@ object Versioned {
       .select(col("file")).distinct()
       .collect().map(_.getString(0))
     readFiles(spark, dir, files.toIndexedSeq, readSchema(dir, v))
+  }
+
+  /** Commit wall-time of version `v` in epoch millis (from the
+    * `_commit.json` committed atomically with the manifest; legacy
+    * pre-r15 versions fall back to the manifest dir's mtime). */
+  def commitTime(dir: String, v: Long): Long = {
+    val f = new java.io.File(s"${logRoot(dir)}/v=$v/_commit.json")
+    if (!f.exists()) new java.io.File(s"${logRoot(dir)}/v=$v").lastModified()
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"ts_millis"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+        .getOrElse(new java.io.File(s"${logRoot(dir)}/v=$v").lastModified())
+    }
+  }
+
+  /** TIMESTAMP AS OF: scan the snapshot that was CURRENT at `tsMillis` —
+    * the greatest committed version whose commit time is <= the ask
+    * (Delta's timestamp time travel). Commit times are monotone by
+    * construction (a version commits strictly after its predecessor);
+    * asking for a time before the first commit fails loudly. */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"Versioned: no committed versions under $dir")
+    val eligible = vs.filter(v => commitTime(dir, v) <= tsMillis)
+    require(eligible.nonEmpty,
+      s"Versioned.readAsOf: $tsMillis predates the first commit " +
+        s"(${commitTime(dir, vs.head)}) — nothing was current then")
+    read(spark, dir, eligible.max)
   }
 
   /** Manifest rows for version `v`, collected: (file, Option[(mn, mx,

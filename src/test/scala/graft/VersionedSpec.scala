@@ -454,6 +454,36 @@ class VersionedSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("readAsOf: timestamp time travel resolves to the version current " +
+    "at the asked instant; pre-history asks fail loudly") {
+    val dir = tmpDir("asof-ts")
+    try {
+      val base = spark.range(0, 50)
+        .select(col("id").as("k"), (col("id") * 3).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      val before = System.currentTimeMillis() - 1
+      Versioned.init(spark, dir, "bucket", base)
+      Thread.sleep(5)
+      val betweenV1V2 = System.currentTimeMillis()
+      Thread.sleep(5)
+      Versioned.merge(spark, dir, "bucket", "k",
+        Seq((1L, 9111L, 1L, "U")).toDF("k", "v", "bucket", "op"))
+      val afterV2 = System.currentTimeMillis()
+      // between the commits: v1 is what was current
+      assert(Versioned.readAsOf(spark, dir, betweenV1V2)
+        .filter(col("v") === 9111L).count() === 0L)
+      // after the merge: v2
+      assert(Versioned.readAsOf(spark, dir, afterV2)
+        .filter(col("v") === 9111L).count() === 1L)
+      // commit times are monotone and the resolver matches version reads
+      assert(Versioned.commitTime(dir, 1L) < Versioned.commitTime(dir, 2L))
+      // before history: loud failure, not an empty frame
+      intercept[IllegalArgumentException] {
+        Versioned.readAsOf(spark, dir, before)
+      }
+    } finally rm(dir)
+  }
+
   test("optimistic concurrency: racing merges get exactly one winner, " +
     "the loser fails loudly, the store stays consistent; recover() " +
     "unblocks a crashed commit") {
