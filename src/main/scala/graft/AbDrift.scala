@@ -238,7 +238,45 @@ object AbDrift {
         col("jaccard")), lit(1000000007L)))).head().getLong(0)
     }
 
+    // r15: what does versioned-store FILE SKIPPING buy — the same 40
+    // point lookups against one stats-carrying store (orders, 64
+    // range-correlated buckets, min/max + Bloom manifests), planned
+    // through the manifest (vskip) vs filtered over the full snapshot
+    // scan (vscan). The store builds once, outside the timed thunks;
+    // per-arm cost is the 40 probes only, checksum-forced.
+    lazy val vskipStore: String = {
+      val path = s"${GateSupport.shmRoot}/graft-ab-vskip-${System.nanoTime()}"
+      val raw = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val mx = raw.agg(max(col("k"))).head().getLong(0)
+      val base = raw.withColumn("bucket",
+        least(floor(col("k") * 64.0 / (mx + 1)).cast("long"), lit(63L)))
+      graft.operators.Versioned.init(spark, path, "bucket", base,
+        statsCol = Some("k"))
+      path
+    }
+    def vskipProbes(): Seq[Long] = {
+      val raw = Tables.orders(spark, sfDir).select(col("o_orderkey").as("k"))
+      val mx = raw.agg(max(col("k"))).head().getLong(0)
+      (1 to 40).map(i => raw.filter(col("k") >= (mx.toDouble * i / 41).toLong)
+        .agg(min(col("k"))).head().getLong(0))
+    }
+    lazy val vskipKeys: Seq[Long] = vskipProbes()
+    def vskipArm(skip: Boolean): Long =
+      vskipKeys.map { key =>
+        val df =
+          if (skip) graft.operators.Versioned.readPoint(
+            spark, vskipStore, "k", key)
+          else graft.operators.Versioned.read(spark, vskipStore)
+            .filter(col("k").cast("long") === key)
+        df.agg(coalesce(sum(pmod(xxhash64(col("k"), col("price")),
+          lit(1000000007L))), lit(0L))).head().getLong(0)
+      }.sum
+
     val customArms: Map[String, () => Long] = Map(
+      "vskip_point" -> (() => vskipArm(skip = true)),
+      "vscan_point" -> (() => vskipArm(skip = false)),
       "dedup_inc_inline" -> (() => dedupIncArm(atRest = false)),
       "dedup_inc_atrest" -> (() => dedupIncArm(atRest = true)),
       "asof_composed" -> (() => asofLineitem(exec = false)),
@@ -335,6 +373,9 @@ object AbDrift {
     }
     if (armNames.contains("dedup_inc_atrest"))
       GateSupport.rmTree(bandIndexPath)
+    if (armNames.exists(_.startsWith("vskip")) ||
+        armNames.exists(_.startsWith("vscan")))
+      GateSupport.rmTree(vskipStore)
     if (armNames.contains("asof_bucketed")) {
       val (lt, rt, lp, rp) = asofBucketedTables
       graft.operators.Bucketing.drop(spark, lt)
