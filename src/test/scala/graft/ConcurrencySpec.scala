@@ -10,11 +10,13 @@ import scala.concurrent.duration._
   * neighbor's checkpoints, shared memo tables. Every gate runs serially
   * in Verify/Bench, so none of that is exercised there.
   *
-  * The fixture is the 10 most expensive BATCH gates from BENCH_r14
-  * (streaming gates are excluded by design: StreamRunner scopes
+  * The fixture is the most expensive BATCH gates of the current bench
+  * (bench_full_r15: the r15 list now includes four versioned-store
+  * gates, so the atomic-manifest commit protocol runs under concurrency
+  * too; streaming gates are excluded by design: StreamRunner scopes
   * shuffle-partition width per query via a session-conf swap, which is
   * documented single-driver — the batch surface is the concurrent one).
-  * Each gate runs once serially, then all 10 run simultaneously on the
+  * Each gate runs once serially, then all 12 run simultaneously on the
   * shared session; every concurrent result must match its serial run
   * row-for-row. This spec is what drove two r15 fixes:
   * Sinks.overwritePartitions' session-conf flip became a per-write
@@ -27,11 +29,12 @@ class ConcurrencySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  // BENCH_r14's most expensive batch gates, cost-descending
+  // bench_full_r15's most expensive batch gates, cost-descending
   private val gates = Seq(
-    "sim_ivfpq_append", "sim_topk_ivfpq", "sim_ivf_rebuild",
-    "text_bpe_batch_encode", "sim_ivf_append", "dedup_clusters",
-    "sim_topk_pq", "a8_percentiles", "k21_change_feed", "a26_kmv_setops")
+    "text_bpe_merges_large", "k23_versioned_compact", "sim_topk_ivfpq",
+    "sim_ivfpq_append", "k19_schema_evolution", "k17_time_travel",
+    "sim_topk_pq", "sim_ivf_rebuild", "text_bpe_batch_encode",
+    "k18_vacuum", "k22_versioned_skipping", "a8_percentiles")
 
   /** Canonical row multiset: collected, stringified, sorted — gate
     * arithmetic is engine-exact (the oracle-hash contract), so identical
@@ -41,7 +44,7 @@ class ConcurrencySpec extends SparkSpec {
     df.collect().map(_.toString).sorted.toSeq
   }
 
-  test("the 10 most expensive batch gates return identical rows run " +
+  test("the 12 most expensive batch gates return identical rows run " +
     "concurrently on one session vs serially") {
     assert(gates.forall(SparkEntry.queries.contains),
       s"stale gate list: ${gates.filterNot(SparkEntry.queries.contains)}")
