@@ -224,16 +224,40 @@ object Bpe {
       .localCheckpoint(true) // constant-depth plan per round (see merges)
     var total = vocab.agg(sum(col("wct") * size(col("syms"))).cast("long"))
       .as[Long].head()
+    // corpus word count (weighted): constant across rounds — merges
+    // change symbols-per-word, never words. total symbols at any round
+    // == sum of ALL pair counts + W (each word of s symbols carries s-1
+    // adjacent pairs), which lets the conservation check ride the pair
+    // scan as an observe() metric instead of running a separate
+    // measured-total job per round. The removed job was vocabulary-sized
+    // (cheap at local[32] — inside the run-to-run band there), but it
+    // was one of THREE driver-coordinated jobs per round; at cluster
+    // scheduling latencies (~1 s/job, the very floor batching exists to
+    // amortize) dropping it cuts the per-round floor by a third. The
+    // invariant coverage is unchanged: batch b's application is checked
+    // by round b+1's scan, and the last by one final vocab pass.
+    val wordTotal = vocab.agg(sum(col("wct")).cast("long")).as[Long].head()
     var idx = 0L
     val ledger = Seq.newBuilder[(Long, Long, String, String, Long, Long)]
     for (b <- 1 to batches) {
+      val obs = new org.apache.spark.sql.Observation()
       val cands = vocab
         .select(col("wct"), explode(adjPairs(col("syms"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("wct")).as("ct"))
+        .observe(obs, coalesce(sum(col("ct")), lit(0L)).cast("long")
+          .as("pair_total"))
         .orderBy(col("ct").desc, col("a").asc, col("b").asc)
         .limit(win).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // conservation REQUIRE, moved to the next scan: this round's pair
+      // snapshot measures the symbol total AFTER the previous batch
+      // applied — it must equal the previous round's derived total
+      val measured = obs.get("pair_total").asInstanceOf[Long] + wordTotal
+      require(measured == total,
+        s"Bpe.mergesBatched: entering batch $b the corpus symbol total " +
+          s"measures $measured but the ledger derived $total — the " +
+          "triple-disjointness invariant is broken")
       val sel = Seq.newBuilder[(String, String, Long)]
       var taken = 0
       var used = Set.empty[String]
@@ -255,22 +279,24 @@ object Bpe {
               chosen.map(c => (c._1, c._2))).as("syms"))
           .localCheckpoint(true)
         freeCheckpoint(prev) // hold 2 generations, not O(batches)
-        val measured = vocab
-          .agg(sum(col("wct") * size(col("syms"))).cast("long")).as[Long].head()
-        val derived = total - chosen.map(_._3).sum
-        require(measured == derived,
-          s"Bpe.mergesBatched: batch $b applied ${chosen.size} merges but " +
-            s"the corpus symbol total moved $total -> $measured, expected " +
-            s"$derived — the triple-disjointness invariant is broken")
         var running = total
         for ((l, r, ct) <- chosen) {
           idx += 1
           running -= ct
           ledger += ((idx, b.toLong, l, r, ct, running))
         }
-        total = measured
+        total = running // verified by the NEXT round's observed scan
       }
     }
+    // the last applied batch has no next scan to verify it — one final
+    // vocab pass closes the conservation ledger (one pass total, instead
+    // of the pre-r15 one-per-round)
+    val finalMeasured = vocab
+      .agg(sum(col("wct") * size(col("syms"))).cast("long")).as[Long].head()
+    require(finalMeasured == total,
+      s"Bpe.mergesBatched: final corpus symbol total measures " +
+        s"$finalMeasured but the ledger derived $total — the " +
+        "triple-disjointness invariant is broken")
     freeCheckpoint(vocab)
     ledger.result().toDF("merge_idx", "batch", "lhs", "rhs", "ct", "syms_after")
   }
