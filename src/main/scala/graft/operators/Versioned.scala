@@ -798,6 +798,38 @@ object Versioned {
             .otherwise(col(s"__n.$c")).as(c)): _*)
   }
 
+  /** [[merge]] with the optimistic-concurrency RETRY LOOP a contended
+    * writer needs: on losing a commit race (the IllegalStateException
+    * the atomic rename throws), re-run the whole merge against the NEW
+    * latest — correct by construction because [[merge]] re-reads
+    * `latest(dir)` and re-derives its slice on every attempt, so the
+    * retry sees (and preserves) the winner's rows. Source semantics must
+    * be retry-safe the way MERGE sources are: the same upsert applied
+    * against a newer snapshot (our arms are; a read-modify-write source
+    * computed OUTSIDE the merge would need re-derivation by the caller).
+    * `maxAttempts` exhaustion rethrows the last loss. */
+  def mergeRetry(spark: SparkSession, dir: String, partCol: String,
+      keyCol: String, source: DataFrame, opCol: String = "op",
+      checkKeyMoves: Boolean = false, mergeSchema: Boolean = false,
+      statsCol: Option[String] = None, maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    var last: IllegalStateException = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try return merge(spark, dir, partCol, keyCol, source, opCol,
+        checkKeyMoves, mergeSchema, statsCol)
+      catch {
+        case e: IllegalStateException =>
+          last = e
+          Thread.sleep(10L * attempt)
+      }
+    }
+    throw new IllegalStateException(
+      s"Versioned.mergeRetry: lost the commit race $maxAttempts times " +
+        s"under $dir — contention exceeds the retry budget", last)
+  }
+
   /** Reclaim CRASHED and LOST-RACE commit attempts: every attempt
     * writes its data under a token-unique dir and only the atomic
     * manifest rename commits it, so a writer that died mid-attempt (or

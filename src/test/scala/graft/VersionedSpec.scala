@@ -484,6 +484,36 @@ class VersionedSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("mergeRetry: four contended writers all land — every retry " +
+    "re-derives against the new latest, no update lost, versions distinct") {
+    val dir = tmpDir("occ-retry")
+    try {
+      val base = spark.range(0, 80)
+        .select(col("id").as("k"), (col("id") * 3).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      import scala.concurrent._
+      import scala.concurrent.duration._
+      import ExecutionContext.Implicits.global
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val writers = (0 until 4).map { i =>
+        val src = Seq((i.toLong, 7000L + i, i.toLong, "U"))
+          .toDF("k", "v", "bucket", "op")
+        Future { gate.await()
+          Versioned.mergeRetry(spark, dir, "bucket", "k", src,
+            maxAttempts = 12) }
+      }
+      gate.countDown()
+      val versions = Await.result(Future.sequence(writers), 10.minutes)
+      assert(versions.sorted === Seq(2L, 3L, 4L, 5L),
+        s"4 contended writers must land 4 distinct versions: $versions")
+      val latest = Versioned.read(spark, dir)
+      assert(latest.count() === 80)
+      assert(latest.filter(col("v") >= 7000L).count() === 4L,
+        "every contended update must survive the retries")
+    } finally rm(dir)
+  }
+
   test("optimistic concurrency: racing merges get exactly one winner, " +
     "the loser fails loudly, the store stays consistent; recover() " +
     "unblocks a crashed commit") {
