@@ -548,6 +548,22 @@ private[graft] object GatesPipeline {
         .orderBy(col("doc_id"))),
 
 
+    // ── Dedup: QUALITY-AWARE canonical selection — keep each near-dup
+    // cluster's LONGEST member (ties: min id), not the arbitrary min-id
+    // one: the policy production dedup wants (the best copy survives,
+    // boilerplate-trimmed fragments drop). Same pair graph as
+    // dedup_clusters; the oracle replays the transitive closure, the
+    // per-cluster argmax by (length DESC, doc_id), and the survivor set
+    // row-for-row.
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = Dedup.clusters(sharedNgramPairs(s, dir))
+      Dedup.keepBest(docs, labels, length(col("text")))
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+
     // ── Dedup pipeline END-TO-END: corpus → ngram near-dup pairs →
     // connected components → drop non-canonical members → surviving
     // corpus, reported per language. The full "dedup a crawl" flow
@@ -2145,6 +2161,43 @@ private[graft] object GatesPipeline {
         |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
         |SELECT s AS doc_id, least(s, MIN(d)) AS cluster_id
         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+
+    // same transitive-closure labels as dedup_clusters, then the
+    // per-cluster argmax by (length DESC, doc_id) decides survival;
+    // unpaired docs (not in the member set) survive by construction
+    "dedup_keep_best" ->
+      """WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS s
+        |  FROM toks),
+        |p AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM p
+        |  WHERE CAST(i AS DOUBLE)/(la + lb - i) >= 0.5),
+        |e AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
+        |reach AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+        |labels AS MATERIALIZED (SELECT s AS doc_id,
+        |    least(s, MIN(d)) AS cluster_id FROM reach GROUP BY s),
+        |members AS MATERIALIZED (SELECT l.cluster_id, l.doc_id,
+        |    length(d.text) AS q
+        |  FROM labels l JOIN documents d USING (doc_id)),
+        |drop AS (SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY q DESC, doc_id) AS rn FROM members)
+        |  WHERE rn > 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop)
+        |ORDER BY d.doc_id""".stripMargin,
 
 
     // transitive closure of the ngram near-dup pairs; cluster = min

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.HashFns._
 import graft.functions.TextFns._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -708,6 +708,30 @@ object Dedup {
     documents.join(
       labels.filter(col("cluster_id") =!= col("doc_id")).select("doc_id"),
       Seq("doc_id"), "left_anti")
+
+  /** Quality-aware canonical selection: keep each cluster's member with
+    * the HIGHEST `score` (ties: min doc_id — deterministic), plus every
+    * unpaired document. This is the policy production dedup actually
+    * wants — the min-id keeper of [[keepCanonical]] discards arbitrarily,
+    * while crawls usually keep the longest / highest-quality copy.
+    * `score` is any numeric Column over `documents`' columns (length,
+    * quality-model score, …). Same scale shape as keepCanonical: labels
+    * are cluster-members-sized (tiny vs corpus, AQE broadcasts them),
+    * the corpus itself never shuffles — one members join, one group-agg
+    * over members, one anti-join of the dropped sliver. */
+  def keepBest(documents: DataFrame, labels: DataFrame,
+      score: Column): DataFrame = {
+    val members = documents.join(labels, "doc_id")
+      .select(col("cluster_id"), col("doc_id"),
+        score.cast("double").as("__q"))
+    // min_by over (-q, doc_id) = argmax q with min-id tie-break
+    val winners = members.groupBy(col("cluster_id"))
+      .agg(min_by(col("doc_id"),
+        struct((-col("__q")).as("nq"), col("doc_id"))).as("keep_id"))
+    val dropped = members.join(winners, "cluster_id")
+      .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+    documents.join(dropped, Seq("doc_id"), "left_anti")
+  }
 
   /** Driver union-find for small pair graphs (see [[clusters]]): union by
     * min id with path compression, so each root IS its component's

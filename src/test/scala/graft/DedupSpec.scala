@@ -178,6 +178,25 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 4L, 9L))
   }
 
+  test("keepBest keeps the highest-score member per cluster (ties: min " +
+    "id) and every unpaired doc") {
+    // cluster {1,2,3}: lengths 1, 9, 9 — keep 2 (max length, tie with 3
+    // broken by min id); 4 and 9 unpaired (kept)
+    val corpus = Seq((1L, "x"), (2L, "xxxxxxxxx"), (3L, "yyyyyyyyy"),
+      (4L, "y"), (9L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepBest(corpus, Dedup.clusters(pairs),
+        length(col("text")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 4L, 9L))
+    // with a score that inverts the order, the keeper flips — the score
+    // column really drives selection (not the id fallback)
+    val keptInv = Dedup.keepBest(corpus, Dedup.clusters(pairs),
+        -length(col("text")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptInv === Seq(1L, 4L, 9L))
+  }
+
   test("driver union-find fast path == distributed loop, label for label") {
     // mixed shapes: chain, clique, stars, isolated pair — the two paths
     // must agree exactly (the gate takes the driver path on small pair
