@@ -173,6 +173,116 @@ private[graft] object GatesStreaming {
     }),
 
 
+    // ── K22 streaming twin: the TRANSACTION LOG ITSELF as the stream —
+    // stream_k21_cdf stages version ticks; here the consumer TAILS the
+    // store's _log with a plain file source (manifest parquet files,
+    // maxFilesPerTrigger=1 ⇒ one commit per micro-batch), derives each
+    // batch's version from the arriving file paths, and folds that
+    // interval's pre-image CDF into the serving store. This is the
+    // Delta-CDF-reader discovery shape end-to-end: no side channel, the
+    // committed log is the streamable source, and a consumer attaching
+    // later replays history in commit order. Same signed-delta fold and
+    // the same full-recompute oracle as the tick twin (shared val);
+    // within-batch version sets sort ascending and deltas commute, so
+    // batch boundaries are irrelevant.
+    "stream_k22_cdf_tail" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val root = shmRoot
+      val uniq = System.nanoTime()
+      val store = s"$root/graft-cdftail-$uniq"
+      val state = s"$root/graft-cdftailst-$uniq"
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        Versioned.init(s, store, "bucket", base)
+        val b1 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 5 && col("k") % 3 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("bucket") === 2 && col("k") % 3 === 2)
+            .withColumn("k", col("k") + 80000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, store, "bucket", "k", b1)
+        val b2 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("op", lit("D"))
+          .unionByName(base.filter(col("bucket") === 7 && col("k") % 5 === 1)
+            .withColumn("price", (col("price") * 3).cast("decimal(18,2)"))
+            .withColumn("op", lit("U")))
+          .unionByName(base.filter(col("bucket") === 7 && col("k") % 5 === 2)
+            .withColumn("k", col("k") + 90000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, store, "bucket", "k", b2)
+        val b3 =
+          base.filter(col("bucket") === 1 && col("k") % 4 === 0)
+            .withColumn("price", (col("price") * 7).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 3 && col("k") % 7 === 2)
+            .withColumn("op", lit("D")))
+        Versioned.merge(s, store, "bucket", "k", b3)
+        // consumer attaches AFTER v1 (its state is seeded from v1, the
+        // one-time build) and tails the log for everything later
+        import s.implicits._
+        Versioned.read(s, store, 1L)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("price")).cast("decimal(30,2)").as("ps"))
+          .write.parquet(s"$state/s0")
+        val cur = new java.util.concurrent.atomic.AtomicReference(s"$state/s0")
+        val done = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+        done.add(1L) // v1 is the seed, not a delta
+        val n = new java.util.concurrent.atomic.AtomicLong(0L)
+        // tail the log: each manifest's parquet file(s) arrive as stream
+        // rows carrying their path via the hidden _metadata column
+        val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("part",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("rows",
+            org.apache.spark.sql.types.LongType)))
+        val tail = s.readStream.schema(manifestSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$store/_log/*")
+          .select(col("_metadata.file_path").as("path"))
+        graft.streaming.StreamRunner.runForeachBatch(tail) { (b, _) =>
+          val vs = b.select(col("path")).collect()
+            .flatMap(r => "/v=(\\d+)/".r.findFirstMatchIn(r.getString(0))
+              .map(_.group(1).toLong))
+            .distinct.sorted.filterNot(done.contains)
+          vs.foreach { v =>
+            done.add(v)
+            val step = n.incrementAndGet()
+            val cdf = Versioned.changesWithPreImages(s, store, v - 1, v, "k")
+            val sign = when(col("op").isin("I", "U_post"), 1L).otherwise(-1L)
+            val delta = cdf.groupBy(col("bucket"))
+              .agg(sum(sign).as("dc"),
+                sum(sign * col("price")).cast("decimal(30,2)").as("dps"))
+            s.read.parquet(cur.get())
+              .join(delta, Seq("bucket"), "full_outer")
+              .select(col("bucket"),
+                (coalesce(col("cnt"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+                  .as("cnt"),
+                (coalesce(col("ps"), lit(0).cast("decimal(30,2)")) +
+                  coalesce(col("dps"), lit(0).cast("decimal(30,2)")))
+                  .cast("decimal(30,2)").as("ps"))
+              .write.parquet(s"$state/s$step")
+            cur.set(s"$state/s$step")
+          }
+        }
+        s.read.parquet(cur.get())
+          .select(col("bucket"), col("cnt"),
+            col("ps").cast("double").as("price_sum"),
+            lit(n.get()).as("n_ticks"))
+          .orderBy(col("bucket"))
+          .localCheckpoint(true) // materialize before the stores sweep
+      } finally { rmTree(store); rmTree(state) }
+    }),
+
+
     "stream_k12_incremental" -> ((s, dir) => {
       val root = shmRoot
       val path = s"$root/graft-incrstream-${System.nanoTime()}"
@@ -1024,6 +1134,45 @@ private[graft] object GatesStreaming {
     })
   )
 
+  /** Full recompute of the final versioned snapshot (three merge
+    * batches replayed over the raw table) — the shared oracle of both
+    * CDF consumers. */
+  private val cdfRecomputeSql: String =
+    """WITH base AS (SELECT o_orderkey AS k,
+          |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          |    o_orderkey % 8 AS bucket FROM orders),
+          |v2 AS (
+          |  SELECT k, price, bucket FROM base
+          |    WHERE NOT (bucket = 5 AND k % 3 = 1)
+          |      AND NOT (bucket = 2 AND k % 3 = 0)
+          |  UNION ALL
+          |  SELECT k, CAST(price * 2 AS DECIMAL(18,2)), bucket FROM base
+          |    WHERE bucket = 2 AND k % 3 = 0
+          |  UNION ALL
+          |  SELECT k + 80000000, price, bucket FROM base
+          |    WHERE bucket = 2 AND k % 3 = 2),
+          |v3 AS (
+          |  SELECT k, price, bucket FROM v2
+          |    WHERE NOT (bucket = 2 AND k % 3 = 0)
+          |      AND NOT (bucket = 7 AND k % 5 = 1)
+          |  UNION ALL
+          |  SELECT k, CAST(price * 3 AS DECIMAL(18,2)), bucket FROM base
+          |    WHERE bucket = 7 AND k % 5 = 1
+          |  UNION ALL
+          |  SELECT k + 90000000, price, bucket FROM base
+          |    WHERE bucket = 7 AND k % 5 = 2),
+          |v4 AS (
+          |  SELECT k, price, bucket FROM v3
+          |    WHERE NOT (bucket = 1 AND k % 4 = 0)
+          |      AND NOT (bucket = 3 AND k % 7 = 2)
+          |  UNION ALL
+          |  SELECT k, CAST(price * 7 AS DECIMAL(18,2)), bucket FROM base
+          |    WHERE bucket = 1 AND k % 4 = 0)
+          |SELECT bucket, COUNT(*) AS cnt,
+          |  CAST(SUM(price) AS DOUBLE) AS price_sum,
+          |  CAST(3 AS BIGINT) AS n_ticks
+          |FROM v4 GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** DuckDB oracle SQL, column-name-aligned with `queries`. */
   def oracleSql: Map[String, String] = Map(
 
@@ -1044,42 +1193,13 @@ private[graft] object GatesStreaming {
     // must reproduce the from-scratch aggregate exactly
     // full recompute of the final snapshot (three merge batches replayed
     // over the raw table) — equality proves the incremental CDF consumer
-    // maintained the serving aggregate exactly; tick count pinned
-    "stream_k21_cdf" ->
-      """WITH base AS (SELECT o_orderkey AS k,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-        |    o_orderkey % 8 AS bucket FROM orders),
-        |v2 AS (
-        |  SELECT k, price, bucket FROM base
-        |    WHERE NOT (bucket = 5 AND k % 3 = 1)
-        |      AND NOT (bucket = 2 AND k % 3 = 0)
-        |  UNION ALL
-        |  SELECT k, CAST(price * 2 AS DECIMAL(18,2)), bucket FROM base
-        |    WHERE bucket = 2 AND k % 3 = 0
-        |  UNION ALL
-        |  SELECT k + 80000000, price, bucket FROM base
-        |    WHERE bucket = 2 AND k % 3 = 2),
-        |v3 AS (
-        |  SELECT k, price, bucket FROM v2
-        |    WHERE NOT (bucket = 2 AND k % 3 = 0)
-        |      AND NOT (bucket = 7 AND k % 5 = 1)
-        |  UNION ALL
-        |  SELECT k, CAST(price * 3 AS DECIMAL(18,2)), bucket FROM base
-        |    WHERE bucket = 7 AND k % 5 = 1
-        |  UNION ALL
-        |  SELECT k + 90000000, price, bucket FROM base
-        |    WHERE bucket = 7 AND k % 5 = 2),
-        |v4 AS (
-        |  SELECT k, price, bucket FROM v3
-        |    WHERE NOT (bucket = 1 AND k % 4 = 0)
-        |      AND NOT (bucket = 3 AND k % 7 = 2)
-        |  UNION ALL
-        |  SELECT k, CAST(price * 7 AS DECIMAL(18,2)), bucket FROM base
-        |    WHERE bucket = 1 AND k % 4 = 0)
-        |SELECT bucket, COUNT(*) AS cnt,
-        |  CAST(SUM(price) AS DOUBLE) AS price_sum,
-        |  CAST(3 AS BIGINT) AS n_ticks
-        |FROM v4 GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // maintained the serving aggregate exactly; tick count pinned.
+    // SHARED by the tick-staged consumer (stream_k21_cdf) and the
+    // log-tailing one (stream_k22_cdf_tail): discovery mechanism must
+    // not change the answer.
+    "stream_k21_cdf" -> cdfRecomputeSql,
+    "stream_k22_cdf_tail" -> cdfRecomputeSql,
+
 
 
     "stream_k12_incremental" ->
