@@ -3,6 +3,16 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** The ONE retryable failure of the versioned store: another writer
+  * committed the version this attempt targeted. Subclasses
+  * IllegalStateException (callers that treated the race as ISE keep
+  * working) but is its own type so [[Versioned.mergeRetry]] retries
+  * NOTHING else — a stopped SparkContext, a broken invariant, or an
+  * environmental rename failure must surface on attempt 1, not after
+  * five sleeps mislabeled "contention exceeds the retry budget". */
+final class ConcurrentCommitException(msg: String, cause: Throwable)
+  extends IllegalStateException(msg, cause)
+
 /** Snapshot-versioned copy-on-write table — MERGE with time travel (the
   * lakehouse log idea, reference analogue: the dim store's key-addressed
   * upsert generalized to versioned MERGE; on Delta/Iceberg this slot is
@@ -78,9 +88,20 @@ object Versioned {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       ()
     } catch {
-      case e @ (_: java.nio.file.FileAlreadyExistsException |
-                _: java.nio.file.DirectoryNotEmptyException |
-                _: java.nio.file.FileSystemException) =>
+      // Only a LOST RACE becomes ConcurrentCommitException: the two
+      // destination-occupied exception types, or any other filesystem
+      // failure where the destination verifiably exists (someone
+      // committed it). Environmental failures — AccessDenied,
+      // AtomicMoveNotSupported on a non-atomic mount, cross-device —
+      // leave dst absent and RETHROW as themselves, staging dir kept
+      // for diagnosis (recover() reclaims `.tmp-v=*` later). Calling a
+      // permission error "committed by a concurrent writer" would send
+      // mergeRetry into five doomed retries masking the real cause.
+      case e: java.nio.file.FileSystemException =>
+        val raceLost = e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+          e.isInstanceOf[java.nio.file.DirectoryNotEmptyException] ||
+          java.nio.file.Files.exists(dst)
+        if (!raceLost) throw e
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory)
             Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -88,7 +109,7 @@ object Versioned {
           f.delete(); ()
         }
         rm(new java.io.File(tmp))
-        throw new IllegalStateException(
+        throw new ConcurrentCommitException(
           s"Versioned: version $v was committed by a concurrent writer — " +
             "re-read latest() and retry the operation", e)
     }
@@ -814,18 +835,20 @@ object Versioned {
       statsCol: Option[String] = None, maxAttempts: Int = 5): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     var attempt = 0
-    var last: IllegalStateException = null
+    var last: ConcurrentCommitException = null
     while (attempt < maxAttempts) {
       attempt += 1
+      // retry ONLY the commit race — any other IllegalStateException
+      // (broken invariant, stopped context) propagates on attempt 1
       try return merge(spark, dir, partCol, keyCol, source, opCol,
         checkKeyMoves, mergeSchema, statsCol)
       catch {
-        case e: IllegalStateException =>
+        case e: ConcurrentCommitException =>
           last = e
           Thread.sleep(10L * attempt)
       }
     }
-    throw new IllegalStateException(
+    throw new ConcurrentCommitException(
       s"Versioned.mergeRetry: lost the commit race $maxAttempts times " +
         s"under $dir — contention exceeds the retry budget", last)
   }
