@@ -800,6 +800,96 @@ private[graft] object GatesMaintenance {
     }),
 
 
+    // ── K25: MULTI-COLUMN stats manifests (r15 verdict task 5) — the
+    // store's manifests carry a per-(file, part) min/max envelope +
+    // Bloom sketch for EVERY column in `statsCols` (one `stats` map,
+    // collected by the same single narrow scan), so predicates on ANY
+    // stats-carrying column prune files before planning. Layout is
+    // range-correlated with k (envelopes tight there) and UNCORRELATED
+    // with c — the k probes prune by envelope, the c point probes can
+    // only prune through c's own Bloom tier, which is exactly what a
+    // second stats column buys. Probes × two versions (v2 mixes carried
+    // and fresh multi-stats rows); per probe the gate pins pruned_ok
+    // (planned files a strict subset) and equal_ok (pruned answer ==
+    // full-scan filter); manifest_map_ok pins that the committed
+    // manifests really carry both columns' stats keyed physically.
+    "k25_multicol_skipping" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-vmulti-${System.nanoTime()}"
+      try {
+        val raw = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+            dec("o_totalprice").as("price"))
+        val mx = raw.agg(max(col("k"))).head().getLong(0)
+        val cut = mx / 8
+        val base = raw.withColumn("bucket",
+          least(floor(col("k") * 16.0 / (mx + 1)).cast("long"), lit(15L)))
+        Versioned.init(s, path, "bucket", base, statsCols = Seq("k", "c"))
+        val b1 =
+          base.filter(col("k") <= cut && col("k") % 3 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("k") <= cut && col("k") % 3 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("k") <= cut && col("k") % 3 === 2)
+            .withColumn("k", col("k") + 80000000L)
+            .withColumn("bucket", lit(99L))
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", b1, statsCols = Seq("k", "c"))
+        // the committed manifests carry BOTH columns' stats: every row
+        // of both logs has a 2-entry map keyed {c, k} (fresh AND
+        // carried — no commit in this history is stats-less)
+        val mapOk = Seq(1L, 2L).forall { v =>
+          val keyed = s.read.parquet(s"$path/_log/v=$v")
+            .select(sort_array(map_keys(col("stats"))).as("ks"))
+          keyed.count() > 0 &&
+            keyed.filter(col("ks") =!= array(lit("c"), lit("k"))).isEmpty
+        }
+        val mid = mx / 2
+        val pHit = raw.filter(col("k") >= mid)
+          .agg(min(col("k")).cast("long")).head().getLong(0)
+        val c0 = raw.agg(min(col("c")).cast("long")).head().getLong(0)
+        val cMx = raw.agg(max(col("c")).cast("long")).head().getLong(0)
+        // (label, column, lo, hi): k probes prune by envelope under the
+        // k-correlated layout; c probes by c's Bloom (hit reads only
+        // files that might hold c0, miss reads NOTHING)
+        val probes = Seq(
+          ("k_range", "k", mid, mid + mx / 8),
+          ("k_point", "k", pHit, pHit),
+          ("c_hit", "c", c0, c0),
+          ("c_miss", "c", cMx + 987654321L, cMx + 987654321L))
+        val rows = Seq(1L, 2L).flatMap { v =>
+          val full = Versioned.read(s, path, v)
+          val allFiles = full.inputFiles.length
+          probes.map { case (label, probeCol, lo, hi) =>
+            val pruned =
+              if (lo == hi) Versioned.readPoint(s, path, probeCol, lo, v)
+              else Versioned.readRange(s, path, probeCol, lo, hi, v)
+            def summarize(df: org.apache.spark.sql.DataFrame) = {
+              val r = df.agg(count(lit(1)),
+                coalesce(sum(col("price")), lit(0).cast("decimal(18,2)"))
+                  .cast("double"),
+                coalesce(sum(col("k")), lit(0L))).head()
+              (r.getLong(0), r.getDouble(1), r.getLong(2))
+            }
+            val got = summarize(pruned)
+            val want = summarize(full.filter(
+              col(probeCol) >= lo && col(probeCol) <= hi))
+            val prunedOk = pruned.inputFiles.length < allFiles
+            ((v, label, got._1, got._2, got._3,
+              if (prunedOk) 1L else 0L, if (got == want) 1L else 0L))
+          }
+        }
+        import s.implicits._
+        rows.toDF("version", "probe", "n", "price_sum", "key_sum",
+          "pruned_ok", "equal_ok")
+          .withColumn("manifest_map_ok", lit(if (mapOk) 1L else 0L))
+          .orderBy(col("version"), col("probe"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── K24: COLUMN RENAME via logical column mapping (r14 verdict task
     // 7, the other half of the k19 lakehouse schema contract): a rename
     // is a metadata-only commit — the new sidecar schema carries the new
@@ -1517,6 +1607,53 @@ private[graft] object GatesMaintenance {
         |FROM probes p CROSS JOIN vers v
         |LEFT JOIN snap s ON s.version = v.version
         |  AND s.k >= p.lo AND s.k <= p.hi
+        |GROUP BY v.version, p.probe
+        |ORDER BY version, probe""".stripMargin,
+
+
+    // multi-column skipping never changes ANSWERS (envelopes/sketches
+    // over-approximate, residual filters are exact): truth is the v2
+    // merge replay probed per (version, probe); pruning/manifest
+    // verdicts are in-gate pins, replayed as literal 1s
+    "k25_multicol_skipping" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |mxv AS (SELECT MAX(k) AS mx, MIN(c) AS c0, MAX(c) AS cmx
+        |  FROM base),
+        |v2 AS (
+        |  SELECT k, c, price FROM base, mxv
+        |    WHERE NOT (k <= mx//8 AND k % 3 IN (0, 1))
+        |  UNION ALL
+        |  SELECT k, c, CAST(price * 2 AS DECIMAL(18,2)) FROM base, mxv
+        |    WHERE k <= mx//8 AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 80000000, c, price FROM base, mxv
+        |    WHERE k <= mx//8 AND k % 3 = 2),
+        |probes AS (
+        |  SELECT 'k_range' AS probe, 'k' AS pcol,
+        |    (SELECT mx//2 FROM mxv) AS lo,
+        |    (SELECT mx//2 + mx//8 FROM mxv) AS hi
+        |  UNION ALL SELECT 'k_point', 'k',
+        |    (SELECT MIN(k) FROM base, mxv WHERE k >= mx//2),
+        |    (SELECT MIN(k) FROM base, mxv WHERE k >= mx//2)
+        |  UNION ALL SELECT 'c_hit', 'c',
+        |    (SELECT c0 FROM mxv), (SELECT c0 FROM mxv)
+        |  UNION ALL SELECT 'c_miss', 'c',
+        |    (SELECT cmx + 987654321 FROM mxv),
+        |    (SELECT cmx + 987654321 FROM mxv)),
+        |snap AS (SELECT 1 AS version, k, c, price FROM base
+        |  UNION ALL SELECT 2, k, c, price FROM v2),
+        |vers AS (SELECT 1 AS version UNION ALL SELECT 2)
+        |SELECT CAST(v.version AS BIGINT) AS version, p.probe,
+        |  CAST(COUNT(s.k) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(s.price), 0) AS DOUBLE) AS price_sum,
+        |  CAST(COALESCE(SUM(s.k), 0) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS pruned_ok, CAST(1 AS BIGINT) AS equal_ok,
+        |  CAST(1 AS BIGINT) AS manifest_map_ok
+        |FROM probes p CROSS JOIN vers v
+        |LEFT JOIN snap s ON s.version = v.version
+        |  AND ((p.pcol = 'k' AND s.k >= p.lo AND s.k <= p.hi)
+        |    OR (p.pcol = 'c' AND s.c >= p.lo AND s.c <= p.hi))
         |GROUP BY v.version, p.probe
         |ORDER BY version, probe""".stripMargin,
 

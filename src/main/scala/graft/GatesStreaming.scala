@@ -283,6 +283,129 @@ private[graft] object GatesStreaming {
     }),
 
 
+    // ── K25 streaming twin: KILL-AND-RESUME over the reusable
+    // change-feed source (r15 verdict task 2). stream_k21/k22 hand-roll
+    // tick staging / log tailing with an AtomicReference state pointer —
+    // neither survives a restart. streaming.ChangeFeed is the extracted
+    // first-class entry point: version-as-offset via the file source's
+    // own checkpointed offsets, one contiguous CDF interval per
+    // micro-batch. The gate runs TWO lifecycles over ONE durable
+    // checkpoint: lifecycle 1 applies v2, then CRASHES mid-log — after
+    // folding v3's delta into the state store but before the batch
+    // commits (the worst-ordered crash: state applied, offset not).
+    // Lifecycle 2 resumes from the checkpoint, gets v3 REDELIVERED
+    // under the same batch id, skips it idempotently (the state dir for
+    // its toV already exists — the foreachBatch contract), and applies
+    // v4. Exactly-once is the ORACLE's verdict, not a flag: a dropped
+    // redelivery or a double-apply moves cnt/price_sum off the full
+    // recompute and hash-mismatches. State is re-anchored from the
+    // store listing each fold — no in-memory pointer survives, exactly
+    // like a restarted consumer.
+    "stream_k25_cdf_resume" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val root = shmRoot
+      val uniq = System.nanoTime()
+      val store = s"$root/graft-cdfresume-$uniq"
+      val state = s"$root/graft-cdfresumest-$uniq"
+      val ckpt = s"$root/graft-cdfresumeck-$uniq"
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        Versioned.init(s, store, "bucket", base)
+        val b1 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 5 && col("k") % 3 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("bucket") === 2 && col("k") % 3 === 2)
+            .withColumn("k", col("k") + 80000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, store, "bucket", "k", b1)
+        val b2 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("op", lit("D"))
+          .unionByName(base.filter(col("bucket") === 7 && col("k") % 5 === 1)
+            .withColumn("price", (col("price") * 3).cast("decimal(18,2)"))
+            .withColumn("op", lit("U")))
+          .unionByName(base.filter(col("bucket") === 7 && col("k") % 5 === 2)
+            .withColumn("k", col("k") + 90000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, store, "bucket", "k", b2)
+        val b3 =
+          base.filter(col("bucket") === 1 && col("k") % 4 === 0)
+            .withColumn("price", (col("price") * 7).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 3 && col("k") % 7 === 2)
+            .withColumn("op", lit("D")))
+        Versioned.merge(s, store, "bucket", "k", b3)
+        // serving state seeded from v1; state dir per applied interval's
+        // toV — the restart-safe anchor a resumed consumer re-derives
+        Versioned.read(s, store, 1L)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("price")).cast("decimal(30,2)").as("ps"))
+          .write.parquet(s"$state/v1")
+        def applied(): Seq[Long] =
+          Option(new java.io.File(state).listFiles())
+            .getOrElse(Array.empty).filter(_.isDirectory)
+            .map(_.getName.stripPrefix("v").toLong).sorted.toIndexedSeq
+        val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+        val sawRedelivery = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def fold(cdf: org.apache.spark.sql.DataFrame, fromV: Long,
+            toV: Long, batchId: Long): Unit = {
+          if (new java.io.File(s"$state/v$toV").exists()) {
+            // redelivery of an applied-but-uncommitted interval: the
+            // idempotence arm — skip, let the batch commit this time
+            sawRedelivery.set(true)
+          } else {
+            val sign = when(col("op").isin("I", "U_post"), 1L).otherwise(-1L)
+            val delta = cdf.groupBy(col("bucket"))
+              .agg(sum(sign).as("dc"),
+                sum(sign * col("price")).cast("decimal(30,2)").as("dps"))
+            s.read.parquet(s"$state/v$fromV")
+              .join(delta, Seq("bucket"), "full_outer")
+              .select(col("bucket"),
+                (coalesce(col("cnt"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+                  .as("cnt"),
+                (coalesce(col("ps"), lit(0).cast("decimal(30,2)")) +
+                  coalesce(col("dps"), lit(0).cast("decimal(30,2)")))
+                  .cast("decimal(30,2)").as("ps"))
+              .write.parquet(s"$state/v$toV")
+            // the worst-ordered crash: state written, offsets not
+            if (toV == 3L && crashArmed.getAndSet(false))
+              throw new RuntimeException(
+                "stream_k25_cdf_resume: injected mid-log crash")
+          }
+        }
+        // lifecycle 1: dies mid-log on the injected crash
+        val crashed =
+          try {
+            graft.streaming.ChangeFeed.run(s, store, "k", ckpt)(fold)
+            false
+          } catch { case _: org.apache.spark.sql.streaming
+              .StreamingQueryException => true }
+        require(crashed,
+          "stream_k25_cdf_resume: the injected crash must kill lifecycle 1")
+        require(applied() == Seq(1L, 2L, 3L),
+          s"lifecycle 1 must die having applied v2 and v3: ${applied()}")
+        // lifecycle 2: a FRESH run over the same durable checkpoint
+        graft.streaming.ChangeFeed.run(s, store, "k", ckpt)(fold)
+        require(sawRedelivery.get(),
+          "the uncommitted v3 batch must be redelivered on resume")
+        require(applied() == Seq(1L, 2L, 3L, 4L),
+          s"resume must complete the log exactly once: ${applied()}")
+        s.read.parquet(s"$state/v${applied().max}")
+          .select(col("bucket"), col("cnt"),
+            col("ps").cast("double").as("price_sum"),
+            lit(applied().size - 1).cast("long").as("n_ticks"))
+          .orderBy(col("bucket"))
+          .localCheckpoint(true) // materialize before the stores sweep
+      } finally { rmTree(store); rmTree(state); rmTree(ckpt) }
+    }),
+
+
     "stream_k12_incremental" -> ((s, dir) => {
       val root = shmRoot
       val path = s"$root/graft-incrstream-${System.nanoTime()}"
@@ -1199,6 +1322,11 @@ private[graft] object GatesStreaming {
     // not change the answer.
     "stream_k21_cdf" -> cdfRecomputeSql,
     "stream_k22_cdf_tail" -> cdfRecomputeSql,
+    // the kill-and-resume consumer (streaming.ChangeFeed) must land on
+    // the SAME final aggregate: a dropped redelivery or a double-apply
+    // moves cnt/price_sum off this recompute; crash/redelivery facts
+    // are loud in-gate requires
+    "stream_k25_cdf_resume" -> cdfRecomputeSql,
 
 
 

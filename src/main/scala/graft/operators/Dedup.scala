@@ -715,7 +715,12 @@ object Dedup {
     * wants — the min-id keeper of [[keepCanonical]] discards arbitrarily,
     * while crawls usually keep the longest / highest-quality copy.
     * `score` is any numeric Column over `documents`' columns (length,
-    * quality-model score, …). Same scale shape as keepCanonical: labels
+    * quality-model score, …). A NULL score LOSES to any real score
+    * (coalesced to -inf before the argmax — struct comparison would
+    * otherwise sort NULL smallest in the negated field and hand the
+    * win to the unscored member, the exact opposite of "highest
+    * quality wins"); an all-NULL cluster falls back to min doc_id.
+    * Same scale shape as keepCanonical: labels
     * are cluster-members-sized (tiny vs corpus, AQE broadcasts them),
     * the corpus itself never shuffles — one members join, one group-agg
     * over members, one anti-join of the dropped sliver. */
@@ -723,7 +728,8 @@ object Dedup {
       score: Column): DataFrame = {
     val members = documents.join(labels, "doc_id")
       .select(col("cluster_id"), col("doc_id"),
-        score.cast("double").as("__q"))
+        coalesce(score.cast("double"),
+          lit(Double.NegativeInfinity)).as("__q"))
     // min_by over (-q, doc_id) = argmax q with min-id tie-break
     val winners = members.groupBy(col("cluster_id"))
       .agg(min_by(col("doc_id"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The ONE retryable failure of the versioned store: another writer
@@ -98,10 +98,7 @@ object Versioned {
       // permission error "committed by a concurrent writer" would send
       // mergeRetry into five doomed retries masking the real cause.
       case e: java.nio.file.FileSystemException =>
-        val raceLost = e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
-          e.isInstanceOf[java.nio.file.DirectoryNotEmptyException] ||
-          java.nio.file.Files.exists(dst)
-        if (!raceLost) throw e
+        if (!lostRace(e, dst)) throw e
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory)
             Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -114,6 +111,19 @@ object Versioned {
             "re-read latest() and retry the operation", e)
     }
   }
+
+  /** The commit-race CLASSIFIER behind [[commitManifest]]'s catch,
+    * extracted so VersionedSpec can pin the discrimination table
+    * directly: the two destination-occupied exception types are races
+    * by definition; any OTHER filesystem failure is a race only if the
+    * destination verifiably exists (someone committed it). Everything
+    * else — AccessDenied, AtomicMoveNotSupported on a non-atomic
+    * mount, a missing parent — is environmental and must NOT retry. */
+  private[graft] def lostRace(e: java.nio.file.FileSystemException,
+      dst: java.nio.file.Path): Boolean =
+    e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+      e.isInstanceOf[java.nio.file.DirectoryNotEmptyException] ||
+      java.nio.file.Files.exists(dst)
 
   /** Column-mapping key: a logical column's PHYSICAL (on-disk) name,
     * carried as StructField metadata inside the committed sidecar schema
@@ -200,23 +210,36 @@ object Versioned {
     * (the column must cast); collection cost is the same single narrow
     * scan, widened by one column. */
   private def fileParts(spark: SparkSession, path: String,
-      partCol: String, statsCol: Option[String]): DataFrame = {
+      partCol: String, statsCols: Seq[String]): DataFrame = {
     val base = spark.read.parquet(path).drop(PartDir)
       .groupBy(input_file_name().as("file"),
         col(partCol).cast("string").as("part"))
-    statsCol match {
-      case None => base.agg(count(lit(1)).as("rows"))
-      case Some(c) =>
+    statsCols match {
+      case Seq() => base.agg(count(lit(1)).as("rows"))
+      case cols =>
+        // one agg per stats column, all riding the SAME single narrow
+        // scan. The head column also writes the legacy flat fields
+        // (mn/mx/bloom + stats_col naming WHICH physical column they
+        // describe — a probe on any OTHER column must not prune with
+        // them) so pre-r16 readers of single-column manifests keep
+        // working; the full set lands in the `stats` map, keyed by
+        // physical column name, which [[statRows]] probes first.
         val bloom = udaf(graft.functions.BloomAgg.agg(
           StatsBloomExpected, StatsBloomFpp))
-        // stats_col records WHICH (physical) column the envelope/sketch
-        // describe — a probe on any OTHER column must not prune with
-        // them (silent wrong answers), it falls back to reading the file
-        base.agg(count(lit(1)).as("rows"),
-          min(col(c).cast("long")).as("mn"),
-          max(col(c).cast("long")).as("mx"),
-          bloom(col(c).cast("long")).as("bloom"))
-          .withColumn("stats_col", lit(c))
+        val aggs = cols.zipWithIndex.flatMap { case (c, j) =>
+          Seq(min(col(c).cast("long")).as(s"__mn_$j"),
+            max(col(c).cast("long")).as(s"__mx_$j"),
+            bloom(col(c).cast("long")).as(s"__bloom_$j"))
+        }
+        val agged = base.agg(count(lit(1)).as("rows"), aggs: _*)
+        val mapEntries = cols.zipWithIndex.flatMap { case (c, j) =>
+          Seq(lit(c), struct(col(s"__mn_$j").as("mn"),
+            col(s"__mx_$j").as("mx"), col(s"__bloom_$j").as("bloom")))
+        }
+        agged.select(col("file"), col("part"), col("rows"),
+          col("__mn_0").as("mn"), col("__mx_0").as("mx"),
+          col("__bloom_0").as("bloom"), lit(cols.head).as("stats_col"),
+          map(mapEntries: _*).as("stats"))
     }
   }
 
@@ -242,18 +265,25 @@ object Versioned {
     * stats-carrying manifests: every commit's manifest rows then carry
     * the per-(file, part) min/max envelope + Bloom sketch of that column
     * (cast to long), and [[readPoint]]/[[readRange]] prune files from the
-    * manifest BEFORE the scan. Pass the SAME statsCol to every
-    * subsequent [[merge]]/[[compact]] — a commit without it carries
-    * NULL stats for its fresh files (correct, unprunable). */
+    * manifest BEFORE the scan. `statsCols` extends the same treatment to
+    * FURTHER columns (production predicates skip on several — order key
+    * AND customer key AND date): every named column gets its own
+    * envelope + Bloom in the manifest's `stats` map, collected by the
+    * SAME single narrow scan, and a probe on ANY of them prunes. Pass
+    * the SAME stats columns to every subsequent [[merge]]/[[compact]] —
+    * a commit without them carries NULL stats for its fresh files
+    * (correct, unprunable). */
   def init(spark: SparkSession, dir: String, partCol: String,
-      df: DataFrame, statsCol: Option[String] = None): Long = {
+      df: DataFrame, statsCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long = {
     require(versions(dir).isEmpty, s"Versioned: $dir already initialized")
     require(partCol != PartDir && !df.columns.contains(PartDir),
       s"Versioned: column name $PartDir is reserved")
     val dataPath = newDataDir(dir, 1L)
     writeData(df, dataPath, partCol)
     commitManifest(spark, dir, 1L,
-      fileParts(spark, dataPath, partCol, statsCol), Some(df.schema))
+      fileParts(spark, dataPath, partCol,
+        (statsCol.toSeq ++ statsCols).distinct), Some(df.schema))
     1L
   }
 
@@ -370,21 +400,64 @@ object Versioned {
       probeCol: String)
       : Array[(String, Option[(Long, Long, Array[Byte])])] = {
     val m = spark.read.parquet(s"${logRoot(dir)}/v=$v")
-    if (!m.columns.contains("mn") || !m.columns.contains("stats_col"))
+    val hasMap = m.columns.contains("stats")
+    val hasLegacy = m.columns.contains("mn") && m.columns.contains("stats_col")
+    if (!hasMap && !hasLegacy)
       m.select(col("file")).distinct().collect()
         .map(r => (r.getString(0), None))
-    else
-      m.select(col("file"), col("mn"), col("mx"), col("bloom"),
-          col("stats_col")).collect()
+    else {
+      // per ROW, not per manifest: a long history unions multi-column
+      // rows, single-column rows, and stats-less rows (alignUnion
+      // NULL-fills) — each row answers from its richest available form:
+      // the stats map keyed by physical column first, then the legacy
+      // flat fields when they describe the probed column
+      val fromMap =
+        if (hasMap) element_at(col("stats"), lit(probeCol))
+        else lit(null).cast("struct<mn:bigint,mx:bigint,bloom:binary>")
+      def pick(mapField: String, legacyName: String): Column = {
+        val primary = when(fromMap.isNotNull, fromMap.getField(mapField))
+        if (hasLegacy)
+          primary.when(col("stats_col") === lit(probeCol), col(legacyName))
+        else primary
+      }
+      m.select(col("file"),
+          pick("mn", "mn").as("pmn"),
+          pick("mx", "mx").as("pmx"),
+          pick("bloom", "bloom").as("pbloom"))
+        .collect()
         .map { r =>
           val st =
-            if (r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(4) ||
-                r.getString(4) != probeCol) None
+            if (r.isNullAt(1) || r.isNullAt(2)) None
             else Some((r.getLong(1), r.getLong(2),
               if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3)))
           (r.getString(0), st)
         }
+    }
   }
+
+  /** Schema-correct empty frame for snapshot `v` when a probe prunes
+    * EVERY file: straight from the committed sidecar when one exists;
+    * a pre-sidecar store derives it from any manifest-listed file — and
+    * a pre-sidecar store whose manifest is ALSO empty (an all-deletes
+    * merge retired every file before any sidecar committed) fails
+    * loudly instead of letting the zero-path parquet read throw its
+    * unhelpful inference error (the same guard [[changesImpl]] carries;
+    * these two probe paths previously lacked it). */
+  private def emptySnapshot(spark: SparkSession, dir: String, v: Long,
+      sch: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    sch match {
+      case Some(s0) => emptyFrame(spark, s0)
+      case None =>
+        val files = spark.read.parquet(s"${logRoot(dir)}/v=$v")
+          .select(col("file")).distinct()
+          .collect().map(_.getString(0))
+        require(files.nonEmpty,
+          s"Versioned: version $v has an empty manifest and no committed " +
+            "_schema.json sidecar to derive the snapshot schema from " +
+            "(pre-evolution store) — re-commit any version to " +
+            "materialize the sidecar")
+        readFiles(spark, dir, files.toIndexedSeq, None).filter(lit(false))
+    }
 
   /** Range read `lo <= keyCol <= hi` at snapshot `version`, planning its
     * file list FROM the manifest: a file is scanned only if SOME of its
@@ -409,10 +482,7 @@ object Versioned {
       .map(_._1).distinct.toIndexedSeq
     val base =
       if (files.nonEmpty) readFiles(spark, dir, files, sch)
-      else sch match {
-        case Some(s0) => emptyFrame(spark, s0)
-        case None => read(spark, dir, v).filter(lit(false))
-      }
+      else emptySnapshot(spark, dir, v, sch)
     base.filter(col(keyCol).cast("long") >= lo &&
       col(keyCol).cast("long") <= hi)
   }
@@ -442,10 +512,7 @@ object Versioned {
       .map(_._1).distinct.toIndexedSeq
     val base =
       if (files.nonEmpty) readFiles(spark, dir, files, sch)
-      else sch match {
-        case Some(s0) => emptyFrame(spark, s0)
-        case None => read(spark, dir, v).filter(lit(false))
-      }
+      else emptySnapshot(spark, dir, v, sch)
     base.filter(col(keyCol).cast("long") === key)
   }
 
@@ -469,7 +536,7 @@ object Versioned {
   def merge(spark: SparkSession, dir: String, partCol: String,
       keyCol: String, source: DataFrame, opCol: String = "op",
       checkKeyMoves: Boolean = false, mergeSchema: Boolean = false,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None, statsCols: Seq[String] = Nil): Long = {
     require(source.filter(col(partCol).isNull).isEmpty,
       s"Versioned.merge: source carries NULL $partCol values — fix the " +
         "partition derivation upstream")
@@ -561,7 +628,8 @@ object Versioned {
     val fresh =
       if (anyParquet(new java.io.File(dataPath)))
         fileParts(spark, dataPath, physPart,
-          statsCol.map(c => prevMap.getOrElse(c, c)))
+          (statsCol.toSeq ++ statsCols).distinct
+            .map(c => prevMap.getOrElse(c, c)))
       else spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         manifestSchema)
@@ -599,12 +667,19 @@ object Versioned {
     * envelopes/sketches prunable.
     *
     * At 100 TB: the plan is driver-side over the manifest (file-count
-    * rows); each bin rewrite is an independent job reading only its own
-    * fragments — a maintenance scheduler runs bins concurrently and
-    * resumes after failure by re-running unpacked bins. Returns the
-    * committed version. */
+    * rows); ALL bins rewrite in ONE job — every fragment is scanned
+    * once, tagged with its bin from a broadcast file→bin map on
+    * `input_file_name()`, and hash-repartitioned on the bin id so each
+    * bin's rows land in exactly one task writing exactly one packed
+    * file. The pre-r16 shape (one `coalesce(1)` job per bin, submitted
+    * serially from the driver) had a wall-clock floor of
+    * bins × scheduling-latency — thousands of SEQUENTIAL driver-
+    * coordinated jobs at production file counts; the single job's wall
+    * is the actual I/O, and parallelism is the executor pool's, not the
+    * driver loop's. Returns the committed version. */
   def compact(spark: SparkSession, dir: String, partCol: String,
-      statsCol: Option[String] = None, maxGroupRows: Long = 1L << 20): Long = {
+      statsCol: Option[String] = None, maxGroupRows: Long = 1L << 20,
+      statsCols: Seq[String] = Nil): Long = {
     val v = latest(dir)
     val next = v + 1
     val sch = readSchema(dir, v)
@@ -649,19 +724,37 @@ object Versioned {
     require(!physSch.exists(_.fieldNames.contains("__bin")),
       "Versioned: column name __bin is reserved (compaction bin dirs)")
     val dataPath = newDataDir(dir, next)
-    rewrite.zipWithIndex.foreach { case (g, i) =>
-      // physical read, physical write: compaction moves bytes between
-      // files, never through the logical namespace — and reading under
-      // the committed physical schema NULL-fills columns the oldest
-      // fragments predate (schema evolution), exactly like any read
-      val reader = physSch.fold(spark.read)(spark.read.schema)
-      reader.parquet(g.map(Manifest.unglob): _*)
-        .coalesce(1).write.mode("errorifexists")
-        .parquet(s"$dataPath/__bin=$i")
-    }
+    // file → bin, keyed by the normalized path form input_file_name()
+    // reports (manifest entries were themselves recorded from
+    // input_file_name(), so both sides normalize identically)
+    def norm(uri: String): String =
+      try new org.apache.hadoop.fs.Path(new java.net.URI(uri)).toString
+      catch { case _: java.net.URISyntaxException => uri }
+    // both raw and normalized key forms: input_file_name() re-reports
+    // the manifest's own recorded string when scanning the same files,
+    // so the raw hash hit is the per-row hot path — the URI parse in
+    // norm() only runs for a form drift that in practice never happens
+    val binOf: Map[String, Int] = rewrite.zipWithIndex
+      .flatMap { case (g, i) => g.flatMap(f => Seq(f -> i, norm(f) -> i)) }
+      .toMap
+    val binUdf = udf((f: String) => binOf.get(f).orElse(binOf.get(norm(f))))
+    // physical read, physical write: compaction moves bytes between
+    // files, never through the logical namespace — and reading under
+    // the committed physical schema NULL-fills columns the oldest
+    // fragments predate (schema evolution), exactly like any read
+    val reader = physSch.fold(spark.read)(spark.read.schema)
+    reader.parquet(rewrite.flatten.map(Manifest.unglob): _*)
+      .withColumn("__bin", coalesce(binUdf(input_file_name()),
+        raise_error(concat(
+          lit("Versioned.compact: scanned a file outside the rewrite " +
+            "set (file→bin normalization drift): "),
+          input_file_name())).cast("int")))
+      .repartition(rewrite.size, col("__bin"))
+      .write.partitionBy("__bin").mode("errorifexists").parquet(dataPath)
     val physPart = prevMap.getOrElse(partCol, partCol)
     val fresh = fileParts(spark, dataPath, physPart,
-      statsCol.map(c => prevMap.getOrElse(c, c)))
+      (statsCol.toSeq ++ statsCols).distinct
+        .map(c => prevMap.getOrElse(c, c)))
     val packed = rewrite.flatten.toSet
     val carried = mRows.filter(r => !packed(r.getString(fIdx)))
     val carriedDf = spark.createDataFrame(
@@ -832,7 +925,8 @@ object Versioned {
   def mergeRetry(spark: SparkSession, dir: String, partCol: String,
       keyCol: String, source: DataFrame, opCol: String = "op",
       checkKeyMoves: Boolean = false, mergeSchema: Boolean = false,
-      statsCol: Option[String] = None, maxAttempts: Int = 5): Long = {
+      statsCol: Option[String] = None, maxAttempts: Int = 5,
+      statsCols: Seq[String] = Nil): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     var attempt = 0
     var last: ConcurrentCommitException = null
@@ -841,7 +935,7 @@ object Versioned {
       // retry ONLY the commit race — any other IllegalStateException
       // (broken invariant, stopped context) propagates on attempt 1
       try return merge(spark, dir, partCol, keyCol, source, opCol,
-        checkKeyMoves, mergeSchema, statsCol)
+        checkKeyMoves, mergeSchema, statsCol, statsCols)
       catch {
         case e: ConcurrentCommitException =>
           last = e

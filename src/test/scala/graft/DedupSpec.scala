@@ -197,6 +197,27 @@ class DedupSpec extends SparkSpec {
     assert(keptInv === Seq(1L, 4L, 9L))
   }
 
+  test("keepBest: a NULL score loses to any real score (it must not win " +
+    "the argmax through struct NULL-ordering); all-NULL falls back to " +
+    "min id") {
+    // cluster {1,2,3}: doc 1 has a NULL score — the old struct ordering
+    // sorted NULL smallest in the negated field and crowned it; the
+    // real-scored max (doc 3) must win
+    val corpus = Seq((1L, None: Option[Double]), (2L, Some(5.0)),
+      (3L, Some(9.0)), (4L, Some(1.0))).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepBest(corpus, Dedup.clusters(pairs), col("q"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(3L, 4L))
+    // every member NULL: deterministic min-id fallback, nothing crashes
+    val allNull = Seq((1L, None: Option[Double]), (2L, None: Option[Double]),
+      (4L, Some(1.0))).toDF("doc_id", "q")
+    val keptNull = Dedup.keepBest(allNull,
+        Dedup.clusters(Seq((1L, 2L)).toDF("doc_a", "doc_b")), col("q"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptNull === Seq(1L, 4L))
+  }
+
   test("driver union-find fast path == distributed loop, label for label") {
     // mixed shapes: chain, clique, stars, isolated pair — the two paths
     // must agree exactly (the gate takes the driver path on small pair

@@ -578,4 +578,120 @@ class VersionedSpec extends SparkSpec {
       assert(Versioned.read(spark, dir, 1L).count() === 100)
     } finally rm(dir)
   }
+
+  test("lostRace classifier: destination-occupied exceptions are races; " +
+    "environmental failures with an absent destination are not") {
+    val dir = tmpDir("classify")
+    try {
+      new java.io.File(dir).mkdirs()
+      val absent = java.nio.file.Paths.get(s"$dir/nope")
+      val present = java.nio.file.Paths.get(dir)
+      // the two occupied-destination types are races regardless of dst
+      assert(Versioned.lostRace(
+        new java.nio.file.FileAlreadyExistsException(s"$dir/nope"), absent))
+      assert(Versioned.lostRace(
+        new java.nio.file.DirectoryNotEmptyException(s"$dir/nope"), absent))
+      // environmental failures: a race ONLY if dst verifiably exists
+      assert(!Versioned.lostRace(
+        new java.nio.file.AccessDeniedException(s"$dir/nope"), absent),
+        "AccessDenied with absent dst must NOT be treated as a race")
+      assert(!Versioned.lostRace(
+        new java.nio.file.AtomicMoveNotSupportedException(
+          "src", s"$dir/nope", "non-atomic mount"), absent),
+        "AtomicMoveNotSupported must NOT be treated as a race")
+      assert(Versioned.lostRace(
+        new java.nio.file.AccessDeniedException(dir), present),
+        "any failure with the destination committed IS a lost race")
+      // the retry signal is its own type (so mergeRetry retries nothing
+      // else) yet still an ISE for callers that matched the old contract
+      val cce = new graft.operators.ConcurrentCommitException("x", null)
+      assert(cce.isInstanceOf[IllegalStateException])
+      assert(!new IllegalStateException("not a race")
+        .isInstanceOf[graft.operators.ConcurrentCommitException])
+    } finally rm(dir)
+  }
+
+  test("mergeRetry retries ONLY the commit race: a permanently-occupied " +
+    "target exhausts maxAttempts (one data dir per attempt), budget " +
+    "message names the contention, recover() reclaims the attempts; a " +
+    "non-race failure propagates on attempt 1") {
+    val dir = tmpDir("retry-sel")
+    try {
+      val base = spark.range(0, 40)
+        .select(col("id").as("k"), (col("id") * 3).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      def attemptDirs(): Set[String] =
+        Option(new java.io.File(s"$dir/data").listFiles())
+          .getOrElse(Array.empty).filter(_.isDirectory)
+          .map(_.getName).filter(_.startsWith("v=2-")).toSet
+      // occupy v=2's manifest slot with a regular FILE: versions() skips
+      // it (not a directory), so every attempt re-reads latest=1, targets
+      // v=2, and loses the "race" — rename onto an existing path raises a
+      // FileSystemException with dst present, classified as a lost race
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_log/v=2"), Array[Byte](0))
+      val src = Seq((1L, 777L, 1L, "U")).toDF("k", "v", "bucket", "op")
+      val e = intercept[IllegalStateException] {
+        Versioned.mergeRetry(spark, dir, "bucket", "k", src, maxAttempts = 3)
+      }
+      assert(e.isInstanceOf[graft.operators.ConcurrentCommitException])
+      assert(e.getMessage.contains("contention exceeds the retry budget"))
+      assert(e.getCause.isInstanceOf[graft.operators.ConcurrentCommitException])
+      // EXACTLY maxAttempts attempts ran: each wrote one token-unique
+      // data dir for v=2 before losing its commit
+      assert(attemptDirs().size === 3,
+        s"expected 3 attempt dirs, got ${attemptDirs()}")
+      // a NON-race failure propagates on attempt 1: no retry, no extra
+      // attempt dir beyond the three above (the source is missing the
+      // store's `v` column, so the merge projection fails eagerly)
+      val badSrc = Seq((1L, 1L, "U")).toDF("k", "bucket", "op")
+      intercept[Exception] {
+        Versioned.mergeRetry(spark, dir, "bucket", "k", badSrc,
+          maxAttempts = 5)
+      }
+      assert(attemptDirs().size === 3,
+        "a non-race failure must not spin the retry loop")
+      // cleanup path: drop the squatter, recover() reclaims the orphans,
+      // and the store is writable again
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_log/v=2"))
+      val recovered = Versioned.recover(spark, dir)
+      assert(recovered.count(_.startsWith("v=2-")) === 3)
+      assert(Versioned.mergeRetry(spark, dir, "bucket", "k", src) === 2L)
+      assert(Versioned.read(spark, dir)
+        .filter(col("v") === 777L).count() === 1L)
+    } finally rm(dir)
+  }
+
+  test("readRange/readPoint on a pre-sidecar store: all-files-pruned " +
+    "answers an EMPTY frame via the manifest; an empty manifest with no " +
+    "sidecar fails loudly (the changesImpl guard, now shared)") {
+    val dir = tmpDir("probe-guard")
+    try {
+      val base = spark.range(0, 50)
+        .select(col("id").as("k"), (col("id") * 2).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base, statsCol = Some("k"))
+      // simulate a legacy pre-evolution store: strip the sidecar
+      val side = new java.io.File(s"$dir/_log/v=1/_schema.json")
+      assert(side.delete(), "fixture: sidecar must exist to strip")
+      // every envelope misses [900, 999] -> zero files -> empty frame
+      // derived FROM the manifest's files (no sidecar to answer from)
+      val pruned = Versioned.readRange(spark, dir, "k", 900L, 999L)
+      assert(pruned.count() === 0L)
+      assert(pruned.columns.toSeq === Seq("k", "v", "bucket"))
+      assert(Versioned.readPoint(spark, dir, "k", 901L).count() === 0L)
+      // an EMPTY manifest with no sidecar: loud failure, not a zero-path
+      // parquet inference error (mirror of the changes() guard)
+      val src = base.withColumn("op", lit("D"))
+      Versioned.merge(spark, dir, "bucket", "k", src, statsCol = Some("k"))
+      val side2 = new java.io.File(s"$dir/_log/v=2/_schema.json")
+      assert(side2.delete())
+      val e = intercept[IllegalArgumentException] {
+        Versioned.readRange(spark, dir, "k", 900L, 999L, version = 2L)
+          .count()
+      }
+      assert(e.getMessage.contains("empty manifest"))
+    } finally rm(dir)
+  }
 }
