@@ -107,9 +107,8 @@ object Bench {
     // added, which silently moves shared-cost attribution (e.g. which
     // dedup gate warms the shared pair memo) between rounds — sorting
     // pins it
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    def timeGate(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
       reset()
       current = name
       val t0 = System.nanoTime()
@@ -125,7 +124,34 @@ object Bench {
       if (name.startsWith("stream_"))
         org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
       current = null
-      name -> ((System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    val gateList = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val firstPass = gateList.map { case (name, fn) =>
+      name -> timeGate(name, fn)
+    }
+    // Second-trial MIN for the slowest gates (r15 verdict task 7): two
+    // consecutive rounds burned adjudication cycles on family-correlated
+    // AMBIENT drift concentrated in the most expensive gates (sim_ivf*
+    // r14, pipe_rag_topk r15 — same commit, 2.8x apart across runs).
+    // min-of-2 on exactly those gates collapses the one-sided noise
+    // (load can only ADD time) at ~15% extra bench wall. The retried
+    // gate's stream accounting keeps the LAST trial (reset per trial);
+    // SPARK_GRAFT_MIN_TRIALS_TOP=0 disables for throwaway local runs.
+    val retryTop = sys.env.getOrElse("SPARK_GRAFT_MIN_TRIALS_TOP", "20").toInt
+    val slowest = firstPass.filter(_._2._2).sortBy { case (_, (v, _)) => -v }
+      .take(retryTop).map(_._1).toSet
+    val results = firstPass.map { case (name, (t1, ok1)) =>
+      if (!slowest.contains(name)) name -> ((t1, ok1))
+      else {
+        streamAgg.remove(name)
+        val (t2, ok2) = timeGate(name,
+          gateList.find(_._1 == name).get._2)
+        // a second-trial failure is real (the code ran once already) —
+        // surface it rather than hiding behind trial 1's success
+        name -> ((math.min(t1, t2), ok1 && ok2))
+      }
     }
     spark.streams.removeListener(listener)
     // Full-precision per-query lines for humans/logs (the driver ignores

@@ -63,6 +63,22 @@ object BpeRounds {
           window = 64).count())
       println(f"| batched-chunks(8/round) | $n | $b | $sec%.2f | ${sec / n}%.3f | |")
     }
+    // the ≥1024-merge XL tier (r15 verdict task 8): real tokenizer
+    // vocabulary depth at sf0.1, the scale gates cannot run at (the
+    // 36-round semantics are oracle-pinned by text_bpe_merges_large at
+    // both driver scales; THIS run is the depth witness — opt out with
+    // SPARK_GRAFT_BPE_XL=0 for quick local tables). The conservation
+    // require rides every one of the ~140 rounds; run-aware self-pair
+    // attribution (r16) is live here — whitespace runs in chunk units
+    // are exactly the dominant-self-pair corpus.
+    if (!sys.env.get("SPARK_GRAFT_BPE_XL").contains("0")) {
+      val (sec, n) = timed(Bpe.mergesBatchedUnits(units, batches = 140,
+        batchSize = 8, window = 64).count())
+      println(f"| text_bpe_merges_xl (chunks, 8/round) | $n | 140 | $sec%.2f | ${sec / n}%.3f | require >= 1024: ${n >= 1024} |")
+      require(n >= 1024,
+        s"text_bpe_merges_xl: learned only $n merges in 140 rounds — " +
+          "the chunk-unit merge space ran dry before tokenizer depth")
+    }
 
     // ENCODE tiers vs merge-table size (r14): encodeBatches' expression
     // tree grows ~4x per batch (exponential — the analyzer ceiling), so

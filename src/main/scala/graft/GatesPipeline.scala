@@ -348,6 +348,40 @@ private[graft] object GatesPipeline {
     }),
 
 
+    // ── Text: BYTE-FALLBACK BPE ENCODE (r15 verdict task 8) — the two
+    // pieces a tokenizer needs around the merge table: special tokens
+    // ('<|doc|>' bypasses segmentation as ONE symbol) and byte-level
+    // OOV fallback (every code point outside the ASCII alphabet expands
+    // to '<0xAB>' UTF-8 byte tokens BEFORE the merge chain — nothing is
+    // unrepresentable, the GPT-2/LLaMA convention; the reference's
+    // keyword splitter falls back to the whole token instead,
+    // SplitFunction.java:22-24). The fixture injects a special token
+    // and a mixed ASCII+OOV marker word (2- and 3-byte UTF-8 chars,
+    // doc_id-derived) into EVERY doc; the fixed rule table includes
+    // BYTE-PAIR merges ('→' reassembles from its three bytes in two
+    // rules) and ASCII merges that must compose with expanded bytes in
+    // one word. tail4 pins the injected suffix's exact segmentation;
+    // the oracle replays fallback expansion + the rule chain per word.
+    "text_bpe_encode_bytes" -> ((s, dir) => {
+      val oov = array(lit("中"), lit("文"), lit("→"), lit("é"),
+        lit("ß"), lit("λ"), lit("ツ"), lit("☃"))
+      val injected = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" <|doc|> mix"),
+            element_at(oov, (pmod(col("doc_id"), lit(8L)) + 1).cast("int")))
+            .as("text"))
+      val rules = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+        ("m", "i"), ("mi", "x"),
+        ("<0xE2>", "<0x86>"), ("<0xE2><0x86>", "<0x92>"))
+      val ascii = (0 until 128).map(_.toChar.toString).toSet
+      Bpe.encodeTableBytes(injected, rules, ascii, Set("<|doc|>"))
+        .select(col("doc_id"), size(col("bpe")).cast("long").as("n_bpe"),
+          concat_ws(" ", slice(col("bpe"), 1, 3)).as("head"),
+          concat_ws(" ", slice(col("bpe"), -4, 4)).as("tail4"))
+        .orderBy(col("doc_id"))
+    }),
+
+
     // (4 batches, not 5: the fold tree grows ~4x per batch — BpeRounds
     // measures 3.5 s at 4 batches vs 16.3 s at 5 at sf0.1 — and the
     // large-table regime is text_bpe_encode_table's job; this gate pins
@@ -907,6 +941,68 @@ private[graft] object GatesPipeline {
     }),
 
 
+    // ── ANN recall REPORT (r15 verdict task 6) — the quality tripwire
+    // the determinism gates can't be: each approximate tier's own gate
+    // hash-matches its own (deterministic) output, so a tuning
+    // regression that silently tanks retrieval quality would still
+    // pass. This gate measures recall@5 of every ANN tier against
+    // bruteForceTopK truth on a 20-query set and REQUIRES each tier's
+    // floor in-gate (set at roughly half the min measured across the
+    // three scales — a real regression trips the require, which the
+    // driver records as err). The floors and the query-set size are the
+    // oracle-replayed output; the measured recalls print to the log for
+    // banking (data-learned quantizers make them non-SQL-expressible).
+    "sim_recall_report" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 20)
+      val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val nQ = queries.count()
+      val denom = truth.count().toDouble
+      val centroids = Similarity.trainCentroids(emb, k = 16, iters = 2,
+        sampleRate = 0.5)
+      val cb = Similarity.trainPqCodebooks(emb, m = 8, k = 64, iters = 2,
+        sampleRate = 0.5)
+      val codes = Similarity.pqEncode(emb, cb)
+      val path = s"$shmRoot/graft-recall-${System.nanoTime()}"
+      try {
+        Similarity.buildIvfPqIndex(emb, centroids, cb, path)
+        def recall(ann: org.apache.spark.sql.DataFrame): Double =
+          truth.join(ann.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id")).count() / denom
+        // (method, floor%) — floors sized from measured mins (see
+        // BASELINE.md r16): ivf ~0.9+, pq re-ranked ~0.6+, ivfpq ~0.5+,
+        // lsh(8 planes) is the bucketed-only outlier ~0.3+
+        val arms = Seq(
+          ("ivf", 50L, () => Similarity.ivfTopK(emb, queries, k = 5,
+            centroids, nProbe = 4)),
+          ("ivfpq", 25L, () => Similarity.ivfPqTopKIndexed(s, path, emb,
+            queries, k = 5, centroids, cb, nProbe = 4, shortlist = 50)),
+          // 4 planes (16 buckets), not sim_topk_lsh's 8: the recall arm
+          // wants the recall-oriented tuning — at sf0.001 the 256-bucket
+          // variant strands most queries with near-empty buckets
+          // (measured 0.11 recall@5; 4 planes measures ~0.5)
+          ("lsh", 15L, () => Similarity.lshTopK(emb, queries, k = 5,
+            graft.functions.VectorFns.randomPlanes(4, 64))),
+          ("pq", 30L, () => Similarity.pqTopKReranked(emb, codes, queries,
+            k = 5, cb, shortlist = 50)))
+        val rows = arms.map { case (method, floorPct, f) =>
+          val r = recall(f())
+          println(f"[sim_recall_report] $method%-6s recall@5 = $r%.3f " +
+            s"(floor ${floorPct / 100.0})")
+          require(r * 100 >= floorPct,
+            f"sim_recall_report: $method recall@5 $r%.3f fell below its " +
+              s"${floorPct / 100.0} floor — a quality regression, not noise")
+          (method, nQ, 5L, floorPct, 1L)
+        }
+        import s.implicits._
+        rows.toDF("method", "n_queries", "k", "floor_pct", "floor_ok")
+          .orderBy(col("method"))
+          .localCheckpoint(true) // materialize before the index sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── ANN: IVF retrain + rebuild — the compaction analogue for the
     // frozen-quantizer contract sim_ivf_append documents: after appends
     // drift the distribution, the index is read back, a NEW coarse
@@ -1390,22 +1486,42 @@ private[graft] object GatesPipeline {
       encodeTail: Boolean, unitsSql: String = bpeWordUnitsSql): String = {
     def block(r: Int): String = {
       val prev = s"s${r - 1}"
+      // selfm$r: run-aware greedy-mergeable counts for SELF-pairs via
+      // gaps-and-islands (i - row_number per (word, sym) groups
+      // consecutive positions into runs; a run of length L greedily
+      // merges L // 2 pairs) — the exact replay of the engine's RLE
+      // mct. Distinct pairs cannot self-overlap: mct = ct.
       s"""p$r AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b,
          |    CAST(SUM(wct) AS BIGINT) AS ct
          |  FROM $prev, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+         |selfm$r AS MATERIALIZED (
+         |  SELECT sym, CAST(SUM(wct * (rl // 2)) AS BIGINT) AS smct FROM (
+         |    SELECT word, ANY_VALUE(wct) AS wct, sym, island,
+         |      COUNT(*) AS rl FROM (
+         |      SELECT word, wct, syms[i] AS sym,
+         |        i - row_number() OVER (PARTITION BY word, syms[i]
+         |          ORDER BY i) AS island
+         |      FROM $prev, UNNEST(range(1, len(syms)+1)) AS u(i))
+         |    GROUP BY word, sym, island)
+         |  WHERE rl >= 2 GROUP BY sym),
          |c$r AS MATERIALIZED (SELECT a, b, ct,
+         |    CASE WHEN a = b THEN coalesce(sm.smct, 0) ELSE ct END AS mct,
          |    row_number() OVER (ORDER BY ct DESC, a, b) AS rk
-         |  FROM p$r ORDER BY ct DESC, a, b LIMIT $window),
+         |  FROM (SELECT a, b, ct FROM p$r
+         |    ORDER BY ct DESC, a, b LIMIT $window) q
+         |  LEFT JOIN selfm$r sm ON q.a = q.b AND sm.sym = q.a),
          |g$r AS (
          |  SELECT 0 AS rk,
-         |    CAST([] AS STRUCT(a VARCHAR, b VARCHAR, ct BIGINT)[]) AS sel
+         |    CAST([] AS STRUCT(a VARCHAR, b VARCHAR, ct BIGINT,
+         |      mct BIGINT)[]) AS sel
          |  UNION ALL
          |  SELECT c.rk,
-         |    CASE WHEN len(g.sel) >= $batchSize OR c.a = c.b OR list_has_any(
+         |    CASE WHEN len(g.sel) >= $batchSize OR list_has_any(
          |        [c.a, c.b, c.a || c.b],
          |        flatten(list_transform(g.sel, s -> [s.a, s.b, s.a || s.b])))
          |      THEN g.sel
-         |      ELSE list_append(g.sel, {'a': c.a, 'b': c.b, 'ct': c.ct}) END
+         |      ELSE list_append(g.sel,
+         |        {'a': c.a, 'b': c.b, 'ct': c.ct, 'mct': c.mct}) END
          |  FROM g$r g JOIN c$r c ON c.rk = g.rk + 1),
          |sel$r AS MATERIALIZED (SELECT sel FROM g$r ORDER BY rk DESC LIMIT 1),
          |s$r AS MATERIALIZED (SELECT word, wct,
@@ -1427,9 +1543,12 @@ private[graft] object GatesPipeline {
          |""".stripMargin
     val blocks = (1 to batches).map(block).mkString(",\n")
     if (!encodeTail) {
+      // the ledger's ct is the GREEDY-MERGEABLE count (mct) — the
+      // symbols the fold actually removes, which is what syms_after
+      // telescopes by (= naive ct for every non-self pair)
       val unions = (1 to batches).map(r =>
         s"""SELECT $r AS batch, u.i AS pos, sel[u.i].a AS lhs,
-           |    sel[u.i].b AS rhs, sel[u.i].ct AS ct
+           |    sel[u.i].b AS rhs, sel[u.i].mct AS ct
            |  FROM sel$r, UNNEST(range(1, len(sel)+1)) AS u(i)""".stripMargin)
         .mkString("\n  UNION ALL ")
       header + blocks + s""",
@@ -1456,6 +1575,53 @@ private[graft] object GatesPipeline {
         |FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
         |ORDER BY d.doc_id""".stripMargin
     }
+  }
+
+  /** Replay of the byte-fallback encode tier: special-token bypass,
+    * per-code-point ASCII test with UTF-8 byte expansion (hex(encode())
+    * split into <0xAB> tokens — DuckDB slices strings by code point, the
+    * engine iterates code points, so the two sides see identical
+    * symbols), then the fixed rule chain applied sequentially with the
+    * same pipe-fold greedy scan as every BPE oracle (specials bypass the
+    * fold as single-symbol arrays, so their '|' never enters it). */
+  private def byteEncodeSql(rules: Seq[(String, String)]): String = {
+    val folds = rules.zipWithIndex.map { case ((lhs, rhs), i) =>
+      val r = i + 1
+      s"""s$r AS (SELECT word, CASE WHEN len(syms) <= 1 THEN syms
+         |  ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+         |    WHEN ends_with('|'||acc, '|$lhs') AND x = '$rhs' THEN acc||x
+         |    ELSE acc||'|'||x END), '|') END AS syms
+         |  FROM s${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val last = s"s${rules.size}"
+    s"""WITH docs2 AS (SELECT doc_id,
+       |    text || ' <|doc|> mix' ||
+       |      (['中','文','→','é','ß','λ','ツ','☃'])[CAST(doc_id % 8 AS INT) + 1]
+       |      AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id, list_filter(
+       |    string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       |  FROM docs2),
+       |w AS (SELECT doc_id, toks[u.i] AS word, u.i AS pos FROM t,
+       |  UNNEST(range(1, len(toks)+1)) AS u(i)),
+       |v AS (SELECT DISTINCT word FROM w),
+       |s0 AS (SELECT word, CASE WHEN word = '<|doc|>' THEN [word]
+       |    ELSE flatten([CASE WHEN ascii(c) < 128 THEN [c]
+       |      ELSE ['<0x' || substr(hex(encode(c)), b, 2) || '>'
+       |            for b in range(1, length(hex(encode(c))), 2)] END
+       |      for c in [word[i] for i in range(1, length(word)+1)]])
+       |    END AS syms FROM v),
+       |$folds,
+       |enc AS (SELECT w.doc_id, CAST(SUM(len($last.syms)) AS BIGINT) AS n_bpe,
+       |    array_to_string(flatten(list($last.syms ORDER BY w.pos))[1:3], ' ')
+       |      AS head,
+       |    array_to_string(flatten(list($last.syms ORDER BY w.pos))[-4:], ' ')
+       |      AS tail4
+       |  FROM w JOIN $last ON w.word = $last.word GROUP BY w.doc_id)
+       |SELECT d.doc_id, COALESCE(enc.n_bpe, 0) AS n_bpe,
+       |  COALESCE(enc.head, '') AS head, COALESCE(enc.tail4, '') AS tail4
+       |FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   // shared by dedup_incremental and dedup_index_atrest (the at-rest
@@ -1506,6 +1672,25 @@ private[graft] object GatesPipeline {
     // selection's triple-disjointness (BpeSpec pins all three tiers equal)
     "text_bpe_encode_table" ->
       bpeBatchSql(batches = 5, batchSize = 8, window = 48, encodeTail = true),
+    // byte-fallback tier: the rule list must match the gate's literally
+    "text_bpe_encode_bytes" ->
+      byteEncodeSql(Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+        ("m", "i"), ("mi", "x"),
+        ("<0xE2>", "<0x86>"), ("<0xE2><0x86>", "<0x92>"))),
+
+    // the recall values are data-learned (quantizer-dependent) and live
+    // in the in-gate requires + log; the oracle replays the report's
+    // contract rows — query-set size from the data, floors as committed
+    // constants (changing a floor is a reviewed oracle change, not a
+    // silent relaxation)
+    "sim_recall_report" ->
+      """WITH q AS (SELECT COUNT(*) AS nq FROM embeddings WHERE vec_id < 20)
+        |SELECT m.method, CAST(q.nq AS BIGINT) AS n_queries,
+        |  CAST(5 AS BIGINT) AS k, CAST(m.floor_pct AS BIGINT) AS floor_pct,
+        |  CAST(1 AS BIGINT) AS floor_ok
+        |FROM (VALUES ('ivf', 50), ('ivfpq', 25), ('lsh', 15), ('pq', 30))
+        |  AS m(method, floor_pct)
+        |CROSS JOIN q ORDER BY method""".stripMargin,
 
     "sample_cap_per_source" ->
       """WITH r AS (SELECT doc_id, source,

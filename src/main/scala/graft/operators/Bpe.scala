@@ -165,14 +165,21 @@ object Bpe {
     *      time (merging one selected pair can neither create nor
     *      destroy occurrences of another) and merges non-cascading, so
     *      the batch applies in ONE fold pass ([[applyMergeSet]]) in any
-    *      order. SELF-PAIRS (lhs == rhs) are skipped: their snapshot
-    *      count includes overlapping occurrences while the greedy scan
-    *      merges only ⌊run/2⌋ per run (word "aaa" under (a,a): ct = 2
-    *      but symbols drop by 1), so no exact per-merge attribution
-    *      exists for them — they would break the conservation `require`
-    *      on valid input. A skipped self-pair stays a candidate and its
-    *      count shrinks as its neighbors merge — the same batched
-    *      approximation as any deferred candidate;
+    *      order. SELF-PAIRS (lhs == rhs) select with RUN-AWARE
+    *      attribution (r16): their naive snapshot count includes
+    *      overlapping occurrences while the greedy fold merges exactly
+    *      ⌊run/2⌋ per run (word "aaa" under (a,a): naive ct = 2 but
+    *      symbols drop by 1), so the pair scan counts runs, not just
+    *      adjacencies, and each candidate carries BOTH its naive count
+    *      (the ranking key — sequential BPE's argmax order) and its
+    *      greedy-mergeable count `mct` (= Σ wct·⌊run/2⌋ for self-pairs,
+    *      = ct for distinct pairs, whose occurrences cannot
+    *      self-overlap). The ledger and the conservation `require`
+    *      subtract `mct` — the symbols the fold actually removes. A
+    *      corpus whose dominant pair is a character run (whitespace
+    *      runs under byte-level chunk units — exactly the large-tier
+    *      feed) now learns run merges instead of silently diverging
+    *      from sequential BPE, which always could;
     *   4. apply + materialize once per round, not once per merge.
     *
     * The first merge of every round is exactly sequential BPE's argmax;
@@ -239,17 +246,61 @@ object Bpe {
     val wordTotal = vocab.agg(sum(col("wct")).cast("long")).as[Long].head()
     var idx = 0L
     val ledger = Seq.newBuilder[(Long, Long, String, String, Long, Long)]
+    // RLE pair scan: the symbol array's RUNS (linear HOFs — start
+    // indices, lengths, zip) yield BOTH counting views in one pass:
+    // naive adjacent counts (within-run len-1 + one per run boundary —
+    // the conservation identity Σct + W = symbols, and the ranking key
+    // matching sequential BPE's argmax), and the greedy-mergeable count
+    // mct (⌊run/2⌋ for self-pairs; = naive for distinct pairs, which
+    // cannot self-overlap). Adjacent runs hold distinct symbols by
+    // construction, so the two views partition cleanly.
+    def runPairs(syms: Column): Column = {
+      val n = size(syms)
+      // when(), not ||: ANSI element_at throws on index 0, and boolean
+      // OR does not short-circuit inside codegen
+      val starts = filter(sequence(lit(0), n - 1),
+        i => when(i === 0, lit(true))
+          .otherwise(element_at(syms, i + 1) =!= element_at(syms, i)))
+      val nexts = concat(slice(starts, lit(2), size(starts)), array(n))
+      val runs = zip_with(starts, nexts, (st, en) =>
+        struct(element_at(syms, st + 1).as("sym"), (en - st).as("len")))
+      val pairT = "array<struct<a:string,b:string,ct:bigint,mct:bigint>>"
+      // adjacent-run pairs via ZIP-WITH-SHIFT, never element_at(runs, i)
+      // inside a transform-over-indices: a lambda body re-evaluates the
+      // whole `runs` subtree PER ELEMENT (HOFs run interpreted, no
+      // common-subexpression reuse), which turns the scan O(n²)-with-
+      // allocation-storm on 128-symbol chunk units — measured as a
+      // multi-minute single-thread stall at sf0.1. zip_with evaluates
+      // each argument once per row; the shorter shifted side null-pads
+      // its tail slot, filtered after.
+      val cross = filter(
+        zip_with(runs, slice(runs, lit(2), size(runs)), (r1, r2) =>
+          when(r2.isNull, lit(null).cast(
+            "struct<a:string,b:string,ct:bigint,mct:bigint>"))
+            .otherwise(struct(r1.getField("sym").as("a"),
+              r2.getField("sym").as("b"),
+              lit(1L).as("ct"), lit(1L).as("mct")))),
+        x => x.isNotNull)
+      val self = transform(
+        filter(runs, r => r.getField("len") >= 2), r =>
+          struct(r.getField("sym").as("a"), r.getField("sym").as("b"),
+            (r.getField("len") - 1).cast("long").as("ct"),
+            shiftright(r.getField("len"), 1).cast("long").as("mct")))
+      concat(cross.cast(pairT), self.cast(pairT))
+    }
     for (b <- 1 to batches) {
       val obs = new org.apache.spark.sql.Observation()
       val cands = vocab
-        .select(col("wct"), explode(adjPairs(col("syms"))).as("p"))
+        .select(col("wct"), explode(runPairs(col("syms"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("wct")).as("ct"))
+        .agg(sum(col("wct") * col("p.ct")).as("ct"),
+          sum(col("wct") * col("p.mct")).as("mct"))
         .observe(obs, coalesce(sum(col("ct")), lit(0L)).cast("long")
           .as("pair_total"))
         .orderBy(col("ct").desc, col("a").asc, col("b").asc)
         .limit(win).collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
       // conservation REQUIRE, moved to the next scan: this round's pair
       // snapshot measures the symbol total AFTER the previous batch
       // applied — it must equal the previous round's derived total
@@ -261,13 +312,13 @@ object Bpe {
       val sel = Seq.newBuilder[(String, String, Long)]
       var taken = 0
       var used = Set.empty[String]
-      for ((a, bb, ct) <- cands if taken < batchSize) {
+      for ((a, bb, _, mct) <- cands if taken < batchSize) {
+        // self-pairs carry their run-aware mct (the fold's exact symbol
+        // removal); their triple degenerates to {a, aa}, so the same
+        // disjointness check keeps attribution exact in-batch
         val triple = Set(a, bb, a + bb)
-        // a != bb: self-pairs have no exact count attribution (overlap —
-        // see the selection doc above) and their triple {a, aa} would
-        // make the conservation require fire on valid input
-        if (a != bb && (triple & used).isEmpty) {
-          sel += ((a, bb, ct)); used ++= triple; taken += 1
+        if ((triple & used).isEmpty) {
+          sel += ((a, bb, mct)); used ++= triple; taken += 1
         }
       }
       val chosen = sel.result()
@@ -415,6 +466,103 @@ object Bpe {
               k += 1
             }
           }
+          Row(w, syms.toSeq)
+        }
+      }(Encoders.row(outSchema))
+    reassemble(documents, words, vocab.toDF())
+  }
+
+  /** The greedy sequential rule chain of [[encodeTable]], factored for
+    * the fallback tier: rules in learned order, each a left-to-right
+    * non-overlapping scan, with the symbol-set prefilter. */
+  private def applyRuleTable(init: Array[String],
+      rules: Array[(String, String)]): Array[String] = {
+    var syms = init
+    if (syms.length >= 2) {
+      val present = scala.collection.mutable.HashSet.empty[String]
+      syms.foreach(present += _)
+      var k = 0
+      while (k < rules.length && syms.length >= 2) {
+        val (lhs, rhs) = rules(k)
+        if (present.contains(lhs) && present.contains(rhs)) {
+          var applied = false
+          val out = Array.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == lhs &&
+                syms(j + 1) == rhs) {
+              out += lhs + rhs; applied = true; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          if (applied) {
+            syms = out.result()
+            present.clear(); syms.foreach(present += _)
+          }
+        }
+        k += 1
+      }
+    }
+    syms
+  }
+
+  /** [[encodeTable]] with BYTE-LEVEL OOV FALLBACK and SPECIAL TOKENS —
+    * the two pieces a real tokenizer needs around the merge table
+    * (reference analogue: the keyword splitter's whole-token fallback
+    * for unsegmentable input, app/.../SplitFunction.java:22-24, done at
+    * byte granularity so NOTHING is unrepresentable):
+    *
+    *   - a word in `specials` bypasses segmentation entirely and emits
+    *     itself as ONE symbol (the `<|endoftext|>` contract — specials
+    *     are whitespace-delimited words under this tokenizer's
+    *     splitter);
+    *   - every CODE POINT outside `alphabet` expands to its UTF-8 bytes
+    *     as `<0xAB>` pseudo-symbols (uppercase hex, the GPT-2/LLaMA
+    *     byte-token convention) BEFORE the merge chain runs, so learned
+    *     rules over byte tokens compose exactly like any others and no
+    *     input can fail to encode. Iteration is by code point (astral
+    *     plane safe — a surrogate pair is ONE code point, four UTF-8
+    *     bytes).
+    *
+    * Same distributed shape as [[encodeTable]]: distinct-word projection
+    * → one mapPartitions pass with the rule table broadcast → join back
+    * → per-doc reassembly. */
+  def encodeTableBytes(documents: DataFrame,
+      mergeList: Seq[(String, String)], alphabet: Set[String],
+      specials: Set[String] = Set.empty): DataFrame = {
+    val spark = documents.sparkSession
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val rulesB = spark.sparkContext.broadcast(mergeList.toArray)
+    val alphaB = spark.sparkContext.broadcast(alphabet)
+    val specialB = spark.sparkContext.broadcast(specials)
+    val words = documents.select(col("doc_id"),
+      posexplode(TextFns.tokensWs(col("text"))))
+      .toDF("doc_id", "pos", "word")
+    val outSchema = StructType(Seq(
+      StructField("word", StringType),
+      StructField("syms", ArrayType(StringType, containsNull = false))))
+    val vocab = words.select(col("word")).distinct()
+      .mapPartitions { it =>
+        val rules = rulesB.value
+        val alpha = alphaB.value
+        val special = specialB.value
+        it.map { r =>
+          val w = r.getString(0)
+          val syms =
+            if (special.contains(w)) Array(w)
+            else {
+              val init = Array.newBuilder[String]
+              var i = 0
+              while (i < w.length) {
+                val cp = w.codePointAt(i)
+                val s = new String(Character.toChars(cp))
+                if (alpha.contains(s)) init += s
+                else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  .foreach(b => init += f"<0x${b & 0xff}%02X>")
+                i += Character.charCount(cp)
+              }
+              applyRuleTable(init.result(), rules)
+            }
           Row(w, syms.toSeq)
         }
       }(Encoders.row(outSchema))

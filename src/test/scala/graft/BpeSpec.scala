@@ -223,20 +223,44 @@ class BpeSpec extends SparkSpec {
       "the pipe symbol dissolves into separator positions in the fold tier")
   }
 
-  test("mergesBatched: self-pairs (lhs == rhs) are never selected — the " +
-    "overlap pathology ('aaa' under (a,a)) cannot fire the conservation " +
-    "require on valid input") {
-    // (a,a) has the highest snapshot count (ct=2 from "aaa" + 2 from
-    // "aa aa" words) but must be skipped; the runner-up disjoint pairs
-    // are learned instead and every batch's ledger stays conservation-exact
+  test("mergesBatched: self-pairs select with RUN-AWARE attribution — " +
+    "the ledger subtracts the fold's exact removals (⌊run/2⌋ per run), " +
+    "so 'aaa' under (a,a) keeps conservation exact") {
+    // (a,a) naive ct = 2·3 = 6 (overlapping adjacencies rank it first,
+    // sequential BPE's argmax order) but the fold merges ⌊3/2⌋ = 1 per
+    // "aaa" → attribution 3; (x,y) ct = 2 is triple-disjoint ({a,aa} vs
+    // {x,y,xy}) and joins the same batch. Conservation requires fire
+    // in-engine on every batch — a naive-ct attribution would break
+    // round 2's measured total on this exact corpus.
     val docs = Seq((1L, "aaa aaa aaa xy xy")).toDF("doc_id", "text")
     val led = Bpe.mergesBatched(docs, batches = 2, batchSize = 4, window = 16)
       .orderBy("merge_idx")
       .as[(Long, Long, String, String, Long, Long)].collect().toSeq
-    assert(led.nonEmpty)
-    assert(led.forall { case (_, _, l, r, _, _) => l != r },
-      s"self-pair leaked into the selection: $led")
-    // (x,y) ct=2 is learnable and must appear
-    assert(led.exists { case (_, _, l, r, _, _) => l == "x" && r == "y" })
+    // total symbols: 3·3 + 2·2 = 13
+    // batch 1: (a,a) mct 3 → 10; (x,y) mct 2 → 8
+    assert(led.take(2).map { case (_, b, l, r, ct, after) =>
+      (b, l, r, ct, after) } ===
+      Seq((1L, "a", "a", 3L, 10L), (1L, "x", "y", 2L, 8L)))
+    // batch 2 continues on the merged corpus: "aa|a" ×3 → (aa,a) ct 3
+    assert(led.drop(2).headOption.map { case (_, b, l, r, ct, after) =>
+      (b, l, r, ct, after) } === Some((2L, "aa", "a", 3L, 5L)))
+    // every ledger step still telescopes exactly
+    led.foldLeft(13L) { case (prev, (_, _, _, _, ct, after)) =>
+      assert(after === prev - ct); after
+    }
+  }
+
+  test("mergesBatched: run-aware self-pair counts — even and odd runs, " +
+    "runs split across words, weighted by word count") {
+    // "aaaa"×2 (⌊4/2⌋=2 each → 4) + "aaa" (1) + "baab" (⌊2/2⌋=1):
+    // (a,a) attribution = 2·2 + 1 + 1 = 6, naive ct = 2·3 + 2 + 1 = 9
+    val docs = Seq((1L, "aaaa aaaa aaa baab")).toDF("doc_id", "text")
+    val led = Bpe.mergesBatched(docs, batches = 1, batchSize = 1, window = 8)
+      .orderBy("merge_idx")
+      .as[(Long, Long, String, String, Long, Long)].collect().toSeq
+    // total symbols 4+4+3+4 = 15; (a,a) wins, removes 6
+    assert(led.head._3 === "a" && led.head._4 === "a")
+    assert(led.head._5 === 6L, s"run-aware attribution: $led")
+    assert(led.head._6 === 9L)
   }
 }

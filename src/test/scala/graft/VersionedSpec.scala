@@ -663,6 +663,51 @@ class VersionedSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("multi-column stats across a MIXED history: a single-column init " +
+    "merged with multi-column stats — probes on the second column prune " +
+    "only the files that carry its stats, answers stay exact") {
+    val dir = tmpDir("multicol")
+    try {
+      // k-RANGE-correlated buckets (contiguous — envelopes can prune);
+      // c anti-correlated (reversed ranges)
+      val base = spark.range(0, 400)
+        .select(col("id").as("k"), (lit(399L) - col("id")).as("v"),
+          (lit(399L) - col("id")).as("c"),
+          floor(col("id") / 100L).as("bucket"))
+      // v1: LEGACY single-column manifests (k only)
+      Versioned.init(spark, dir, "bucket", base, statsCol = Some("k"))
+      // v2: multi-column commit churns bucket 1 — its fresh files carry
+      // the {k, c} stats map, every carried file has legacy-k only
+      val src = base.filter(col("bucket") === 1 && col("k") % 8 === 1)
+        .withColumn("v", col("v") + 5).withColumn("op", lit("U"))
+      Versioned.merge(spark, dir, "bucket", "k", src,
+        statsCols = Seq("k", "c"))
+      val full = Versioned.read(spark, dir, 2L)
+      // probe on k: EVERY file has k stats (legacy or map) — prunes
+      val kProbe = Versioned.readRange(spark, dir, "k", 0L, 50L, 2L)
+      assert(kProbe.inputFiles.length < full.inputFiles.length)
+      assert(kProbe.orderBy("k").collect().toSeq ===
+        full.filter(col("k") <= 50).orderBy("k").collect().toSeq)
+      // probe on c: carried files have NO c stats (unknown = always
+      // read — NEVER wrongly pruned), fresh bucket-1 files prune by
+      // their c envelope; a c range covering only carried data must
+      // still answer exactly
+      val cProbe = Versioned.readPoint(spark, dir, "c", 398L, 2L)
+      assert(cProbe.collect().toSeq ===
+        full.filter(col("c") === 398L).collect().toSeq)
+      // a c-miss prunes the stats-carrying files but reads the
+      // stats-less carried ones (correctness over pruning): answer empty
+      assert(Versioned.readPoint(spark, dir, "c", 5000L, 2L).count() === 0L)
+      // and the fresh files' 2-entry map is really committed
+      val freshStats = spark.read.parquet(s"$dir/_log/v=2")
+        .filter(col("file").contains("/data/v=2-"))
+        .select(sort_array(map_keys(col("stats"))).as("ks"))
+      assert(freshStats.count() > 0)
+      assert(freshStats.filter(col("ks") =!= array(lit("c"), lit("k")))
+        .count() === 0L)
+    } finally rm(dir)
+  }
+
   test("readRange/readPoint on a pre-sidecar store: all-files-pruned " +
     "answers an EMPTY frame via the manifest; an empty manifest with no " +
     "sidecar fails loudly (the changesImpl guard, now shared)") {
