@@ -53,6 +53,7 @@ object GraftExtensions {
     ("graft_dot", new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     one("graft_tokenize", Tokenize.apply),
+    one("graft_run_pairs", RunPairs.apply),
     one("graft_nfc", NfcNormalize.apply),
     one("graft_text_profile", TextProfile.apply),
     one("graft_langid", LangId.apply),

@@ -246,52 +246,21 @@ object Bpe {
     val wordTotal = vocab.agg(sum(col("wct")).cast("long")).as[Long].head()
     var idx = 0L
     val ledger = Seq.newBuilder[(Long, Long, String, String, Long, Long)]
-    // RLE pair scan: the symbol array's RUNS (linear HOFs — start
-    // indices, lengths, zip) yield BOTH counting views in one pass:
-    // naive adjacent counts (within-run len-1 + one per run boundary —
-    // the conservation identity Σct + W = symbols, and the ranking key
+    // RUN-AWARE pair scan (native expressions/RunPairs, one JVM walk per
+    // row): every candidate carries BOTH counting views — naive
+    // adjacent counts (within-run len-1 + one per run boundary — the
+    // conservation identity Σct + W = symbols, and the ranking key
     // matching sequential BPE's argmax), and the greedy-mergeable count
-    // mct (⌊run/2⌋ for self-pairs; = naive for distinct pairs, which
-    // cannot self-overlap). Adjacent runs hold distinct symbols by
-    // construction, so the two views partition cleanly.
-    def runPairs(syms: Column): Column = {
-      val n = size(syms)
-      // when(), not ||: ANSI element_at throws on index 0, and boolean
-      // OR does not short-circuit inside codegen
-      val starts = filter(sequence(lit(0), n - 1),
-        i => when(i === 0, lit(true))
-          .otherwise(element_at(syms, i + 1) =!= element_at(syms, i)))
-      val nexts = concat(slice(starts, lit(2), size(starts)), array(n))
-      val runs = zip_with(starts, nexts, (st, en) =>
-        struct(element_at(syms, st + 1).as("sym"), (en - st).as("len")))
-      val pairT = "array<struct<a:string,b:string,ct:bigint,mct:bigint>>"
-      // adjacent-run pairs via ZIP-WITH-SHIFT, never element_at(runs, i)
-      // inside a transform-over-indices: a lambda body re-evaluates the
-      // whole `runs` subtree PER ELEMENT (HOFs run interpreted, no
-      // common-subexpression reuse), which turns the scan O(n²)-with-
-      // allocation-storm on 128-symbol chunk units — measured as a
-      // multi-minute single-thread stall at sf0.1. zip_with evaluates
-      // each argument once per row; the shorter shifted side null-pads
-      // its tail slot, filtered after.
-      val cross = filter(
-        zip_with(runs, slice(runs, lit(2), size(runs)), (r1, r2) =>
-          when(r2.isNull, lit(null).cast(
-            "struct<a:string,b:string,ct:bigint,mct:bigint>"))
-            .otherwise(struct(r1.getField("sym").as("a"),
-              r2.getField("sym").as("b"),
-              lit(1L).as("ct"), lit(1L).as("mct")))),
-        x => x.isNotNull)
-      val self = transform(
-        filter(runs, r => r.getField("len") >= 2), r =>
-          struct(r.getField("sym").as("a"), r.getField("sym").as("b"),
-            (r.getField("len") - 1).cast("long").as("ct"),
-            shiftright(r.getField("len"), 1).cast("long").as("mct")))
-      concat(cross.cast(pairT), self.cast(pairT))
-    }
+    // mct (⌊run/2⌋ per run for self-pairs; = naive for distinct pairs,
+    // which cannot self-overlap). A custom Expression, not HOFs: the
+    // equivalent starts/lengths/zip HOF pipeline evaluates interpreted
+    // per element and measured ~3.4× the old adjacent-only scan per
+    // round on 128-symbol chunk units.
     for (b <- 1 to batches) {
       val obs = new org.apache.spark.sql.Observation()
       val cands = vocab
-        .select(col("wct"), explode(runPairs(col("syms"))).as("p"))
+        .select(col("wct"),
+          explode(call_function("graft_run_pairs", col("syms"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("wct") * col("p.ct")).as("ct"),
           sum(col("wct") * col("p.mct")).as("mct"))

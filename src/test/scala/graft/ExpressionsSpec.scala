@@ -149,6 +149,37 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.limit(1).count() === 1)
   }
 
+  test("graft_run_pairs: cross pairs per run boundary, self pairs with " +
+    "naive + greedy counts per run; edge shapes") {
+    import org.apache.spark.sql.functions._
+    def pairs(s: Seq[String]): Seq[(String, String, Long, Long)] = {
+      Seq(Tuple1(s)).toDF("syms")
+        .select(explode(call_function("graft_run_pairs", col("syms"))).as("p"))
+        .select(col("p.a"), col("p.b"), col("p.ct"), col("p.mct"))
+        .as[(String, String, Long, Long)].collect().toSeq
+    }
+    // "aab|b|a": runs aa(2) bb(2)... spell it: a a b b a ->
+    // runs [a,2][b,2][a,1]; cross (a,b,1,1),(b,a,1,1); self (a,a,1,1),(b,b,1,1)
+    assert(pairs(Seq("a", "a", "b", "b", "a")).sorted ===
+      Seq(("a", "a", 1L, 1L), ("a", "b", 1L, 1L),
+        ("b", "a", 1L, 1L), ("b", "b", 1L, 1L)).sorted)
+    // odd run: aaa -> ct 2 (naive adjacencies), mct 1 (greedy merges)
+    assert(pairs(Seq("a", "a", "a")) === Seq(("a", "a", 2L, 1L)))
+    // even run of 4: ct 3, mct 2
+    assert(pairs(Seq("x", "x", "x", "x")) === Seq(("x", "x", 3L, 2L)))
+    // no runs: all cross with ct = mct = 1
+    assert(pairs(Seq("p", "q", "r")) ===
+      Seq(("p", "q", 1L, 1L), ("q", "r", 1L, 1L)))
+    // degenerate shapes
+    assert(pairs(Seq("solo")).isEmpty)
+    assert(pairs(Seq.empty).isEmpty)
+    // multi-char symbols (merged tokens) compare as whole symbols
+    assert(pairs(Seq("ab", "b")) === Seq(("ab", "b", 1L, 1L)))
+    // conservation identity: sum(ct) + 1 == symbols for any single word
+    val w = Seq("t", "h", "e", "e", "e", "t", "t", "h")
+    assert(pairs(w).map(_._3).sum + 1 === w.length)
+  }
+
   test("graft_cosine callable from plain SQL with implicit casts") {
     val r = spark.sql(
       "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").as[Double].head()
