@@ -274,7 +274,61 @@ object AbDrift {
           lit(1000000007L))), lit(0L))).head().getLong(0)
       }.sum
 
+    // r17: price the r16 multi-column-stats WRITE tax (verdict task 1) —
+    // the SAME init + two-merge churn (k17/k22 shape, orders at sfDir),
+    // manifests collected with no stats / single-column (r15 shape) /
+    // multi-column (r16 shape), plus the knob arm: stats-less writes
+    // followed by ONE backfillStats commit (stats-on-maintenance-only —
+    // what a write-heavy store would schedule instead of per-merge
+    // collection). Interleaved in one JVM so the deltas are the plan's.
+    def vWriteArm(mode: String): Long = {
+      import graft.operators.Versioned
+      val path = s"${GateSupport.shmRoot}/graft-ab-vwrite-${System.nanoTime()}"
+      try {
+        val raw = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey").as("k"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"),
+            col("o_custkey").as("c"))
+        val base = raw.withColumn("bucket", pmod(col("k"), lit(16L)))
+        val (s1, sN) = mode match {
+          case "single" => (Some("k"), Nil)
+          case "multi" => (None, Seq("k", "c", "price"))
+          case _ => (None, Nil) // none | backfill
+        }
+        Versioned.init(spark, path, "bucket", base,
+          statsCol = s1, statsCols = sN)
+        val b1 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 5 && col("k") % 3 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("bucket") === 2 && col("k") % 3 === 2)
+            .withColumn("k", col("k") + 80000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(spark, path, "bucket", "k", b1,
+          statsCol = s1, statsCols = sN)
+        val b2 =
+          base.filter(col("bucket") === 7 && col("k") % 5 === 1)
+            .withColumn("price", (col("price") * 3).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 7 && col("k") % 5 === 2)
+            .withColumn("k", col("k") + 90000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(spark, path, "bucket", "k", b2,
+          statsCol = s1, statsCols = sN)
+        if (mode == "backfill")
+          Versioned.backfillStats(spark, path, "bucket",
+            Seq("k", "c", "price"))
+        Versioned.latest(path)
+      } finally GateSupport.rmTree(path)
+    }
+
     val customArms: Map[String, () => Long] = Map(
+      "vwrite_none" -> (() => vWriteArm("none")),
+      "vwrite_single" -> (() => vWriteArm("single")),
+      "vwrite_multi" -> (() => vWriteArm("multi")),
+      "vwrite_backfill" -> (() => vWriteArm("backfill")),
       "vskip_point" -> (() => vskipArm(skip = true)),
       "vscan_point" -> (() => vskipArm(skip = false)),
       "dedup_inc_inline" -> (() => dedupIncArm(atRest = false)),

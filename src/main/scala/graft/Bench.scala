@@ -126,8 +126,48 @@ object Bench {
       current = null
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val gateList = SparkEntry.queries.toSeq.sortBy(_._1)
+    val gateList0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Self-contained attribution for the shared n-gram pair memo (r16
+    // verdict task 2): the cold pair scan (~5-6 s at sf0.1) used to be
+    // charged to whichever consumer ran first — an 11x swing between
+    // full-run and subset-run numbers that was pure measurement topology.
+    // A dedicated synthetic gate now owns the cold scan and runs BEFORE
+    // any consumer (injected whenever the selection contains one), so
+    // every consumer measures its own documented downstream shape with
+    // the memo warm — full-run == subset-run by construction. The gate is
+    // bench-only: correctness still rides the consumers' own oracles.
+    val ngramConsumers = Set("dedup_ngram_jaccard", "dedup_clusters",
+      "dedup_keep_best", "pipe_dedup_survivors", "pipe_split_leakage")
+    val pairScanGate: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (gateList0.exists(g => ngramConsumers(g._1)))
+        Seq("dedup_pair_scan" -> ((s: SparkSession, d: String) => {
+          GateSupport.clearNgramPairsMemo()
+          GateSupport.sharedNgramPairs(s, d)
+        }))
+      else Seq.empty
+    val gateList = pairScanGate ++ gateList0
+    // Self-calibrating artifact (r16 verdict task 3): a fixed pure-CPU
+    // kernel — 192M xxhash64 rows across 64 partitions, no shuffle, no
+    // I/O — whose idle-machine cost is banked as a constant. Its reading
+    // at bench time stamps the run's ambient load factor INTO the
+    // artifact, so BASELINE.md reads drift off the calibration row
+    // instead of re-running gates to adjudicate. Taken before AND after
+    // the gate loop (load can arrive mid-run); each reading is min-of-2
+    // (load only ever ADDS time).
+    def calibrate(): Double = {
+      def once(): Double = {
+        reset()
+        val t0 = System.nanoTime()
+        spark.range(0L, 192L << 20, 1L, 64)
+          .selectExpr( // pmod keeps the ANSI sum inside long range
+            "sum(pmod(xxhash64(id, id * 2654435761, id + 40503), 1000000007)) AS h")
+          .head().getLong(0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val calPre = calibrate()
     val firstPass = gateList.map { case (name, fn) =>
       name -> timeGate(name, fn)
     }
@@ -139,20 +179,33 @@ object Bench {
     // (load can only ADD time) at ~15% extra bench wall. The retried
     // gate's stream accounting keeps the LAST trial (reset per trial);
     // SPARK_GRAFT_MIN_TRIALS_TOP=0 disables for throwaway local runs.
-    val retryTop = sys.env.getOrElse("SPARK_GRAFT_MIN_TRIALS_TOP", "20").toInt
-    val slowest = firstPass.filter(_._2._2).sortBy { case (_, (v, _)) => -v }
-      .take(retryTop).map(_._1).toSet
+    val retryTop = sys.env.get("SPARK_GRAFT_MIN_TRIALS_TOP")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(20)
+    // r17 (verdict task 3b): min-of-2 extends from the top-20 to EVERY
+    // gate at or above the floor (default 1 s — where driver-run ambient
+    // noise started swallowing same-code deltas). TOP=0 still disables
+    // all retries for throwaway local runs.
+    val retryFloor = sys.env.get("SPARK_GRAFT_MIN_TRIALS_FLOOR")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(1.0)
+    val slowest =
+      if (retryTop == 0) Set.empty[String]
+      else (firstPass.filter(_._2._2).sortBy { case (_, (v, _)) => -v }
+        .take(retryTop).map(_._1) ++
+        firstPass.collect { case (n, (v, true)) if v >= retryFloor => n }).toSet
+    val trialPairs = scala.collection.mutable.Map.empty[String, (Double, Double)]
     val results = firstPass.map { case (name, (t1, ok1)) =>
       if (!slowest.contains(name)) name -> ((t1, ok1))
       else {
         streamAgg.remove(name)
         val (t2, ok2) = timeGate(name,
           gateList.find(_._1 == name).get._2)
+        trialPairs(name) = (t1, t2)
         // a second-trial failure is real (the code ran once already) —
         // surface it rather than hiding behind trial 1's success
         name -> ((math.min(t1, t2), ok1 && ok2))
       }
     }
+    val calPost = calibrate()
     spark.streams.removeListener(listener)
     // Full-precision per-query lines for humans/logs (the driver ignores
     // these; they scroll off its 2000-char stdout tail window)
@@ -164,7 +217,11 @@ object Bench {
     val total = results.map(_._2._1).sum
     def r2(v: Double): String = (math.rint(v * 100) / 100).toString
     val sfShort = sfDir.split('/').last
-    writeFullArtifact(results, streamAgg, failed, total, sfShort)
+    val ambient = (calPre + calPost) / 2 / CalibrationRefSec
+    println(f"[bench] calibration pre=$calPre%.3f post=$calPost%.3f " +
+      f"ref=$CalibrationRefSec%.3f ambient_factor=$ambient%.2f")
+    writeFullArtifact(results, streamAgg, failed, total, sfShort,
+      calPre, calPost, ambient, trialPairs.toMap)
     // The driver records only the LAST ~2000 chars of stdout, and sbt
     // appends ~70 chars of its own after us — so the ONE metric line must
     // stay well under that or its head is truncated and the driver's JSON
@@ -176,7 +233,7 @@ object Bench {
       val qs = qmap.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs$om,"failed":$failed,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs$om,"failed":$failed,"ambient":${r2(ambient)},"sf":"$sfShort"}"""
     }
     val bySlowest = results.toSeq.sortBy { case (_, (v, _)) => -v }
       .map { case (k, (v, ok)) => k -> (if (ok) r2(v) else "-1") }
@@ -195,10 +252,21 @@ object Bench {
     * committed with the round — all 114+ timings stay diffable between
     * rounds. `SPARK_GRAFT_BENCH_FULL` overrides the path (set it to
     * /dev/null for throwaway local runs). */
+  /** Idle-machine cost of the calibration kernel on the round-17
+    * builder (repeated min-of-2 readings banded 0.34-0.40 s at load <2,
+    * floor 0.336 — the ref rounds the floor up a hair). The stamped
+    * `ambient_factor` is a run's calibration reading over this constant:
+    * ~1.0 on an idle machine, and a load-inflated run reads as roughly
+    * the factor its gate timings are inflated by — the adjudication that
+    * burned three consecutive verdict cycles now rides in the artifact. */
+  private val CalibrationRefSec = 0.35
+
   private def writeFullArtifact(
       results: Seq[(String, (Double, Boolean))],
       streamAgg: java.util.concurrent.ConcurrentHashMap[String, StreamAgg],
-      failed: String, total: Double, sfShort: String): Unit = {
+      failed: String, total: Double, sfShort: String,
+      calPre: Double, calPost: Double, ambient: Double,
+      trialPairs: Map[String, (Double, Double)]): Unit = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", {
       val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .map(_.getName)
@@ -221,9 +289,14 @@ object Bench {
           s""""query_planning_ms":${a.queryPlanningMs},"state_rows":${a.stateRowsTotal}}"""
       }.mkString("{", ",", "}")
     }
+    val trials = trialPairs.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
+      s""""$k":[${q3(a)},${q3(b)}]""" }.mkString("{", ",", "}")
     val json =
       s"""{"sf":"$sfShort","total_sec":${q3(total)},"failed":$failed,
+         |"calibration_pre_sec":${q3(calPre)},"calibration_post_sec":${q3(calPost)},
+         |"calibration_ref_sec":${q3(CalibrationRefSec)},"ambient_factor":${q3(ambient)},
          |"queries":$queries,
+         |"trials":$trials,
          |"streams":$streams}
          |""".stripMargin
     try {

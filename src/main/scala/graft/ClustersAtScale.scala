@@ -107,15 +107,35 @@ object ClustersAtScale {
       .withColumnRenamed("cluster_id", "drv")
     require(Dedup.lastClustersPath == "driver",
       "parity arm must take the driver tier")
-    val joined = labels.filter(inSample(col("doc_id")))
+    // Equality is only a sound claim for components FULLY CONTAINED in
+    // the sample: a single LSH edge linking a sampled doc to an
+    // out-of-sample doc (or chaining two sampled docs through outside
+    // nodes) makes the full-graph minimum legitimately differ from the
+    // subgraph's. A fully-contained component's entire edge set is in
+    // subPairs, so there the labels must match exactly.
+    val sampledLabels = labels.filter(inSample(col("doc_id")))
+    val contained = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(inSample(col("doc_id")), 1L).otherwise(0L)).as("n_in"))
+      .filter(col("n_total") === col("n_in")).select(col("cluster_id"))
+    val joined = sampledLabels.join(contained, Seq("cluster_id"))
       .join(driverLabels, Seq("doc_id"))
     val total = joined.count()
     val mismatched = joined.filter(col("cluster_id") =!= col("drv")).count()
-    println(s"[clusters-at-scale] parity: $total sampled labels, " +
-      s"$mismatched mismatched")
+    // Boundary-crossing components get the always-sound SUBSET check:
+    // a driver (subgraph) component can never straddle two distributed
+    // (full-graph) components.
+    val refineViol = sampledLabels.join(driverLabels, Seq("doc_id"))
+      .groupBy(col("drv"))
+      .agg(countDistinct(col("cluster_id")).as("k"))
+      .filter(col("k") > 1).count()
+    println(s"[clusters-at-scale] parity: $total fully-contained labels, " +
+      s"$mismatched mismatched; $refineViol refinement violations")
     require(total > 0 && mismatched == 0,
-      "distributed labels must match the driver tier label-for-label " +
-        s"($mismatched/$total mismatched)")
+      "distributed labels must match the driver tier label-for-label on " +
+        s"fully-contained components ($mismatched/$total mismatched)")
+    require(refineViol == 0,
+      s"driver components must refine distributed ones ($refineViol straddle)")
     println(f"| clusters_at_scale | — | $clSec%.1f | — | $nEdges-edge " +
       s"LSH pair graph from a $nDocs-doc near-dup corpus (> 4M cap): " +
       s"PUBLIC entry, default cap, distributed tier, $rounds " +

@@ -326,6 +326,34 @@ private[graft] object GatesPipeline {
     }),
 
 
+    // ── Text: XL-DEPTH BPE induction — the ≥1024-merge regime (r16
+    // verdict task 4: the BpeRounds harness proved the tier at 1,105
+    // merges; this is the same regime DRIVER-CHECKED as an oracle gate).
+    // Wider batches keep the driver-round count at the large tier's ~40
+    // (the per-round scheduling floor is the scale cost, not the merge
+    // count): 40 batches x up-to-64 triple-disjoint merges from
+    // 768-candidate windows over the same 128-char chunk units.
+    // Under-selection (a window without 64 disjoint picks) is allowed by
+    // BOTH sides in lockstep — measured yield decays with depth (symbol
+    // collisions thin each window's disjoint set; narrower configs dried
+    // up: 32-wide batches plateaued at 942 merges by 56 rounds) — and the
+    // in-gate require pins >= 1024 actually learned (measured: 1,057 at
+    // sf0.01, 1,064 at sf0.001).
+    "text_bpe_merges_xl" -> ((s, dir) => {
+      val units = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(explode(transform(
+          sequence(lit(1), length(col("text")), lit(128)),
+          i => col("text").substr(i, lit(128)))).as("unit"))
+      val led = Bpe.mergesBatchedUnits(units, batches = 40, batchSize = 64,
+          window = 768)
+        .orderBy(col("merge_idx")).localCheckpoint(true)
+      require(led.count() >= 1024,
+        s"text_bpe_merges_xl: learned ${led.count()} merges, need >= 1024")
+      led
+    }),
+
+
     // ── Text: BATCHED BPE ENCODE — segment the corpus with the ~39
     // learned merges, one fold pass per BATCH (constant expression depth
     // in batch size; 5 nested folds instead of 39).
@@ -1606,6 +1634,9 @@ private[graft] object GatesPipeline {
        |  UNNEST(range(1, len(toks)+1)) AS u(i)),
        |v AS (SELECT DISTINCT word FROM w),
        |s0 AS (SELECT word, CASE WHEN word = '<|doc|>' THEN [word]
+       |    WHEN contains(word, '|')
+       |      THEN error('byteEncodeSql: pipe-bearing corpus word "' || word
+       |        || '" would diverge from the engine under the |-fold replay')
        |    ELSE flatten([CASE WHEN ascii(c) < 128 THEN [c]
        |      ELSE ['<0x' || substr(hex(encode(c)), b, 2) || '>'
        |            for b in range(1, length(hex(encode(c))), 2)] END
@@ -1664,6 +1695,10 @@ private[graft] object GatesPipeline {
     // the 288-merge chunk-unit tier: same generated replay, sequence units
     "text_bpe_merges_large" ->
       bpeBatchSql(batches = 36, batchSize = 8, window = 64,
+        encodeTail = false, unitsSql = bpeChunkUnitsSql),
+    // the >= 1024-merge tier: wider batches, same generated replay
+    "text_bpe_merges_xl" ->
+      bpeBatchSql(batches = 40, batchSize = 64, window = 768,
         encodeTail = false, unitsSql = bpeChunkUnitsSql),
     "text_bpe_batch_encode" ->
       bpeBatchSql(batches = 4, batchSize = 8, window = 48, encodeTail = true),

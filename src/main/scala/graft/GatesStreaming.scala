@@ -406,6 +406,100 @@ private[graft] object GatesStreaming {
     }),
 
 
+    // ── K27: change feed ACROSS A COMPACTION, over a CAS-protocol store
+    // (r16 verdict tasks 5+6). v3 is a compact: every packed file is
+    // rewritten with ZERO logical changes, and the consumer's v3 interval
+    // must emit ZERO rows (changesImpl's key-diff drops rewritten-but-
+    // unchanged rows) — a phantom row would both bump phantom_rows and
+    // move the final aggregate off the full recompute. The store commits
+    // via put-if-absent pointers (no directory rename anywhere), so the
+    // feed also proves the CAS tail: the stream follows `_log/*.ptr`
+    // instead of manifest dirs. An explicit straddle probe pins that an
+    // interval SPANNING the compact (v2→v4) equals the v3→v4 one.
+    "stream_k27_cdf_compact" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val root = shmRoot
+      val uniq = System.nanoTime()
+      val store = s"$root/graft-cdfcompact-$uniq"
+      val state = s"$root/graft-cdfcompactst-$uniq"
+      val ckpt = s"$root/graft-cdfcompactck-$uniq"
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        Versioned.init(s, store, "bucket", base, commitProtocol = "cas")
+        val b1 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 5 && col("k") % 3 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("bucket") === 2 && col("k") % 3 === 2)
+            .withColumn("k", col("k") + 80000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, store, "bucket", "k", b1)
+        val total = Versioned.read(s, store, 2L).count()
+        // v3: the logical no-op — bins sized so multiple files pack
+        val v3 = Versioned.compact(s, store, "bucket",
+          maxGroupRows = math.max(1L, total / 4))
+        require(v3 == 3L, s"compact must commit v3, got $v3")
+        def mFiles(v: Long) = s.read.parquet(
+            Versioned.manifestDir(store, v))
+          .select(col("file")).distinct().collect()
+          .map(_.getString(0)).toSet
+        require((mFiles(2L) -- mFiles(3L)).nonEmpty &&
+          (mFiles(3L) -- mFiles(2L)).nonEmpty,
+          "the compact must actually rewrite files or the boundary is fake")
+        val b2 =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("op", lit("D"))
+          .unionByName(base.filter(col("bucket") === 7 && col("k") % 5 === 1)
+            .withColumn("price", (col("price") * 3).cast("decimal(18,2)"))
+            .withColumn("op", lit("U")))
+          .unionByName(base.filter(col("bucket") === 7 && col("k") % 5 === 2)
+            .withColumn("k", col("k") + 90000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, store, "bucket", "k", b2)
+        // straddle probe: an interval SPANNING the compact equals the
+        // post-compact one — the rewrite contributes nothing
+        val straddle = Versioned.changes(s, store, 2L, 4L, "k").count()
+        val postOnly = Versioned.changes(s, store, 3L, 4L, "k").count()
+        require(straddle == postOnly,
+          s"compact must be CDF-invisible: straddle=$straddle post=$postOnly")
+        Versioned.read(s, store, 1L)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("price")).cast("decimal(30,2)").as("ps"))
+          .write.parquet(s"$state/v1")
+        val phantom = new java.util.concurrent.atomic.AtomicLong(0L)
+        graft.streaming.ChangeFeed.run(s, store, "k", ckpt) {
+          (cdf, fromV, toV, _) =>
+            if (toV == 3L) phantom.addAndGet(cdf.count())
+            val sign = when(col("op").isin("I", "U_post"), 1L).otherwise(-1L)
+            val delta = cdf.groupBy(col("bucket"))
+              .agg(sum(sign).as("dc"),
+                sum(sign * col("price")).cast("decimal(30,2)").as("dps"))
+            s.read.parquet(s"$state/v$fromV")
+              .join(delta, Seq("bucket"), "full_outer")
+              .select(col("bucket"),
+                (coalesce(col("cnt"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+                  .as("cnt"),
+                (coalesce(col("ps"), lit(0).cast("decimal(30,2)")) +
+                  coalesce(col("dps"), lit(0).cast("decimal(30,2)")))
+                  .cast("decimal(30,2)").as("ps"))
+              .write.parquet(s"$state/v$toV")
+        }
+        s.read.parquet(s"$state/v4")
+          .select(col("bucket"), col("cnt"),
+            col("ps").cast("double").as("price_sum"),
+            lit(3L).as("n_ticks"),
+            lit(phantom.get()).as("phantom_rows"))
+          .orderBy(col("bucket"))
+          .localCheckpoint(true) // materialize before the stores sweep
+      } finally { rmTree(store); rmTree(state); rmTree(ckpt) }
+    }),
+
+
     "stream_k12_incremental" -> ((s, dir) => {
       val root = shmRoot
       val path = s"$root/graft-incrstream-${System.nanoTime()}"
@@ -1327,6 +1421,37 @@ private[graft] object GatesStreaming {
     // moves cnt/price_sum off this recompute; crash/redelivery facts
     // are loud in-gate requires
     "stream_k25_cdf_resume" -> cdfRecomputeSql,
+    // mid-log compact (v3) is a logical no-op: the recompute skips it
+    // entirely — phantom rows from the rewrite would break BOTH the
+    // phantom_rows column and the aggregate
+    "stream_k27_cdf_compact" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderkey % 8 AS bucket FROM orders),
+        |v2 AS (
+        |  SELECT k, price, bucket FROM base
+        |    WHERE NOT (bucket = 5 AND k % 3 = 1)
+        |      AND NOT (bucket = 2 AND k % 3 = 0)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 2 AS DECIMAL(18,2)), bucket FROM base
+        |    WHERE bucket = 2 AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 80000000, price, bucket FROM base
+        |    WHERE bucket = 2 AND k % 3 = 2),
+        |v4 AS (
+        |  SELECT k, price, bucket FROM v2
+        |    WHERE NOT (bucket = 2 AND k % 3 = 0)
+        |      AND NOT (bucket = 7 AND k % 5 = 1)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 3 AS DECIMAL(18,2)), bucket FROM base
+        |    WHERE bucket = 7 AND k % 5 = 1
+        |  UNION ALL
+        |  SELECT k + 90000000, price, bucket FROM base
+        |    WHERE bucket = 7 AND k % 5 = 2)
+        |SELECT bucket, COUNT(*) AS cnt,
+        |  CAST(SUM(price) AS DOUBLE) AS price_sum,
+        |  CAST(3 AS BIGINT) AS n_ticks, CAST(0 AS BIGINT) AS phantom_rows
+        |FROM v4 GROUP BY bucket ORDER BY bucket""".stripMargin,
 
 
 

@@ -34,6 +34,11 @@ final class ConcurrentCommitException(msg: String, cause: Throwable)
   *     point: of N racing writers exactly one commits version N, the
   *     rest throw and retry against the new latest (optimistic
   *     concurrency, the Delta log-store contract on a local FS).
+  *     A `cas`-protocol store ([[init]] opt-in, for object stores where
+  *     rename is a non-atomic copy) instead keeps the staged dir at its
+  *     final name `_log/m-<token>` and commits by atomically CREATING
+  *     the pointer file `_log/v=N.ptr` — put-if-absent, the S3/GCS
+  *     conditional-write contract ([[commitPointerCas]]).
   *
   * `read(dir, v)` plans from the manifest (file-count-sized, like every
   * index probe here) and scans exactly that snapshot's files — old
@@ -50,6 +55,38 @@ final class ConcurrentCommitException(msg: String, cause: Throwable)
 object Versioned {
 
   private def logRoot(dir: String) = s"$dir/_log"
+
+  /** Store-level commit-protocol marker (a committed property of the
+    * store, written once by [[init]]): absent = `rename` (atomic
+    * directory rename — POSIX/HDFS), present = `cas` (put-if-absent
+    * pointer commit — the object-store posture, where rename is a
+    * non-atomic copy and the Delta LogStore contract applies). */
+  private def casMarker(dir: String) =
+    new java.io.File(s"${logRoot(dir)}/_commit_protocol.json")
+
+  private[graft] def casMode(dir: String): Boolean = casMarker(dir).isFile
+
+  /** Resolve version `v`'s committed manifest DIRECTORY. Rename-mode
+    * stores commit the directory at `_log/v=N` itself; CAS-mode stores
+    * commit a pointer FILE `_log/v=N.ptr` whose one-line content names
+    * the writer-unique, never-renamed staged dir `_log/m-<token>`. Every
+    * read path resolves through here, so the two protocols share one
+    * read stack. */
+  private[graft] def manifestDir(dir: String, v: Long): String = {
+    val direct = new java.io.File(s"${logRoot(dir)}/v=$v")
+    if (direct.isDirectory) direct.getPath
+    else {
+      val ptr = new java.io.File(s"${logRoot(dir)}/v=$v.ptr")
+      require(ptr.isFile,
+        s"Versioned: version $v is not committed under $dir " +
+          "(neither a manifest dir nor a pointer file)")
+      val tok = new String(java.nio.file.Files.readAllBytes(ptr.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      require(tok.nonEmpty && !tok.contains("/") && !tok.contains(".."),
+        s"Versioned: corrupt pointer for v=$v under $dir: '$tok'")
+      s"${logRoot(dir)}/$tok"
+    }
+  }
 
   /** WRITER-UNIQUE data dir for an attempted commit of version `v`. The
     * token makes concurrent writers collision-free on the data side
@@ -72,7 +109,15 @@ object Versioned {
   private def commitManifest(spark: SparkSession, dir: String, v: Long,
       manifest: DataFrame,
       schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
-    val tmp = s"${logRoot(dir)}/.tmp-v=$v-${System.nanoTime()}"
+    val cas = casMode(dir)
+    // CAS staging dirs are FINAL locations (never renamed — on an object
+    // store a dir "rename" is a non-atomic copy); rename-mode staging
+    // dirs move to _log/v=N at commit. Both are writer-unique.
+    val stagedName =
+      if (cas) s"m-$v-${System.nanoTime()}-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      else s".tmp-v=$v-${System.nanoTime()}"
+    val tmp = s"${logRoot(dir)}/$stagedName"
     manifest.coalesce(1).write.mode("errorifexists").parquet(tmp)
     schema.foreach(s0 => writeSchemaFile(new java.io.File(tmp), s0))
     // commit wall-time rides the atomic rename with everything else —
@@ -81,6 +126,7 @@ object Versioned {
       new java.io.File(tmp, "_commit.json").toPath,
       s"""{"version": $v, "ts_millis": ${System.currentTimeMillis()}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (cas) { commitPointerCas(dir, v, stagedName); return }
     val src = java.nio.file.Paths.get(tmp)
     val dst = java.nio.file.Paths.get(s"${logRoot(dir)}/v=$v")
     try {
@@ -109,6 +155,47 @@ object Versioned {
         throw new ConcurrentCommitException(
           s"Versioned: version $v was committed by a concurrent writer — " +
             "re-read latest() and retry the operation", e)
+    }
+  }
+
+  /** PUT-IF-ABSENT pointer commit — the object-store protocol (r16
+    * verdict task 5). The staged manifest dir `_log/m-<token>` is fully
+    * written at its FINAL location; the commit point is the atomic
+    * creation of the pointer file `_log/v=N.ptr` (content: the token),
+    * which exactly one racing writer wins. The local-FS simulation of a
+    * conditional PUT is a hard-link create — atomic, content fully
+    * visible at link time, `FileAlreadyExistsException` when the name is
+    * taken; a real object-store deployment maps this one call to
+    * `PUT if-none-match:*` (S3/GCS conditional write) with identical
+    * semantics. Losers' staged dirs are unreferenced orphans that
+    * [[recover]] reclaims. NOTHING here relies on rename atomicity. */
+  private def commitPointerCas(dir: String, v: Long,
+      stagedName: String): Unit = {
+    val ptrTmp = java.nio.file.Paths.get(s"${logRoot(dir)}/.ptr-$stagedName")
+    java.nio.file.Files.write(ptrTmp,
+      stagedName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val dst = java.nio.file.Paths.get(s"${logRoot(dir)}/v=$v.ptr")
+    try {
+      java.nio.file.Files.createLink(dst, ptrTmp)
+      java.nio.file.Files.deleteIfExists(ptrTmp)
+      ()
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        // lost the race — reclaim this attempt's staging eagerly (the
+        // data dir stays an orphan for recover, same as rename mode)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"${logRoot(dir)}/$stagedName"))
+        java.nio.file.Files.deleteIfExists(ptrTmp)
+        throw new ConcurrentCommitException(
+          s"Versioned: version $v was committed by a concurrent writer " +
+            "(pointer already present) — re-read latest() and retry", e)
+      // any other failure is environmental (permissions, quota, link
+      // across devices): rethrow as itself, staging kept for diagnosis
     }
   }
 
@@ -189,8 +276,13 @@ object Versioned {
   def versions(dir: String): Seq[Long] =
     Option(new java.io.File(logRoot(dir)).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong).sorted.toIndexedSeq
+      .collect {
+        case f if f.isDirectory && f.getName.startsWith("v=") =>
+          f.getName.stripPrefix("v=").toLong
+        case f if f.isFile && f.getName.startsWith("v=") &&
+            f.getName.endsWith(".ptr") =>
+          f.getName.stripPrefix("v=").stripSuffix(".ptr").toLong
+      }.distinct.sorted.toIndexedSeq
 
   def latest(dir: String): Long = {
     val vs = versions(dir)
@@ -210,8 +302,16 @@ object Versioned {
     * (the column must cast); collection cost is the same single narrow
     * scan, widened by one column. */
   private def fileParts(spark: SparkSession, path: String,
+      partCol: String, statsCols: Seq[String]): DataFrame =
+    filePartsOf(spark.read.parquet(path).drop(PartDir), partCol, statsCols)
+
+  /** The manifest-row aggregation of [[fileParts]] over an ALREADY-OPEN
+    * frame (physical column names) — shared with [[backfillStats]],
+    * which recomputes stats for files that already belong to a
+    * committed snapshot instead of freshly-written ones. */
+  private def filePartsOf(df: DataFrame,
       partCol: String, statsCols: Seq[String]): DataFrame = {
-    val base = spark.read.parquet(path).drop(PartDir)
+    val base = df
       .groupBy(input_file_name().as("file"),
         col(partCol).cast("string").as("part"))
     statsCols match {
@@ -272,13 +372,30 @@ object Versioned {
     * SAME single narrow scan, and a probe on ANY of them prunes. Pass
     * the SAME stats columns to every subsequent [[merge]]/[[compact]] —
     * a commit without them carries NULL stats for its fresh files
-    * (correct, unprunable). */
+    * (correct, unprunable).
+    *
+    * `commitProtocol` is a committed property of the store: `rename`
+    * (default — atomic directory rename, POSIX/HDFS) or `cas`
+    * (put-if-absent pointer commit, the object-store posture where
+    * rename is a non-atomic copy; see [[commitPointerCas]]). Every
+    * later merge/compact/evolution commit follows the store's own
+    * protocol automatically. */
   def init(spark: SparkSession, dir: String, partCol: String,
       df: DataFrame, statsCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      commitProtocol: String = "rename"): Long = {
     require(versions(dir).isEmpty, s"Versioned: $dir already initialized")
     require(partCol != PartDir && !df.columns.contains(PartDir),
       s"Versioned: column name $PartDir is reserved")
+    require(commitProtocol == "rename" || commitProtocol == "cas",
+      s"Versioned: unknown commitProtocol '$commitProtocol'")
+    if (commitProtocol == "cas") {
+      val f = casMarker(dir)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath,
+        """{"protocol": "cas"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val dataPath = newDataDir(dir, 1L)
     writeData(df, dataPath, partCol)
     commitManifest(spark, dir, 1L,
@@ -296,7 +413,7 @@ object Versioned {
     * paths, so the manifest parquet scan is unaffected). Pre-evolution
     * stores have no sidecar and fall back to inference. */
   private def schemaFile(dir: String, v: Long) =
-    new java.io.File(s"${logRoot(dir)}/v=$v/_schema.json")
+    new java.io.File(manifestDir(dir, v), "_schema.json")
 
   private def writeSchemaFile(manifestDir: java.io.File,
       schema: org.apache.spark.sql.types.StructType): Unit = {
@@ -352,7 +469,7 @@ object Versioned {
     val v = if (version < 0) latest(dir) else version
     require(versions(dir).contains(v),
       s"Versioned: version $v not in ${versions(dir)}")
-    val files = spark.read.parquet(s"${logRoot(dir)}/v=$v")
+    val files = spark.read.parquet(manifestDir(dir, v))
       .select(col("file")).distinct()
       .collect().map(_.getString(0))
     readFiles(spark, dir, files.toIndexedSeq, readSchema(dir, v))
@@ -362,14 +479,15 @@ object Versioned {
     * `_commit.json` committed atomically with the manifest; legacy
     * pre-r15 versions fall back to the manifest dir's mtime). */
   def commitTime(dir: String, v: Long): Long = {
-    val f = new java.io.File(s"${logRoot(dir)}/v=$v/_commit.json")
-    if (!f.exists()) new java.io.File(s"${logRoot(dir)}/v=$v").lastModified()
+    val md = manifestDir(dir, v)
+    val f = new java.io.File(md, "_commit.json")
+    if (!f.exists()) new java.io.File(md).lastModified()
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
       """"ts_millis"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toLong)
-        .getOrElse(new java.io.File(s"${logRoot(dir)}/v=$v").lastModified())
+        .getOrElse(new java.io.File(md).lastModified())
     }
   }
 
@@ -399,7 +517,7 @@ object Versioned {
   private def statRows(spark: SparkSession, dir: String, v: Long,
       probeCol: String)
       : Array[(String, Option[(Long, Long, Array[Byte])])] = {
-    val m = spark.read.parquet(s"${logRoot(dir)}/v=$v")
+    val m = spark.read.parquet(manifestDir(dir, v))
     val hasMap = m.columns.contains("stats")
     val hasLegacy = m.columns.contains("mn") && m.columns.contains("stats_col")
     if (!hasMap && !hasLegacy)
@@ -448,7 +566,7 @@ object Versioned {
     sch match {
       case Some(s0) => emptyFrame(spark, s0)
       case None =>
-        val files = spark.read.parquet(s"${logRoot(dir)}/v=$v")
+        val files = spark.read.parquet(manifestDir(dir, v))
           .select(col("file")).distinct()
           .collect().map(_.getString(0))
         require(files.nonEmpty,
@@ -542,7 +660,7 @@ object Versioned {
         "partition derivation upstream")
     val v = latest(dir)
     val next = v + 1
-    val mDf = spark.read.parquet(s"${logRoot(dir)}/v=$v")
+    val mDf = spark.read.parquet(manifestDir(dir, v))
     val mSchema = mDf.schema
     val mRows = mDf.collect()
     val (fIdx, pIdx) = (mSchema.fieldIndex("file"), mSchema.fieldIndex("part"))
@@ -684,7 +802,7 @@ object Versioned {
     val next = v + 1
     val sch = readSchema(dir, v)
     val prevMap = mapping(sch)
-    val mDf = spark.read.parquet(s"${logRoot(dir)}/v=$v")
+    val mDf = spark.read.parquet(manifestDir(dir, v))
     val mSchema = mDf.schema
     val mRows = mDf.collect()
     val (fIdx, rIdx) = (mSchema.fieldIndex("file"), mSchema.fieldIndex("rows"))
@@ -763,6 +881,52 @@ object Versioned {
     next
   }
 
+  /** BACKFILL stats manifests for the latest snapshot — the write-path
+    * knob behind stats-on-maintenance-only stores (r16 verdict task 1):
+    * a write-heavy path merges with NO stats (each commit's manifest
+    * scan is count-only), and this pass — scheduled with [[compact]] /
+    * [[vacuum]] — commits a NEW version whose manifest carries the full
+    * min/max + Bloom envelope for every `statsCols` column (logical
+    * names) across EVERY file of the snapshot, with zero data movement.
+    * Files already carrying the requested stats are recomputed anyway
+    * (one pass, uniform manifest — the scan is the cost either way and
+    * the envelopes come out identical because data files are immutable).
+    * Point/range reads at the new version prune exactly as if every
+    * commit had carried stats; prior versions keep their own manifests.
+    *
+    * At 100 TB this is one column-pruned scan of the snapshot's stats
+    * columns — strictly cheaper than a compaction rewrite, amortized
+    * across the merges that skipped per-commit stats collection. */
+  def backfillStats(spark: SparkSession, dir: String, partCol: String,
+      statsCols: Seq[String]): Long = {
+    require(statsCols.nonEmpty,
+      "Versioned.backfillStats: no stats columns requested")
+    val v = latest(dir)
+    val next = v + 1
+    val sch = readSchema(dir, v)
+    val m = mapping(sch)
+    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val files = mDf.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    val physPart = m.getOrElse(partCol, partCol)
+    val fresh =
+      if (files.isEmpty) mDf // all-deletes tail: nothing to describe
+      else {
+        // raw PHYSICAL read of the snapshot's files (stats describe
+        // physical columns; [[statRows]] probes by physical name)
+        val raw = sch match {
+          case Some(s0) => spark.read.schema(physicalSchema(s0))
+            .parquet(files.map(Manifest.unglob): _*)
+          case None =>
+            spark.read.parquet(files.map(Manifest.unglob): _*).drop(PartDir)
+        }
+        filePartsOf(raw, physPart,
+          statsCols.map(c => m.getOrElse(c, c)).distinct)
+      }
+    commitManifest(spark, dir, next, fresh, sch)
+    next
+  }
+
   /** RENAME a column — a metadata-only commit (the Delta column-mapping
     * contract): the new version's sidecar schema carries the new LOGICAL
     * name while the field keeps its on-disk PHYSICAL name, the manifest
@@ -795,7 +959,7 @@ object Versioned {
       }
     })
     commitManifest(spark, dir, next,
-      spark.read.parquet(s"${logRoot(dir)}/v=$v"), Some(newSch))
+      spark.read.parquet(manifestDir(dir, v)), Some(newSch))
     next
   }
 
@@ -815,7 +979,7 @@ object Versioned {
     require(sch.fields.length >= 2,
       "Versioned.dropColumn: refusing to drop the last column")
     commitManifest(spark, dir, next,
-      spark.read.parquet(s"${logRoot(dir)}/v=$v"),
+      spark.read.parquet(manifestDir(dir, v)),
       Some(org.apache.spark.sql.types.StructType(
         sch.fields.filter(_.name != name))))
     next
@@ -857,7 +1021,7 @@ object Versioned {
     require(vs.contains(fromV) && vs.contains(toV),
       s"Versioned.changes: versions ($fromV, $toV) must both be in $vs")
     def manifestFiles(v: Long): Set[String] =
-      spark.read.parquet(s"${logRoot(dir)}/v=$v")
+      spark.read.parquet(manifestDir(dir, v))
         .select(col("file")).distinct()
         .collect().map(_.getString(0)).toSet
     val (m1, m2) = (manifestFiles(fromV), manifestFiles(toV))
@@ -960,7 +1124,7 @@ object Versioned {
     * here. */
   def recover(spark: SparkSession, dir: String): Seq[String] = {
     val referenced = versions(dir).flatMap { v =>
-      spark.read.parquet(s"${logRoot(dir)}/v=$v")
+      spark.read.parquet(manifestDir(dir, v))
         .select(col("file")).distinct()
         .collect().map(r => new java.io.File(
           new org.apache.hadoop.fs.Path(
@@ -983,9 +1147,18 @@ object Versioned {
           referenced(f.getCanonicalPath)))
       .map(_.getName).sorted.toIndexedSeq
     orphaned.foreach(n => rm(new java.io.File(s"$dir/data/$n")))
+    // stranded staging: rename-mode `.tmp-v=*` dirs, CAS-mode `.ptr-*`
+    // temp files, and CAS staged manifest dirs no committed pointer
+    // references (a lost race that crashed before its own cleanup)
+    val pointed = versions(dir)
+      .map(v => new java.io.File(manifestDir(dir, v)).getName).toSet
     Option(new java.io.File(logRoot(dir)).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".tmp-v="))
+      .filter { f =>
+        (f.isDirectory && f.getName.startsWith(".tmp-v=")) ||
+          (f.isFile && f.getName.startsWith(".ptr-")) ||
+          (f.isDirectory && f.getName.startsWith("m-") && !pointed(f.getName))
+      }
       .foreach(rm)
     orphaned
   }
@@ -1001,7 +1174,7 @@ object Versioned {
     require(keep.nonEmpty,
       s"Versioned.vacuum: retainFrom=$retainFrom would drop every version")
     val referenced = keep.flatMap { v =>
-      spark.read.parquet(s"${logRoot(dir)}/v=$v")
+      spark.read.parquet(manifestDir(dir, v))
         .select(col("file")).distinct()
         .collect().map(r => new java.io.File(
           new org.apache.hadoop.fs.Path(
@@ -1022,7 +1195,13 @@ object Versioned {
           Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
         f.delete(); ()
       }
-      rm(new java.io.File(s"${logRoot(dir)}/v=$v"))
+      // resolve BEFORE deleting the pointer: a CAS version is a pointer
+      // file + its staged manifest dir, a rename version just the dir
+      val md = new java.io.File(manifestDir(dir, v))
+      rm(md)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"${logRoot(dir)}/v=$v.ptr"))
+      ()
     }
     orphans.size
   }

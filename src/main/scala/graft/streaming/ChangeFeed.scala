@@ -52,19 +52,48 @@ object ChangeFeed {
       checkpoint: String, startingVersion: Long = 1L,
       withPreImages: Boolean = true, maxFilesPerTrigger: Int = 1)
       (fold: (DataFrame, Long, Long, Long) => Unit): Unit = {
+    // A rename-protocol store's log is one manifest dir per version —
+    // tail its parquet. A CAS-protocol store's commit point is the
+    // pointer FILE `_log/v=N.ptr` (the manifest dir `m-<token>` carries
+    // no version in its path), so there the stream tails the pointer
+    // files as text: same file-source exactly-once offsets, one file per
+    // version either way.
+    val cas = Versioned.casMode(store)
     // only the path matters; one column keeps the probe scan trivial
     val probeSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("file",
         org.apache.spark.sql.types.StringType)))
-    val tail = spark.readStream.schema(probeSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .parquet(s"$store/_log/*")
-      .select(col("_metadata.file_path").as("path"))
+    val tail =
+      if (cas)
+        spark.readStream
+          .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+          .text(s"$store/_log/*.ptr")
+          .select(col("_metadata.file_path").as("path"))
+      else spark.readStream.schema(probeSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .parquet(s"$store/_log/*")
+        .select(col("_metadata.file_path").as("path"))
+    // Cross-batch ordering guard: the file source orders by modification
+    // time, which matches commit order except when two manifests land in
+    // the same mtime tick. Rather than trust mtime, remember the last
+    // folded toV for THIS run and refuse a batch that isn't the next
+    // contiguous interval — an inversion fails loudly instead of folding
+    // intervals out of order. The first batch of a run is unchecked: on
+    // resume the checkpoint already skipped the committed prefix, so it
+    // legitimately starts past `startingVersion`.
+    var lastFoldedToV: Option[Long] = None
     val q = tail.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val vs = b.select(col("path")).collect()
-          .flatMap(r => "/v=(\\d+)/".r.findFirstMatchIn(r.getString(0))
-            .map(_.group(1).toLong))
+          .flatMap { r =>
+            // the LAST v=N segment is the manifest's own (the one
+            // adjacent to _log); a store rooted under .../v=3/... must
+            // not resolve every manifest to that constant version. CAS
+            // pointer files carry the version in their own basename.
+            val rx = if (cas) "/v=(\\d+)\\.ptr$".r else "/v=(\\d+)/".r
+            rx.findAllMatchIn(r.getString(0))
+              .toList.lastOption.map(_.group(1).toLong)
+          }
           .distinct.sorted.filter(_ > startingVersion)
         if (vs.nonEmpty) {
           val (lo, hi) = (vs.head, vs.last)
@@ -76,11 +105,18 @@ object ChangeFeed {
             s"ChangeFeed: batch $batchId delivered a non-contiguous " +
               s"version set $vs under $store/_log — a manifest is " +
               "missing; refuse to fold a gapped interval")
+          lastFoldedToV.foreach { prev =>
+            require(lo == prev + 1,
+              s"ChangeFeed: batch $batchId starts at v=$lo but the " +
+                s"previous batch folded through v=$prev — out-of-order " +
+                "delivery (same-mtime manifests); refuse to fold")
+          }
           val cdf =
             if (withPreImages)
               Versioned.changesWithPreImages(spark, store, lo - 1, hi, keyCol)
             else Versioned.changes(spark, store, lo - 1, hi, keyCol)
           fold(cdf, lo - 1, hi, batchId)
+          lastFoldedToV = Some(hi)
         }
       }
       .option("checkpointLocation", checkpoint)

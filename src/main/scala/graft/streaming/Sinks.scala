@@ -27,15 +27,26 @@ object Sinks {
   def kafkaValue(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
+  /** The EXACT writer configurations K1/K2 emit — extracted so the Kafka
+    * closure spec can pin them without a broker or connector jar
+    * (KafkaClosureSpec): a fixed-topic sink names its topic in the
+    * options; the dynamic sink names NO topic (each row routes by its
+    * own `topic` column — the connector's documented per-row contract). */
+  private[graft] def kafkaSinkConf(servers: String, topic: Option[String],
+      checkpoint: String): (String, Map[String, String]) =
+    ("kafka", Map(
+      "kafka.bootstrap.servers" -> servers,
+      "checkpointLocation" -> checkpoint) ++
+      topic.map("topic" -> _))
+
   /** K1: write to one Kafka topic. */
   def toKafka(df: DataFrame, servers: String, topic: String,
-      checkpoint: String): StreamingQuery =
-    kafkaValue(df).writeStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
+      checkpoint: String): StreamingQuery = {
+    val (fmt, opts) = kafkaSinkConf(servers, Some(topic), checkpoint)
+    opts.foldLeft(kafkaValue(df).writeStream.format(fmt)) {
+        case (w, (k, v)) => w.option(k, v) }
       .start()
+  }
 
   /** K2 row shaping: per-row topic from `topicCol`, remaining columns
     * JSON-packed into `value` — the KafkaSerializationSchema analogue as a
@@ -48,13 +59,12 @@ object Sinks {
 
   /** K2: dynamic topic — the sink routes each row by its `topic` column. */
   def toKafkaDynamic(df: DataFrame, servers: String, topicCol: String,
-      checkpoint: String): StreamingQuery =
-    dynamicTopicRows(df, topicCol)
-      .writeStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("checkpointLocation", checkpoint)
+      checkpoint: String): StreamingQuery = {
+    val (fmt, opts) = kafkaSinkConf(servers, None, checkpoint)
+    opts.foldLeft(dynamicTopicRows(df, topicCol).writeStream.format(fmt)) {
+        case (w, (k, v)) => w.option(k, v) }
       .start()
+  }
 
   /** K3: append each micro-batch to a parquet table, dropping transient
     * (sink-skipped) columns. Works for any JDBC-style store by swapping the

@@ -20,19 +20,29 @@ import org.apache.spark.sql.types._
   */
 object Sources {
 
+  /** The EXACT reader configuration S1 emits — extracted so the Kafka
+    * closure spec can pin it without a broker or connector jar on the
+    * classpath (KafkaClosureSpec): swapping in `spark-sql-kafka-0-10`
+    * must stay configuration-only, with these options byte-identical. */
+  private[graft] def kafkaSourceConf(servers: String, topic: String,
+      startingOffsets: String): (String, Map[String, String]) =
+    ("kafka", Map(
+      "kafka.bootstrap.servers" -> servers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets))
+
   /** S1: Kafka topic as a stream of (key, value) strings. */
   def kafkaStrings(spark: SparkSession, servers: String, topic: String,
-      startingOffsets: String = "latest"): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      startingOffsets: String = "latest"): DataFrame = {
+    val (fmt, opts) = kafkaSourceConf(servers, topic, startingOffsets)
+    opts.foldLeft(spark.readStream.format(fmt)) {
+        case (r, (k, v)) => r.option(k, v) }
       .load()
       .select(
         col("key").cast("string").as("key"),
         col("value").cast("string").as("value"),
         col("topic"), col("partition"), col("offset"), col("timestamp"))
+  }
 
   /** S2: Kafka JSON records with a declared schema, event-time column and
     * watermark — the Flink SQL DDL-with-WATERMARK analogue. */

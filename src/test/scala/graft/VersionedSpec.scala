@@ -344,6 +344,58 @@ class VersionedSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("backfillStats: stats-less writes then ONE maintenance commit — " +
+    "probes prune at the new version, answers stay exact, zero data moves") {
+    val dir = tmpDir("backfill")
+    try {
+      val base = spark.range(0, 1600)
+        .select(col("id").as("k"), (col("id") * 7).as("v"),
+          (col("id") / 100).cast("long").as("bucket"))
+      // the write-heavy mode: NO stats collected on any write commit
+      Versioned.init(spark, dir, "bucket", base)
+      val src = base.filter(col("bucket").isin(3L, 11L) && col("k") % 5 === 0)
+        .withColumn("v", col("v") + 1).withColumn("op", lit("U"))
+      Versioned.merge(spark, dir, "bucket", "k", src)
+      // pre-backfill: a point probe has no envelopes — full file list
+      val full2 = Versioned.read(spark, dir, 2L)
+      val pPre = Versioned.readPoint(spark, dir, "k", 777L, 2L)
+      assert(pPre.inputFiles.length === full2.inputFiles.length,
+        "a stats-less store must fall back to the full file list")
+      // the maintenance pass: one commit, BOTH columns get envelopes
+      val dataBefore = manifestFiles(dir, 2L)
+      val v3 = Versioned.backfillStats(spark, dir, "bucket", Seq("k", "v"))
+      assert(v3 === 3L)
+      // zero data movement: v3 references exactly v2's files
+      assert(manifestFiles(dir, 3L) === dataBefore,
+        "backfill must not move or rewrite any data file")
+      val full3 = Versioned.read(spark, dir, 3L)
+      val all3 = full3.inputFiles.toSet
+      val r = Versioned.readRange(spark, dir, "k", 250L, 449L, 3L)
+      assert(r.inputFiles.length === 3, // exactly buckets 2, 3, 4
+        s"range read planned ${r.inputFiles.length} files post-backfill")
+      assert(r.inputFiles.toSet.subsetOf(all3))
+      assert(r.orderBy("k").collect().toSeq ===
+        full3.filter(col("k") >= 250 && col("k") <= 449)
+          .orderBy("k").collect().toSeq)
+      val p = Versioned.readPoint(spark, dir, "k", 777L, 3L)
+      assert(p.inputFiles.length <= 2, "point read should prune post-backfill")
+      assert(p.collect().toSeq ===
+        full3.filter(col("k") === 777).collect().toSeq)
+      // the SECOND backfilled column prunes too (multi-column manifest)
+      val pv = Versioned.readPoint(spark, dir, "v", 770L, 3L)
+      assert(pv.inputFiles.length < full3.inputFiles.length,
+        "the second stats column must also prune")
+      assert(pv.collect().toSeq ===
+        full3.filter(col("v") === 770L).collect().toSeq)
+      // prior versions keep their own (stats-less) manifests untouched
+      val pPost = Versioned.readPoint(spark, dir, "k", 777L, 2L)
+      assert(pPost.inputFiles.length === full2.inputFiles.length)
+      // snapshot content is IDENTICAL across the backfill commit
+      assert(full3.orderBy("k").collect().toSeq ===
+        full2.orderBy("k").collect().toSeq)
+    } finally rm(dir)
+  }
+
   test("compact: packs small files into a committed version; prior " +
     "versions read byte-identically, later merges re-split packed files, " +
     "vacuum reclaims the fragments") {
@@ -511,6 +563,74 @@ class VersionedSpec extends SparkSpec {
       assert(latest.count() === 80)
       assert(latest.filter(col("v") >= 7000L).count() === 4L,
         "every contended update must survive the retries")
+    } finally rm(dir)
+  }
+
+  test("CAS commit protocol: put-if-absent pointer commits — no rename " +
+    "anywhere, racing writers lose no update, full read stack works") {
+    val dir = tmpDir("cas")
+    try {
+      val base = spark.range(0, 80)
+        .select(col("id").as("k"), (col("id") * 3).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base, commitProtocol = "cas")
+      def logEntries(): Seq[String] =
+        Option(new java.io.File(s"$dir/_log").listFiles())
+          .getOrElse(Array.empty).map(_.getName).toIndexedSeq
+      // the commit is a pointer FILE; no v=N directory ever exists, so
+      // nothing relied on directory-rename atomicity
+      assert(logEntries().contains("v=1.ptr"))
+      assert(!new java.io.File(s"$dir/_log/v=1").exists(),
+        "a CAS store must never materialize a v=N directory")
+      // four contended writers through the SAME retry loop as rename mode
+      import scala.concurrent._
+      import scala.concurrent.duration._
+      import ExecutionContext.Implicits.global
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val writers = (0 until 4).map { i =>
+        val src = Seq((i.toLong, 7000L + i, i.toLong, "U"))
+          .toDF("k", "v", "bucket", "op")
+        Future { gate.await()
+          Versioned.mergeRetry(spark, dir, "bucket", "k", src,
+            maxAttempts = 12) }
+      }
+      gate.countDown()
+      val landed = Await.result(Future.sequence(writers), 10.minutes)
+      assert(landed.sorted === Seq(2L, 3L, 4L, 5L),
+        s"4 contended CAS writers must land 4 distinct versions: $landed")
+      assert(logEntries().count(_.matches("v=\\d+\\.ptr")) === 5)
+      assert(!logEntries().exists(_.matches("v=\\d+")),
+        "no rename-committed manifest dirs may appear in a CAS store")
+      val latest = Versioned.read(spark, dir)
+      assert(latest.count() === 80)
+      assert(latest.filter(col("v") >= 7000L).count() === 4L,
+        "every contended update must survive — no lost update")
+      // time travel + AS OF + changes all resolve through the pointers
+      assert(Versioned.read(spark, dir, 1L)
+        .filter(col("v") >= 7000L).count() === 0L)
+      assert(Versioned.commitTime(dir, 1L) <= Versioned.commitTime(dir, 5L))
+      assert(Versioned.changes(spark, dir, 1L, 5L, "k")
+        .filter(col("op") === "U").count() === 4L)
+      // a stranded loser (crashed before its own cleanup): recover
+      // reclaims unpointed m-* staged dirs and .ptr-* temp files
+      val stray = new java.io.File(s"$dir/_log/m-99-stranded")
+      stray.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(stray, "junk.parquet").toPath, Array[Byte](1))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_log/.ptr-m-99-stranded"),
+        "m-99-stranded".getBytes)
+      Versioned.recover(spark, dir)
+      assert(!stray.exists(), "recover must reclaim unpointed staged dirs")
+      assert(!new java.io.File(s"$dir/_log/.ptr-m-99-stranded").exists())
+      // vacuum drops pointer + staged dir for expired versions and keeps
+      // retained reads intact
+      val before = Versioned.read(spark, dir, 5L).orderBy("k").collect().toSeq
+      Versioned.vacuum(spark, dir, retainFrom = 4L)
+      assert(!logEntries().contains("v=1.ptr"))
+      intercept[Exception] { Versioned.read(spark, dir, 1L).count() }
+      assert(Versioned.read(spark, dir, 5L).orderBy("k").collect().toSeq
+        === before)
     } finally rm(dir)
   }
 
