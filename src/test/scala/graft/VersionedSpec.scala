@@ -566,6 +566,47 @@ class VersionedSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("backfillStats scan is COLUMN-PRUNED: the snapshot read touches " +
+    "partCol + stats columns only, never the payload") {
+    val dir = tmpDir("backfill-prune")
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { plans.add(qe.executedPlan.toString); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    try {
+      val base = spark.range(0, 400)
+        .select(col("id").as("k"),
+          concat(lit("payload-"), col("id"),
+            lit("x" * 64)).as("fat_payload"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      spark.listenerManager.register(listener)
+      Versioned.backfillStats(spark, dir, "bucket", Seq("k"))
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      import scala.jdk.CollectionConverters._
+      // the stats scan over the snapshot's data files: at 100 TB this is
+      // the whole cost of the backfill, so reading the payload column
+      // would turn a narrow maintenance pass into a full-table read
+      val dataScans = plans.asScala
+        .flatMap(_.linesIterator.filter(l =>
+          l.contains("FileScan") && l.contains("/data/v=")))
+      assert(dataScans.nonEmpty, "no data-file scan observed")
+      assert(dataScans.forall(!_.contains("fat_payload")),
+        s"backfill scan must not read the payload:\n${dataScans.mkString("\n")}")
+      assert(dataScans.exists(l => l.contains("k") && l.contains("bucket")),
+        s"backfill scan must read the stats + part columns:\n" +
+          dataScans.mkString("\n"))
+    } finally {
+      spark.listenerManager.unregister(listener)
+      rm(dir)
+    }
+  }
+
   test("CAS commit protocol: put-if-absent pointer commits — no rename " +
     "anywhere, racing writers lose no update, full read stack works") {
     val dir = tmpDir("cas")
