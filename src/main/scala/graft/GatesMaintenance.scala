@@ -729,6 +729,58 @@ private[graft] object GatesMaintenance {
     // version still answers identically (until vacuum), and vacuum then
     // reclaims the fragments leaving EXACTLY v3's reachable set on disk
     // (the k18 pin), with v2 reads failing loudly after.
+    // ── K28: SHALLOW CLONE — zero-copy fork of the versioned store (the
+    // Delta SHALLOW CLONE contract): the clone's v1 manifest references
+    // the source's immutable files verbatim (zero data bytes move — the
+    // structural zero_copy_ok fact), then a divergent merge COWs ONLY
+    // the churned partitions into the clone's own data dir while the
+    // source never sees the write. At 100 TB this is the experiment/fork
+    // primitive: paying for divergence, not for the table. The oracle
+    // replays both lineages (src = base + b1; clone = src + b2).
+    "k28_shallow_clone" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val uniq = System.nanoTime()
+      val src = s"$shmRoot/graft-clonesrc-$uniq"
+      val dst = s"$shmRoot/graft-clonedst-$uniq"
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        Versioned.init(s, src, "bucket", base)
+        val b1 = base.filter(col("bucket") === 3 && col("k") % 2 === 0)
+          .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+          .withColumn("op", lit("U"))
+        Versioned.merge(s, src, "bucket", "k", b1)
+        Versioned.shallowClone(s, src, dst)
+        val dataDir = new java.io.File(s"$dst/data")
+        val zeroCopy = !dataDir.exists() ||
+          Option(dataDir.listFiles()).getOrElse(Array.empty).isEmpty
+        val b2 =
+          base.filter(col("bucket") === 5 && col("k") % 3 === 0)
+            .withColumn("price", (col("price") * 5).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 1 && col("k") % 4 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("bucket") === 5 && col("k") % 3 === 1)
+            .withColumn("k", col("k") + 70000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, dst, "bucket", "k", b2)
+        def snap(path: String, side: String) =
+          Versioned.read(s, path).groupBy(col("bucket"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("price")).cast("double").as("price_sum"),
+              sum(col("k")).as("key_sum"))
+            .withColumn("side", lit(side))
+        snap(src, "src").unionByName(snap(dst, "clone"))
+          .withColumn("zero_copy_ok", lit(if (zeroCopy) 1L else 0L))
+          .select(col("side"), col("bucket"), col("cnt"),
+            col("price_sum"), col("key_sum"), col("zero_copy_ok"))
+          .orderBy(col("side"), col("bucket"))
+          .localCheckpoint(true) // materialize before the stores sweep
+      } finally { rmTree(src); rmTree(dst) }
+    }),
+
+
     "k23_versioned_compact" -> ((s, dir) => {
       import graft.operators.Versioned
       val path = s"$shmRoot/graft-vcompact-${System.nanoTime()}"
@@ -1739,6 +1791,41 @@ private[graft] object GatesMaintenance {
 
     // compaction preserves the snapshot bit-for-bit: truth is the v2
     // merge replay; every maintenance verdict is pinned true
+    // both lineages replayed: the fork point is src's v2; the clone's
+    // divergence never feeds back
+    "k28_shallow_clone" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderkey % 8 AS bucket FROM orders),
+        |srcv AS (
+        |  SELECT k, price, bucket FROM base
+        |    WHERE NOT (bucket = 3 AND k % 2 = 0)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 2 AS DECIMAL(18,2)), bucket FROM base
+        |    WHERE bucket = 3 AND k % 2 = 0),
+        |clonev AS (
+        |  SELECT k, price, bucket FROM srcv
+        |    WHERE NOT (bucket = 5 AND k % 3 = 0)
+        |      AND NOT (bucket = 1 AND k % 4 = 1)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 5 AS DECIMAL(18,2)), bucket FROM base
+        |    WHERE bucket = 5 AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 70000000, price, bucket FROM base
+        |    WHERE bucket = 5 AND k % 3 = 1),
+        |u AS (
+        |  SELECT 'src' AS side, bucket, COUNT(*) AS cnt,
+        |    CAST(SUM(price) AS DOUBLE) AS price_sum,
+        |    CAST(SUM(k) AS BIGINT) AS key_sum
+        |  FROM srcv GROUP BY bucket
+        |  UNION ALL
+        |  SELECT 'clone', bucket, COUNT(*),
+        |    CAST(SUM(price) AS DOUBLE), CAST(SUM(k) AS BIGINT)
+        |  FROM clonev GROUP BY bucket)
+        |SELECT side, bucket, cnt, price_sum, key_sum,
+        |  CAST(1 AS BIGINT) AS zero_copy_ok
+        |FROM u ORDER BY side, bucket""".stripMargin,
+
     "k23_versioned_compact" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,

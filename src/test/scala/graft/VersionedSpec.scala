@@ -566,6 +566,58 @@ class VersionedSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("shallowClone: zero-copy fork — clone reads the source version " +
+    "byte-for-byte, divergent merges COW into the clone only, source " +
+    "stays untouched") {
+    val src = tmpDir("clone-src")
+    val dst = tmpDir("clone-dst")
+    try {
+      val base = spark.range(0, 400)
+        .select(col("id").as("k"), (col("id") * 10).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, src, "bucket", base, statsCol = Some("k"))
+      Versioned.merge(spark, src, "bucket", "k",
+        Seq((1L, 9001L, 1L, "U")).toDF("k", "v", "bucket", "op"),
+        statsCol = Some("k"))
+      // fork at v2
+      assert(Versioned.shallowClone(spark, src, dst) === 1L)
+      // ZERO COPY: the clone owns no data files at fork time
+      assert(!new java.io.File(s"$dst/data").exists() ||
+        new java.io.File(s"$dst/data").listFiles().isEmpty,
+        "a shallow clone must not copy any data file")
+      assert(manifestFiles(dst, 1L) === manifestFiles(src, 2L),
+        "the clone's manifest must reference the source's files verbatim")
+      assert(Versioned.read(spark, dst).orderBy("k").collect().toSeq ===
+        Versioned.read(spark, src, 2L).orderBy("k").collect().toSeq)
+      // stats ride along: a point probe on the clone prunes
+      val p = Versioned.readPoint(spark, dst, "k", 17L)
+      assert(p.inputFiles.length <
+        Versioned.read(spark, dst).inputFiles.length)
+      assert(p.count() === 1L)
+      // diverge the clone: only bucket-2 rewrites, INTO THE CLONE
+      val v2c = Versioned.merge(spark, dst, "bucket", "k",
+        Seq((2L, 7777L, 2L, "U")).toDF("k", "v", "bucket", "op"),
+        statsCol = Some("k"))
+      val cloneFiles = manifestFiles(dst, v2c)
+      val srcFiles = manifestFiles(src, 2L)
+      // untouched partitions still reference src; churned ones moved
+      assert((cloneFiles intersect srcFiles).nonEmpty,
+        "undiverged partitions must stay referenced from the source")
+      assert((cloneFiles -- srcFiles).forall(_.contains(dst)),
+        "diverged files must live under the CLONE's own data dir")
+      assert(Versioned.read(spark, dst)
+        .filter(col("v") === 7777L).count() === 1L)
+      // the source never saw the clone's write — at ANY version
+      assert(Versioned.read(spark, src)
+        .filter(col("v") === 7777L).count() === 0L)
+      // clone vacuum is safe for the source: orphan walk is dst-rooted
+      Versioned.vacuum(spark, dst, retainFrom = v2c)
+      assert(Versioned.read(spark, src, 2L).count() === 400L,
+        "vacuuming the clone must never delete source files")
+      assert(Versioned.read(spark, dst).count() === 400L)
+    } finally { rm(src); rm(dst) }
+  }
+
   test("backfillStats scan is COLUMN-PRUNED: the snapshot read touches " +
     "partCol + stats columns only, never the payload") {
     val dir = tmpDir("backfill-prune")
