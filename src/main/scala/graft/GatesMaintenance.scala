@@ -729,6 +729,64 @@ private[graft] object GatesMaintenance {
     // version still answers identically (until vacuum), and vacuum then
     // reclaims the fragments leaving EXACTLY v3's reachable set on disk
     // (the k18 pin), with v2 reads failing loudly after.
+    // ── K29: DELETION VECTORS — targeted deletes WITHOUT rewriting data
+    // files (the Delta/Iceberg DV idea, key-based): ~1% of keys tombstone
+    // in one commit, the manifest's file set is BYTE-IDENTICAL across it
+    // (zero_move_ok is structural), reads anti-join the tombstones, the
+    // CDF interval emits exactly the tombstoned keys as D rows, and a
+    // later merge on one bucket MATERIALIZES that bucket's dv while the
+    // others keep answering through theirs. At 100 TB this is the GDPR
+    // erase: tombstone file + pruned scan, not a terabyte rewrite.
+    "k29_deletion_vectors" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-dv-${System.nanoTime()}"
+      def files(): Set[String] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$path/data"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getCanonicalPath).toSet
+      }
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        Versioned.init(s, path, "bucket", base, statsCol = Some("k"))
+        val f1 = files()
+        Versioned.deleteKeysDv(s, path, "bucket", "k",
+          base.filter(col("k") % 97 === 0).select(col("k"), col("bucket")))
+        val zeroMove = files() == f1
+        val dRows = Versioned.changes(s, path, 1L, 2L, "k")
+        val dOnly = dRows.agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(when(col("op") === "D", 0L).otherwise(1L)), lit(0L))
+            .as("nonD")).head()
+        val (nD, nonD) = (dOnly.getLong(0), dOnly.getLong(1))
+        // bucket-3 merge materializes its dv; other buckets still answer
+        // through theirs
+        val b1 = base
+          .filter(col("bucket") === 3 && col("k") % 5 === 0 &&
+            col("k") % 97 =!= 0)
+          .withColumn("price", (col("price") * 3).cast("decimal(18,2)"))
+          .withColumn("op", lit("U"))
+        Versioned.merge(s, path, "bucket", "k", b1, statsCol = Some("k"))
+        Versioned.read(s, path)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("price")).cast("double").as("price_sum"),
+            sum(col("k")).as("key_sum"))
+          .withColumn("zero_move_ok", lit(if (zeroMove) 1L else 0L))
+          .withColumn("d_rows", lit(nD))
+          .withColumn("all_d_ok", lit(if (nonD == 0L) 1L else 0L))
+          .orderBy(col("bucket"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── K28: SHALLOW CLONE — zero-copy fork of the versioned store (the
     // Delta SHALLOW CLONE contract): the clone's v1 manifest references
     // the source's immutable files verbatim (zero data bytes move — the
@@ -1791,6 +1849,27 @@ private[graft] object GatesMaintenance {
 
     // compaction preserves the snapshot bit-for-bit: truth is the v2
     // merge replay; every maintenance verdict is pinned true
+    // the final snapshot replayed: base minus the k%97 tombstones, with
+    // the bucket-3 update applied; d_rows = the tombstoned key count
+    "k29_deletion_vectors" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderkey % 8 AS bucket FROM orders),
+        |v2 AS (SELECT k, price, bucket FROM base WHERE k % 97 <> 0),
+        |v3 AS (
+        |  SELECT k, price, bucket FROM v2
+        |    WHERE NOT (bucket = 3 AND k % 5 = 0)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 3 AS DECIMAL(18,2)), bucket FROM v2
+        |    WHERE bucket = 3 AND k % 5 = 0)
+        |SELECT bucket, COUNT(*) AS cnt,
+        |  CAST(SUM(price) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS zero_move_ok,
+        |  (SELECT COUNT(*) FROM base WHERE k % 97 = 0) AS d_rows,
+        |  CAST(1 AS BIGINT) AS all_d_ok
+        |FROM v3 GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // both lineages replayed: the fork point is src's v2; the clone's
     // divergence never feeds back
     "k28_shallow_clone" ->

@@ -343,6 +343,57 @@ object Versioned {
     }
   }
 
+  /** DELETION-VECTOR application (the Delta/Iceberg DV idea, key-based):
+    * a small targeted delete commits TOMBSTONES — (file, key_col, key)
+    * rows under `dir/dv/...` — instead of rewriting gigabyte files for a
+    * handful of rows; the manifest row of an affected file gains the
+    * tombstone path in its `dv` array, and every snapshot read
+    * anti-joins the scan against the referenced tombstones. `key_col`
+    * is the PHYSICAL column name (stable across renames); `nameOf`
+    * translates it into the frame's namespace (identity for physical
+    * scans, physical→logical for readFiles output). Tombstones are
+    * deletion-sized (broadcast): bulk deletes belong on the COW rewrite
+    * path ([[merge]] with op "D"), this tier exists so a 10-row GDPR
+    * erase does not rewrite 10 GB. Rewrites MATERIALIZE DVs away: a
+    * merge/compact that rewrites a DV'd file applies its tombstones and
+    * emits fresh dv-less manifest rows. */
+  private def applyDv(spark: SparkSession, rows: DataFrame,
+      dvPaths: Seq[String], nameOf: String => String): DataFrame =
+    if (dvPaths.isEmpty) rows
+    else {
+      val tomb = spark.read.parquet(dvPaths.map(Manifest.unglob): _*)
+      val keyCols = tomb.select(col("key_col")).distinct()
+        .collect().map(_.getString(0))
+      val tagged = rows.withColumn("__f", input_file_name())
+      keyCols.foldLeft(tagged) { (df, pk) =>
+        val t = broadcast(tomb.filter(col("key_col") === pk)
+          .select(col("file").as("__tf"), col("key").as("__tk")))
+        df.join(t, df.col("__f") === t.col("__tf") &&
+          df.col(nameOf(pk)).cast("string") === t.col("__tk"), "left_anti")
+      }.drop("__f")
+    }
+
+  /** The dv paths a manifest references for `files` (all files when
+    * None) — empty for stores that never took a DV delete. */
+  private def dvPathsOf(mDf: DataFrame,
+      files: Option[Set[String]] = None): Seq[String] =
+    if (!mDf.columns.contains("dv")) Seq.empty
+    else {
+      val scoped = files.fold(mDf)(fs =>
+        if (fs.isEmpty) mDf.filter(lit(false))
+        else mDf.filter(col("file").isin(fs.toSeq: _*)))
+      scoped.select(explode(col("dv")).as("p")).distinct()
+        .collect().map(_.getString(0)).toIndexedSeq
+    }
+
+  /** physical→logical translator for [[applyDv]] over readFiles output. */
+  private def logicalNameOf(
+      sch: Option[org.apache.spark.sql.types.StructType])
+      : String => String = {
+    val rev = mapping(sch).map(_.swap)
+    pk => rev.getOrElse(pk, pk)
+  }
+
   /** Reserved directory-level name for the partition value. The value is
     * ALSO kept as a regular data column, so manifest-listed files can be
     * read directly with no partition-discovery coupling to the layout
@@ -469,10 +520,12 @@ object Versioned {
     val v = if (version < 0) latest(dir) else version
     require(versions(dir).contains(v),
       s"Versioned: version $v not in ${versions(dir)}")
-    val files = spark.read.parquet(manifestDir(dir, v))
-      .select(col("file")).distinct()
+    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val files = mDf.select(col("file")).distinct()
       .collect().map(_.getString(0))
-    readFiles(spark, dir, files.toIndexedSeq, readSchema(dir, v))
+    val sch = readSchema(dir, v)
+    applyDv(spark, readFiles(spark, dir, files.toIndexedSeq, sch),
+      dvPathsOf(mDf), logicalNameOf(sch))
   }
 
   /** Commit wall-time of version `v` in epoch millis (from the
@@ -599,7 +652,10 @@ object Versioned {
         st.forall { case (mn, mx, _) => mx >= lo && mn <= hi } }
       .map(_._1).distinct.toIndexedSeq
     val base =
-      if (files.nonEmpty) readFiles(spark, dir, files, sch)
+      if (files.nonEmpty) applyDv(spark,
+        readFiles(spark, dir, files, sch),
+        dvPathsOf(spark.read.parquet(manifestDir(dir, v)),
+          Some(files.toSet)), logicalNameOf(sch))
       else emptySnapshot(spark, dir, v, sch)
     base.filter(col(keyCol).cast("long") >= lo &&
       col(keyCol).cast("long") <= hi)
@@ -629,7 +685,10 @@ object Versioned {
               .mightContainLong(key)) } }
       .map(_._1).distinct.toIndexedSeq
     val base =
-      if (files.nonEmpty) readFiles(spark, dir, files, sch)
+      if (files.nonEmpty) applyDv(spark,
+        readFiles(spark, dir, files, sch),
+        dvPathsOf(spark.read.parquet(manifestDir(dir, v)),
+          Some(files.toSet)), logicalNameOf(sch))
       else emptySnapshot(spark, dir, v, sch)
     base.filter(col(keyCol).cast("long") === key)
   }
@@ -673,7 +732,10 @@ object Versioned {
       val untouched = manifest.filter { case (f, _) => !touched(f) }
         .map(_._1).distinct.toIndexedSeq
       if (untouched.nonEmpty) {
-        val moved = readFiles(spark, dir, untouched, readSchema(dir, v))
+        val uSch = readSchema(dir, v)
+        val moved = applyDv(spark,
+            readFiles(spark, dir, untouched, uSch),
+            dvPathsOf(mDf, Some(untouched.toSet)), logicalNameOf(uSch))
           .select(col(keyCol))
           .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
           .limit(5).collect()
@@ -689,9 +751,17 @@ object Versioned {
     // rewrite all rows of touched files (with partitionBy layout a file
     // serves exactly one partition value — the rewrite set IS the
     // affected partitions, nothing more)
+    // DV'd touched files apply their tombstones here, so the rewrite
+    // MATERIALIZES the deletes: tombstoned rows never reach the fresh
+    // files, whose manifest rows carry no dv
     val slice =
       if (touched.isEmpty) read(spark, dir, v).filter(lit(false))
-      else readFiles(spark, dir, touched.toIndexedSeq, readSchema(dir, v))
+      else {
+        val tSch = readSchema(dir, v)
+        applyDv(spark,
+          readFiles(spark, dir, touched.toIndexedSeq, tSch),
+          dvPathsOf(mDf, Some(touched)), logicalNameOf(tSch))
+      }
     val kept = slice.join(
       source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     val upserts = source.filter(col(opCol) =!= "D").drop(opCol)
@@ -760,6 +830,84 @@ object Versioned {
       java.util.Arrays.asList(carried.toIndexedSeq: _*), mSchema)
     commitManifest(spark, dir, next, alignUnion(carriedDf, fresh),
       Some(withPhysMeta(out.schema, prevMap)))
+    next
+  }
+
+  /** DELETE by key WITHOUT rewriting data files — the deletion-vector
+    * commit (see [[applyDv]]). One scan of the affected partitions'
+    * files finds which FILES hold the keys; their (file, key) tombstones
+    * land under `dir/dv/` and the new manifest's rows for exactly those
+    * files gain the tombstone path in their `dv` array — every other
+    * manifest row carries verbatim, zero data files move. Reads at the
+    * new version anti-join the tombstones; prior versions still answer
+    * with the rows (time travel holds — tombstones are referenced
+    * per-version, never applied retroactively); the next [[merge]] or
+    * [[compact]] that rewrites a DV'd file materializes the delete and
+    * drops the dv. `keys` must carry `keyCol` and `partCol` (the same
+    * key-determines-partition contract as [[merge]]).
+    *
+    * At 100 TB this is the GDPR-erase shape: deleting 1,000 users from
+    * a petabyte table costs one partition-pruned scan plus a tombstone
+    * file, not a terabyte rewrite. Tombstones are deletion-sized and
+    * broadcast at read; BULK deletes (a partition's worth) belong on
+    * the COW rewrite path ([[merge]] op "D"). Returns the committed
+    * version. */
+  def deleteKeysDv(spark: SparkSession, dir: String, partCol: String,
+      keyCol: String, keys: DataFrame): Long = {
+    val v = latest(dir)
+    val next = v + 1
+    val sch = readSchema(dir, v)
+    val m = mapping(sch)
+    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val affected = keys.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = mDf
+      .filter(col("part").isin(affected.toSeq: _*))
+      .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) { // keys hit no live partition: commit a no-op
+      commitManifest(spark, dir, next, mDf, sch)
+      return next
+    }
+    // one partition-pruned scan attributes each deleted key to the
+    // FILE(s) holding it — tombstones reference physical column names
+    // (stable across renames) and stringified key values (both sides
+    // cast at apply time)
+    val physKey = m.getOrElse(keyCol, keyCol)
+    // tag the source file SCAN-SIDE (input_file_name is single-source
+    // only), then let prior tombstones apply above it — a re-delete on
+    // an already-DV'd file attributes against its LIVE rows
+    val tagged = readFiles(spark, dir, touched.toIndexedSeq, sch)
+      .withColumn("__srcf", input_file_name())
+    val live = applyDv(spark, tagged,
+      dvPathsOf(mDf, Some(touched)), logicalNameOf(sch))
+    val tomb = live
+      .join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol))
+      .select(col("__srcf").as("file"), lit(physKey).as("key_col"),
+        col(keyCol).cast("string").as("key"))
+    val dvPath = s"$dir/dv/v=$next-${System.nanoTime()}"
+    tomb.coalesce(1).write.mode("errorifexists").parquet(dvPath)
+    val dvFiles = spark.read.parquet(dvPath)
+      .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+    if (dvFiles.isEmpty) { // keys absent from the live rows: no-op
+      def rmAll(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .foreach(rmAll)
+        f.delete(); ()
+      }
+      rmAll(new java.io.File(dvPath))
+      commitManifest(spark, dir, next, mDf, sch)
+      return next
+    }
+    val withDv =
+      if (mDf.columns.contains("dv")) mDf
+      else mDf.withColumn("dv", lit(null).cast("array<string>"))
+    val updated = withDv.withColumn("dv",
+      when(col("file").isin(dvFiles.toSeq: _*),
+        array_union(coalesce(col("dv"),
+          array().cast("array<string>")), array(lit(dvPath))))
+        .otherwise(col("dv")))
+    commitManifest(spark, dir, next, updated, sch)
     next
   }
 
@@ -861,12 +1009,20 @@ object Versioned {
     // the committed physical schema NULL-fills columns the oldest
     // fragments predate (schema evolution), exactly like any read
     val reader = physSch.fold(spark.read)(spark.read.schema)
-    reader.parquet(rewrite.flatten.map(Manifest.unglob): _*)
-      .withColumn("__bin", coalesce(binUdf(input_file_name()),
-        raise_error(concat(
-          lit("Versioned.compact: scanned a file outside the rewrite " +
-            "set (file→bin normalization drift): "),
-          input_file_name())).cast("int")))
+    // DV'd fragments materialize their tombstones during the pack (the
+    // anti-join rides the same scan — __bin and the dv file tag are both
+    // computed scan-side, below the join); the packed files' fresh
+    // manifest rows carry no dv. The scan is PHYSICAL, so the tombstone
+    // key_col (physical by construction) applies with no translation.
+    val packedScan = applyDv(spark,
+      reader.parquet(rewrite.flatten.map(Manifest.unglob): _*)
+        .withColumn("__bin", coalesce(binUdf(input_file_name()),
+          raise_error(concat(
+            lit("Versioned.compact: scanned a file outside the rewrite " +
+              "set (file→bin normalization drift): "),
+            input_file_name())).cast("int"))),
+      dvPathsOf(mDf, Some(rewrite.flatten.toSet)), identity)
+    packedScan
       .repartition(rewrite.size, col("__bin"))
       .write.partitionBy("__bin").mode("errorifexists").parquet(dataPath)
     val physPart = prevMap.getOrElse(partCol, partCol)
@@ -960,8 +1116,15 @@ object Versioned {
           case None =>
             spark.read.parquet(files.map(Manifest.unglob): _*).drop(PartDir)
         }
-        filePartsOf(raw, physPart,
+        val stats = filePartsOf(raw, physPart,
           statsCols.map(c => m.getOrElse(c, c)).distinct)
+        // deletion vectors MUST carry forward: a backfilled manifest
+        // without the prior rows' dv arrays would resurrect tombstoned
+        // rows (the recomputed envelopes still cover deleted keys — a
+        // valid over-approximation; the dv is the correctness bit)
+        if (!mDf.columns.contains("dv")) stats
+        else stats.join(
+          mDf.select(col("file"), col("dv")).distinct(), Seq("file"), "left")
       }
     commitManifest(spark, dir, next, fresh, sch)
     next
@@ -1060,11 +1223,30 @@ object Versioned {
     val vs = versions(dir)
     require(vs.contains(fromV) && vs.contains(toV),
       s"Versioned.changes: versions ($fromV, $toV) must both be in $vs")
-    def manifestFiles(v: Long): Set[String] =
-      spark.read.parquet(manifestDir(dir, v))
-        .select(col("file")).distinct()
-        .collect().map(_.getString(0)).toSet
-    val (m1, m2) = (manifestFiles(fromV), manifestFiles(toV))
+    // identity is (file, dv signature): a DV delete changes no file but
+    // MUST churn the slice — the file re-reads on both sides, old
+    // tombstones vs new, and the key diff emits exactly the newly
+    // tombstoned rows as "D" (a compaction-style rewrite stays invisible
+    // exactly as before: rewritten-but-unchanged rows drop out)
+    def manifestEntries(v: Long): Map[String, Seq[String]] = {
+      val m = spark.read.parquet(manifestDir(dir, v))
+      val hasDv = m.columns.contains("dv")
+      val sel =
+        if (hasDv) m.select(col("file"), col("dv")).distinct()
+        else m.select(col("file"),
+          lit(null).cast("array<string>").as("dv")).distinct()
+      sel.collect().map { r =>
+        val dv = if (r.isNullAt(1)) Seq.empty[String]
+          else r.getSeq[String](1).toIndexedSeq
+        r.getString(0) -> dv
+      }.groupBy(_._1).view
+        .mapValues(_.flatMap(_._2).distinct.sorted.toIndexedSeq)
+        .toMap
+    }
+    val (e1, e2) = (manifestEntries(fromV), manifestEntries(toV))
+    val (m1, m2) = (e1.keySet, e2.keySet)
+    val id1 = e1.toSet
+    val id2 = e2.toSet
     val schema = readSchema(dir, toV)
     def slice(files: Set[String]): DataFrame =
       if (files.isEmpty) schema match {
@@ -1083,8 +1265,15 @@ object Versioned {
           readFiles(spark, dir, m2.toIndexedSeq, schema).filter(lit(false))
       }
       else readFiles(spark, dir, files.toIndexedSeq, schema)
-    val oldS = slice(m1 -- m2)
-    val newS = slice(m2 -- m1)
+    def dvSlice(churned: Set[String], dvs: Map[String, Seq[String]])
+        : DataFrame =
+      applyDv(spark, slice(churned),
+        churned.toSeq.flatMap(f => dvs.getOrElse(f, Seq.empty)).distinct,
+        logicalNameOf(schema))
+    val oldChurned = (id1 -- id2).map(_._1)
+    val newChurned = (id2 -- id1).map(_._1)
+    val oldS = dvSlice(oldChurned, e1)
+    val newS = dvSlice(newChurned, e2)
     val cols = newS.columns.toSeq
     val payload = cols.filterNot(_ == keyCol)
     val o = oldS.select(col(keyCol),
@@ -1229,6 +1418,25 @@ object Versioned {
       .filter(f => f.getName.endsWith(".parquet") &&
         !referenced(f.getCanonicalPath))
     orphans.foreach(_.delete())
+    // deletion-vector economics ride the same pass: tombstone dirs no
+    // retained manifest's dv array references are reclaimed with their
+    // versions (a dv referenced by ANY retained manifest must survive
+    // or reads there would resurrect deleted rows)
+    val dvRoot = new java.io.File(s"$dir/dv")
+    if (dvRoot.isDirectory) {
+      val keptDvs = keep.flatMap { v =>
+        dvPathsOf(spark.read.parquet(manifestDir(dir, v)))
+      }.map(p => new java.io.File(p).getCanonicalPath).toSet
+      def rmAll(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .foreach(rmAll)
+        f.delete(); ()
+      }
+      Option(dvRoot.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && !keptDvs(d.getCanonicalPath))
+        .foreach(rmAll)
+    }
     drop.foreach { v =>
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory)

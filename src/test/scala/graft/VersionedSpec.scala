@@ -566,6 +566,79 @@ class VersionedSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("deletion vectors: deleteKeysDv commits tombstones, not rewrites — " +
+    "reads exclude the keys, time travel keeps them, rewrites materialize") {
+    val dir = tmpDir("dv")
+    try {
+      val base = spark.range(0, 800)
+        .select(col("id").as("k"), (col("id") * 10).as("v"),
+          (col("id") / 100).cast("long").as("bucket"))
+      Versioned.init(spark, dir, "bucket", base, statsCol = Some("k"))
+      val files1 = manifestFiles(dir, 1L)
+      // DV-delete 3 keys in bucket 2 and 1 in bucket 7
+      val v2 = Versioned.deleteKeysDv(spark, dir, "bucket", "k",
+        Seq((201L, 2L), (217L, 2L), (233L, 2L), (707L, 7L))
+          .toDF("k", "bucket"))
+      assert(v2 === 2L)
+      // ZERO data movement: v2 references exactly v1's files
+      assert(manifestFiles(dir, 2L) === files1,
+        "a DV delete must not move or rewrite any data file")
+      val r2 = Versioned.read(spark, dir, 2L)
+      assert(r2.count() === 796L)
+      assert(r2.filter(col("k").isin(201L, 217L, 233L, 707L)).count() === 0L)
+      // time travel: v1 still answers WITH the rows
+      assert(Versioned.read(spark, dir, 1L).count() === 800L)
+      // the Bloom would say "maybe" for a deleted key — the DV must win
+      assert(Versioned.readPoint(spark, dir, "k", 217L, 2L).count() === 0L)
+      assert(Versioned.readPoint(spark, dir, "k", 217L, 1L).count() === 1L)
+      assert(Versioned.readRange(spark, dir, "k", 200L, 240L, 2L)
+        .count() === 38L) // 41 keys minus 201/217/233
+      // CDF: the DV interval emits EXACTLY the tombstoned keys as D
+      val d = Versioned.changes(spark, dir, 1L, 2L, "k")
+      assert(d.count() === 4L)
+      assert(d.filter(col("op") =!= "D").count() === 0L)
+      assert(d.select(col("k")).orderBy(col("k")).collect().map(_.getLong(0))
+        .toSeq === Seq(201L, 217L, 233L, 707L))
+      // second DV delete on the SAME file: dv arrays append
+      val v3 = Versioned.deleteKeysDv(spark, dir, "bucket", "k",
+        Seq((255L, 2L)).toDF("k", "bucket"))
+      assert(Versioned.read(spark, dir, v3).count() === 795L)
+      assert(Versioned.changes(spark, dir, 2L, 3L, "k").count() === 1L)
+      // backfillStats must CARRY the dv (else deletes resurrect)
+      val v4 = Versioned.backfillStats(spark, dir, "bucket", Seq("k", "v"))
+      assert(Versioned.read(spark, dir, v4).count() === 795L)
+      assert(Versioned.readPoint(spark, dir, "k", 255L, v4).count() === 0L)
+      // a merge touching bucket 2 MATERIALIZES its DVs: deleted keys stay
+      // gone, fresh files carry no dv, untouched bucket 7 keeps its dv
+      val v5 = Versioned.merge(spark, dir, "bucket", "k",
+        Seq((202L, 99999L, 2L, "U")).toDF("k", "v", "bucket", "op"),
+        statsCol = Some("k"))
+      val r5 = Versioned.read(spark, dir, v5)
+      assert(r5.count() === 795L)
+      assert(r5.filter(col("k").isin(201L, 217L, 233L, 255L, 707L))
+        .count() === 0L)
+      assert(r5.filter(col("v") === 99999L).count() === 1L)
+      // compact materializes the rest (bucket 7's dv)
+      val v6 = Versioned.compact(spark, dir, "bucket",
+        statsCol = Some("k"), maxGroupRows = 400L)
+      val r6 = Versioned.read(spark, dir, v6)
+      assert(r6.count() === 795L)
+      assert(r6.filter(col("k") === 707L).count() === 0L)
+      val m6 = spark.read.parquet(Versioned.manifestDir(dir, v6))
+      if (m6.columns.contains("dv"))
+        assert(m6.filter(col("dv").isNotNull).count() === 0L,
+          "a full compact must materialize every deletion vector away")
+      // vacuum to the materialized version: dv dirs are all unreferenced
+      // now and must be reclaimed; the retained read is unchanged
+      Versioned.vacuum(spark, dir, retainFrom = v6)
+      val dvRoot = new java.io.File(s"$dir/dv")
+      assert(!dvRoot.exists() ||
+        Option(dvRoot.listFiles()).getOrElse(Array.empty).isEmpty,
+        "vacuum must reclaim tombstone dirs no retained manifest references")
+      assert(Versioned.read(spark, dir, v6).count() === 795L)
+    } finally rm(dir)
+  }
+
   test("shallowClone: zero-copy fork — clone reads the source version " +
     "byte-for-byte, divergent merges COW into the clone only, source " +
     "stays untouched") {
