@@ -729,6 +729,54 @@ private[graft] object GatesMaintenance {
     // version still answers identically (until vacuum), and vacuum then
     // reclaims the fragments leaving EXACTLY v3's reachable set on disk
     // (the k18 pin), with v2 reads failing loudly after.
+    // ── K30: RESTORE — roll back a bad write as a NEW COMMIT (the Delta
+    // RESTORE contract): v2 is the bad merge, v3 restores v1's manifest
+    // by reference (zero data movement, history intact — v2 stays
+    // readable for audit), v4 merges on top of the restored state. The
+    // change feed across the restore emits exactly the inverse of the
+    // bad write (revert_rows, oracle-computed); the final snapshot is
+    // base + the good merge, as if v2 never happened.
+    "k30_restore" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-restore-${System.nanoTime()}"
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        Versioned.init(s, path, "bucket", base)
+        val bad =
+          base.filter(col("bucket") === 2 && col("k") % 3 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("bucket") === 5 && col("k") % 3 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("bucket") === 2 && col("k") % 3 === 2)
+            .withColumn("k", col("k") + 80000000L)
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", bad)
+        val v3 = Versioned.restore(s, path, 1L)
+        require(v3 == 3L, s"restore must commit v3, got $v3")
+        // the restored snapshot IS v1; the bad version stays auditable
+        val revert = Versioned.changes(s, path, 2L, 3L, "k").count()
+        require(Versioned.read(s, path, 2L)
+          .filter(col("k") >= 80000000L).count() > 0,
+          "the bad version must stay readable after restore")
+        val good = base.filter(col("bucket") === 7 && col("k") % 5 === 1)
+          .withColumn("price", (col("price") * 3).cast("decimal(18,2)"))
+          .withColumn("op", lit("U"))
+        Versioned.merge(s, path, "bucket", "k", good)
+        Versioned.read(s, path)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("price")).cast("double").as("price_sum"),
+            sum(col("k")).as("key_sum"))
+          .withColumn("revert_rows", lit(revert))
+          .orderBy(col("bucket"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── K29: DELETION VECTORS — targeted deletes WITHOUT rewriting data
     // files (the Delta/Iceberg DV idea, key-based): ~1% of keys tombstone
     // in one commit, the manifest's file set is BYTE-IDENTICAL across it
@@ -1849,6 +1897,30 @@ private[graft] object GatesMaintenance {
 
     // compaction preserves the snapshot bit-for-bit: truth is the v2
     // merge replay; every maintenance verdict is pinned true
+    // the final snapshot is base + the GOOD merge only (the bad write
+    // reverted); revert_rows = the inverse of the bad write: its updates
+    // revert (U), its deletes reappear (I), its inserts disappear (D)
+    "k30_restore" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderkey % 8 AS bucket FROM orders),
+        |v4 AS (
+        |  SELECT k, price, bucket FROM base
+        |    WHERE NOT (bucket = 7 AND k % 5 = 1)
+        |  UNION ALL
+        |  SELECT k, CAST(price * 3 AS DECIMAL(18,2)), bucket FROM base
+        |    WHERE bucket = 7 AND k % 5 = 1),
+        |rev AS (SELECT
+        |    (SELECT COUNT(*) FROM base WHERE bucket = 2 AND k % 3 = 0)
+        |  + (SELECT COUNT(*) FROM base WHERE bucket = 5 AND k % 3 = 1)
+        |  + (SELECT COUNT(*) FROM base WHERE bucket = 2 AND k % 3 = 2)
+        |    AS n)
+        |SELECT bucket, COUNT(*) AS cnt,
+        |  CAST(SUM(price) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  CAST(rev.n AS BIGINT) AS revert_rows
+        |FROM v4, rev GROUP BY bucket, rev.n ORDER BY bucket""".stripMargin,
+
     // the final snapshot replayed: base minus the k%97 tombstones, with
     // the bucket-3 update applied; d_rows = the tombstoned key count
     "k29_deletion_vectors" ->

@@ -1037,6 +1037,29 @@ object Versioned {
     next
   }
 
+  /** RESTORE: roll the table back to `toVersion` by committing a NEW
+    * version whose manifest (and sidecar schema) equal the old one's —
+    * the Delta RESTORE contract. History is never rewritten: the bad
+    * versions stay readable (audit), the restore is itself a commit
+    * (concurrency-safe through the same protocol, visible in the change
+    * feed as the inverse of what it undoes — [[changes]] across the
+    * restore emits exactly the rows that revert), and zero data files
+    * move (COW files of the restored version still exist unless
+    * vacuumed past — a vacuumed target fails loudly at read, not
+    * silently empty). Returns the committed version. */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val v = latest(dir)
+    require(versions(dir).contains(toVersion),
+      s"Versioned.restore: version $toVersion not in ${versions(dir)}")
+    require(toVersion < v,
+      s"Versioned.restore: $toVersion is not a PRIOR version (latest $v)")
+    val next = v + 1
+    commitManifest(spark, dir, next,
+      spark.read.parquet(manifestDir(dir, toVersion)),
+      readSchema(dir, toVersion))
+    next
+  }
+
   /** SHALLOW CLONE: commit `dst`'s version 1 as a ZERO-COPY fork of
     * `src` at `version` (default latest) — the Delta SHALLOW CLONE
     * contract. The manifest is copied BY REFERENCE: every row keeps its
