@@ -324,7 +324,53 @@ object AbDrift {
       } finally GateSupport.rmTree(path)
     }
 
+    // r17: price the DELETION-VECTOR tier against the COW rewrite on the
+    // SAME targeted delete (~0.1% of keys, spread across all partitions —
+    // the worst case for COW, which must rewrite every partition, and the
+    // design case for DV, which writes one tombstone file). Both arms pay
+    // the identical init; the delta is the delete mechanism + the
+    // post-delete read (correctness anchor: both arms return the same
+    // surviving count).
+    def vDeleteArm(dv: Boolean): Long = {
+      import graft.operators.Versioned
+      val path = s"${GateSupport.shmRoot}/graft-ab-vdel-${System.nanoTime()}"
+      try {
+        // a realistic row: ~1 KB payload. COW must read AND rewrite it
+        // for every surviving row of every touched partition; the DV
+        // attribution scan never touches it (Catalyst prunes to the key
+        // column — the backfill-prune spec's argument, live here)
+        val base = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey").as("k"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"),
+            concat_ws("-", (0 until 8).map(i =>
+              sha2(concat(col("o_orderkey").cast("string"), lit(i)), 256))
+              : _*).as("payload"))
+          .withColumn("bucket", pmod(col("k"), lit(16L)))
+        Versioned.init(spark, path, "bucket", base)
+        val doomed = base.filter(col("k") % 997 === 0)
+        // the init is identical ballast in both arms — print the delete
+        // step's own wall so the banked delta is the MECHANISM's, and
+        // the post-delete read's (the DV read pays its anti-join)
+        val t0 = System.nanoTime()
+        if (dv)
+          Versioned.deleteKeysDv(spark, path, "bucket", "k",
+            doomed.select(col("k"), col("bucket")))
+        else
+          Versioned.merge(spark, path, "bucket", "k",
+            doomed.withColumn("op", lit("D")))
+        val tDel = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val n = Versioned.read(spark, path).count()
+        val tRead = (System.nanoTime() - t1) / 1e9
+        println(f"[ab-detail] ${if (dv) "dv " else "cow"} " +
+          f"delete=$tDel%6.3f s read=$tRead%6.3f s rows=$n")
+        n
+      } finally GateSupport.rmTree(path)
+    }
+
     val customArms: Map[String, () => Long] = Map(
+      "vdel_dv" -> (() => vDeleteArm(dv = true)),
+      "vdel_cow" -> (() => vDeleteArm(dv = false)),
       "vwrite_none" -> (() => vWriteArm("none")),
       "vwrite_single" -> (() => vWriteArm("single")),
       "vwrite_multi" -> (() => vWriteArm("multi")),
