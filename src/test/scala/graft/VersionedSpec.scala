@@ -691,6 +691,41 @@ class VersionedSpec extends SparkSpec {
     } finally { rm(src); rm(dst) }
   }
 
+  test("shallowClone of a DV'd store: tombstones apply across the fork, " +
+    "clone divergence materializes only its own partitions, clone vacuum " +
+    "never touches source tombstones") {
+    val src = tmpDir("dvclone-src")
+    val dst = tmpDir("dvclone-dst")
+    try {
+      val base = spark.range(0, 400)
+        .select(col("id").as("k"), (col("id") * 10).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, src, "bucket", base)
+      Versioned.deleteKeysDv(spark, src, "bucket", "k",
+        Seq((5L, 1L), (6L, 2L)).toDF("k", "bucket"))
+      Versioned.shallowClone(spark, src, dst)
+      // the fork reads through the SOURCE's tombstones
+      assert(Versioned.read(spark, dst).count() === 398L)
+      assert(Versioned.read(spark, dst)
+        .filter(col("k").isin(5L, 6L)).count() === 0L)
+      // divergent merge on bucket 1 materializes ITS dv in the clone;
+      // bucket 2 still answers through the source tombstone
+      Versioned.merge(spark, dst, "bucket", "k",
+        Seq((9L, 777L, 1L, "U")).toDF("k", "v", "bucket", "op"))
+      val r = Versioned.read(spark, dst)
+      assert(r.count() === 398L)
+      assert(r.filter(col("k").isin(5L, 6L)).count() === 0L)
+      assert(r.filter(col("v") === 777L).count() === 1L)
+      // clone vacuum must not reclaim the SOURCE's tombstone dirs (the
+      // source still references them; the clone's dv root is its own)
+      Versioned.vacuum(spark, dst, retainFrom = Versioned.latest(dst))
+      assert(Versioned.read(spark, src).count() === 398L)
+      assert(Versioned.read(spark, src)
+        .filter(col("k").isin(5L, 6L)).count() === 0L,
+        "clone vacuum must never delete source tombstones")
+    } finally { rm(src); rm(dst) }
+  }
+
   test("backfillStats scan is COLUMN-PRUNED: the snapshot read touches " +
     "partCol + stats columns only, never the payload") {
     val dir = tmpDir("backfill-prune")
