@@ -1363,6 +1363,31 @@ object Versioned {
         s"under $dir — contention exceeds the retry budget", last)
   }
 
+  /** [[deleteKeysDv]] with the same optimistic-concurrency retry loop as
+    * [[mergeRetry]] — correct for the same reason: every attempt
+    * re-reads `latest(dir)` and re-derives its tombstones against the
+    * winner's snapshot (a file the winner rewrote no longer holds the
+    * key, or holds it in a fresh file the re-derived scan attributes
+    * correctly). Retries ONLY the commit race. */
+  def deleteKeysDvRetry(spark: SparkSession, dir: String, partCol: String,
+      keyCol: String, keys: DataFrame, maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    var last: ConcurrentCommitException = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try return deleteKeysDv(spark, dir, partCol, keyCol, keys)
+      catch {
+        case e: ConcurrentCommitException =>
+          last = e
+          Thread.sleep(10L * attempt)
+      }
+    }
+    throw new ConcurrentCommitException(
+      s"Versioned.deleteKeysDvRetry: lost the commit race $maxAttempts " +
+        s"times under $dir — contention exceeds the retry budget", last)
+  }
+
   /** Reclaim CRASHED and LOST-RACE commit attempts: every attempt
     * writes its data under a token-unique dir and only the atomic
     * manifest rename commits it, so a writer that died mid-attempt (or

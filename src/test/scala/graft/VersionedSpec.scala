@@ -691,6 +691,39 @@ class VersionedSpec extends SparkSpec {
     } finally { rm(src); rm(dst) }
   }
 
+  test("deleteKeysDvRetry: a DV delete racing merges re-derives against " +
+    "the winner's snapshot — all writers land, no lost update") {
+    val dir = tmpDir("dv-race")
+    try {
+      val base = spark.range(0, 200)
+        .select(col("id").as("k"), (col("id") * 3).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      import scala.concurrent._
+      import scala.concurrent.duration._
+      import ExecutionContext.Implicits.global
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val merger = Future { gate.await()
+        Versioned.mergeRetry(spark, dir, "bucket", "k",
+          Seq((1L, 9001L, 1L, "U")).toDF("k", "v", "bucket", "op"),
+          maxAttempts = 12) }
+      val deleter = Future { gate.await()
+        Versioned.deleteKeysDvRetry(spark, dir, "bucket", "k",
+          Seq((2L, 2L), (3L, 3L)).toDF("k", "bucket"), maxAttempts = 12) }
+      gate.countDown()
+      val landed = Await.result(Future.sequence(Seq(merger, deleter)),
+        10.minutes)
+      assert(landed.sorted === Seq(2L, 3L),
+        s"both contended writers must land distinct versions: $landed")
+      val r = Versioned.read(spark, dir)
+      assert(r.count() === 198L)
+      assert(r.filter(col("k").isin(2L, 3L)).count() === 0L,
+        "the DV delete must survive the race")
+      assert(r.filter(col("v") === 9001L).count() === 1L,
+        "the merge must survive the race")
+    } finally rm(dir)
+  }
+
   test("shallowClone of a DV'd store: tombstones apply across the fork, " +
     "clone divergence materializes only its own partitions, clone vacuum " +
     "never touches source tombstones") {
