@@ -108,7 +108,8 @@ object Versioned {
     * CAS here, exactly like Delta's LogStore abstraction. */
   private def commitManifest(spark: SparkSession, dir: String, v: Long,
       manifest: DataFrame,
-      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      txn: Option[(String, Long)] = None): Unit = {
     val cas = casMode(dir)
     // CAS staging dirs are FINAL locations (never renamed — on an object
     // store a dir "rename" is a non-atomic copy); rename-mode staging
@@ -126,6 +127,17 @@ object Versioned {
       new java.io.File(tmp, "_commit.json").toPath,
       s"""{"version": $v, "ts_millis": ${System.currentTimeMillis()}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // application-transaction sidecar (the Delta txnAppId/txnVersion
+    // idea): the (app_id, txn_version) fact rides the SAME atomic commit
+    // as the manifest, so "did batch N land?" is answerable from the log
+    // alone and an idempotent writer ([[mergeIdempotent]]) never
+    // double-applies a replayed micro-batch
+    txn.foreach { case (app, tv) =>
+      java.nio.file.Files.write(
+        new java.io.File(tmp, "_txn.json").toPath,
+        s"""{"app_id": "$app", "txn_version": $tv}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     if (cas) { commitPointerCas(dir, v, stagedName); return }
     val src = java.nio.file.Paths.get(tmp)
     val dst = java.nio.file.Paths.get(s"${logRoot(dir)}/v=$v")
@@ -713,7 +725,8 @@ object Versioned {
   def merge(spark: SparkSession, dir: String, partCol: String,
       keyCol: String, source: DataFrame, opCol: String = "op",
       checkKeyMoves: Boolean = false, mergeSchema: Boolean = false,
-      statsCol: Option[String] = None, statsCols: Seq[String] = Nil): Long = {
+      statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     require(source.filter(col(partCol).isNull).isEmpty,
       s"Versioned.merge: source carries NULL $partCol values — fix the " +
         "partition derivation upstream")
@@ -829,7 +842,7 @@ object Versioned {
     val carriedDf = spark.createDataFrame(
       java.util.Arrays.asList(carried.toIndexedSeq: _*), mSchema)
     commitManifest(spark, dir, next, alignUnion(carriedDf, fresh),
-      Some(withPhysMeta(out.schema, prevMap)))
+      Some(withPhysMeta(out.schema, prevMap)), txn)
     next
   }
 
@@ -1363,6 +1376,95 @@ object Versioned {
         s"under $dir — contention exceeds the retry budget", last)
   }
 
+  /** The LAST txn_version application `appId` committed into this
+    * store's log, or None if it never wrote one. Scans versions
+    * newest-first and stops at the first `_txn.json` naming `appId` —
+    * commits are linear, so the first hit IS the app's latest. Cost is
+    * O(versions since the app's last write): one tiny sidecar read per
+    * version walked, no data or manifest scan. At 100 TB the walk is
+    * bounded the way Delta bounds it — an app that writes every batch
+    * finds its record within one interleaving window; a log checkpoint
+    * would fold these into one file, and the sidecar-per-version layout
+    * is exactly the shape such a fold consumes. */
+  def txnVersion(dir: String, appId: String): Option[Long] = {
+    val live = versions(dir).reverse.iterator.map { v =>
+      readTxnSidecar(new java.io.File(manifestDir(dir, v), "_txn.json"))
+        .collect { case (app, tv) if app == appId => tv }
+    }.collectFirst { case Some(tv) => tv }
+    // a live hit is committed at a HIGHER version than anything a vacuum
+    // rolled up, and txn versions are monotonic per app — so it wins;
+    // the rollup answers only for apps idle past the retention window
+    live.orElse(txnRollup(dir).get(appId))
+  }
+
+  /** EXACTLY-ONCE writer entry point: [[merge]] that skips — commits
+    * NOTHING, not even an empty version — when `(appId, txnVer)` is
+    * already recorded in the log at `txnVer` or later. The txn fact
+    * rides the same atomic commit as the manifest, so the check-then-
+    * commit race resolves itself: two replayed writers of the same
+    * batch both pass the check, exactly one wins the version commit,
+    * and the loser's retry re-reads the log, finds the txn recorded,
+    * and skips. This is what makes a Structured Streaming foreachBatch
+    * restart safe ([[upsertSink]]): a crash AFTER the store commit but
+    * BEFORE the checkpoint's offset commit redelivers the batch under
+    * the same batchId, and the redelivery lands here as a no-op.
+    * Returns (version, committed): the store's latest after the call,
+    * and whether THIS call committed it. `txnVer` must be monotonic per
+    * app (batchIds are); a lower-than-recorded value is treated as the
+    * same replay shape and skipped. */
+  def mergeIdempotent(spark: SparkSession, dir: String, partCol: String,
+      keyCol: String, source: DataFrame, appId: String, txnVer: Long,
+      opCol: String = "op", mergeSchema: Boolean = false,
+      statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
+      maxAttempts: Int = 5): (Long, Boolean) = {
+    require(appId.nonEmpty && !appId.contains("\"") && !appId.contains("\n"),
+      s"Versioned.mergeIdempotent: appId must be quote/newline-free: '$appId'")
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    var last: ConcurrentCommitException = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      if (txnVersion(dir, appId).exists(_ >= txnVer))
+        return (latest(dir), false)
+      try return (merge(spark, dir, partCol, keyCol, source, opCol,
+        checkKeyMoves = false, mergeSchema = mergeSchema,
+        statsCol = statsCol, statsCols = statsCols,
+        txn = Some((appId, txnVer))), true)
+      catch {
+        case e: ConcurrentCommitException =>
+          last = e
+          Thread.sleep(10L * attempt)
+      }
+    }
+    throw new ConcurrentCommitException(
+      s"Versioned.mergeIdempotent: lost the commit race $maxAttempts " +
+        s"times under $dir — contention exceeds the retry budget", last)
+  }
+
+  /** A foreachBatch function that upserts each micro-batch into the
+    * store EXACTLY ONCE across query restarts — the streaming-ingest
+    * sink (Delta's txnAppId/txnVersion contract, re-expressed): wire it
+    * as `stream.writeStream.foreachBatch(Versioned.upsertSink(...))`
+    * with a DURABLE checkpoint. Spark's contract makes batch content
+    * deterministic per batchId for replayable sources, so `batchId` is
+    * the txn version; a post-commit-pre-checkpoint crash redelivers the
+    * batch and [[mergeIdempotent]] skips it. The store must already be
+    * initialized — batch data cannot init it idempotently (init has no
+    * txn seat) and a sink that silently creates tables hides deployment
+    * mistakes. */
+  def upsertSink(spark: SparkSession, dir: String, partCol: String,
+      keyCol: String, appId: String, opCol: String = "op")
+      : (DataFrame, Long) => Unit = {
+    require(versions(dir).nonEmpty,
+      s"Versioned.upsertSink: store $dir must be initialized before " +
+        "streaming into it (Versioned.init)")
+    (batch: DataFrame, batchId: Long) => {
+      mergeIdempotent(spark, dir, partCol, keyCol, batch, appId, batchId,
+        opCol)
+      ()
+    }
+  }
+
   /** [[deleteKeysDv]] with the same optimistic-concurrency retry loop as
     * [[mergeRetry]] — correct for the same reason: every attempt
     * re-reads `latest(dir)` and re-derives its tombstones against the
@@ -1485,6 +1587,30 @@ object Versioned {
         .filter(d => d.isDirectory && !keptDvs(d.getCanonicalPath))
         .foreach(rmAll)
     }
+    // carry dropped txn facts forward BEFORE any manifest dies: an
+    // idempotent app idle longer than the retention window must still
+    // find its last txn_version, or a replayed batch double-applies.
+    // The max-merge of (existing rollups + dropping manifests' txns) is
+    // written as a NEW rollup first, old rollups deleted after — a crash
+    // between the two leaves duplicates, which max-merge absorbs.
+    // (Single-maintenance-writer assumption, same as vacuum itself.)
+    val oldRollups = txnRollupFiles(dir)
+    val carried = scala.collection.mutable.Map[String, Long]()
+    txnRollup(dir).foreach { case (a, tv) => carried(a) = tv }
+    drop.foreach { v =>
+      readTxnSidecar(new java.io.File(manifestDir(dir, v), "_txn.json"))
+        .foreach { case (a, tv) =>
+          if (carried.getOrElse(a, Long.MinValue) < tv) carried(a) = tv }
+    }
+    if (carried.nonEmpty) {
+      val body = carried.toSeq.sortBy(_._1)
+        .map { case (a, tv) => s"$a\t$tv" }.mkString("\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          s"${logRoot(dir)}/_txns-$retainFrom-${System.nanoTime()}.tsv"),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      oldRollups.foreach(f => { f.delete(); () })
+    }
     drop.foreach { v =>
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory)
@@ -1501,4 +1627,34 @@ object Versioned {
     }
     orphans.size
   }
+
+  private def txnRollupFiles(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(logRoot(dir)).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && f.getName.startsWith("_txns-") &&
+        f.getName.endsWith(".tsv"))
+
+  /** Max-merged txn facts from every vacuum rollup under the log —
+    * the VACUUMED history's contribution to [[txnVersion]]. */
+  private def txnRollup(dir: String): Map[String, Long] =
+    txnRollupFiles(dir).flatMap { f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+          val i = line.lastIndexOf('\t')
+          (line.substring(0, i), line.substring(i + 1).toLong)
+        }
+    }.groupBy(_._1).map { case (a, vs) => a -> vs.map(_._2).max }
+
+  private def readTxnSidecar(f: java.io.File): Option[(String, Long)] =
+    if (!f.isFile) None
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val re = """\{"app_id": "(.*)", "txn_version": (-?\d+)\}""".r
+      txt.trim match {
+        case re(app, tv) => Some((app, tv.toLong))
+        case _ => None
+      }
+    }
 }

@@ -1093,4 +1093,120 @@ class VersionedSpec extends SparkSpec {
       assert(e.getMessage.contains("empty manifest"))
     } finally rm(dir)
   }
+
+  test("mergeIdempotent: a replayed (appId, txnVersion) commits NOTHING; " +
+    "higher txn versions commit; apps have independent chains") {
+    val dir = tmpDir("txnmerge")
+    try {
+      val base = spark.range(0, 200)
+        .select(col("id").as("k"), (col("id") * 10).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      val b0 = base.filter(col("k") % 5 === 0)
+        .withColumn("v", col("v") + 1).withColumn("op", lit("U"))
+      val (v2, c2) = Versioned.mergeIdempotent(
+        spark, dir, "bucket", "k", b0, "ingest", 0L)
+      assert(v2 === 2L && c2)
+      assert(Versioned.txnVersion(dir, "ingest") === Some(0L))
+      val contentAfter = Versioned.read(spark, dir)
+        .agg(sum(col("v"))).as[Long].head()
+      // the replay shape: same app, same batch — a crash between the
+      // store commit and the checkpoint's offset commit lands here
+      val (vR, cR) = Versioned.mergeIdempotent(
+        spark, dir, "bucket", "k", b0, "ingest", 0L)
+      assert(vR === 2L && !cR, "replay must skip, not re-commit")
+      assert(Versioned.latest(dir) === 2L, "replay must not mint a version")
+      assert(Versioned.read(spark, dir)
+        .agg(sum(col("v"))).as[Long].head() === contentAfter)
+      // a LOWER-than-recorded txn version is the same replay shape
+      val (vLo, cLo) = Versioned.mergeIdempotent(
+        spark, dir, "bucket", "k", b0, "ingest", -1L)
+      assert(vLo === 2L && !cLo)
+      // the next batch commits; an unrelated app's chain is independent
+      val (v3, c3) = Versioned.mergeIdempotent(
+        spark, dir, "bucket", "k", b0, "ingest", 1L)
+      assert(v3 === 3L && c3)
+      val (v4, c4) = Versioned.mergeIdempotent(
+        spark, dir, "bucket", "k", b0, "backfill", 0L)
+      assert(v4 === 4L && c4,
+        "a different app at an already-used txn version must commit")
+      assert(Versioned.txnVersion(dir, "ingest") === Some(1L))
+      assert(Versioned.txnVersion(dir, "backfill") === Some(0L))
+      assert(Versioned.txnVersion(dir, "nobody").isEmpty)
+    } finally rm(dir)
+  }
+
+  test("txn facts survive vacuum (rollup) and are NOT inherited by a " +
+    "shallow clone") {
+    val dir = tmpDir("txnvac")
+    val dst = tmpDir("txnvacclone")
+    try {
+      val base = spark.range(0, 200)
+        .select(col("id").as("k"), (col("id") * 10).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      val b = base.filter(col("k") % 5 === 0)
+        .withColumn("v", col("v") + 1).withColumn("op", lit("U"))
+      Versioned.mergeIdempotent(spark, dir, "bucket", "k", b, "ingest", 7L)
+      // the app goes idle; other writers churn the log past retention
+      Versioned.merge(spark, dir, "bucket", "k",
+        b.withColumn("v", col("v") + 2))
+      Versioned.merge(spark, dir, "bucket", "k",
+        b.withColumn("v", col("v") + 3))
+      Versioned.vacuum(spark, dir, retainFrom = 3L)
+      assert(!new java.io.File(s"$dir/_log/v=2").exists(),
+        "the txn-bearing manifest must actually be vacuumed")
+      assert(Versioned.txnVersion(dir, "ingest") === Some(7L),
+        "the rollup must carry the vacuumed txn fact")
+      val (_, committed) = Versioned.mergeIdempotent(
+        spark, dir, "bucket", "k", b, "ingest", 7L)
+      assert(!committed, "a replay after vacuum must still skip")
+      // a SECOND vacuum folds the first rollup into the next (no loss)
+      Versioned.merge(spark, dir, "bucket", "k",
+        b.withColumn("v", col("v") + 4))
+      Versioned.vacuum(spark, dir, retainFrom = 5L)
+      assert(Versioned.txnVersion(dir, "ingest") === Some(7L))
+      // clones start with a FRESH txn history: a stream pointed at the
+      // fork must not skip its first batches because the source's app
+      // once wrote the same txn versions
+      Versioned.shallowClone(spark, dir, dst)
+      assert(Versioned.txnVersion(dst, "ingest").isEmpty,
+        "clone must not inherit source txn facts")
+      val (vC, cC) = Versioned.mergeIdempotent(
+        spark, dst, "bucket", "k", b, "ingest", 0L)
+      assert(vC === 2L && cC)
+    } finally { rm(dir); rm(dst) }
+  }
+
+  test("mergeIdempotent under a same-batch race: exactly one writer " +
+    "commits, the loser resolves to a skip — no double-apply") {
+    val dir = tmpDir("txnrace")
+    try {
+      val base = spark.range(0, 200)
+        .select(col("id").as("k"), (col("id") * 10).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      val b = base.filter(col("k") % 5 === 0)
+        .withColumn("v", col("v") + 1).withColumn("op", lit("U"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = (1 to 2).map { _ =>
+        scala.concurrent.Future {
+          Versioned.mergeIdempotent(
+            spark, dir, "bucket", "k", b, "ingest", 0L)
+        }
+      }
+      val rs = fs.map(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration(120, "s")))
+      pool.shutdown()
+      assert(rs.count(_._2) === 1,
+        s"exactly one racer must commit, got $rs")
+      assert(rs.forall(_._1 === 2L))
+      assert(Versioned.latest(dir) === 2L)
+      assert(Versioned.read(spark, dir).filter(col("k") % 5 === 0)
+        .agg(max(col("v") - col("k") * 10)).as[Long].head() === 1L,
+        "the update must be applied exactly once")
+    } finally rm(dir)
+  }
 }
