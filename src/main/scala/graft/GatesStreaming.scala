@@ -500,6 +500,90 @@ private[graft] object GatesStreaming {
     }),
 
 
+    // ── K31: EXACTLY-ONCE STREAMING INGEST into the versioned store —
+    // foreachBatch + Versioned.upsertSink (the Delta txnAppId/txnVersion
+    // contract, re-expressed). Lifecycle 1 crashes at the WORST ordering:
+    // after batch 1's store commit, before its offset commit — the
+    // window where a naive sink double-applies on restart. Lifecycle 2
+    // resumes from the durable checkpoint, REDELIVERS batch 1, and the
+    // committed txn fact turns it into a no-op: the log ends at exactly
+    // init + 3 batch versions (a double-apply would mint a 5th — loud in
+    // n_versions AND in the aggregate), and the final snapshot equals
+    // the batch recompute. A direct same-batchId replay after the run
+    // pins the no-op once more (replay_noop).
+    "stream_k31_idempotent_sink" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val root = shmRoot
+      val uniq = System.nanoTime()
+      val store = s"$root/graft-txnsink-$uniq"
+      val stage = s"$root/graft-txnsinkstg-$uniq"
+      val ckpt = s"$root/graft-txnsinkck-$uniq"
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        Versioned.init(s, store, "bucket", base)
+        val c0 = base.filter(col("k") % 3 === 0)
+          .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+          .withColumn("op", lit("U"))
+        val c1 = base.filter(col("k") % 3 === 1).withColumn("op", lit("D"))
+        val c2 = base.filter(col("k") % 5 === 2)
+          .withColumn("price", (col("price") * 5).cast("decimal(18,2)"))
+          .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("k") % 7 === 3)
+            .withColumn("k", col("k") + 80000000L)
+            .withColumn("bucket", pmod(col("k"), lit(8L)))
+            .withColumn("price", (col("price") * 3).cast("decimal(18,2)"))
+            .withColumn("op", lit("I")))
+        val sink = Versioned.upsertSink(s, store, "bucket", "k", "ingest")
+        val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+        def lifecycle(stream: DataFrame): Boolean = {
+          val q = stream.writeStream
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              sink(b, id)
+              // store committed, offsets NOT — the replay window
+              if (id == 1L && crashArmed.getAndSet(false))
+                throw new RuntimeException("stream_k31: injected crash")
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try { q.awaitTermination(); false }
+          catch { case _: org.apache.spark.sql.streaming
+            .StreamingQueryException => true }
+        }
+        val crashed = lifecycle(graft.streaming.Sources.stagedChunkStream(
+          s, Seq(c0, c1, c2), Some(stage)))
+        require(crashed,
+          "stream_k31: the injected crash must kill lifecycle 1")
+        require(Versioned.latest(store) == 3L,
+          s"lifecycle 1 must die having committed batches 0 and 1 " +
+            s"(init+2): ${Versioned.latest(store)}")
+        val crashed2 = lifecycle(s.readStream.schema(c0.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage))
+        require(!crashed2, "lifecycle 2 must complete")
+        require(Versioned.latest(store) == 4L,
+          "resume must skip the redelivered batch 1 and commit batch 2 " +
+            s"exactly once: latest=${Versioned.latest(store)}")
+        require(Versioned.txnVersion(store, "ingest").contains(2L),
+          s"txn chain must end at batch 2: " +
+            s"${Versioned.txnVersion(store, "ingest")}")
+        // direct replay of the LAST batch under its batchId: no-op
+        sink(c2, 2L)
+        val replayNoop = if (Versioned.latest(store) == 4L) 1L else 0L
+        Versioned.read(s, store)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("price")).cast("double").as("price_sum"),
+            count(when(col("k") > 80000000L, 1)).as("inserted_ct"))
+          .withColumn("n_versions", lit(Versioned.latest(store)))
+          .withColumn("replay_noop", lit(replayNoop))
+          .orderBy(col("bucket"))
+          .localCheckpoint(true) // materialize before the stores sweep
+      } finally { rmTree(store); rmTree(stage); rmTree(ckpt) }
+    }),
+
+
     "stream_k12_incremental" -> ((s, dir) => {
       val root = shmRoot
       val path = s"$root/graft-incrstream-${System.nanoTime()}"
@@ -1452,6 +1536,32 @@ private[graft] object GatesStreaming {
         |  CAST(SUM(price) AS DOUBLE) AS price_sum,
         |  CAST(3 AS BIGINT) AS n_ticks, CAST(0 AS BIGINT) AS phantom_rows
         |FROM v4 GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // the three micro-batches replayed IN ORDER over the raw table
+    // (later batch wins per key; a delete followed by a later upsert
+    // revives the key): crash, redelivery and the direct replay must
+    // all be invisible — n_versions pins the log length (init + one
+    // version per DISTINCT batch), the aggregate pins the content
+    "stream_k31_idempotent_sink" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderkey % 8 AS bucket FROM orders),
+        |fin AS (
+        |  SELECT k, bucket,
+        |    CASE WHEN k % 5 = 2 THEN CAST(price*5 AS DECIMAL(18,2))
+        |         WHEN k % 3 = 0 THEN CAST(price*2 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM base WHERE k % 3 <> 1 OR k % 5 = 2
+        |  UNION ALL
+        |  SELECT k + 80000000, (k + 80000000) % 8,
+        |    CAST(price*3 AS DECIMAL(18,2))
+        |  FROM base WHERE k % 7 = 3)
+        |SELECT bucket, COUNT(*) AS cnt,
+        |  CAST(SUM(price) AS DOUBLE) AS price_sum,
+        |  COUNT(*) FILTER (WHERE k > 80000000) AS inserted_ct,
+        |  CAST(4 AS BIGINT) AS n_versions,
+        |  CAST(1 AS BIGINT) AS replay_noop
+        |FROM fin GROUP BY bucket ORDER BY bucket""".stripMargin,
 
 
 
