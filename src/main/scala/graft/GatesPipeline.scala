@@ -354,6 +354,45 @@ private[graft] object GatesPipeline {
     }),
 
 
+    // ── Text: WORDPIECE greedy subword encode — the OTHER tokenizer
+    // family (BERT shape): a fixed top-k vocabulary with ## continuation
+    // pieces, maximal-munch inference per unit (operators/WordPiece +
+    // the native graft_wordpiece kernel — vocab baked into the plan as a
+    // literal, hashed once per task, no UDF). Units are 24-char document
+    // chunks (the corpus has 31 distinct words — chunk units give the
+    // vocab a real selection problem, same trick as the BPE depth
+    // tiers). The oracle re-derives the SAME vocabulary from the SAME
+    // corpus in SQL and replays the greedy walk step by step (24 chained
+    // extraction steps — min advance 1 char/step bounds tokens by unit
+    // length), so derivation AND encode are both pinned. PRECONDITION
+    // (guarded loudly on both sides): no '#' in the corpus — a literal
+    // '##' inside a unit would conflate raw and continuation piece keys.
+    "text_wordpiece_encode" -> ((s, dir) => {
+      val units = Tables.documents(s, dir).filter(length(col("text")) > 0)
+        .select(explode(transform(
+          sequence(lit(1), length(col("text")), lit(24)),
+          i => col("text").substr(i, lit(24)))).as("unit"))
+      require(units.filter(col("unit").contains("#")).isEmpty,
+        "text_wordpiece_encode: corpus units must be '#'-free (the ## " +
+          "continuation convention would alias) — pick another corpus")
+      val pieces = WordPiece.vocabUnits(units, k = 200, maxPieceLen = 4)
+        .collect().map(_.getString(0)).toSeq // k rows: plan-sized metadata
+      WordPiece.encodeUnits(units, pieces)
+        .select(size(col("toks")).cast("long").as("n_tokens"), col("wct"),
+          array_contains(col("toks"), lit("[UNK]")).as("has_unk"),
+          length(concat_ws(" ", col("toks"))).cast("long").as("tok_chars"),
+          col("unit"))
+        .groupBy(col("n_tokens"))
+        .agg(count(lit(1)).as("units"),
+          sum(col("wct")).as("occurrences"),
+          sum(when(col("has_unk"), 1L).otherwise(0L)).as("unk_units"),
+          sum(col("tok_chars")).as("tok_chars_sum"),
+          min(col("unit")).as("unit_min"),
+          max(col("unit")).as("unit_max"))
+        .orderBy(col("n_tokens"))
+    }),
+
+
     // ── Text: BATCHED BPE ENCODE — segment the corpus with the ~39
     // learned merges, one fold pass per BATCH (constant expression depth
     // in batch size; 5 nested folds instead of 39).
@@ -1605,6 +1644,82 @@ private[graft] object GatesPipeline {
     }
   }
 
+  /** Replay of the WordPiece gate: re-derive the top-`k` ##-convention
+    * vocabulary from the same chunk units, then run the greedy
+    * longest-match walk as `steps` chained extraction steps — each step
+    * pulls the longest vocab piece prefixing the remainder (max_by over
+    * an equality probe `raw = substr(rem, 1, rawlen)`; (raw, form) is
+    * unique in the vocab so there are no length ties), emits [UNK] and
+    * advances one char when nothing matches, and a remainder surviving
+    * all steps fails loudly via error(). The '#'-free corpus
+    * precondition is guarded in the unit CTE (a literal '##' would
+    * alias raw and continuation piece keys — same loud-guard pattern as
+    * the byte-fallback pipe check). */
+  private def wordPieceSql(steps: Int, k: Int, maxPieceLen: Int,
+      chunk: Int): String = {
+    val stepCtes = (1 to steps).map { i =>
+      s"""e$i AS (
+         |  SELECT unit, wct,
+         |    CASE WHEN rem = '' THEN toks
+         |         WHEN hit IS NULL THEN list_append(toks, '[UNK]')
+         |         ELSE list_append(toks, hit) END AS toks,
+         |    CASE WHEN rem = '' THEN ''
+         |         WHEN hit IS NULL THEN substr(rem, 2)
+         |         ELSE substr(rem, length(hit) -
+         |           (CASE WHEN hit LIKE '##%' THEN 2 ELSE 0 END) + 1)
+         |         END AS rem,
+         |    FALSE AS is_start
+         |  FROM (SELECT e.*, (SELECT max_by(v.piece, v.rawlen) FROM v
+         |      WHERE v.is_init = e.is_start
+         |        AND v.raw = substr(e.rem, 1, v.rawlen)) AS hit
+         |    FROM e${i - 1} e))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u0 AS (
+       |  SELECT CASE WHEN unit LIKE '%#%'
+       |      THEN error('wordpiece oracle: #-bearing unit ' || unit)
+       |      ELSE unit END AS unit
+       |  FROM (SELECT unnest(list_transform(
+       |      range(1, length(text)+1, $chunk),
+       |      i -> substr(text, i, $chunk))) AS unit
+       |    FROM documents WHERE length(text) > 0)),
+       |u AS (SELECT unit, CAST(COUNT(*) AS BIGINT) AS wct
+       |  FROM u0 GROUP BY unit),
+       |pg AS (
+       |  SELECT CASE WHEN p = 1 THEN substr(unit, p, n)
+       |      ELSE '##' || substr(unit, p, n) END AS piece,
+       |    CAST(SUM(wct) AS BIGINT) AS ct
+       |  FROM u,
+       |    UNNEST(range(1, length(unit)+1)) AS up(p),
+       |    UNNEST(range(1, least($maxPieceLen, length(unit) - p + 1) + 1))
+       |      AS un(n)
+       |  GROUP BY 1),
+       |v AS (
+       |  SELECT piece,
+       |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+       |         ELSE piece END AS raw,
+       |    CASE WHEN piece LIKE '##%' THEN length(piece) - 2
+       |         ELSE length(piece) END AS rawlen,
+       |    (piece NOT LIKE '##%') AS is_init
+       |  FROM (SELECT piece FROM pg ORDER BY ct DESC, piece LIMIT $k)),
+       |e0 AS (SELECT unit, wct, unit AS rem,
+       |  CAST([] AS VARCHAR[]) AS toks, TRUE AS is_start FROM u),
+       |$stepCtes,
+       |fin AS (SELECT unit, wct,
+       |    CASE WHEN rem <> ''
+       |      THEN error('wordpiece oracle: unfinished unit ' || unit)
+       |      ELSE toks END AS toks
+       |  FROM e$steps)
+       |SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS units,
+       |  CAST(SUM(wct) AS BIGINT) AS occurrences,
+       |  CAST(SUM(CASE WHEN list_contains(toks, '[UNK]') THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS unk_units,
+       |  CAST(SUM(length(array_to_string(toks, ' '))) AS BIGINT)
+       |    AS tok_chars_sum,
+       |  MIN(unit) AS unit_min, MAX(unit) AS unit_max
+       |FROM fin GROUP BY 1 ORDER BY n_tokens""".stripMargin
+  }
+
   /** Replay of the byte-fallback encode tier: special-token bypass,
     * per-code-point ASCII test with UTF-8 byte expansion (hex(encode())
     * split into <0xAB> tokens — DuckDB slices strings by code point, the
@@ -2082,6 +2197,10 @@ private[graft] object GatesPipeline {
     // Same learned 4-merge chain as text_bpe_merges, then segmentation:
     // distinct words pick up their post-merge symbols, documents sum and
     // reassemble in (doc, word-position) order.
+    // full replay: vocab derivation AND the greedy longest-match walk
+    // (24 chained extraction steps over 24-char chunk units)
+    "text_wordpiece_encode" -> wordPieceSql(24, 200, 4, 24),
+
     "text_bpe_encode" ->
       """WITH v0 AS (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wct FROM (

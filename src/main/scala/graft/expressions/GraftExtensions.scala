@@ -80,7 +80,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => Md5Mod(args(0), longArg(args, 1, "modulus"))),
     ("graft_sorted_intersect", new ExpressionInfo(
       classOf[SortedLongIntersectCount].getName, "graft_sorted_intersect"),
-      (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1))))
+      (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1))),
+    ("graft_wordpiece", new ExpressionInfo(
+      classOf[WordPieceEncode].getName, "graft_wordpiece"),
+      (args: Seq[Expression]) =>
+        WordPieceEncode(args(0), stringArrayArg(args, 1, "vocab"))))
 
   /** Extract a literal long parameter (int literals widen). */
   private def longArg(args: Seq[Expression], i: Int, name: String): Long = {
@@ -91,6 +95,23 @@ object GraftExtensions {
       case n: Long => n
       case other => throw new IllegalArgumentException(
         s"argument $i ($name) must be an integer literal, got $other")
+    }
+  }
+
+  /** Extract a literal array<string> parameter (a plan-baked vocabulary):
+    * the argument must fold to a constant — vocabularies are learned
+    * BEFORE planning and embedded as literals, never a per-row column. */
+  private def stringArrayArg(args: Seq[Expression], i: Int,
+      name: String): Seq[String] = {
+    require(args.length > i && args(i).foldable,
+      s"argument $i ($name) must be a literal array<string>")
+    args(i).eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType)
+          .map(u => if (u == null) null else u.toString).toSeq
+      case other => throw new IllegalArgumentException(
+        s"argument $i ($name) must be an array<string> literal, got $other")
     }
   }
 

@@ -185,4 +185,61 @@ class ExpressionsSpec extends SparkSpec {
       "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").as[Double].head()
     assert(math.abs(r - 1.0) < 1e-12)
   }
+
+  test("graft_wordpiece: greedy longest match with ## continuation, " +
+    "[UNK] per unmatched position, hand-checked fixtures") {
+    def enc(word: String, vocab: Seq[String]): Seq[String] = {
+      val df = Seq(word).toDF("w")
+        .select(call_function("graft_wordpiece", col("w"),
+          array(vocab.map(lit): _*)).as("toks"))
+      df.select(explode(col("toks"))).as[String].collect().toSeq
+    }
+    val vocab = Seq("un", "##able", "##b", "##le", "u", "##n", "##a",
+      "able", "ab", "##x")
+    // longest match wins at every position: "unable" -> un + ##able,
+    // NOT u + ##n + ##a + ##b + ##le
+    assert(enc("unable", vocab) === Seq("un", "##able"))
+    // initial vs continuation are distinct keys: "able" starts a word
+    // so the RAW piece matches; interior "able" needs ##able
+    assert(enc("able", vocab) === Seq("able"))
+    assert(enc("unableable", vocab) === Seq("un", "##able", "##able"))
+    // drop ##able from the vocab and the interior falls to shorter
+    // continuation pieces — the raw "able" must NOT match mid-word
+    assert(enc("unableable", vocab.filterNot(_ == "##able")) ===
+      Seq("un", "##a", "##b", "##le", "##a", "##b", "##le"))
+    // unmatched position: [UNK] consumes ONE char, then continuation
+    // forms resume (z has no piece; x only as continuation)
+    assert(enc("zx", vocab) === Seq("[UNK]", "##x"))
+    assert(enc("xz", vocab) === Seq("[UNK]", "[UNK]"))
+    // empty input encodes to no tokens
+    assert(enc("", vocab) === Seq.empty)
+    // null flows through as null (UnaryExpression null contract)
+    val n = Seq[Option[String]](None).toDF("w")
+      .select(call_function("graft_wordpiece", col("w"),
+        array(vocab.map(lit): _*)).as("toks"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("WordPiece.vocabUnits: deterministic top-k by (ct desc, piece), " +
+    "## convention by position, counts weighted by unit frequency") {
+    import graft.operators.WordPiece
+    // units: "aab" x3, "ab" x1 -> initial pieces from position 1 only
+    val units = Seq("aab", "aab", "aab", "ab").toDF("unit")
+    val v = WordPiece.vocabUnits(units, k = 100, maxPieceLen = 2)
+      .as[(String, Long)].collect().toMap
+    // "aab" wct=3 contributes: a, aa (init), ##a, ##ab, ##b (interior)
+    // "ab" wct=1 contributes: a, ab (init), ##b (interior)
+    assert(v("a") === 4L)     // 3 + 1 initial singles
+    assert(v("aa") === 3L)
+    assert(v("ab") === 1L)    // initial bigram of "ab" only
+    assert(v("##ab") === 3L)  // interior of "aab"
+    assert(v("##b") === 4L)   // 3 from "aab" + 1 from "ab"
+    assert(v("##a") === 3L)
+    assert(!v.contains("b"))  // 'b' never starts a unit
+    // k truncation is deterministic: ties broken by piece ascending
+    val top2 = WordPiece.vocabUnits(units, k = 2, maxPieceLen = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top2 === Seq(("##b", 4L), ("a", 4L)))
+  }
 }
