@@ -368,7 +368,48 @@ object AbDrift {
       } finally GateSupport.rmTree(path)
     }
 
+    // r17 layout-quality arms: the SAME store, probes and stats under the
+    // two clustering keys — the metric is FILES PROBED (deterministic for
+    // a given layout, printed per trial), wall time is secondary. Hilbert
+    // tiles have tighter bounding boxes than Morton tiles (unit-step
+    // locality, ZOrderSpec proves the curve property), so the probe set
+    // should open fewer files; this arm MEASURES by how much on the real
+    // table — layout quality is a measurement, not an oracle fact.
+    def layoutArm(hilb: Boolean): Long = {
+      import graft.operators.Versioned
+      import graft.functions.LayoutFns
+      val path = s"${GateSupport.shmRoot}/graft-ab-layout-${System.nanoTime()}"
+      try {
+        val base = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey").as("k"),
+            pmod(col("o_orderkey"), lit(1024L)).as("x"),
+            pmod(expr("o_orderkey div 7"), lit(1024L)).as("y"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+        val idx = if (hilb) LayoutFns.hilbert(10, col("x"), col("y"))
+          else LayoutFns.zvalue(10, col("x"), col("y"))
+        Versioned.init(spark, path, "tile",
+          base.withColumn("tile", shiftright(idx, 15)),
+          statsCols = Seq("x", "y"))
+        val probes = Seq(
+          ("x", 777L, 777L), ("x", 128L, 159L), ("x", 300L, 363L),
+          ("y", 333L, 333L), ("y", 512L, 543L), ("y", 64L, 127L))
+        var probed = 0L
+        var rows = 0L
+        probes.foreach { case (c, lo, hi) =>
+          val df = if (lo == hi) Versioned.readPoint(spark, path, c, lo)
+            else Versioned.readRange(spark, path, c, lo, hi)
+          probed += df.inputFiles.length
+          rows += df.count()
+        }
+        println(f"[ab-detail] ${if (hilb) "hilbert" else "zorder "} " +
+          f"files_probed=$probed rows=$rows")
+        probed
+      } finally GateSupport.rmTree(path)
+    }
+
     val customArms: Map[String, () => Long] = Map(
+      "layout_hilbert" -> (() => layoutArm(hilb = true)),
+      "layout_zorder" -> (() => layoutArm(hilb = false)),
       "vdel_dv" -> (() => vDeleteArm(dv = true)),
       "vdel_cow" -> (() => vDeleteArm(dv = false)),
       "vwrite_none" -> (() => vWriteArm("none")),

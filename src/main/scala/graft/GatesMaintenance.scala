@@ -1106,6 +1106,61 @@ private[graft] object GatesMaintenance {
     }),
 
 
+    // ── K32: HILBERT LAYOUT × MULTI-COLUMN MANIFEST STATS — k26's
+    // composition with the Hilbert index as the clustering key
+    // (expressions/HilbertIndex: unit-step locality where Morton jumps,
+    // the liquid-clustering layout). Partition value = top 5 bits of the
+    // 10-bit/dim Hilbert index (≤32 curve-range tiles); same four
+    // point/range probes on either dim, each pinned pruned_ok (strict
+    // file subset) + equal_ok (== full-scan filter), values
+    // oracle-replayed over the plain table. The hilbert-vs-zorder
+    // probed-file ratio is MEASURED in AbDrift (layout quality is a
+    // measurement, not an oracle fact — equal tilings can tie).
+    "k32_hilbert_multicol" -> ((s, dir) => {
+      import graft.functions.LayoutFns
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-hmulti-${System.nanoTime()}"
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"),
+            pmod(col("o_orderkey"), lit(1024L)).as("x"),
+            pmod(expr("o_orderkey div 7"), lit(1024L)).as("y"),
+            dec("o_totalprice").as("price"))
+        val hb = base.withColumn("hb",
+          shiftright(LayoutFns.hilbert(10, col("x"), col("y")), 15))
+        Versioned.init(s, path, "hb", hb, statsCols = Seq("x", "y"))
+        val full = Versioned.read(s, path)
+        val allFiles = full.inputFiles.length
+        val probes = Seq(
+          ("x_point", "x", 777L, 777L), ("x_range", "x", 128L, 159L),
+          ("y_point", "y", 333L, 333L), ("y_range", "y", 512L, 543L))
+        val rows = probes.map { case (label, probeCol, lo, hi) =>
+          val pruned =
+            if (lo == hi) Versioned.readPoint(s, path, probeCol, lo)
+            else Versioned.readRange(s, path, probeCol, lo, hi)
+          def summarize(df: org.apache.spark.sql.DataFrame) = {
+            val r = df.agg(count(lit(1)),
+              coalesce(sum(col("price")), lit(0).cast("decimal(18,2)"))
+                .cast("double"),
+              coalesce(sum(col("k")), lit(0L))).head()
+            (r.getLong(0), r.getDouble(1), r.getLong(2))
+          }
+          val got = summarize(pruned)
+          val want = summarize(full.filter(
+            col(probeCol) >= lo && col(probeCol) <= hi))
+          val prunedOk = pruned.inputFiles.length < allFiles
+          ((label, got._1, got._2, got._3,
+            if (prunedOk) 1L else 0L, if (got == want) 1L else 0L))
+        }
+        import s.implicits._
+        rows.toDF("probe", "n", "price_sum", "key_sum",
+          "pruned_ok", "equal_ok")
+          .orderBy(col("probe"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── K24: COLUMN RENAME via logical column mapping (r14 verdict task
     // 7, the other half of the k19 lakehouse schema contract): a rename
     // is a metadata-only commit — the new sidecar schema carries the new
@@ -1830,6 +1885,28 @@ private[graft] object GatesMaintenance {
     // z-order × multi-col skipping: layout never changes answers —
     // truth is the plain table probed per dim; pruning is in-gate
     "k26_zorder_multicol" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    o_orderkey % 1024 AS x, (o_orderkey // 7) % 1024 AS y,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |probes AS (
+        |  SELECT 'x_point' AS probe, 'x' AS pcol, 777 AS lo, 777 AS hi
+        |  UNION ALL SELECT 'x_range', 'x', 128, 159
+        |  UNION ALL SELECT 'y_point', 'y', 333, 333
+        |  UNION ALL SELECT 'y_range', 'y', 512, 543)
+        |SELECT p.probe, CAST(COUNT(s.k) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(s.price), 0) AS DOUBLE) AS price_sum,
+        |  CAST(COALESCE(SUM(s.k), 0) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS pruned_ok, CAST(1 AS BIGINT) AS equal_ok
+        |FROM probes p
+        |LEFT JOIN base s ON
+        |  ((p.pcol = 'x' AND s.x >= p.lo AND s.x <= p.hi)
+        |    OR (p.pcol = 'y' AND s.y >= p.lo AND s.y <= p.hi))
+        |GROUP BY p.probe ORDER BY p.probe""".stripMargin,
+
+    // same probes, same truth: the clustering key (hilbert vs morton)
+    // must never change ANSWERS — only which files a probe opens, which
+    // the in-gate pruned_ok pins and AbDrift measures
+    "k32_hilbert_multicol" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    o_orderkey % 1024 AS x, (o_orderkey // 7) % 1024 AS y,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),

@@ -73,6 +73,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => SpanHashes(args(0), intArg(args, 1, "spanLen"))),
     ("graft_zvalue", new ExpressionInfo(classOf[ZValueInterleave].getName, "graft_zvalue"),
       (args: Seq[Expression]) => ZValueInterleave(args.tail, intArg(args, 0, "bits"))),
+    ("graft_hilbert", new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      (args: Seq[Expression]) => HilbertIndex(args.tail, intArg(args, 0, "bits"))),
     ("graft_asof_on", new ExpressionInfo(classOf[graft.plans.AsOfOn].getName, "graft_asof_on"),
       (args: Seq[Expression]) =>
         graft.plans.AsOfOn(args(0), args(1), args(2), args(3))),

@@ -33,4 +33,19 @@ object LayoutFns {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+
+  /** Hilbert-curve index of `dims` (each already normalized into
+    * [0, 2^bits)); see [[graft.expressions.HilbertIndex]] — unit-step
+    * locality where Morton jumps, so equal-row tiles get tighter
+    * per-file envelopes on every dimension. */
+  def hilbert(bits: Int, dims: Column*): Column =
+    call_function("graft_hilbert", (lit(bits) +: dims): _*)
+
+  /** [[zorderLayout]] with the Hilbert index as the clustering key. */
+  def hilbertLayout(df: DataFrame, files: Int, bits: Int,
+      dims: Column*): DataFrame =
+    df.withColumn("__h", hilbert(bits, dims: _*))
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
 }

@@ -122,4 +122,103 @@ class ZOrderSpec extends SparkSpec {
     assert(zY * 2 <= linY, s"zY=$zY linY=$linY")
     assert(zX <= linY / 2, s"zX=$zX")
   }
+
+  test("hilbert index IS a Hilbert curve: a bijection onto [0, 2^(n*bits)) " +
+      "whose consecutive indices are always grid-adjacent (unit steps — " +
+      "the property Morton order lacks)") {
+    import graft.expressions.HilbertIndex
+    def walk(dims: Int, bits: Int): Unit = {
+      val side = 1 << bits
+      val total = 1L << (dims * bits)
+      val cells = Seq.fill(dims)(0 until side)
+        .foldLeft(Seq(Seq.empty[Int]))((acc, r) =>
+          acc.flatMap(c => r.map(v => c :+ v)))
+      val byIdx = cells.map { c =>
+        HilbertIndex.index(c.map(_.toLong).toArray, bits) -> c
+      }.sortBy(_._1)
+      assert(byIdx.map(_._1) === (0L until total), s"d=$dims not a bijection")
+      byIdx.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+        val dist = a.zip(b).map { case (u, v) => math.abs(u - v) }.sum
+        assert(dist === 1, s"d=$dims jump between $a and $b")
+      }
+    }
+    walk(2, 4) // 256 cells
+    walk(3, 3) // 512 cells
+    // Morton, for contrast, DOES jump: the same 2D walk has non-unit steps
+    val mortonSteps = (for (x <- 0 until 16; y <- 0 until 16) yield {
+      var z = 0L
+      for (i <- 0 until 4) {
+        z |= ((x.toLong >> i) & 1L) << (i * 2)
+        z |= ((y.toLong >> i) & 1L) << (i * 2 + 1)
+      }
+      z -> (x, y)
+    }).sortBy(_._1).map(_._2)
+    val jumps = mortonSteps.sliding(2).count { case Seq((ax, ay), (bx, by)) =>
+      math.abs(ax - bx) + math.abs(ay - by) > 1 }
+    assert(jumps > 0, "sanity: Morton should jump where Hilbert does not")
+  }
+
+  test("graft_hilbert under codegen: matches the JVM reference, masks " +
+      "out-of-range values, null dim → null, rejects bad arity/width") {
+    import graft.expressions.HilbertIndex
+    val rows = (for (x <- 0 until 32; y <- 0 until 32 if (x * 31 + y) % 7 == 0)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val got = rows.select(col("x"), col("y"),
+      LayoutFns.hilbert(5, col("x"), col("y")).as("h"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) =>
+      assert(h === HilbertIndex.index(Array(x, y), 5), s"($x,$y)") }
+    // masking: values ≥ 2^bits wrap to their low bits, same as zvalue
+    val masked = Seq((33L, 1L)).toDF("x", "y")
+      .select(LayoutFns.hilbert(5, col("x"), col("y")).as("h"))
+      .as[Long].head()
+    assert(masked === HilbertIndex.index(Array(1L, 1L), 5))
+    val nul = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+      .select(LayoutFns.hilbert(5, col("x"), col("y")).as("h"))
+      .collect().head
+    assert(nul.isNullAt(0))
+    intercept[Exception] {
+      Seq((1L, 2L)).toDF("x", "y")
+        .select(LayoutFns.hilbert(40, col("x"), col("y"))).collect()
+    }
+    intercept[Exception] {
+      Seq(Tuple1(1L)).toDF("x")
+        .select(LayoutFns.hilbert(5, col("x"))).collect()
+    }
+  }
+
+  test("hilbert layout bounds every dim's envelope at least as tightly " +
+      "as z-order on the same grid") {
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    def envelopes(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val root = java.nio.file.Files.createTempDirectory("graft-hilb").toFile
+      try {
+        df.write.mode("overwrite").parquet(root.toString)
+        val files = root.listFiles().filter(_.getName.endsWith(".parquet"))
+        val spans = files.map { f =>
+          val mm = spark.read.parquet(f.toString)
+            .agg(min("x"), max("x"), min("y"), max("y")).head()
+          (mm.getLong(1) - mm.getLong(0), mm.getLong(3) - mm.getLong(2))
+        }
+        (spans.map(_._1).sum, spans.map(_._2).sum)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+          f.delete(); ()
+        }
+        rm(root)
+      }
+    }
+    val (zX, zY) = envelopes(
+      LayoutFns.zorderLayout(grid, 16, 6, col("x"), col("y")))
+    val (hX, hY) = envelopes(
+      LayoutFns.hilbertLayout(grid, 16, 6, col("x"), col("y")))
+    // unit-step locality: the Hilbert tiles' total envelope must not be
+    // worse than Morton's on either dim (typically strictly better on
+    // at least one — banked in BASELINE.md rather than over-pinned here)
+    assert(hX <= zX, s"hX=$hX zX=$zX")
+    assert(hY <= zY, s"hY=$hY zY=$zY")
+  }
 }
