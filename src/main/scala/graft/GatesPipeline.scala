@@ -393,6 +393,22 @@ private[graft] object GatesPipeline {
     }),
 
 
+    // ── Text: WORDPIECE TRAINING — likelihood-scored merge induction
+    // (Schuster & Nakajima 2012: argmax of ct/(ct_a·ct_b), the pair
+    // whose fusion most raises unigram-LM corpus likelihood — the real
+    // WordPiece training loop, vs frequency BPE's raw-count argmax).
+    // The argmax is engine-portable EXACTLY: all three counts are longs
+    // under 2^53, so the one IEEE double division is bit-identical in
+    // Spark and DuckDB; ties break on (a, b). The oracle replays all 8
+    // rounds: pair counts, symbol counts, the scored argmax, the greedy
+    // fold, and the running symbol ledger.
+    "text_wordpiece_train" -> ((s, dir) =>
+      WordPiece.learnVocab(
+        Tables.documents(s, dir)
+          .select(explode(tokensWs(col("text"))).as("unit")), rounds = 8)
+        .orderBy(col("round"))),
+
+
     // ── Text: BATCHED BPE ENCODE — segment the corpus with the ~39
     // learned merges, one fold pass per BATCH (constant expression depth
     // in batch size; 5 nested folds instead of 39).
@@ -1644,6 +1660,55 @@ private[graft] object GatesPipeline {
     }
   }
 
+  /** Replay of likelihood-scored WordPiece training: per round — naive
+    * adjacent-pair counts, per-symbol occurrence counts, the scored
+    * argmax (one IEEE double division of exact sub-2^53 longs —
+    * bit-identical across engines; ties on (a, b)), the greedy
+    * pipe-fold application (no-'|'-in-corpus precondition, as every BPE
+    * fold oracle), and the measured symbol total. */
+  private def wordPieceTrainSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS (SELECT syms[i] AS a, syms[i+1] AS b,
+         |    CAST(SUM(wct) AS BIGINT) AS ct
+         |  FROM $prev, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+         |c$r AS (SELECT s AS sym, CAST(SUM(wct) AS BIGINT) AS c
+         |  FROM (SELECT wct, unnest(syms) AS s FROM $prev) GROUP BY 1),
+         |b$r AS MATERIALIZED (SELECT p.a, p.b, p.ct,
+         |    CAST(p.ct AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE) AS score
+         |  FROM p$r p
+         |  JOIN c$r ca ON ca.sym = p.a
+         |  JOIN c$r cb ON cb.sym = p.b
+         |  ORDER BY score DESC, p.a, p.b LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT word, wct,
+         |    CASE WHEN len(syms) <= 1 THEN syms
+         |    ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+         |      WHEN ends_with('|'||acc, '|'||b$r.a) AND x = b$r.b THEN acc||x
+         |      ELSE acc||'|'||x END), '|') END AS syms
+         |  FROM $prev CROSS JOIN b$r),
+         |l$r AS (SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs,
+         |    ct, floor(score * 1000000)/1000000 AS score,
+         |    (SELECT CAST(SUM(wct*len(syms)) AS BIGINT) FROM s$r)
+         |      AS syms_after
+         |  FROM b$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(r => s"SELECT * FROM l$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH v0 AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wct FROM (
+       |    SELECT unnest(list_filter(
+       |      string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))
+       |      AS word
+       |    FROM documents)
+       |  GROUP BY word),
+       |s0 AS MATERIALIZED (SELECT word, wct,
+       |    list_transform(range(1, length(word)+1),
+       |    i -> substr(word, i, 1)) AS syms FROM v0),
+       |$roundCtes
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
   /** Replay of the WordPiece gate: re-derive the top-`k` ##-convention
     * vocabulary from the same chunk units, then run the greedy
     * longest-match walk as `steps` chained extraction steps — each step
@@ -2200,6 +2265,9 @@ private[graft] object GatesPipeline {
     // full replay: vocab derivation AND the greedy longest-match walk
     // (24 chained extraction steps over 24-char chunk units)
     "text_wordpiece_encode" -> wordPieceSql(24, 200, 4, 24),
+
+    // full replay of all 8 likelihood-scored training rounds
+    "text_wordpiece_train" -> wordPieceTrainSql(8),
 
     "text_bpe_encode" ->
       """WITH v0 AS (

@@ -90,4 +90,76 @@ object WordPiece {
   def encodeWords(documents: DataFrame, pieces: Seq[String]): DataFrame =
     encodeUnits(documents
       .select(explode(TextFns.tokensWs(col("text"))).as("unit")), pieces)
+
+  /** LIKELIHOOD-SCORED merge induction — true WordPiece TRAINING (Schuster
+    * & Nakajima 2012; the BPE loop with a different argmax): each round
+    * merges the adjacent pair maximizing `ct / (ct_a · ct_b)` — the pair
+    * whose fusion most raises a unigram LM's corpus likelihood — instead
+    * of raw frequency. Frequency BPE happily glues two individually-
+    * common symbols; likelihood scoring prefers pairs that co-occur MORE
+    * than their parts predict, which is why WordPiece vocabularies pick
+    * up morpheme-like units earlier.
+    *
+    * Engine-portable exact argmax: `ct`, `ct_a`, `ct_b` are exact longs
+    * below 2^53, so `(double) ct / (double)(ct_a * ct_b)` is one
+    * correctly-rounded IEEE division — bit-identical in any engine — and
+    * ties break on (a, b) ascending. The returned `score` is
+    * truncate6'd (the repo's portable-double convention).
+    *
+    * Per round: one pair scan (native run-pairs kernel), one symbol
+    * count, one broadcast-joined argmax — driver-coordinated like
+    * [[Bpe.merges]]; the batched-rounds scale path ([[Bpe.mergesBatched]]
+    * shape) applies unchanged if depth is ever needed, the argmax is the
+    * only difference. Ledger: (round, lhs, rhs, ct, score, syms_after). */
+  def learnVocab(units: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"WordPiece.learnVocab: rounds in [1, 64], got $rounds")
+    val spark = units.sparkSession
+    import spark.implicits._
+    var vocab = units
+      .filter(length(col("unit")) > 0)
+      .groupBy(col("unit").as("word")).agg(count(lit(1)).as("wct"))
+      .select(col("word"), col("wct"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
+      .localCheckpoint(true)
+    val ledger = Seq.newBuilder[(Long, String, String, Long, Double, Long)]
+    for (r <- 1 to rounds) {
+      val symCt = vocab
+        .select(col("wct"), explode(col("syms")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("wct")).as("c"))
+      val top = vocab
+        .select(col("wct"),
+          explode(call_function("graft_run_pairs", col("syms"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wct") * col("p.ct")).as("ct"))
+        .join(broadcast(symCt.withColumnRenamed("sym", "a")
+          .withColumnRenamed("c", "ca")), Seq("a"))
+        .join(broadcast(symCt.withColumnRenamed("sym", "b")
+          .withColumnRenamed("c", "cb")), Seq("b"))
+        .withColumn("score",
+          col("ct").cast("double") / (col("ca") * col("cb")).cast("double"))
+        .orderBy(col("score").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val row = top(0)
+        val (lhs, rhs, ct, score) = (row.getAs[String]("a"),
+          row.getAs[String]("b"), row.getAs[Long]("ct"),
+          row.getAs[Double]("score"))
+        val prev = vocab
+        vocab = vocab
+          .select(col("word"), col("wct"),
+            Bpe.applyMerge(col("syms"), lhs, rhs).as("syms"))
+          .localCheckpoint(true)
+        CheckpointUtil.free(prev)
+        val symsAfter = vocab
+          .agg(sum(col("wct") * size(col("syms"))).cast("long")).as[Long].head()
+        ledger += ((r.toLong, lhs, rhs, ct,
+          math.floor(score * 1e6) / 1e6, symsAfter))
+      }
+    }
+    CheckpointUtil.free(vocab)
+    ledger.result()
+      .toDF("round", "lhs", "rhs", "ct", "score", "syms_after")
+  }
 }

@@ -263,4 +263,31 @@ class BpeSpec extends SparkSpec {
     assert(led.head._5 === 6L, s"run-aware attribution: $led")
     assert(led.head._6 === 9L)
   }
+
+  test("WordPiece.learnVocab: likelihood argmax diverges from frequency " +
+    "BPE where parts are individually common; exact score and ledger") {
+    import graft.operators.WordPiece
+    // (a,b) is the most FREQUENT pair (ct=10) but its parts are inflated
+    // by standalone occurrences (ca=cb=30 -> score 10/900); (c,d) with
+    // ct=3, cc=cd=3 scores 3/9 — likelihood training must pick (c,d)
+    // first while frequency BPE picks (a,b)
+    val units = (Seq.fill(10)("ab") ++ Seq.fill(3)("cd") ++
+      Seq.fill(20)("a") ++ Seq.fill(20)("b")).toDF("unit")
+    val led = WordPiece.learnVocab(units, rounds = 1)
+      .as[(Long, String, String, Long, Double, Long)].collect().toSeq
+    assert(led.head._2 === "c" && led.head._3 === "d", s"got $led")
+    assert(led.head._4 === 3L)
+    assert(led.head._5 === math.floor(3.0 / 9.0 * 1e6) / 1e6)
+    // symbols: 10*2 + 3*2 + 20 + 20 = 66; merging (c,d) removes 3
+    assert(led.head._6 === 63L)
+    val freq = Bpe.merges(units.select(col("unit").as("text")), rounds = 1)
+      .collect().head
+    assert(freq.getString(1) === "a" && freq.getString(2) === "b",
+      "sanity: frequency BPE prefers the raw-count winner")
+    // ties in score fall to (a, b) ascending — deterministic argmax
+    val tied = (Seq.fill(2)("xy") ++ Seq.fill(2)("uv")).toDF("unit")
+    val t = WordPiece.learnVocab(tied, rounds = 1)
+      .as[(Long, String, String, Long, Double, Long)].collect().head
+    assert(t._2 === "u" && t._3 === "v", s"tie-break must pick (u,v): $t")
+  }
 }
