@@ -1053,21 +1053,22 @@ private[graft] object GatesPipeline {
         def recall(ann: org.apache.spark.sql.DataFrame): Double =
           truth.join(ann.select(col("query_id"), col("neighbor_id")),
             Seq("query_id", "neighbor_id")).count() / denom
-        // (method, floor%) — floors sized from measured mins (see
-        // BASELINE.md r16): ivf ~0.9+, pq re-ranked ~0.6+, ivfpq ~0.5+,
-        // lsh(8 planes) is the bucketed-only outlier ~0.3+
+        // (method, floor%) — floors TIGHTENED r17 per the banked plan
+        // (BASELINE.md r17 recall trend: three identical measurement
+        // rounds — deterministic tunings): ≈0.9 × the 3-scale min of
+        // each tier (ivf 0.69, ivfpq 0.62, lsh 0.46, pq 0.62)
         val arms = Seq(
-          ("ivf", 50L, () => Similarity.ivfTopK(emb, queries, k = 5,
+          ("ivf", 60L, () => Similarity.ivfTopK(emb, queries, k = 5,
             centroids, nProbe = 4)),
-          ("ivfpq", 25L, () => Similarity.ivfPqTopKIndexed(s, path, emb,
+          ("ivfpq", 50L, () => Similarity.ivfPqTopKIndexed(s, path, emb,
             queries, k = 5, centroids, cb, nProbe = 4, shortlist = 50)),
           // 4 planes (16 buckets), not sim_topk_lsh's 8: the recall arm
           // wants the recall-oriented tuning — at sf0.001 the 256-bucket
           // variant strands most queries with near-empty buckets
           // (measured 0.11 recall@5; 4 planes measures ~0.5)
-          ("lsh", 15L, () => Similarity.lshTopK(emb, queries, k = 5,
+          ("lsh", 35L, () => Similarity.lshTopK(emb, queries, k = 5,
             graft.functions.VectorFns.randomPlanes(4, 64))),
-          ("pq", 30L, () => Similarity.pqTopKReranked(emb, codes, queries,
+          ("pq", 55L, () => Similarity.pqTopKReranked(emb, codes, queries,
             k = 5, cb, shortlist = 50)))
         val rows = arms.map { case (method, floorPct, f) =>
           val r = recall(f())
@@ -1903,7 +1904,7 @@ private[graft] object GatesPipeline {
         |SELECT m.method, CAST(q.nq AS BIGINT) AS n_queries,
         |  CAST(5 AS BIGINT) AS k, CAST(m.floor_pct AS BIGINT) AS floor_pct,
         |  CAST(1 AS BIGINT) AS floor_ok
-        |FROM (VALUES ('ivf', 50), ('ivfpq', 25), ('lsh', 15), ('pq', 30))
+        |FROM (VALUES ('ivf', 60), ('ivfpq', 50), ('lsh', 35), ('pq', 55))
         |  AS m(method, floor_pct)
         |CROSS JOIN q ORDER BY method""".stripMargin,
 
