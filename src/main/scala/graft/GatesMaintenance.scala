@@ -1161,6 +1161,77 @@ private[graft] object GatesMaintenance {
     }),
 
 
+    // ── K33: RECLUSTER — the OPTIMIZE-ZORDER lifecycle on an EXISTING
+    // store (k26/k32 lay out at init; real tables accrete under an
+    // ingest partitioning and get their layout from a maintenance
+    // commit). Born bucket-partitioned, every file's x/y envelope is
+    // full-span, so RANGE probes cannot prune (pinned pruned_before=0 —
+    // ranges are the envelope-decided case; point probes can already
+    // win by Bloom, which is why they are not the proof here). One
+    // recluster commit later the same probes open a strict file subset
+    // (pruned_after=1) with identical answers, and the change feed
+    // across the rewrite emits ZERO rows (cdf_rows — the same key-diff
+    // argument as the compact gate: a layout change is a logical no-op).
+    "k33_recluster" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-recluster-${System.nanoTime()}"
+      try {
+        // y mixes fast ((k*31) % 1024) so every ingest bucket spans the
+        // full y range at EVERY scale — the unprunable-before pin must
+        // hold at sf0.001's sparse keys too (k div 7 tops out below the
+        // probe ranges there)
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"),
+            pmod(col("o_orderkey"), lit(1024L)).as("x"),
+            pmod(col("o_orderkey") * 31, lit(1024L)).as("y"),
+            dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        Versioned.init(s, path, "bucket", base, statsCols = Seq("x", "y"))
+        val probes = Seq(
+          ("x_lo", "x", 128L, 159L), ("x_hi", "x", 300L, 363L),
+          ("y_lo", "y", 64L, 127L), ("y_hi", "y", 512L, 543L))
+        def probedFiles(c: String, lo: Long, hi: Long): Int =
+          Versioned.readRange(s, path, c, lo, hi).inputFiles.length
+        val filesBefore = Versioned.read(s, path).inputFiles.length
+        probes.foreach { case (label, c, lo, hi) =>
+          require(probedFiles(c, lo, hi) == filesBefore,
+            s"k33_recluster: $label must be UNPRUNABLE pre-recluster " +
+              "(full-span envelopes) or the contrast is fake")
+        }
+        val v2 = Versioned.recluster(s, path, "bucket", Seq("x", "y"),
+          bits = 10, tileBits = 5)
+        require(v2 == 2L, s"recluster must commit v2, got $v2")
+        val cdfRows = Versioned.changes(s, path, 1L, 2L, "k").count()
+        val full = Versioned.read(s, path)
+        val filesAfter = full.inputFiles.length
+        require(filesAfter > 1,
+          "k33_recluster: the rewrite must materialize multiple tiles")
+        val rows = probes.map { case (label, c, lo, hi) =>
+          val pruned = Versioned.readRange(s, path, c, lo, hi)
+          def summarize(df: org.apache.spark.sql.DataFrame) = {
+            val r = df.agg(count(lit(1)),
+              coalesce(sum(col("price")), lit(0).cast("decimal(18,2)"))
+                .cast("double"),
+              coalesce(sum(col("k")), lit(0L))).head()
+            (r.getLong(0), r.getDouble(1), r.getLong(2))
+          }
+          val got = summarize(pruned)
+          val want = summarize(full.filter(col(c) >= lo && col(c) <= hi))
+          ((label, got._1, got._2, got._3,
+            0L, // pinned by the pre-recluster require above
+            if (pruned.inputFiles.length < filesAfter) 1L else 0L,
+            if (got == want) 1L else 0L))
+        }
+        import s.implicits._
+        rows.toDF("probe", "n", "price_sum", "key_sum",
+          "pruned_before", "pruned_after", "equal_ok")
+          .withColumn("cdf_rows", lit(cdfRows))
+          .orderBy(col("probe"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── K24: COLUMN RENAME via logical column mapping (r14 verdict task
     // 7, the other half of the k19 lakehouse schema contract): a rename
     // is a metadata-only commit — the new sidecar schema carries the new
@@ -1897,6 +1968,31 @@ private[graft] object GatesMaintenance {
         |  CAST(COALESCE(SUM(s.price), 0) AS DOUBLE) AS price_sum,
         |  CAST(COALESCE(SUM(s.k), 0) AS BIGINT) AS key_sum,
         |  CAST(1 AS BIGINT) AS pruned_ok, CAST(1 AS BIGINT) AS equal_ok
+        |FROM probes p
+        |LEFT JOIN base s ON
+        |  ((p.pcol = 'x' AND s.x >= p.lo AND s.x <= p.hi)
+        |    OR (p.pcol = 'y' AND s.y >= p.lo AND s.y <= p.hi))
+        |GROUP BY p.probe ORDER BY p.probe""".stripMargin,
+
+    // truth is the plain table filtered per range; pruning verdicts and
+    // the layout-is-a-logical-no-op CDF count are in-gate pins replayed
+    // as literals
+    "k33_recluster" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    o_orderkey % 1024 AS x, (o_orderkey * 31) % 1024 AS y,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |probes AS (
+        |  SELECT 'x_lo' AS probe, 'x' AS pcol, 128 AS lo, 159 AS hi
+        |  UNION ALL SELECT 'x_hi', 'x', 300, 363
+        |  UNION ALL SELECT 'y_lo', 'y', 64, 127
+        |  UNION ALL SELECT 'y_hi', 'y', 512, 543)
+        |SELECT p.probe, CAST(COUNT(s.k) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(s.price), 0) AS DOUBLE) AS price_sum,
+        |  CAST(COALESCE(SUM(s.k), 0) AS BIGINT) AS key_sum,
+        |  CAST(0 AS BIGINT) AS pruned_before,
+        |  CAST(1 AS BIGINT) AS pruned_after,
+        |  CAST(1 AS BIGINT) AS equal_ok,
+        |  CAST(0 AS BIGINT) AS cdf_rows
         |FROM probes p
         |LEFT JOIN base s ON
         |  ((p.pcol = 'x' AND s.x >= p.lo AND s.x <= p.hi)

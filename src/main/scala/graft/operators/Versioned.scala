@@ -1050,6 +1050,71 @@ object Versioned {
     next
   }
 
+  /** RE-CLUSTER the latest snapshot along a space-filling curve — the
+    * Delta `OPTIMIZE ZORDER BY` lifecycle as a store maintenance commit
+    * (init-time layout only helps tables born clustered; real tables
+    * accrete under an ingest partitioning and get their layout HERE).
+    * One job rewrites every live row into curve-range tiles (top
+    * `tileBits` bits of the `bits`-per-dim index over `dims`; rows
+    * sorted by the full index inside each tile, so parquet row groups
+    * inherit the locality too), commits fresh manifests with multi-dim
+    * stats on `dims` — point/range probes on ANY dim then prune files
+    * the way [[compact]]'s key-adjacent packing prunes its one key.
+    *
+    * Everything rides the existing contracts: DV'd files materialize
+    * their tombstones during the rewrite; the schema is untouched (the
+    * tile is directory layout, not a column — same `__bin` trick as
+    * compact); time travel keeps prior versions in their old layout;
+    * and the change feed across the recluster emits ZERO rows (the
+    * key-diff drops rewritten-but-unchanged rows, exactly the compact
+    * argument). `curve` is "hilbert" (default — unit-step locality) or
+    * "zorder". At 100 TB this is the scheduled maintenance rewrite; its
+    * cost is one full COW pass, amortized over every probe after it. */
+  def recluster(spark: SparkSession, dir: String, partCol: String,
+      dims: Seq[String], bits: Int, tileBits: Int = 5,
+      curve: String = "hilbert", statsCols: Seq[String] = Nil): Long = {
+    require(dims.size >= 2,
+      s"Versioned.recluster: need >= 2 dims, got $dims")
+    require(curve == "hilbert" || curve == "zorder",
+      s"Versioned.recluster: unknown curve '$curve'")
+    require(tileBits >= 1 && tileBits <= dims.size * bits,
+      s"Versioned.recluster: tileBits in [1, ${dims.size * bits}]")
+    val v = latest(dir)
+    val next = v + 1
+    val sch = readSchema(dir, v)
+    val prevMap = mapping(sch)
+    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val files = mDf.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    require(files.nonEmpty,
+      s"Versioned.recluster: $dir has no data files at v$v")
+    val physSch = sch.map(physicalSchema)
+    require(!physSch.exists(s0 => s0.fieldNames.contains("__tile") ||
+      s0.fieldNames.contains("__cidx")),
+      "Versioned: column names __tile/__cidx are reserved (recluster)")
+    val physDims = dims.map(d => prevMap.getOrElse(d, d)).map(col)
+    val fn = if (curve == "hilbert") "graft_hilbert" else "graft_zvalue"
+    val idx = call_function(fn, (lit(bits) +: physDims): _*)
+    val reader = physSch.fold(spark.read)(spark.read.schema)
+    val scan = applyDv(spark,
+      reader.parquet(files.map(Manifest.unglob): _*),
+      dvPathsOf(mDf, Some(files.toSet)), identity)
+    val dataPath = newDataDir(dir, next)
+    scan
+      .withColumn("__cidx", idx)
+      .withColumn("__tile",
+        shiftright(col("__cidx"), dims.size * bits - tileBits))
+      .repartition(1 << tileBits, col("__tile"))
+      .sortWithinPartitions(col("__tile"), col("__cidx"))
+      .drop("__cidx") // projection — the established order survives
+      .write.partitionBy("__tile").mode("errorifexists").parquet(dataPath)
+    val physPart = prevMap.getOrElse(partCol, partCol)
+    val fresh = fileParts(spark, dataPath, physPart,
+      (dims ++ statsCols).distinct.map(c => prevMap.getOrElse(c, c)))
+    commitManifest(spark, dir, next, fresh, sch)
+    next
+  }
+
   /** RESTORE: roll the table back to `toVersion` by committing a NEW
     * version whose manifest (and sidecar schema) equal the old one's —
     * the Delta RESTORE contract. History is never rewritten: the bad

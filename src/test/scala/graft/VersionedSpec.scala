@@ -1178,6 +1178,56 @@ class VersionedSpec extends SparkSpec {
     } finally { rm(dir); rm(dst) }
   }
 
+  test("recluster: materializes deletion vectors, keeps old versions in " +
+    "their old layout, and a post-recluster merge still attributes by " +
+    "the partition column") {
+    val dir = tmpDir("recluster")
+    try {
+      val base = spark.range(0, 4096)
+        .select(col("id").as("k"),
+          pmod(col("id"), lit(64L)).as("x"),
+          pmod(col("id") * 31, lit(64L)).as("y"),
+          (col("id") * 10).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base, statsCols = Seq("x", "y"))
+      Versioned.deleteKeysDv(spark, dir, "bucket", "k",
+        base.filter(col("k") % 100 === 0).select(col("k"), col("bucket")))
+      val v3 = Versioned.recluster(spark, dir, "bucket", Seq("x", "y"),
+        bits = 6, tileBits = 3)
+      assert(v3 === 3L)
+      // tombstones materialized: no dv refs in the fresh manifest, and
+      // the deleted keys stay gone without any anti-join
+      val m3 = spark.read.parquet(Versioned.manifestDir(dir, 3L))
+      if (m3.columns.contains("dv"))
+        assert(m3.filter(size(col("dv")) > 0).isEmpty)
+      assert(Versioned.read(spark, dir, 3L)
+        .filter(col("k") % 100 === 0).isEmpty)
+      assert(Versioned.read(spark, dir, 3L).count() ===
+        Versioned.read(spark, dir, 2L).count())
+      // old versions keep their own layout AND content (v1 pre-delete)
+      assert(Versioned.read(spark, dir, 1L).count() === 4096L)
+      // range probes at v3 prune to a strict file subset
+      val all = Versioned.read(spark, dir, 3L).inputFiles.length
+      assert(Versioned.readRange(spark, dir, "x", 8L, 15L)
+        .inputFiles.length < all)
+      // a post-recluster merge still works through the partition column:
+      // manifest part values come from the DATA's bucket column, not the
+      // tile directories, so touched-file attribution holds (tiles span
+      // buckets — the rewrite set is every tile holding the bucket,
+      // which is the documented granularity cost of merging between
+      // maintenance reclusters)
+      val up = base.filter(col("bucket") === 2 && col("k") % 7 === 0)
+        .withColumn("v", col("v") + 1).withColumn("op", lit("U"))
+      val v4 = Versioned.merge(spark, dir, "bucket", "k", up)
+      assert(v4 === 4L)
+      val got = Versioned.read(spark, dir, 4L)
+        .filter(col("bucket") === 2 && col("k") % 7 === 0 &&
+          col("k") % 100 =!= 0)
+        .agg(max(col("v") - col("k") * 10)).as[Long].head()
+      assert(got === 1L, "the post-recluster upsert must land exactly once")
+    } finally rm(dir)
+  }
+
   test("mergeIdempotent under a same-batch race: exactly one writer " +
     "commits, the loser resolves to a skip — no double-apply") {
     val dir = tmpDir("txnrace")
