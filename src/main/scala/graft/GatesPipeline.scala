@@ -1676,7 +1676,8 @@ private[graft] object GatesPipeline {
          |c$r AS (SELECT s AS sym, CAST(SUM(wct) AS BIGINT) AS c
          |  FROM (SELECT wct, unnest(syms) AS s FROM $prev) GROUP BY 1),
          |b$r AS MATERIALIZED (SELECT p.a, p.b, p.ct,
-         |    CAST(p.ct AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE) AS score
+         |    CAST(p.ct AS DOUBLE) /
+         |      (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS score
          |  FROM p$r p
          |  JOIN c$r ca ON ca.sym = p.a
          |  JOIN c$r cb ON cb.sym = p.b
@@ -2260,9 +2261,6 @@ private[graft] object GatesPipeline {
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""".stripMargin,
 
 
-    // Same learned 4-merge chain as text_bpe_merges, then segmentation:
-    // distinct words pick up their post-merge symbols, documents sum and
-    // reassemble in (doc, word-position) order.
     // full replay: vocab derivation AND the greedy longest-match walk
     // (24 chained extraction steps over 24-char chunk units)
     "text_wordpiece_encode" -> wordPieceSql(24, 200, 4, 24),
@@ -2270,6 +2268,9 @@ private[graft] object GatesPipeline {
     // full replay of all 8 likelihood-scored training rounds
     "text_wordpiece_train" -> wordPieceTrainSql(8),
 
+    // Same learned 4-merge chain as text_bpe_merges, then segmentation:
+    // distinct words pick up their post-merge symbols, documents sum and
+    // reassemble in (doc, word-position) order.
     "text_bpe_encode" ->
       """WITH v0 AS (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wct FROM (

@@ -67,6 +67,12 @@ class WordPieceEncoder(val vocab: Array[String]) extends Serializable {
     vocab.foreach { p =>
       if (p == null) throw new IllegalArgumentException(
         "graft_wordpiece: null vocabulary piece")
+      // an empty-raw piece ("" or bare "##") would match every position
+      // while advancing ZERO characters — an infinite loop, rejected
+      // loudly (derived vocabularies never emit one; a hand-built vocab
+      // could)
+      if (p.isEmpty || p == "##") throw new IllegalArgumentException(
+        s"graft_wordpiece: empty-raw vocabulary piece '$p'")
       s.add(p); ()
     }
     s

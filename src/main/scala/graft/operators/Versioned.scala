@@ -726,11 +726,20 @@ object Versioned {
       keyCol: String, source: DataFrame, opCol: String = "op",
       checkKeyMoves: Boolean = false, mergeSchema: Boolean = false,
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      parentVersion: Option[Long] = None): Long = {
     require(source.filter(col(partCol).isNull).isEmpty,
       s"Versioned.merge: source carries NULL $partCol values — fix the " +
         "partition derivation upstream")
-    val v = latest(dir)
+    // parentVersion PINS the snapshot this merge derives from AND the
+    // version it will commit (parent+1): a caller whose correctness
+    // depends on what it read BEFORE the merge (mergeIdempotent's txn
+    // check) must pin, so any interleaving commit turns into a loud
+    // ConcurrentCommitException instead of a silent re-derive against a
+    // newer latest. Unpinned callers keep the read-latest behavior.
+    val v = parentVersion.getOrElse(latest(dir))
+    require(versions(dir).contains(v),
+      s"Versioned.merge: parentVersion $v is not a committed version")
     val next = v + 1
     val mDf = spark.read.parquet(manifestDir(dir, v))
     val mSchema = mDf.schema
@@ -1077,8 +1086,12 @@ object Versioned {
       s"Versioned.recluster: need >= 2 dims, got $dims")
     require(curve == "hilbert" || curve == "zorder",
       s"Versioned.recluster: unknown curve '$curve'")
-    require(tileBits >= 1 && tileBits <= dims.size * bits,
-      s"Versioned.recluster: tileBits in [1, ${dims.size * bits}]")
+    // tiles are partition DIRECTORIES and shuffle partitions: 2^20 is
+    // already beyond any sane layout, and the cap keeps `1 << tileBits`
+    // safely inside Int (a 31+ shift would wrap the partition count)
+    require(tileBits >= 1 && tileBits <= math.min(20, dims.size * bits),
+      s"Versioned.recluster: tileBits in [1, " +
+        s"${math.min(20, dims.size * bits)}]")
     val v = latest(dir)
     val next = v + 1
     val sch = readSchema(dir, v)
@@ -1476,25 +1489,39 @@ object Versioned {
     * Returns (version, committed): the store's latest after the call,
     * and whether THIS call committed it. `txnVer` must be monotonic per
     * app (batchIds are); a lower-than-recorded value is treated as the
-    * same replay shape and skipped. */
+    * same replay shape and skipped.
+    *
+    * SOUNDNESS: the txn check and the commit are made effectively
+    * atomic by PINNING the parent version — the merge derives from and
+    * commits exactly (checked-latest)+1, so ANY commit interleaving
+    * between the check and ours (the other replica of this very batch
+    * included) collides on the version and surfaces as the commit race,
+    * never as a silent re-derive against a newer latest that would
+    * double-apply the batch. */
   def mergeIdempotent(spark: SparkSession, dir: String, partCol: String,
       keyCol: String, source: DataFrame, appId: String, txnVer: Long,
       opCol: String = "op", mergeSchema: Boolean = false,
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
       maxAttempts: Int = 5): (Long, Boolean) = {
-    require(appId.nonEmpty && !appId.contains("\"") && !appId.contains("\n"),
-      s"Versioned.mergeIdempotent: appId must be quote/newline-free: '$appId'")
+    // the id round-trips through a JSON sidecar (regex-parsed, `.` stops
+    // at line terminators) and a \n-separated vacuum rollup — restrict
+    // to a token alphabet so a malformed id fails HERE, not as a
+    // never-matching sidecar that silently voids idempotence
+    require(appId.nonEmpty && appId.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"Versioned.mergeIdempotent: appId must match [A-Za-z0-9._-]+: '$appId'")
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     var attempt = 0
     var last: ConcurrentCommitException = null
     while (attempt < maxAttempts) {
       attempt += 1
+      val parent = latest(dir)
       if (txnVersion(dir, appId).exists(_ >= txnVer))
         return (latest(dir), false)
       try return (merge(spark, dir, partCol, keyCol, source, opCol,
         checkKeyMoves = false, mergeSchema = mergeSchema,
         statsCol = statsCol, statsCols = statsCols,
-        txn = Some((appId, txnVer))), true)
+        txn = Some((appId, txnVer)), parentVersion = Some(parent)), true)
       catch {
         case e: ConcurrentCommitException =>
           last = e

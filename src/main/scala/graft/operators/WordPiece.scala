@@ -32,12 +32,6 @@ import org.apache.spark.sql.functions._
   * where iterative training costs a driver round per merge. */
 object WordPiece {
 
-  /** Distinct whitespace-lowered words with corpus counts. */
-  private def words(documents: DataFrame): DataFrame =
-    documents
-      .select(explode(TextFns.tokensWs(col("text"))).as("unit"))
-      .groupBy(col("unit")).agg(count(lit(1)).as("wct"))
-
   private def distinctUnits(units: DataFrame): DataFrame =
     units.groupBy(col("unit")).agg(count(lit(1)).as("wct"))
 
@@ -101,10 +95,13 @@ object WordPiece {
     * up morpheme-like units earlier.
     *
     * Engine-portable exact argmax: `ct`, `ct_a`, `ct_b` are exact longs
-    * below 2^53, so `(double) ct / (double)(ct_a * ct_b)` is one
-    * correctly-rounded IEEE division — bit-identical in any engine — and
-    * ties break on (a, b) ascending. The returned `score` is
-    * truncate6'd (the repo's portable-double convention).
+    * below 2^53, so casting EACH to double exactly and then one IEEE
+    * multiply + one IEEE divide — both correctly rounded — is
+    * bit-identical in any engine; ties break on (a, b) ascending. (The
+    * denominator is multiplied IN DOUBLE, never as a long product: a
+    * 100 TB corpus has per-symbol counts above ~3e9 whose long product
+    * would silently wrap.) The returned `score` is truncate6'd (the
+    * repo's portable-double convention).
     *
     * Per round: one pair scan (native run-pairs kernel), one symbol
     * count, one broadcast-joined argmax — driver-coordinated like
@@ -138,7 +135,8 @@ object WordPiece {
         .join(broadcast(symCt.withColumnRenamed("sym", "b")
           .withColumnRenamed("c", "cb")), Seq("b"))
         .withColumn("score",
-          col("ct").cast("double") / (col("ca") * col("cb")).cast("double"))
+          col("ct").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double")))
         .orderBy(col("score").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       if (top.nonEmpty) {

@@ -219,6 +219,11 @@ class ExpressionsSpec extends SparkSpec {
         array(vocab.map(lit): _*)).as("toks"))
       .collect().head
     assert(n.isNullAt(0))
+    // an empty-raw piece (bare "##") would advance zero chars — the
+    // encoder rejects it loudly instead of spinning
+    val e = intercept[Exception] { enc("ab", Seq("a", "##")) }
+    assert(e.getMessage.contains("empty-raw") ||
+      Option(e.getCause).exists(_.getMessage.contains("empty-raw")))
   }
 
   test("WordPiece.vocabUnits: deterministic top-k by (ct desc, piece), " +

@@ -1228,6 +1228,37 @@ class VersionedSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("merge with a pinned parentVersion collides LOUDLY when the log " +
+    "moved — the mechanism that makes mergeIdempotent's check-then-commit " +
+    "sound (a stale writer can never silently re-derive against a newer " +
+    "latest and double-apply)") {
+    val dir = tmpDir("pinparent")
+    try {
+      val base = spark.range(0, 100)
+        .select(col("id").as("k"), (col("id") * 10).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      val b = base.filter(col("k") % 5 === 0)
+        .withColumn("v", col("v") + 1).withColumn("op", lit("U"))
+      Versioned.merge(spark, dir, "bucket", "k", b) // v2
+      // a writer that pinned parent=1 BEFORE v2 landed must lose the
+      // commit race (v2 occupied), never commit v3 from the stale check
+      val e = intercept[graft.operators.ConcurrentCommitException] {
+        Versioned.merge(spark, dir, "bucket", "k", b,
+          parentVersion = Some(1L))
+      }
+      assert(e.getMessage.contains("committed by a concurrent writer"))
+      assert(Versioned.latest(dir) === 2L,
+        "the stale-pinned merge must not mint a version")
+      // an uncommitted parent pin is rejected up front
+      val e2 = intercept[IllegalArgumentException] {
+        Versioned.merge(spark, dir, "bucket", "k", b,
+          parentVersion = Some(99L))
+      }
+      assert(e2.getMessage.contains("not a committed version"))
+    } finally rm(dir)
+  }
+
   test("mergeIdempotent under a same-batch race: exactly one writer " +
     "commits, the loser resolves to a skip — no double-apply") {
     val dir = tmpDir("txnrace")
