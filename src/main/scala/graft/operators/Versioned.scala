@@ -56,6 +56,15 @@ object Versioned {
 
   private def logRoot(dir: String) = s"$dir/_log"
 
+  /** Recursive delete — the one shared copy (commit-race cleanup, no-op
+    * dv reclamation, vacuum drops, recover sweeps all use it). */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(rmTree)
+    f.delete(); ()
+  }
+
   /** Store-level commit-protocol marker (a committed property of the
     * store, written once by [[init]]): absent = `rename` (atomic
     * directory rename — POSIX/HDFS), present = `cas` (put-if-absent
@@ -157,13 +166,7 @@ object Versioned {
       // mergeRetry into five doomed retries masking the real cause.
       case e: java.nio.file.FileSystemException =>
         if (!lostRace(e, dst)) throw e
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-              .foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(tmp))
+        rmTree(new java.io.File(tmp))
         throw new ConcurrentCommitException(
           s"Versioned: version $v was committed by a concurrent writer — " +
             "re-read latest() and retry the operation", e)
@@ -195,13 +198,7 @@ object Versioned {
       case e: java.nio.file.FileAlreadyExistsException =>
         // lost the race — reclaim this attempt's staging eagerly (the
         // data dir stays an orphan for recover, same as rename mode)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-              .foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(s"${logRoot(dir)}/$stagedName"))
+        rmTree(new java.io.File(s"${logRoot(dir)}/$stagedName"))
         java.nio.file.Files.deleteIfExists(ptrTmp)
         throw new ConcurrentCommitException(
           s"Versioned: version $v was committed by a concurrent writer " +
@@ -579,10 +576,11 @@ object Versioned {
     * envelopes would prune away true matches, a silent wrong answer.
     * Driver-scale by design — one row per (file, partition value), the
     * same boundedness as every index probe here. */
-  private def statRows(spark: SparkSession, dir: String, v: Long,
-      probeCol: String)
+  // takes the already-loaded manifest frame: the probe paths read the
+  // manifest ONCE and share it between stats pruning and dv resolution
+  // (a second read+collect per probe doubled hot-path manifest I/O)
+  private def statRows(m: DataFrame, probeCol: String)
       : Array[(String, Option[(Long, Long, Array[Byte])])] = {
-    val m = spark.read.parquet(manifestDir(dir, v))
     val hasMap = m.columns.contains("stats")
     val hasLegacy = m.columns.contains("mn") && m.columns.contains("stats_col")
     if (!hasMap && !hasLegacy)
@@ -659,15 +657,15 @@ object Versioned {
     val sch = readSchema(dir, v)
     val probePhys = sch.flatMap(_.fields.find(_.name == keyCol))
       .map(physName).getOrElse(keyCol)
-    val files = statRows(spark, dir, v, probePhys)
+    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val files = statRows(mDf, probePhys)
       .filter { case (_, st) =>
         st.forall { case (mn, mx, _) => mx >= lo && mn <= hi } }
       .map(_._1).distinct.toIndexedSeq
     val base =
       if (files.nonEmpty) applyDv(spark,
         readFiles(spark, dir, files, sch),
-        dvPathsOf(spark.read.parquet(manifestDir(dir, v)),
-          Some(files.toSet)), logicalNameOf(sch))
+        dvPathsOf(mDf, Some(files.toSet)), logicalNameOf(sch))
       else emptySnapshot(spark, dir, v, sch)
     base.filter(col(keyCol).cast("long") >= lo &&
       col(keyCol).cast("long") <= hi)
@@ -689,7 +687,8 @@ object Versioned {
     val sch = readSchema(dir, v)
     val probePhys = sch.flatMap(_.fields.find(_.name == keyCol))
       .map(physName).getOrElse(keyCol)
-    val files = statRows(spark, dir, v, probePhys)
+    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val files = statRows(mDf, probePhys)
       .filter { case (_, st) =>
         st.forall { case (mn, mx, bloom) =>
           mn <= key && mx >= key &&
@@ -699,8 +698,7 @@ object Versioned {
     val base =
       if (files.nonEmpty) applyDv(spark,
         readFiles(spark, dir, files, sch),
-        dvPathsOf(spark.read.parquet(manifestDir(dir, v)),
-          Some(files.toSet)), logicalNameOf(sch))
+        dvPathsOf(mDf, Some(files.toSet)), logicalNameOf(sch))
       else emptySnapshot(spark, dir, v, sch)
     base.filter(col(keyCol).cast("long") === key)
   }
@@ -875,7 +873,8 @@ object Versioned {
     * the COW rewrite path ([[merge]] op "D"). Returns the committed
     * version. */
   def deleteKeysDv(spark: SparkSession, dir: String, partCol: String,
-      keyCol: String, keys: DataFrame): Long = {
+      keyCol: String, keys: DataFrame,
+      checkKeyMoves: Boolean = false): Long = {
     val v = latest(dir)
     val next = v + 1
     val sch = readSchema(dir, v)
@@ -886,6 +885,32 @@ object Versioned {
     val touched = mDf
       .filter(col("part").isin(affected.toSeq: _*))
       .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+    // same contract as merge: keys must live under the partition values
+    // the `keys` frame claims, or the pruned scan never sees them and
+    // the erase "succeeds" while the rows survive — the silent failure
+    // mode a GDPR path cannot afford. `checkKeyMoves=true` is the same
+    // opt-in audit lever as merge's: semi-join requested keys against
+    // the UNTOUCHED files' live key column (key-column-pruned scan,
+    // proportional to table keys — run it on the audit schedule).
+    if (checkKeyMoves) {
+      val all = mDf.select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val untouched = (all -- touched).toIndexedSeq
+      if (untouched.nonEmpty) {
+        val stray = applyDv(spark,
+            readFiles(spark, dir, untouched, sch),
+            dvPathsOf(mDf, Some(untouched.toSet)), logicalNameOf(sch))
+          .select(col(keyCol))
+          .join(keys.select(col(keyCol)).distinct(), Seq(keyCol),
+            "left_semi")
+          .limit(5).collect()
+        require(stray.isEmpty,
+          s"Versioned.deleteKeysDv: keys ${stray.map(_.get(0)).mkString(", ")}" +
+            s" live under a DIFFERENT $partCol than the keys frame " +
+            "claims — the pruned delete would miss them. Fix the " +
+            "partition derivation (or delete under the true partitions).")
+      }
+    }
     if (touched.isEmpty) { // keys hit no live partition: commit a no-op
       commitManifest(spark, dir, next, mDf, sch)
       return next
@@ -911,13 +936,7 @@ object Versioned {
     val dvFiles = spark.read.parquet(dvPath)
       .select(col("file")).distinct().collect().map(_.getString(0)).toSet
     if (dvFiles.isEmpty) { // keys absent from the live rows: no-op
-      def rmAll(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .foreach(rmAll)
-        f.delete(); ()
-      }
-      rmAll(new java.io.File(dvPath))
+      rmTree(new java.io.File(dvPath))
       commitManifest(spark, dir, next, mDf, sch)
       return next
     }
@@ -1295,8 +1314,26 @@ object Versioned {
       s"Versioned.dropColumn: no column $name in ${sch.fieldNames.toSeq}")
     require(sch.fields.length >= 2,
       "Versioned.dropColumn: refusing to drop the last column")
-    commitManifest(spark, dir, next,
-      spark.read.parquet(manifestDir(dir, v)),
+    val mDf = spark.read.parquet(manifestDir(dir, v))
+    // dropping the column live deletion vectors KEY ON would brick the
+    // snapshot: every read applies the dvs by that (physical) column,
+    // which the post-drop projection no longer carries — refuse loudly
+    // (rewrite the dvs away first: any merge/compact of the DV'd files
+    // materializes them). The check reads key_col from the handful of
+    // referenced tombstone files — deletion-sized, not table-sized.
+    val phys = sch.fields.find(_.name == name).map(physName).getOrElse(name)
+    val dvs = dvPathsOf(mDf)
+    if (dvs.nonEmpty) {
+      val dvKeyCols = spark.read.parquet(dvs: _*)
+        .select(col("key_col")).distinct()
+        .collect().map(_.getString(0)).toSet
+      require(!dvKeyCols.contains(phys),
+        s"Versioned.dropColumn: live deletion vectors key on '$name' " +
+          s"(physical '$phys') — every read at the new version would " +
+          "fail to apply them. Materialize the tombstones first " +
+          "(compact, or merge the affected partitions), then drop.")
+    }
+    commitManifest(spark, dir, next, mDf,
       Some(org.apache.spark.sql.types.StructType(
         sch.fields.filter(_.name != name))))
     next
@@ -1601,11 +1638,6 @@ object Versioned {
           new org.apache.hadoop.fs.Path(
             new java.net.URI(r.getString(0))).toUri.getPath).getCanonicalPath)
     }.toSet
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-      f.delete(); ()
-    }
     def files(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -1617,7 +1649,7 @@ object Versioned {
         !files(d).exists(f => f.getName.endsWith(".parquet") &&
           referenced(f.getCanonicalPath)))
       .map(_.getName).sorted.toIndexedSeq
-    orphaned.foreach(n => rm(new java.io.File(s"$dir/data/$n")))
+    orphaned.foreach(n => rmTree(new java.io.File(s"$dir/data/$n")))
     // stranded staging: rename-mode `.tmp-v=*` dirs, CAS-mode `.ptr-*`
     // temp files, and CAS staged manifest dirs no committed pointer
     // references (a lost race that crashed before its own cleanup)
@@ -1630,7 +1662,7 @@ object Versioned {
           (f.isFile && f.getName.startsWith(".ptr-")) ||
           (f.isDirectory && f.getName.startsWith("m-") && !pointed(f.getName))
       }
-      .foreach(rm)
+      .foreach(rmTree)
     orphaned
   }
 
@@ -1669,15 +1701,9 @@ object Versioned {
       val keptDvs = keep.flatMap { v =>
         dvPathsOf(spark.read.parquet(manifestDir(dir, v)))
       }.map(p => new java.io.File(p).getCanonicalPath).toSet
-      def rmAll(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .foreach(rmAll)
-        f.delete(); ()
-      }
       Option(dvRoot.listFiles()).getOrElse(Array.empty)
         .filter(d => d.isDirectory && !keptDvs(d.getCanonicalPath))
-        .foreach(rmAll)
+        .foreach(rmTree)
     }
     // carry dropped txn facts forward BEFORE any manifest dies: an
     // idempotent app idle longer than the retention window must still
@@ -1704,15 +1730,10 @@ object Versioned {
       oldRollups.foreach(f => { f.delete(); () })
     }
     drop.foreach { v =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        f.delete(); ()
-      }
       // resolve BEFORE deleting the pointer: a CAS version is a pointer
       // file + its staged manifest dir, a rename version just the dir
       val md = new java.io.File(manifestDir(dir, v))
-      rm(md)
+      rmTree(md)
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(s"${logRoot(dir)}/v=$v.ptr"))
       ()

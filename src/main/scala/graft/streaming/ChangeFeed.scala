@@ -76,12 +76,45 @@ object ChangeFeed {
     // Cross-batch ordering guard: the file source orders by modification
     // time, which matches commit order except when two manifests land in
     // the same mtime tick. Rather than trust mtime, remember the last
-    // folded toV for THIS run and refuse a batch that isn't the next
-    // contiguous interval — an inversion fails loudly instead of folding
-    // intervals out of order. The first batch of a run is unchecked: on
-    // resume the checkpoint already skipped the committed prefix, so it
-    // legitimately starts past `startingVersion`.
-    var lastFoldedToV: Option[Long] = None
+    // folded toV and refuse a batch that isn't the next contiguous
+    // interval — an inversion fails loudly instead of folding intervals
+    // out of order. The high-water mark is DURABLE (a sidecar in the
+    // caller-owned checkpoint dir, written atomically after each fold):
+    // a per-run var would reset on restart, and the standard
+    // fail-then-restart response to the guard's own kill would let the
+    // inverted interval fold on the fresh run's unchecked first batch —
+    // corruption converted into fail-once-then-succeed-corrupted. With
+    // the sidecar, a restart seeds the guard and the inversion stays
+    // fatal until the log is repaired. The sidecar stores the exact
+    // LAST FOLDED INTERVAL, not just its high end: the one legitimate
+    // non-fresh delivery is an IDENTICAL redelivery of that interval
+    // (crash after the sidecar write, before the offset commit —
+    // file-source batch content is deterministic per batchId); any
+    // other interval at-or-below the mark is an inversion, including
+    // the skipped-version batch a mere high-water mark would wave
+    // through. Interval dedup on redelivery remains the caller's
+    // documented contract (toV-keyed state).
+    val hwmFile = new java.io.File(checkpoint, "_graft_cdf_hwm")
+    var lastFolded: Option[(Long, Long)] =
+      if (hwmFile.isFile) {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(hwmFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        val parts = txt.split(":")
+        require(parts.length == 2,
+          s"ChangeFeed: corrupt guard sidecar '$txt' under $checkpoint")
+        Some((parts(0).toLong, parts(1).toLong))
+      } else None
+    def writeHwm(lo: Long, hi: Long): Unit = {
+      val tmp = new java.io.File(checkpoint, s".hwm-${System.nanoTime()}")
+      tmp.getParentFile.mkdirs()
+      java.nio.file.Files.write(tmp.toPath,
+        s"$lo:$hi".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, hwmFile.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
     val q = tail.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val vs = b.select(col("path")).collect()
@@ -105,18 +138,26 @@ object ChangeFeed {
             s"ChangeFeed: batch $batchId delivered a non-contiguous " +
               s"version set $vs under $store/_log — a manifest is " +
               "missing; refuse to fold a gapped interval")
-          lastFoldedToV.foreach { prev =>
-            require(lo == prev + 1,
-              s"ChangeFeed: batch $batchId starts at v=$lo but the " +
-                s"previous batch folded through v=$prev — out-of-order " +
-                "delivery (same-mtime manifests); refuse to fold")
+          // accept: the next contiguous interval (fresh), or an EXACT
+          // redelivery of the last folded interval (the crash window
+          // between the sidecar write and the offset commit). Everything
+          // else — gaps, inversions, the skipped-version batch — fails
+          // loudly, durably, across restarts.
+          lastFolded.foreach { case (plo, phi) =>
+            require(lo == phi + 1 || (lo == plo && hi == phi),
+              s"ChangeFeed: batch $batchId delivers v=[$lo,$hi] but the " +
+                s"log already folded through v=[$plo,$phi] — out-of-order " +
+                "or gapped delivery (same-mtime manifests); refuse to fold")
           }
           val cdf =
             if (withPreImages)
               Versioned.changesWithPreImages(spark, store, lo - 1, hi, keyCol)
             else Versioned.changes(spark, store, lo - 1, hi, keyCol)
           fold(cdf, lo - 1, hi, batchId)
-          lastFoldedToV = Some(hi)
+          if (!lastFolded.contains((lo, hi))) {
+            writeHwm(lo, hi)
+            lastFolded = Some((lo, hi))
+          }
         }
       }
       .option("checkpointLocation", checkpoint)

@@ -1228,6 +1228,41 @@ class VersionedSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("dropColumn refuses a column live deletion vectors key on; " +
+    "deleteKeysDv(checkKeyMoves) catches a mispartitioned erase") {
+    val dir = tmpDir("dvguards")
+    try {
+      val base = spark.range(0, 200)
+        .select(col("id").as("k"), (col("id") * 10).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      Versioned.deleteKeysDv(spark, dir, "bucket", "k",
+        base.filter(col("k") % 50 === 0).select(col("k"), col("bucket")))
+      // dropping the dv key column would make every read at the new
+      // version fail to apply the tombstones — refused loudly
+      val e = intercept[IllegalArgumentException] {
+        Versioned.dropColumn(spark, dir, "k")
+      }
+      assert(e.getMessage.contains("deletion vectors key on"))
+      // an unrelated column still drops fine
+      assert(Versioned.dropColumn(spark, dir, "v") === 3L)
+      // a mispartitioned erase: key 7 lives under bucket 3, the keys
+      // frame claims bucket 1 — without the check the erase commits a
+      // no-op "success"; with it the contract violation is loud
+      val wrong = Seq((7L, 1L)).toDF("k", "bucket")
+      val e2 = intercept[IllegalArgumentException] {
+        Versioned.deleteKeysDv(spark, dir, "bucket", "k", wrong,
+          checkKeyMoves = true)
+      }
+      assert(e2.getMessage.contains("DIFFERENT bucket"))
+      // correctly-partitioned keys pass the same check
+      val right = Seq((7L, 3L)).toDF("k", "bucket")
+      val v4 = Versioned.deleteKeysDv(spark, dir, "bucket", "k", right,
+        checkKeyMoves = true)
+      assert(Versioned.read(spark, dir, v4).filter(col("k") === 7).isEmpty)
+    } finally rm(dir)
+  }
+
   test("merge with a pinned parentVersion collides LOUDLY when the log " +
     "moved — the mechanism that makes mergeIdempotent's check-then-commit " +
     "sound (a stale writer can never silently re-derive against a newer " +
