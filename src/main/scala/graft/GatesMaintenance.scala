@@ -835,6 +835,81 @@ private[graft] object GatesMaintenance {
     }),
 
 
+    // ── K34: DV MATERIALIZATION — the deletion-vector lifecycle's
+    // maintenance half (r17 verdict task 1; Delta PURGE / Iceberg
+    // rewrite-position-deletes). Two DV deletes leave files at very
+    // different tombstone fractions (~1/3 of bucket 3; ~1/499
+    // elsewhere); materializeDvs(threshold=0.05) must rewrite ONLY the
+    // heavy files and leave the light ones answering through their DVs.
+    // Pinned facts: read-after-materialize row-set-equals
+    // read-with-DVs (mat_equals_dv_ok — collected and compared
+    // in-gate); light files still carry DVs (selective_ok); every
+    // bucket-3 manifest row is a FRESH dv-less file (heavy_clean_ok);
+    // light files carried VERBATIM, same paths (light_carried_ok). The
+    // oracle replays base minus both delete sets.
+    "k34_dv_materialize" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-dvmat-${System.nanoTime()}"
+      try {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"),
+            pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        Versioned.init(s, path, "bucket", base, statsCol = Some("k"))
+        Versioned.deleteKeysDv(s, path, "bucket", "k",
+          base.filter(col("bucket") === 3 && col("k") % 3 === 0)
+            .select(col("k"), col("bucket")))
+        Versioned.deleteKeysDv(s, path, "bucket", "k",
+          base.filter(col("bucket") =!= 3 && col("k") % 499 === 0)
+            .select(col("k"), col("bucket")))
+        val vDv = Versioned.latest(path)
+        def agg(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("price")).cast("double").as("price_sum"),
+            sum(col("k")).as("key_sum"))
+        val before = agg(Versioned.read(s, path)).collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+            r.getLong(3)))).toMap
+        def mRows(v: Long) = s.read.parquet(Versioned.manifestDir(path, v))
+          .select(col("file"), col("part"),
+            coalesce(size(col("dv")), lit(0)).as("ndv")).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        val mBefore = mRows(vDv)
+        val lightBefore = mBefore.filter(r => r._2 != "3").toSet
+        val vMat = Versioned.materializeDvs(s, path, "bucket",
+          threshold = 0.05, statsCol = Some("k"))
+        require(vMat == vDv + 1,
+          s"k34: expected one materialization commit, got $vDv -> $vMat")
+        val mAfter = mRows(vMat)
+        // heavy files (bucket 3) all rewrote to fresh dv-less files
+        val heavyAfter = mAfter.filter(_._2 == "3")
+        val heavyBeforeFiles = mBefore.filter(_._2 == "3").map(_._1).toSet
+        val heavyClean = heavyAfter.nonEmpty && heavyAfter.forall(r =>
+          r._3 == 0 && !heavyBeforeFiles.contains(r._1))
+        // light files carried verbatim: same (file, part, dv-size) rows
+        val lightCarried = mAfter.filter(r => r._2 != "3").toSet == lightBefore
+        // and some DVs must remain (the threshold really was selective)
+        val selective = mAfter.exists(_._3 > 0)
+        val after = agg(Versioned.read(s, path))
+        val matEqualsDv = after.collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+            r.getLong(3)))).toMap == before
+        // a second sweep at the same threshold must be a NO-OP (no
+        // empty maintenance commits pollute history)
+        val noopOk = Versioned.materializeDvs(s, path, "bucket",
+          threshold = 0.05, statsCol = Some("k")) == vMat
+        after
+          .withColumn("mat_equals_dv_ok", lit(if (matEqualsDv) 1L else 0L))
+          .withColumn("selective_ok", lit(if (selective) 1L else 0L))
+          .withColumn("heavy_clean_ok", lit(if (heavyClean) 1L else 0L))
+          .withColumn("light_carried_ok", lit(if (lightCarried) 1L else 0L))
+          .withColumn("noop_ok", lit(if (noopOk) 1L else 0L))
+          .orderBy(col("bucket"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── K28: SHALLOW CLONE — zero-copy fork of the versioned store (the
     // Delta SHALLOW CLONE contract): the clone's v1 manifest references
     // the source's immutable files verbatim (zero data bytes move — the
@@ -2114,6 +2189,26 @@ private[graft] object GatesMaintenance {
         |  (SELECT COUNT(*) FROM base WHERE k % 97 = 0) AS d_rows,
         |  CAST(1 AS BIGINT) AS all_d_ok
         |FROM v3 GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // the materialized read must equal base minus both delete sets —
+    // the structural facts (selective rewrite, verbatim carry, no-op
+    // re-sweep) are pinned in-gate as literal flags
+    "k34_dv_materialize" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderkey % 8 AS bucket FROM orders),
+        |live AS (SELECT k, price, bucket FROM base
+        |  WHERE NOT (bucket = 3 AND k % 3 = 0)
+        |    AND NOT (bucket <> 3 AND k % 499 = 0))
+        |SELECT bucket, COUNT(*) AS cnt,
+        |  CAST(SUM(price) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS mat_equals_dv_ok,
+        |  CAST(1 AS BIGINT) AS selective_ok,
+        |  CAST(1 AS BIGINT) AS heavy_clean_ok,
+        |  CAST(1 AS BIGINT) AS light_carried_ok,
+        |  CAST(1 AS BIGINT) AS noop_ok
+        |FROM live GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // both lineages replayed: the fork point is src's v2; the clone's
     // divergence never feeds back

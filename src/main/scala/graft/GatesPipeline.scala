@@ -409,6 +409,33 @@ private[graft] object GatesPipeline {
         .orderBy(col("round"))),
 
 
+    // ── Text: LARGE-DEPTH WORDPIECE TRAINING — the likelihood argmax at
+    // the ≥256-merge regime (r17 verdict task 3: the triple-disjoint
+    // batched selection of Bpe.mergesBatched ported to the scored
+    // argmax; WordPiece.learnVocabBatched). Units are the BPE depth
+    // tiers' 128-char document chunks (whitespace words run dry on this
+    // 31-word corpus). Disjointness keeps snapshot scores exact at
+    // application time — no selected merge moves another's pair count OR
+    // its ct_a·ct_b denominator — so the oracle replays candidate
+    // scoring, the (score DESC, a, b) window, greedy selection, fold
+    // application, and the telescoping symbol ledger for all rounds.
+    // The in-gate require pins >= 256 actually learned.
+    "text_wordpiece_train_large" -> ((s, dir) => {
+      val units = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(explode(transform(
+          sequence(lit(1), length(col("text")), lit(128)),
+          i => col("text").substr(i, lit(128)))).as("unit"))
+      val led = WordPiece.learnVocabBatched(units, batches = 36,
+          batchSize = 8, window = 64)
+        .orderBy(col("merge_idx")).localCheckpoint(true)
+      require(led.count() >= 256,
+        s"text_wordpiece_train_large: learned ${led.count()} merges, " +
+          "need >= 256")
+      led
+    }),
+
+
     // ── Text: BATCHED BPE ENCODE — segment the corpus with the ~39
     // learned merges, one fold pass per BATCH (constant expression depth
     // in batch size; 5 nested folds instead of 39).
@@ -1079,8 +1106,34 @@ private[graft] object GatesPipeline {
               s"${floorPct / 100.0} floor — a quality regression, not noise")
           (method, nQ, 5L, floorPct, 1L)
         }
+        // ivfpq recall/cost CURVE probe (r17 verdict task 6): one extra
+        // search at nProbe=6 — logged for banking, never required, so the
+        // committed tuning (nProbe=4) stays the gate's contract while the
+        // trend table records whether widening the probe set moves the
+        // band's low point (sf0.1 ivfpq 0.620)
+        val r6 = recall(Similarity.ivfPqTopKIndexed(s, path, emb, queries,
+          k = 5, centroids, cb, nProbe = 6, shortlist = 50))
+        println(f"[sim_recall_report] ivfpq  recall@5 = $r6%.3f " +
+          "(nProbe=6 curve probe, unrequired)")
+        // kNN JOIN recall (r17 verdict task 6): the both-sides-large tier
+        // previously had only its own per-gate floor — fold its recall@5
+        // into this report so the whole ANN surface shares one trend
+        // table. Truth is the exact kNN join over the same split.
+        val knnRight = emb.filter(col("vec_id") >= 20)
+        val knnTruth = Similarity.knnJoinExact(queries, knnRight, k = 5)
+          .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+        val knnAnn = Similarity.knnJoinIvf(queries, knnRight, k = 5,
+          centroids, nProbe = 4)
+        val rKnn = knnTruth
+          .join(knnAnn.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id")).count() / knnTruth.count().toDouble
+        println(f"[sim_recall_report] knn    recall@5 = $rKnn%.3f (floor 0.5)")
+        require(rKnn * 100 >= 50L,
+          f"sim_recall_report: knn-join recall@5 $rKnn%.3f fell below its " +
+            "0.5 floor — a quality regression, not noise")
         import s.implicits._
-        rows.toDF("method", "n_queries", "k", "floor_pct", "floor_ok")
+        (rows :+ (("knn", nQ, 5L, 50L, 1L)))
+          .toDF("method", "n_queries", "k", "floor_pct", "floor_ok")
           .orderBy(col("method"))
           .localCheckpoint(true) // materialize before the index sweeps
       } finally rmTree(path)
@@ -1621,8 +1674,12 @@ private[graft] object GatesPipeline {
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wct FROM (
          |    $unitsSql)
          |  WHERE word <> '' GROUP BY word),
-         |s0 AS MATERIALIZED (SELECT word, wct, list_transform(range(1, length(word)+1),
-         |    i -> substr(word, i, 1)) AS syms FROM v0),
+         |s0 AS MATERIALIZED (SELECT word, wct,
+         |    CASE WHEN contains(word, '|')
+         |      THEN error('bpe fold oracle: pipe-bearing corpus word "' || word
+         |        || '" would diverge from the engine under the |-fold replay')
+         |    ELSE list_transform(range(1, length(word)+1),
+         |      i -> substr(word, i, 1)) END AS syms FROM v0),
          |n0 AS MATERIALIZED (SELECT CAST(SUM(wct*len(syms)) AS BIGINT) AS total FROM s0),
          |""".stripMargin
     val blocks = (1 to batches).map(block).mkString(",\n")
@@ -1665,8 +1722,10 @@ private[graft] object GatesPipeline {
     * adjacent-pair counts, per-symbol occurrence counts, the scored
     * argmax (one IEEE double division of exact sub-2^53 longs —
     * bit-identical across engines; ties on (a, b)), the greedy
-    * pipe-fold application (no-'|'-in-corpus precondition, as every BPE
-    * fold oracle), and the measured symbol total. */
+    * pipe-fold application (the no-'|'-in-corpus precondition is
+    * ASSERTED in s0 via error(), as in every BPE fold oracle — a
+    * pipe-bearing corpus fails loudly, never hash-mismatches), and the
+    * measured symbol total. */
   private def wordPieceTrainSql(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"s${r - 1}"
@@ -1704,11 +1763,110 @@ private[graft] object GatesPipeline {
        |    FROM documents)
        |  GROUP BY word),
        |s0 AS MATERIALIZED (SELECT word, wct,
-       |    list_transform(range(1, length(word)+1),
-       |    i -> substr(word, i, 1)) AS syms FROM v0),
+       |    CASE WHEN contains(word, '|')
+       |      THEN error('wordpiece fold oracle: pipe-bearing corpus word "'
+       |        || word || '" would diverge under the |-fold replay')
+       |    ELSE list_transform(range(1, length(word)+1),
+       |      i -> substr(word, i, 1)) END AS syms FROM v0),
        |$roundCtes
        |$union
        |ORDER BY round""".stripMargin
+  }
+
+  /** Generated oracle for the BATCHED likelihood-scored WordPiece
+    * training gate — bpeBatchSql's per-round machinery (run-aware
+    * self-pair mct via gaps-and-islands, recursive greedy triple-disjoint
+    * selection, one-pass multi-rule fold) with the scored argmax: every
+    * candidate pair joins the round's per-symbol counts and ranks by
+    * `ct / (ct_a · ct_b)` — each exact long cast to double, one IEEE
+    * multiply, one IEEE divide, bit-identical to the engine; ties on
+    * (a, b). The window LIMIT therefore happens AFTER scoring (unlike
+    * the frequency oracle, where top-ct and top-score coincide). Ledger
+    * telescopes by the greedy-mergeable count `mct`; score is
+    * truncate6'd. Units: the depth tiers' 128-char chunks. */
+  private def wordPieceBatchSql(batches: Int, batchSize: Int,
+      window: Int): String = {
+    def block(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"""p$r AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b,
+         |    CAST(SUM(wct) AS BIGINT) AS ct
+         |  FROM $prev, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+         |selfm$r AS MATERIALIZED (
+         |  SELECT sym, CAST(SUM(wct * (rl // 2)) AS BIGINT) AS smct FROM (
+         |    SELECT word, ANY_VALUE(wct) AS wct, sym, island,
+         |      COUNT(*) AS rl FROM (
+         |      SELECT word, wct, syms[i] AS sym,
+         |        i - row_number() OVER (PARTITION BY word, syms[i]
+         |          ORDER BY i) AS island
+         |      FROM $prev, UNNEST(range(1, len(syms)+1)) AS u(i))
+         |    GROUP BY word, sym, island)
+         |  WHERE rl >= 2 GROUP BY sym),
+         |y$r AS MATERIALIZED (SELECT s AS sym, CAST(SUM(wct) AS BIGINT) AS c
+         |  FROM (SELECT wct, unnest(syms) AS s FROM $prev) GROUP BY 1),
+         |c$r AS MATERIALIZED (SELECT a, b, ct, mct, score,
+         |    row_number() OVER (ORDER BY score DESC, a, b) AS rk
+         |  FROM (SELECT q.a, q.b, q.ct,
+         |      CASE WHEN q.a = q.b THEN coalesce(sm.smct, 0) ELSE q.ct END
+         |        AS mct,
+         |      CAST(q.ct AS DOUBLE) /
+         |        (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS score
+         |    FROM p$r q
+         |    JOIN y$r ca ON ca.sym = q.a
+         |    JOIN y$r cb ON cb.sym = q.b
+         |    LEFT JOIN selfm$r sm ON q.a = q.b AND sm.sym = q.a)
+         |  ORDER BY score DESC, a, b LIMIT $window),
+         |g$r AS (
+         |  SELECT 0 AS rk,
+         |    CAST([] AS STRUCT(a VARCHAR, b VARCHAR, mct BIGINT,
+         |      score DOUBLE)[]) AS sel
+         |  UNION ALL
+         |  SELECT c.rk,
+         |    CASE WHEN len(g.sel) >= $batchSize OR list_has_any(
+         |        [c.a, c.b, c.a || c.b],
+         |        flatten(list_transform(g.sel, s -> [s.a, s.b, s.a || s.b])))
+         |      THEN g.sel
+         |      ELSE list_append(g.sel,
+         |        {'a': c.a, 'b': c.b, 'mct': c.mct, 'score': c.score}) END
+         |  FROM g$r g JOIN c$r c ON c.rk = g.rk + 1),
+         |sel$r AS MATERIALIZED (SELECT sel FROM g$r ORDER BY rk DESC LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT word, wct,
+         |    CASE WHEN len(syms) <= 1 THEN syms
+         |    ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+         |      WHEN len(list_filter(sel$r.sel,
+         |        m -> ends_with('|'||acc, '|'||m.a) AND x = m.b)) > 0
+         |      THEN acc||x ELSE acc||'|'||x END), '|') END AS syms
+         |  FROM $prev CROSS JOIN sel$r)""".stripMargin
+    }
+    val header =
+      s"""WITH RECURSIVE v0 AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wct FROM (
+         |    $bpeChunkUnitsSql)
+         |  WHERE word <> '' GROUP BY word),
+         |s0 AS MATERIALIZED (SELECT word, wct,
+         |    CASE WHEN contains(word, '|')
+         |      THEN error('wordpiece fold oracle: pipe-bearing corpus word "'
+         |        || word || '" would diverge under the |-fold replay')
+         |    ELSE list_transform(range(1, length(word)+1),
+         |      i -> substr(word, i, 1)) END AS syms FROM v0),
+         |n0 AS MATERIALIZED (SELECT CAST(SUM(wct*len(syms)) AS BIGINT)
+         |  AS total FROM s0),
+         |""".stripMargin
+    val blocks = (1 to batches).map(block).mkString(",\n")
+    val unions = (1 to batches).map(r =>
+      s"""SELECT $r AS batch, u.i AS pos, sel[u.i].a AS lhs,
+         |    sel[u.i].b AS rhs, sel[u.i].mct AS ct, sel[u.i].score AS score
+         |  FROM sel$r, UNNEST(range(1, len(sel)+1)) AS u(i)""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    header + blocks + s""",
+      |mrows AS ($unions),
+      |ord AS (SELECT *, row_number() OVER (ORDER BY batch, pos) AS merge_idx
+      |  FROM mrows)
+      |SELECT merge_idx, CAST(batch AS BIGINT) AS batch, lhs, rhs,
+      |  CAST(ct AS BIGINT) AS ct,
+      |  floor(score * 1000000)/1000000 AS score,
+      |  CAST(n0.total - SUM(ct) OVER (ORDER BY merge_idx) AS BIGINT)
+      |    AS syms_after
+      |FROM ord, n0 ORDER BY merge_idx""".stripMargin
   }
 
   /** Replay of the WordPiece gate: re-derive the top-`k` ##-convention
@@ -1905,7 +2063,8 @@ private[graft] object GatesPipeline {
         |SELECT m.method, CAST(q.nq AS BIGINT) AS n_queries,
         |  CAST(5 AS BIGINT) AS k, CAST(m.floor_pct AS BIGINT) AS floor_pct,
         |  CAST(1 AS BIGINT) AS floor_ok
-        |FROM (VALUES ('ivf', 60), ('ivfpq', 50), ('lsh', 35), ('pq', 55))
+        |FROM (VALUES ('ivf', 60), ('ivfpq', 50), ('knn', 50), ('lsh', 35),
+        |    ('pq', 55))
         |  AS m(method, floor_pct)
         |CROSS JOIN q ORDER BY method""".stripMargin,
 
@@ -2165,8 +2324,12 @@ private[graft] object GatesPipeline {
         |      string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS word
         |    FROM documents)
         |  GROUP BY word),
-        |s0 AS (SELECT word, wct, list_transform(range(1, length(word)+1),
-        |    i -> substr(word, i, 1)) AS syms FROM v0),
+        |s0 AS (SELECT word, wct,
+        |    CASE WHEN contains(word, '|')
+        |      THEN error('bpe fold oracle: pipe-bearing corpus word "' || word
+        |        || '" would diverge from the engine under the |-fold replay')
+        |    ELSE list_transform(range(1, length(word)+1),
+        |      i -> substr(word, i, 1)) END AS syms FROM v0),
         |p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wct) AS BIGINT) AS ct
         |  FROM s0, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
         |b1 AS (SELECT a, b, ct FROM p1 ORDER BY ct DESC, a, b LIMIT 1),
@@ -2267,6 +2430,7 @@ private[graft] object GatesPipeline {
 
     // full replay of all 8 likelihood-scored training rounds
     "text_wordpiece_train" -> wordPieceTrainSql(8),
+    "text_wordpiece_train_large" -> wordPieceBatchSql(36, 8, 64),
 
     // Same learned 4-merge chain as text_bpe_merges, then segmentation:
     // distinct words pick up their post-merge symbols, documents sum and
@@ -2278,8 +2442,12 @@ private[graft] object GatesPipeline {
         |      string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS word
         |    FROM documents)
         |  GROUP BY word),
-        |s0 AS (SELECT word, wct, list_transform(range(1, length(word)+1),
-        |    i -> substr(word, i, 1)) AS syms FROM v0),
+        |s0 AS (SELECT word, wct,
+        |    CASE WHEN contains(word, '|')
+        |      THEN error('bpe fold oracle: pipe-bearing corpus word "' || word
+        |        || '" would diverge from the engine under the |-fold replay')
+        |    ELSE list_transform(range(1, length(word)+1),
+        |      i -> substr(word, i, 1)) END AS syms FROM v0),
         |p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(wct) AS BIGINT) AS ct
         |  FROM s0, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
         |b1 AS (SELECT a, b, ct FROM p1 ORDER BY ct DESC, a, b LIMIT 1),

@@ -662,6 +662,55 @@ object ScaleGrowth {
       val n = led.count()
       (n, s"merges=$n in 4 batches")
     },
+    "wordpiece_train_batched" -> whole { dir =>
+      // r18: batched LIKELIHOOD-scored training (4 rounds × ≤8 merges
+      // from 48-wide windows, 128-char chunk units). Same scale shape as
+      // bpe_batch_induction — per-round work is DISTINCT-UNIT-sized, the
+      // extra symbol-count aggregate included — so time should grow with
+      // the distinct-unit set (sub-linear in corpus rows), not the data
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(length(col("text")) > 0)
+      val led = graft.operators.WordPiece.learnVocabBatched(
+        docs.select(explode(transform(
+          sequence(lit(1), length(col("text")), lit(128)),
+          i => col("text").substr(i, lit(128)))).as("unit")),
+        batches = 4, batchSize = 8, window = 48)
+      val n = led.count()
+      (n, s"merges=$n in 4 batches (likelihood argmax)")
+    },
+    "dv_materialize" -> { dir =>
+      // r18: the DV lifecycle sweep. Store built + DV-deleted untimed
+      // (those costs have their own rows: merge_cow, vdel arms); timed
+      // span = materializeDvs(threshold=0.05). Structural claim: the
+      // sweep rewrites ONLY the heavy bucket's files at any R (bucket 3
+      // at ~33% tombstoned rewrites; 0.2%-tombstoned buckets keep their
+      // DVs), so time tracks the rewritten slice ~Rx, never the table
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").as("k"), col("value"),
+          pmod(col("event_id"), lit(16L)).as("bucket"))
+      val path = s"$dir/dvmat-store-${System.nanoTime()}"
+      try {
+        graft.operators.Versioned.init(spark, path, "bucket", ev,
+          statsCol = Some("k"))
+        graft.operators.Versioned.deleteKeysDv(spark, path, "bucket", "k",
+          ev.filter(col("bucket") === 3 && col("k") % 3 === 0)
+            .select(col("k"), col("bucket")))
+        graft.operators.Versioned.deleteKeysDv(spark, path, "bucket", "k",
+          ev.filter(col("bucket") =!= 3 && col("k") % 499 === 0)
+            .select(col("k"), col("bucket")))
+        val t0 = System.nanoTime()
+        val v = graft.operators.Versioned.materializeDvs(spark, path,
+          "bucket", threshold = 0.05, statsCol = Some("k"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val m = spark.read.parquet(
+          graft.operators.Versioned.manifestDir(path, v))
+        val kept = m.filter(size(col("dv")) > 0).count()
+        val heavy = m.filter(col("part") === "3").count()
+        (sec, heavy,
+          s"rewrote bucket-3 files only ($heavy fresh rows, ~Rx slice); " +
+            s"$kept light (file,part) rows kept their DVs at any R")
+      } finally rmAll(new java.io.File(path))
+    },
     "fuzzy_dist1_blocked" -> whole { dir =>
       // deletion-neighborhood blocking: candidates ~Rx (replicas are
       // id-offset, so pairs stay within replicas) where brute force

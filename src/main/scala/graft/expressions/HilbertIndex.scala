@@ -86,10 +86,13 @@ case class HilbertIndex(children: Seq[Expression], bits: Int)
          |$body
          |}""".stripMargin
     }.mkString("\n")
-    val declareIsNull = if (nullable) s"boolean ${ev.isNull} = false;" else ""
+    // ev.isNull is always a fresh variable name in Spark 4.x (never the
+    // FalseLiteral), so it must be declared even when no child is nullable
+    // or the generated code fails Janino compilation and silently falls
+    // back to interpreted eval.
     ev.copy(code =
       code"""
-        |$declareIsNull
+        |boolean ${ev.isNull} = false;
         |long[] $arr = new long[$n];
         |$perChild
         |long ${ev.value} = 0L;

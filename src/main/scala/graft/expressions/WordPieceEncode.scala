@@ -92,6 +92,19 @@ class WordPieceEncoder(val vocab: Array[String]) extends Serializable {
   def encode(word: UTF8String): ArrayData = {
     val s = word.toString
     if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    // the greedy scan walks UTF-16 units (substring, pos += 1 on [UNK]);
+    // on non-BMP input that would split surrogate pairs and emit mangled
+    // pieces SILENTLY, diverging from a code-point oracle. Reject loudly
+    // (mirrors the '#'-free corpus guard) instead of guessing.
+    var i = 0
+    while (i < s.length) {
+      if (Character.isSurrogate(s.charAt(i)))
+        throw new IllegalArgumentException(
+          "graft_wordpiece: input contains a non-BMP character (surrogate " +
+            s"at index $i) — the encoder walks UTF-16 units and only " +
+            "supports BMP text; pre-filter or transliterate the corpus")
+      i += 1
+    }
     val out = new java.util.ArrayList[Any](s.length)
     var pos = 0
     while (pos < s.length) {

@@ -101,13 +101,13 @@ case class ZValueInterleave(children: Seq[Expression], bits: Int)
          |$body
          |}""".stripMargin
     }.mkString("\n")
-    // when no child is nullable, ev.isNull is the literal `false` — it
-    // must not be re-declared or assigned (the nullable branches above
-    // are only emitted for nullable children)
-    val declareIsNull = if (nullable) s"boolean ${ev.isNull} = false;" else ""
+    // ev.isNull is always a fresh variable name in Spark 4.x (never the
+    // FalseLiteral), so it must be declared even when no child is nullable
+    // or the generated code fails Janino compilation and silently falls
+    // back to interpreted eval.
     ev.copy(code =
       code"""
-        |$declareIsNull
+        |boolean ${ev.isNull} = false;
         |long $z = 0L;
         |$perChild
         |long ${ev.value} = $z;

@@ -142,6 +142,15 @@ object Versioned {
     // alone and an idempotent writer ([[mergeIdempotent]]) never
     // double-applies a replayed micro-batch
     txn.foreach { case (app, tv) =>
+      // validate HERE — the single choke point every txn-writing path
+      // (mergeIdempotent, public merge(txn = Some(...))) funnels through.
+      // The id is interpolated into this JSON sidecar (regex-parsed, `.`
+      // stops at line terminators) and vacuum's \n-separated TSV rollup;
+      // a newline or quote would produce a sidecar the readers silently
+      // fail to parse, voiding idempotence with no error.
+      require(app.nonEmpty && app.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+        s"Versioned: txn appId must match [A-Za-z0-9._-]+: '$app'")
       java.nio.file.Files.write(
         new java.io.File(tmp, "_txn.json").toPath,
         s"""{"app_id": "$app", "txn_version": $tv}"""
@@ -332,7 +341,7 @@ object Versioned {
         // describe — a probe on any OTHER column must not prune with
         // them) so pre-r16 readers of single-column manifests keep
         // working; the full set lands in the `stats` map, keyed by
-        // physical column name, which [[statRows]] probes first.
+        // physical column name, which [[pruneFiles]] probes first.
         val bloom = udaf(graft.functions.BloomAgg.agg(
           StatsBloomExpected, StatsBloomFpp))
         val aggs = cols.zipWithIndex.flatMap { case (c, j) =>
@@ -568,24 +577,31 @@ object Versioned {
     read(spark, dir, eligible.max)
   }
 
-  /** Manifest rows for version `v`, collected: (file, Option[(mn, mx,
-    * bloom)]) per (file, part) — stats usable for pruning a probe on
-    * PHYSICAL column `probeCol` only. Rows whose stats describe a
-    * DIFFERENT column (or no column — stats-less commits, pre-stats_col
-    * manifests) come back None = unknown = always read: mis-attributed
-    * envelopes would prune away true matches, a silent wrong answer.
-    * Driver-scale by design — one row per (file, partition value), the
-    * same boundedness as every index probe here. */
+  /** The files a probe on PHYSICAL column `probeCol` must scan: every
+    * (file, part) row whose stats PASS `keep(mn, mx, bloom)`, plus every
+    * row whose stats describe a DIFFERENT column or no column at all
+    * (stats-less commits, pre-stats_col manifests) — unknown = always
+    * read: mis-attributed envelopes would prune away true matches, a
+    * silent wrong answer.
+    *
+    * The filter runs INSIDE the manifest scan (distributed), and only
+    * the SURVIVING file names collect to the driver. The pre-r18 shape
+    * collected every row's stats — including the ~10 KB Bloom sketch —
+    * driver-side per probe: one row per (file, partition value) is
+    * bounded metadata, but at 10⁵–10⁶ manifest rows that is GBs of
+    * sketch bytes per point lookup (measured: ManifestScale banked the
+    * curvature). Post-prune the driver holds file names only, sized by
+    * the ANSWER (the probe's true file set + fpp), not the table. */
   // takes the already-loaded manifest frame: the probe paths read the
   // manifest ONCE and share it between stats pruning and dv resolution
   // (a second read+collect per probe doubled hot-path manifest I/O)
-  private def statRows(m: DataFrame, probeCol: String)
-      : Array[(String, Option[(Long, Long, Array[Byte])])] = {
+  private def pruneFiles(m: DataFrame, probeCol: String,
+      keep: (Column, Column, Column) => Column): IndexedSeq[String] = {
     val hasMap = m.columns.contains("stats")
     val hasLegacy = m.columns.contains("mn") && m.columns.contains("stats_col")
     if (!hasMap && !hasLegacy)
       m.select(col("file")).distinct().collect()
-        .map(r => (r.getString(0), None))
+        .map(_.getString(0)).toIndexedSeq
     else {
       // per ROW, not per manifest: a long history unions multi-column
       // rows, single-column rows, and stats-less rows (alignUnion
@@ -601,20 +617,23 @@ object Versioned {
           primary.when(col("stats_col") === lit(probeCol), col(legacyName))
         else primary
       }
-      m.select(col("file"),
-          pick("mn", "mn").as("pmn"),
-          pick("mx", "mx").as("pmx"),
-          pick("bloom", "bloom").as("pbloom"))
-        .collect()
-        .map { r =>
-          val st =
-            if (r.isNullAt(1) || r.isNullAt(2)) None
-            else Some((r.getLong(1), r.getLong(2),
-              if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3)))
-          (r.getString(0), st)
-        }
+      val pmn = pick("mn", "mn")
+      val pmx = pick("mx", "mx")
+      m.filter(pmn.isNull || pmx.isNull ||
+          keep(pmn, pmx, pick("bloom", "bloom")))
+        .select(col("file")).distinct()
+        .collect().map(_.getString(0)).toIndexedSeq
     }
   }
+
+  /** Bloom might-contain over the manifest's serialized sketch column —
+    * the point-probe tier of [[pruneFiles]], evaluated executor-side so
+    * the sketch bytes never travel to the driver. A NULL sketch is
+    * "unknown = read". Deserialization is per surviving manifest row,
+    * once per probe — manifest-scale, not data-scale. */
+  private val bloomMightContain =
+    udf((bloom: Array[Byte], key: Long) =>
+      graft.functions.BloomAgg.readFrom(bloom).mightContainLong(key))
 
   /** Schema-correct empty frame for snapshot `v` when a probe prunes
     * EVERY file: straight from the committed sidecar when one exists;
@@ -658,10 +677,8 @@ object Versioned {
     val probePhys = sch.flatMap(_.fields.find(_.name == keyCol))
       .map(physName).getOrElse(keyCol)
     val mDf = spark.read.parquet(manifestDir(dir, v))
-    val files = statRows(mDf, probePhys)
-      .filter { case (_, st) =>
-        st.forall { case (mn, mx, _) => mx >= lo && mn <= hi } }
-      .map(_._1).distinct.toIndexedSeq
+    val files = pruneFiles(mDf, probePhys,
+      (mn, mx, _) => mx >= lo && mn <= hi)
     val base =
       if (files.nonEmpty) applyDv(spark,
         readFiles(spark, dir, files, sch),
@@ -688,13 +705,9 @@ object Versioned {
     val probePhys = sch.flatMap(_.fields.find(_.name == keyCol))
       .map(physName).getOrElse(keyCol)
     val mDf = spark.read.parquet(manifestDir(dir, v))
-    val files = statRows(mDf, probePhys)
-      .filter { case (_, st) =>
-        st.forall { case (mn, mx, bloom) =>
-          mn <= key && mx >= key &&
-            (bloom == null || graft.functions.BloomAgg.readFrom(bloom)
-              .mightContainLong(key)) } }
-      .map(_._1).distinct.toIndexedSeq
+    val files = pruneFiles(mDf, probePhys,
+      (mn, mx, bloom) => mn <= key && mx >= key &&
+        (bloom.isNull || bloomMightContain(bloom, lit(key))))
     val base =
       if (files.nonEmpty) applyDv(spark,
         readFiles(spark, dir, files, sch),
@@ -768,9 +781,12 @@ object Versioned {
             "old partition plus an insert under the new one.")
       }
     }
-    // rewrite all rows of touched files (with partitionBy layout a file
-    // serves exactly one partition value — the rewrite set IS the
-    // affected partitions, nothing more)
+    // rewrite all rows of touched files. With partitionBy layout a file
+    // serves exactly one partition value; after recluster() a tile file
+    // can span MANY partition values, so the rewrite granularity is the
+    // whole touched file, not just the merged partitions (the file-level
+    // touched-set logic below handles both — VersionedSpec documents the
+    // granularity cost on reclustered stores)
     // DV'd touched files apply their tombstones here, so the rewrite
     // MATERIALIZES the deletes: tombstoned rows never reach the fresh
     // files, whose manifest rows carry no dv
@@ -949,6 +965,125 @@ object Versioned {
           array().cast("array<string>")), array(lit(dvPath))))
         .otherwise(col("dv")))
     commitManifest(spark, dir, next, updated, sch)
+    next
+  }
+
+  /** MATERIALIZE deletion vectors — the DV lifecycle's maintenance half
+    * (Delta's PURGE / Iceberg's rewrite-position-deletes idea).
+    * [[deleteKeysDv]] makes the DELETE cheap by deferring the rewrite;
+    * every read after it pays the tombstone anti-join (~2× on a
+    * post-delete full read, A/B-banked) until something rewrites the
+    * DV'd files. Before this op the only absorption paths were a full
+    * [[compact]] or a merge that happened to touch the DV'd partitions;
+    * this rewrites ONLY files whose tombstone fraction exceeds
+    * `threshold`, as a normal commit.
+    *
+    * Per qualifying file the rewrite is 1:1 — one source file, one
+    * fresh file holding exactly its live rows (the `__bin` = source-file
+    * trick, all files in ONE job) — so compact's bin-packing and
+    * recluster's tiling survive materialization untouched: the file
+    * keeps its row set minus the tombstones. Files at or below the
+    * threshold keep answering through their DVs (their manifest rows
+    * carry verbatim); fully-tombstoned files simply disappear from the
+    * new manifest. Time travel holds: prior versions still reference
+    * the old files + tombstones.
+    *
+    * Costs: the decision reads only the manifest plus the
+    * deletion-sized tombstone files (driver-side, O(DV'd files) rows);
+    * the rewrite scans only the qualifying files. At 100 TB this is the
+    * scheduled sweep that bounds the DV read tax: with threshold t, a
+    * read pays at most a t-fraction anti-join per file, and the sweep's
+    * write amplification is capped by how much garbage a file may
+    * accumulate before it rewrites. `threshold = 0.0` materializes
+    * every DV'd file. Returns the committed version, or the CURRENT
+    * version unchanged when no file qualifies (a scheduled no-op must
+    * not pollute history with empty commits). */
+  def materializeDvs(spark: SparkSession, dir: String, partCol: String,
+      threshold: Double = 0.0, statsCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long = {
+    require(threshold >= 0.0 && threshold < 1.0,
+      s"Versioned.materializeDvs: threshold in [0, 1), got $threshold")
+    val v = latest(dir)
+    val sch = readSchema(dir, v)
+    val prevMap = mapping(sch)
+    val mDf = spark.read.parquet(manifestDir(dir, v))
+    if (!mDf.columns.contains("dv")) return v
+    val mSchema = mDf.schema
+    val mRows = mDf.collect()
+    val fIdx = mSchema.fieldIndex("file")
+    val rIdx = mSchema.fieldIndex("rows")
+    val dvIdx = mSchema.fieldIndex("dv")
+    val dvd: Set[String] = mRows
+      .filter(r => !r.isNullAt(dvIdx) && r.getSeq[String](dvIdx).nonEmpty)
+      .map(_.getString(fIdx)).toSet
+    if (dvd.isEmpty) return v
+    // physical (pre-DV) row count per file — a file may map several
+    // (file, part) manifest rows after compact/recluster
+    val physRows: Map[String, Long] = mRows.groupBy(_.getString(fIdx))
+      .view.mapValues(_.map(_.getLong(rIdx)).sum).toMap
+    // tombstone count per DV'd file. Structural invariant (deleteKeysDv):
+    // a live file's dv array lists EVERY tombstone path carrying rows for
+    // it, so grouping the union of the candidates' paths by file
+    // attributes exactly. Tombstones are deletion-sized — this read is
+    // the cheap half of the decision.
+    val dvPaths = dvPathsOf(mDf, Some(dvd))
+    val tombCounts: Map[String, Long] =
+      spark.read.parquet(dvPaths.map(Manifest.unglob): _*)
+        .select(col("file"), col("key_col"), col("key")).distinct()
+        .groupBy(col("file")).agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rewrite = dvd.filter { f =>
+      tombCounts.getOrElse(f, 0L).toDouble >
+        threshold * physRows(f).toDouble
+    }.toIndexedSeq.sorted
+    if (rewrite.isEmpty) return v
+    val next = v + 1
+    val physSch = sch.map(physicalSchema)
+    require(!physSch.exists(_.fieldNames.contains("__bin")),
+      "Versioned: column name __bin is reserved (materialization bin dirs)")
+    val dataPath = newDataDir(dir, next)
+    def norm(uri: String): String =
+      try new org.apache.hadoop.fs.Path(new java.net.URI(uri)).toString
+      catch { case _: java.net.URISyntaxException => uri }
+    val binOf: Map[String, Int] = rewrite.zipWithIndex
+      .flatMap { case (f, i) => Seq(f -> i, norm(f) -> i) }.toMap
+    val binUdf = udf((f: String) => binOf.get(f).orElse(binOf.get(norm(f))))
+    val reader = physSch.fold(spark.read)(spark.read.schema)
+    // physical scan of ONLY the qualifying files; the anti-join rides the
+    // same scan (physical key_col — no translation), one output file per
+    // source file so the existing layout survives
+    val liveScan = applyDv(spark,
+      reader.parquet(rewrite.map(Manifest.unglob): _*)
+        .withColumn("__bin", coalesce(binUdf(input_file_name()),
+          raise_error(concat(
+            lit("Versioned.materializeDvs: scanned a file outside the " +
+              "rewrite set (file→bin normalization drift): "),
+            input_file_name())).cast("int"))),
+      dvPathsOf(mDf, Some(rewrite.toSet)), identity)
+    liveScan
+      .repartition(rewrite.size, col("__bin"))
+      .write.partitionBy("__bin").mode("errorifexists").parquet(dataPath)
+    val rewriteSet = rewrite.toSet
+    val carried = mRows.filter(r => !rewriteSet(r.getString(fIdx)))
+    val carriedDf = spark.createDataFrame(
+      java.util.Arrays.asList(carried.toIndexedSeq: _*), mSchema)
+    // a fully-tombstoned rewrite set writes no parquet at all — the new
+    // manifest is just the carried rows (the dead files vanish)
+    def hasParquet(f: java.io.File): Boolean =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).exists(hasParquet)
+      else f.getName.endsWith(".parquet")
+    val manifest =
+      if (!hasParquet(new java.io.File(dataPath))) carriedDf
+      else {
+        val physPart = prevMap.getOrElse(partCol, partCol)
+        val fresh = fileParts(spark, dataPath, physPart,
+          (statsCol.toSeq ++ statsCols).distinct
+            .map(c => prevMap.getOrElse(c, c)))
+        alignUnion(carriedDf, fresh)
+      }
+    commitManifest(spark, dir, next, manifest, sch)
     next
   }
 
@@ -1242,7 +1377,7 @@ object Versioned {
       if (files.isEmpty) mDf // all-deletes tail: nothing to describe
       else {
         // raw PHYSICAL read of the snapshot's files (stats describe
-        // physical columns; [[statRows]] probes by physical name)
+        // physical columns; [[pruneFiles]] probes by physical name)
         val raw = sch match {
           case Some(s0) => spark.read.schema(physicalSchema(s0))
             .parquet(files.map(Manifest.unglob): _*)
@@ -1324,7 +1459,10 @@ object Versioned {
     val phys = sch.fields.find(_.name == name).map(physName).getOrElse(name)
     val dvs = dvPathsOf(mDf)
     if (dvs.nonEmpty) {
-      val dvKeyCols = spark.read.parquet(dvs: _*)
+      // unglob like every other DV read (applyDv, recluster): manifest
+      // paths are raw strings, and glob metacharacters or spaces in the
+      // store path would otherwise make this guard throw path-not-found
+      val dvKeyCols = spark.read.parquet(dvs.map(Manifest.unglob): _*)
         .select(col("key_col")).distinct()
         .collect().map(_.getString(0)).toSet
       require(!dvKeyCols.contains(phys),
@@ -1771,3 +1909,4 @@ object Versioned {
       }
     }
 }
+

@@ -105,9 +105,10 @@ object WordPiece {
     *
     * Per round: one pair scan (native run-pairs kernel), one symbol
     * count, one broadcast-joined argmax — driver-coordinated like
-    * [[Bpe.merges]]; the batched-rounds scale path ([[Bpe.mergesBatched]]
-    * shape) applies unchanged if depth is ever needed, the argmax is the
-    * only difference. Ledger: (round, lhs, rhs, ct, score, syms_after). */
+    * [[Bpe.merges]]; [[learnVocabBatched]] is the rounds-dimension scale
+    * path (triple-disjoint batching, the [[Bpe.mergesBatched]] shape with
+    * the likelihood argmax). Ledger: (round, lhs, rhs, ct, score,
+    * syms_after). */
   def learnVocab(units: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 64,
       s"WordPiece.learnVocab: rounds in [1, 64], got $rounds")
@@ -159,5 +160,142 @@ object WordPiece {
     CheckpointUtil.free(vocab)
     ledger.result()
       .toDF("round", "lhs", "rhs", "ct", "score", "syms_after")
+  }
+
+  /** BATCHED likelihood-scored WordPiece training — the rounds-dimension
+    * scale path ([[Bpe.mergesBatchedUnits]]'s triple-disjoint batching
+    * ported to the likelihood argmax). [[learnVocab]] runs one
+    * driver-coordinated round per merge; real vocabularies need 10³–10⁵
+    * pieces, where per-round scheduling latency dominates. Per round:
+    *
+    *   1. ONE run-aware pair scan (native graft_run_pairs): each pair
+    *      carries its naive adjacent count `ct` (the ranking key's
+    *      numerator — sequential training's view) and its
+    *      greedy-mergeable count `mct` (= Σ wct·⌊run/2⌋ for self-pairs,
+    *      = ct for distinct pairs) — the symbols the fold actually
+    *      removes, which the ledger telescopes by;
+    *   2. one per-symbol occurrence count, broadcast-joined onto the
+    *      pair counts to score every candidate `ct / (ct_a · ct_b)` —
+    *      each long cast to double exactly (all < 2^53), one IEEE
+    *      multiply, one IEEE divide: bit-identical in any engine, ties
+    *      on (a, b) ascending;
+    *   3. collect the top-`window` candidates by (score DESC, a, b) —
+    *      bounded driver metadata — and greedily select those whose
+    *      TRIPLE sets {lhs, rhs, lhs+rhs} are pairwise disjoint, up to
+    *      `batchSize`. Disjointness keeps the snapshot scores exact at
+    *      application time: no selected merge changes another's pair
+    *      count (occurrences are disjoint) OR its denominator (no shared
+    *      symbol, so ct_a/ct_b of the others never move);
+    *   4. apply the whole batch in ONE fold pass ([[Bpe.applyMergeSet]])
+    *      and materialize once per round, not once per merge.
+    *
+    * The first pick of every round is exactly sequential WordPiece's
+    * argmax; later in-batch picks are the standard batched approximation.
+    * `batchSize = 1` reduces to [[learnVocab]] exactly (modulo the
+    * derived-vs-measured syms_after, asserted equal by the conservation
+    * checks). Symbol-total conservation rides the next round's pair scan
+    * as an observe() metric (Σ naive pair counts + word count = symbol
+    * total — each word of s symbols carries s−1 adjacent pairs), with
+    * one final vocab pass closing the ledger.
+    *
+    * Ledger: one row per LEARNED MERGE — (merge_idx, batch, lhs, rhs,
+    * ct, score, syms_after): `ct` the greedy-mergeable count the fold
+    * removes, `score` the selection-time likelihood score truncate6'd
+    * (the repo's portable-double convention), `syms_after` the running
+    * corpus symbol total. */
+  def learnVocabBatched(units: DataFrame, batches: Int, batchSize: Int,
+      window: Int = 0): DataFrame = {
+    require(batches >= 1 && batches <= 4096,
+      s"WordPiece.learnVocabBatched: batches in [1, 4096], got $batches")
+    require(batchSize >= 1 && batchSize <= 256,
+      s"WordPiece.learnVocabBatched: batchSize in [1, 256], got $batchSize")
+    val win = if (window > 0) window else math.max(4 * batchSize, 16)
+    require(win >= batchSize,
+      s"WordPiece.learnVocabBatched: window $win must be >= batchSize $batchSize")
+    val spark = units.sparkSession
+    import spark.implicits._
+
+    var vocab = units
+      .select(col("unit").as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wct"))
+      .select(col("word"), col("wct"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
+      .localCheckpoint(true) // constant-depth plan per round (see Bpe.merges)
+    var total = vocab.agg(sum(col("wct") * size(col("syms"))).cast("long"))
+      .as[Long].head()
+    val wordTotal = vocab.agg(sum(col("wct")).cast("long")).as[Long].head()
+    var idx = 0L
+    val ledger = Seq.newBuilder[(Long, Long, String, String, Long, Double, Long)]
+    for (b <- 1 to batches) {
+      val obs = new org.apache.spark.sql.Observation()
+      val pairs = vocab
+        .select(col("wct"),
+          explode(call_function("graft_run_pairs", col("syms"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wct") * col("p.ct")).as("ct"),
+          sum(col("wct") * col("p.mct")).as("mct"))
+        .observe(obs, coalesce(sum(col("ct")), lit(0L)).cast("long")
+          .as("pair_total"))
+      val symCt = vocab
+        .select(col("wct"), explode(col("syms")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("wct")).as("c"))
+      val cands = pairs
+        .join(broadcast(symCt.withColumnRenamed("sym", "a")
+          .withColumnRenamed("c", "ca")), Seq("a"))
+        .join(broadcast(symCt.withColumnRenamed("sym", "b")
+          .withColumnRenamed("c", "cb")), Seq("b"))
+        .withColumn("score",
+          col("ct").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double")))
+        .orderBy(col("score").desc, col("a").asc, col("b").asc)
+        .limit(win)
+        .select(col("a"), col("b"), col("mct"), col("score"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      val measured = obs.get("pair_total").asInstanceOf[Long] + wordTotal
+      require(measured == total,
+        s"WordPiece.learnVocabBatched: entering batch $b the corpus symbol " +
+          s"total measures $measured but the ledger derived $total — the " +
+          "triple-disjointness invariant is broken")
+      val sel = Seq.newBuilder[(String, String, Long, Double)]
+      var taken = 0
+      var used = Set.empty[String]
+      for ((a, bb, mct, score) <- cands if taken < batchSize) {
+        val triple = Set(a, bb, a + bb)
+        if ((triple & used).isEmpty) {
+          sel += ((a, bb, mct, score)); used ++= triple; taken += 1
+        }
+      }
+      val chosen = sel.result()
+      if (chosen.nonEmpty) {
+        val prev = vocab
+        vocab = vocab
+          .select(col("word"), col("wct"),
+            Bpe.applyMergeSet(col("syms"),
+              chosen.map(c => (c._1, c._2))).as("syms"))
+          .localCheckpoint(true)
+        CheckpointUtil.free(prev) // hold 2 generations, not O(batches)
+        var running = total
+        for ((l, r, mct, score) <- chosen) {
+          idx += 1
+          running -= mct
+          ledger += ((idx, b.toLong, l, r, mct,
+            math.floor(score * 1e6) / 1e6, running))
+        }
+        total = running // verified by the NEXT round's observed scan
+      }
+    }
+    val finalMeasured = vocab
+      .agg(sum(col("wct") * size(col("syms"))).cast("long")).as[Long].head()
+    require(finalMeasured == total,
+      s"WordPiece.learnVocabBatched: final corpus symbol total measures " +
+        s"$finalMeasured but the ledger derived $total — the " +
+        "triple-disjointness invariant is broken")
+    CheckpointUtil.free(vocab)
+    ledger.result()
+      .toDF("merge_idx", "batch", "lhs", "rhs", "ct", "score", "syms_after")
   }
 }

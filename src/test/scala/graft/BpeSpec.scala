@@ -290,4 +290,44 @@ class BpeSpec extends SparkSpec {
       .as[(Long, String, String, Long, Double, Long)].collect().head
     assert(t._2 === "u" && t._3 === "v", s"tie-break must pick (u,v): $t")
   }
+
+  test("learnVocabBatched with batchSize=1 is exactly sequential " +
+    "learnVocab: same picks, same scores, same symbol ledger") {
+    import graft.operators.WordPiece
+    val units = Seq("spark", "spark", "shark", "park", "spar", "spars",
+      "lower", "flower", "tower", "power", "ab", "ab", "ab", "cd")
+      .toDF("unit")
+    val seqLed = WordPiece.learnVocab(units, rounds = 6).orderBy("round")
+      .as[(Long, String, String, Long, Double, Long)].collect().toSeq
+    val bat = WordPiece.learnVocabBatched(units, batches = 6, batchSize = 1)
+      .orderBy("merge_idx")
+      .as[(Long, Long, String, String, Long, Double, Long)].collect().toSeq
+    // sequential records the naive pair count, batched the greedy-
+    // mergeable count — identical off self-pairs (none in this corpus);
+    // syms_after: measured (sequential) vs derived (batched) must agree
+    assert(bat.map(r => (r._1, r._3, r._4, r._5, r._6, r._7)) === seqLed)
+    assert(bat.map(_._2) === (1L to 6L)) // one merge per batch
+  }
+
+  test("learnVocabBatched: triple-disjoint selection under the LIKELIHOOD " +
+    "ranking — an overlapping candidate is skipped even when it outscores " +
+    "the rest, and the conservation ledger holds") {
+    import graft.operators.WordPiece
+    // scores: (c,d): 3/(3*3)=0.333 picked first; (d,e): shares 'd' with
+    // the first pick's triple -> skipped in-batch despite score
+    // 3/(3*23)≈0.043 > (a,b)'s 10/(30*30)≈0.011; (b,f) disjoint -> picked
+    val units = (Seq.fill(10)("ab") ++ Seq.fill(3)("cde") ++
+      Seq.fill(20)("a") ++ Seq.fill(20)("bf")).toDF("unit")
+    val led = WordPiece.learnVocabBatched(units, batches = 1,
+        batchSize = 3, window = 16)
+      .orderBy("merge_idx")
+      .as[(Long, Long, String, String, Long, Double, Long)].collect().toSeq
+    val picks = led.map(r => (r._3, r._4))
+    assert(picks.contains(("c", "d")) && !picks.contains(("d", "e")),
+      s"(d,e) shares a symbol with (c,d)'s triple and must be skipped: $led")
+    // ledger telescopes by ct against the true corpus symbol total
+    // (10*2 + 3*3 + 20*1 + 20*2 = 89)
+    var running = 89L
+    led.foreach { r => running -= r._5; assert(r._7 === running, s"$led") }
+  }
 }

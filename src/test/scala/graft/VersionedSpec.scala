@@ -639,6 +639,101 @@ class VersionedSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("materializeDvs: threshold-driven rewrite of tombstone-heavy files " +
+    "only — light files keep their DVs, dead files vanish, reads are " +
+    "identical, re-sweep is a no-op") {
+    val dir = tmpDir("dvmat")
+    try {
+      val base = spark.range(0, 800)
+        .select(col("id").as("k"), (col("id") * 10).as("v"),
+          (col("id") / 100).cast("long").as("bucket"))
+      Versioned.init(spark, dir, "bucket", base, statsCol = Some("k"))
+      // a store with no dv column at all: structurally a no-op (no commit)
+      assert(Versioned.materializeDvs(spark, dir, "bucket",
+        statsCol = Some("k")) === 1L)
+      // bucket 5 fully tombstoned; bucket 2 at 3%, bucket 7 at 1%
+      Versioned.deleteKeysDv(spark, dir, "bucket", "k",
+        base.filter(col("bucket") === 5).select(col("k"), col("bucket")))
+      val v3 = Versioned.deleteKeysDv(spark, dir, "bucket", "k",
+        Seq((201L, 2L), (217L, 2L), (233L, 2L), (707L, 7L))
+          .toDF("k", "bucket"))
+      val before = Versioned.read(spark, dir, v3)
+        .orderBy(col("k")).collect().toSeq
+      val files3 = manifestFiles(dir, v3)
+      // threshold 0.1: only bucket 5 (fraction 1.0) qualifies
+      val v4 = Versioned.materializeDvs(spark, dir, "bucket",
+        threshold = 0.1, statsCol = Some("k"))
+      assert(v4 === v3 + 1)
+      val m4 = spark.read.parquet(Versioned.manifestDir(dir, v4))
+      // fully-tombstoned bucket 5 writes no fresh file — it just vanishes
+      assert(m4.filter(col("part") === "5").count() === 0L,
+        "a fully-tombstoned file must disappear from the new manifest")
+      assert(manifestFiles(dir, v4).subsetOf(files3),
+        "materializing a fully-dead file must not write any fresh file")
+      // light files carried verbatim, still answering through their DVs
+      assert(m4.filter(size(col("dv")) > 0).count() >= 2L,
+        "files under the threshold must keep their deletion vectors")
+      assert(Versioned.read(spark, dir, v4).orderBy(col("k"))
+        .collect().toSeq === before,
+        "read-after-materialize must equal read-with-DVs")
+      // time travel: the pre-materialize version still answers via DVs
+      assert(Versioned.read(spark, dir, v3).count() === 696L)
+      assert(Versioned.read(spark, dir, 1L).count() === 800L)
+      // threshold 0: every remaining DV'd file rewrites 1:1
+      val v5 = Versioned.materializeDvs(spark, dir, "bucket",
+        statsCol = Some("k"))
+      assert(v5 === v4 + 1)
+      val m5 = spark.read.parquet(Versioned.manifestDir(dir, v5))
+      if (m5.columns.contains("dv"))
+        assert(m5.filter(size(col("dv")) > 0).count() === 0L,
+          "threshold 0 must materialize every deletion vector away")
+      assert(Versioned.read(spark, dir, v5).orderBy(col("k"))
+        .collect().toSeq === before)
+      // stats survive the rewrite: a point probe still prunes + answers
+      assert(Versioned.readPoint(spark, dir, "k", 217L, v5).count() === 0L)
+      assert(Versioned.readPoint(spark, dir, "k", 218L, v5).count() === 1L)
+      // nothing DV'd left: the sweep is a NO-OP, not an empty commit
+      assert(Versioned.materializeDvs(spark, dir, "bucket",
+        statsCol = Some("k")) === v5)
+      assert(Versioned.latest(dir) === v5)
+      // vacuum to v5: every tombstone dir is unreferenced now
+      Versioned.vacuum(spark, dir, retainFrom = v5)
+      val dvRoot = new java.io.File(s"$dir/dv")
+      assert(!dvRoot.exists() ||
+        Option(dvRoot.listFiles()).getOrElse(Array.empty).isEmpty,
+        "vacuum after full materialization must reclaim tombstone dirs")
+    } finally rm(dir)
+  }
+
+  test("txn appId validation guards EVERY txn-writing path at the commit " +
+    "choke point — a newline-bearing id fails loudly, never as a " +
+    "silently unparseable sidecar") {
+    val dir = tmpDir("txnval")
+    try {
+      val base = spark.range(0, 40)
+        .select(col("id").as("k"), (col("id") * 10).as("v"),
+          pmod(col("id"), lit(4L)).as("bucket"))
+      Versioned.init(spark, dir, "bucket", base)
+      val up = Seq((3L, 999L, 3L, "U")).toDF("k", "v", "bucket", "op")
+      // the public merge(txn = ...) path — not just mergeIdempotent
+      val e = intercept[IllegalArgumentException] {
+        Versioned.merge(spark, dir, "bucket", "k", up,
+          txn = Some(("bad\nid", 1L)))
+      }
+      assert(e.getMessage.contains("appId"))
+      assert(Versioned.latest(dir) === 1L,
+        "a rejected txn id must not commit anything")
+      // a valid id on the same path commits and is idempotently visible
+      Versioned.merge(spark, dir, "bucket", "k", up,
+        txn = Some(("app.ok-1", 7L)))
+      assert(Versioned.latest(dir) === 2L)
+      val (_, applied) = Versioned.mergeIdempotent(spark, dir, "bucket",
+        "k", up, "app.ok-1", 7L)
+      assert(!applied, "the txn sidecar written via merge(txn=) must be " +
+        "readable by mergeIdempotent's replay check")
+    } finally rm(dir)
+  }
+
   test("shallowClone: zero-copy fork — clone reads the source version " +
     "byte-for-byte, divergent merges COW into the clone only, source " +
     "stays untouched") {

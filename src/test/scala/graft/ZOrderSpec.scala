@@ -60,6 +60,41 @@ class ZOrderSpec extends SparkSpec {
     assert(e.eval(null) === reference(4, Seq(13L, 6L)))
   }
 
+  test("zvalue and hilbert generated code COMPILES with non-nullable " +
+      "children (Janino, no interpreted fallback)") {
+    // Whole-stage codegen silently falls back to interpreted eval when
+    // Janino rejects the generated code, so a DataFrame-level value check
+    // cannot catch a broken doGenCode. Compile a projection directly:
+    // GenerateMutableProjection has no fallback and throws on any error.
+    // Non-nullable BoundReferences are the regression case — ev.isNull is
+    // always a fresh variable in Spark 4.x and must be declared even when
+    // no child is nullable.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types.LongType
+    val nn = Seq(
+      BoundReference(0, LongType, nullable = false),
+      BoundReference(1, LongType, nullable = false))
+    val exprs = Seq(
+      graft.expressions.ZValueInterleave(nn, 10),
+      graft.expressions.HilbertIndex(nn, 10))
+    val proj = GenerateMutableProjection.generate(exprs)
+    val row = proj(InternalRow(513L, 7L))
+    assert(row.getLong(0) === reference(10, Seq(513L, 7L)))
+    assert(row.getLong(1) ===
+      graft.expressions.HilbertIndex.index(Array(513L, 7L), 10))
+    // and the nullable-children variant still compiles + nulls propagate
+    val nl = Seq(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, LongType, nullable = true))
+    val projN = GenerateMutableProjection.generate(Seq(
+      graft.expressions.ZValueInterleave(nl, 10),
+      graft.expressions.HilbertIndex(nl, 10)))
+    val rowN = projN(InternalRow(null, 7L))
+    assert(rowN.isNullAt(0) && rowN.isNullAt(1))
+  }
+
   test("zvalue: null dim → null; masking keeps out-of-range values inside " +
       "the curve; SQL registration works") {
     val df = Seq[(java.lang.Long, java.lang.Long)]((3L, null), (3L, 5L))
