@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   * Prints a SCALE.md-ready markdown table. */
 object ManifestScale {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // sf0.1 by default: the ≥100k tier needs ≥100k distinct keys
+    // (one file per key-hash bucket; orders sf0.1 carries 150k)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sizes = sys.env.get("SPARK_GRAFT_MS_SIZES")
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(3000, 12000, 48000, 120000))
@@ -63,8 +65,10 @@ object ManifestScale {
           "bucket", raw.withColumn("bucket", pmod(col("k"), lit(f.toLong))),
           statsCol = Some("k"))
       }
-      val m = spark.read.parquet(Versioned.manifestDir(path, 1L))
-        .localCheckpoint(true)
+      // NOT cached: both probe shapes must pay the manifest read per
+      // probe, exactly as the real planner does (the pre-r18 planner
+      // also read the manifest parquet fresh per readPoint call)
+      def m = spark.read.parquet(Versioned.manifestDir(path, 1L))
       val mRows = m.count()
       // deterministic probe keys spread over the key range
       val probeKeys = (0 until probesPerRun).map(i =>
