@@ -719,6 +719,83 @@ private[graft] object GatesMaintenance {
     }),
 
 
+    // ── K35: BATCHED point probe (r18) — the amortizing lever the r18
+    // ManifestScale row flagged: at the 10⁵-file tier ONE distributed
+    // manifest scan costs seconds, so a key-LIST lookup through N
+    // readPoint calls pays N scans where readPoints pays one (plus one
+    // data read of the union file set; per manifest row, one sketch
+    // deserialization answers the whole batch). Same k22 fixture — 16
+    // range buckets + a churned low-key zone, two versions — probed
+    // with one 7-key batch per version mixing range hits, the updated
+    // key, the deleted key (v1-only), an inserted key (v2-only), and
+    // two misses. Pins per version: pruned_ok (planned files a strict
+    // subset of the snapshot's), equal_ok (batch answer == full-scan
+    // IN-filter), union_ok (the batch PLAN is file-for-file the union
+    // of the 7 per-key readPoint plans — sketches are deterministic, so
+    // amortization changes what a probe costs, never what it reads);
+    // the oracle replays both snapshots and aggregates over the batch.
+    "k35_multi_point" -> ((s, dir) => {
+      import graft.operators.Versioned
+      val path = s"$shmRoot/graft-vmulti-${System.nanoTime()}"
+      try {
+        val raw = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), dec("o_totalprice").as("price"))
+        val mx = raw.agg(max(col("k"))).head().getLong(0)
+        val cut = mx / 8
+        val base = raw.withColumn("bucket",
+          least(floor(col("k") * 16.0 / (mx + 1)).cast("long"), lit(15L)))
+        Versioned.init(s, path, "bucket", base, statsCol = Some("k"))
+        val b1 =
+          base.filter(col("k") <= cut && col("k") % 3 === 0)
+            .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+            .withColumn("op", lit("U"))
+          .unionByName(base.filter(col("k") <= cut && col("k") % 3 === 1)
+            .withColumn("op", lit("D")))
+          .unionByName(base.filter(col("k") <= cut && col("k") % 3 === 2)
+            .withColumn("k", col("k") + 80000000L)
+            .withColumn("bucket", lit(99L))
+            .withColumn("op", lit("I")))
+        Versioned.merge(s, path, "bucket", "k", b1, statsCol = Some("k"))
+        def minWhere(c: org.apache.spark.sql.Column): Long =
+          raw.filter(c).agg(min(col("k"))).head().getLong(0)
+        val batch = Seq(
+          minWhere(col("k") >= mx / 2),
+          minWhere(col("k") >= 3L * mx / 4),
+          minWhere(col("k") <= cut && col("k") % 3 === 0),
+          minWhere(col("k") <= cut && col("k") % 3 === 1),
+          minWhere(col("k") <= cut && col("k") % 3 === 2) + 80000000L,
+          mx + 123456789L, mx + 987654321L)
+        val rows = Seq(1L, 2L).map { v =>
+          val full = Versioned.read(s, path, v)
+          val allFiles = full.inputFiles.length
+          val got = Versioned.readPoints(s, path, "k", batch, v)
+          val gotFiles = got.inputFiles.toSet
+          val perKeyFiles = batch.flatMap(k =>
+            Versioned.readPoint(s, path, "k", k, v).inputFiles).toSet
+          def summarize(df: org.apache.spark.sql.DataFrame) = {
+            val r = df.agg(count(lit(1)),
+              coalesce(sum(col("price")), lit(0).cast("decimal(18,2)"))
+                .cast("double"),
+              coalesce(sum(col("k")), lit(0L))).head()
+            (r.getLong(0), r.getDouble(1), r.getLong(2))
+          }
+          val g = summarize(got)
+          val want = summarize(
+            full.filter(col("k").isInCollection(batch)))
+          ((v, g._1, g._2, g._3,
+            if (gotFiles.size < allFiles) 1L else 0L,
+            if (g == want) 1L else 0L,
+            if (gotFiles == perKeyFiles) 1L else 0L))
+        }
+        import s.implicits._
+        rows.toDF("version", "n", "price_sum", "key_sum",
+          "pruned_ok", "equal_ok", "union_ok")
+          .orderBy(col("version"))
+          .localCheckpoint(true) // materialize before the store sweeps
+      } finally rmTree(path)
+    }),
+
+
     // ── K23: COMPACTION of the versioned store as a COMMITTED version —
     // the maintenance pass that retires the small-file tail without
     // breaking AS OF (r14 verdict task 2). 64 one-file partitions + one
@@ -2026,6 +2103,51 @@ private[graft] object GatesMaintenance {
         |  AND s.k >= p.lo AND s.k <= p.hi
         |GROUP BY v.version, p.probe
         |ORDER BY version, probe""".stripMargin,
+
+
+    // the batch replayed over the replayed snapshots; the planning
+    // verdicts (pruned/union-of-per-key-plans) are in-gate requires on
+    // inputFiles, replayed as literal 1s
+    "k35_multi_point" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |mxv AS (SELECT MAX(k) AS mx FROM base),
+        |v2 AS (
+        |  SELECT k, price FROM base, mxv
+        |    WHERE NOT (k <= mx//8 AND k % 3 IN (0, 1))
+        |  UNION ALL
+        |  SELECT k, CAST(price * 2 AS DECIMAL(18,2)) FROM base, mxv
+        |    WHERE k <= mx//8 AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 80000000, price FROM base, mxv
+        |    WHERE k <= mx//8 AND k % 3 = 2),
+        |batch AS (
+        |  SELECT (SELECT MIN(k) FROM base, mxv WHERE k >= mx//2) AS bk
+        |  UNION ALL SELECT
+        |    (SELECT MIN(k) FROM base, mxv WHERE k >= 3 * mx//4)
+        |  UNION ALL SELECT
+        |    (SELECT MIN(k) FROM base, mxv WHERE k <= mx//8 AND k % 3 = 0)
+        |  UNION ALL SELECT
+        |    (SELECT MIN(k) FROM base, mxv WHERE k <= mx//8 AND k % 3 = 1)
+        |  UNION ALL SELECT
+        |    (SELECT MIN(k) + 80000000 FROM base, mxv
+        |      WHERE k <= mx//8 AND k % 3 = 2)
+        |  UNION ALL SELECT mx + 123456789 FROM mxv
+        |  UNION ALL SELECT mx + 987654321 FROM mxv),
+        |snap AS (SELECT 1 AS version, k, price FROM base
+        |  UNION ALL SELECT 2, k, price FROM v2),
+        |vers AS (SELECT 1 AS version UNION ALL SELECT 2),
+        |hits AS (SELECT s.version AS sv, s.k, s.price
+        |  FROM snap s JOIN batch b ON s.k = b.bk)
+        |SELECT CAST(v.version AS BIGINT) AS version,
+        |  CAST(COUNT(t.k) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(t.price), 0) AS DOUBLE) AS price_sum,
+        |  CAST(COALESCE(SUM(t.k), 0) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS pruned_ok, CAST(1 AS BIGINT) AS equal_ok,
+        |  CAST(1 AS BIGINT) AS union_ok
+        |FROM vers v LEFT JOIN hits t ON t.sv = v.version
+        |GROUP BY v.version
+        |ORDER BY version""".stripMargin,
 
 
     // z-order × multi-col skipping: layout never changes answers —

@@ -393,6 +393,44 @@ private[graft] object GatesPipeline {
     }),
 
 
+    // ── Text: UNIGRAM-LM VITERBI ENCODE — the THIRD tokenizer family
+    // (SentencePiece's unigram algorithm, Kudo 2018 §3), completing the
+    // induction trio: BPE replays merges, WordPiece munches greedily,
+    // Unigram segments GLOBALLY — dp[i] = max_j dp[j]·p(unit[j..i)),
+    // the segmentation maximizing the product of piece probabilities
+    // (operators/Unigram + the native graft_unigram lattice kernel —
+    // vocab AND counts baked into the plan as literals, no UDF). Same
+    // 24-char chunk units and closed-form top-k derivation as the
+    // WordPiece encode gate, plus the alphabet floor (all single chars
+    // ride along, so no unit can strand). Engine-portable with NO
+    // tolerance: p = ct/total is one exact IEEE division of sub-2^53
+    // longs and every lattice score is a fixed-order chain of
+    // correctly-rounded multiplies, so the oracle's 24-step DP replay
+    // (score DESC, start ASC argmax per position, backtraced
+    // recursively) reproduces the argmax bit for bit — derivation,
+    // lattice, and backtrace are all pinned by the hash match.
+    "text_unigram_encode" -> ((s, dir) => {
+      val units = Tables.documents(s, dir).filter(length(col("text")) > 0)
+        .select(explode(transform(
+          sequence(lit(1), length(col("text")), lit(24)),
+          i => col("text").substr(i, lit(24)))).as("unit"))
+      val vocab = Unigram.vocabUnits(units, k = 200, maxPieceLen = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy(_._1) // k + alphabet rows: plan-sized metadata
+      Unigram.encodeUnits(units, vocab)
+        .select(col("unit"), col("wct"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("toks")).as("seg"))
+        .groupBy(col("n_tokens"))
+        .agg(count(lit(1)).as("units"),
+          sum(col("wct")).as("occurrences"),
+          sum(length(col("seg"))).cast("long").as("seg_chars_sum"),
+          min(col("seg")).as("seg_min"),
+          max(col("seg")).as("seg_max"))
+        .orderBy(col("n_tokens"))
+    }),
+
+
     // ── Text: WORDPIECE TRAINING — likelihood-scored merge induction
     // (Schuster & Nakajima 2012: argmax of ct/(ct_a·ct_b), the pair
     // whose fusion most raises unigram-LM corpus likelihood — the real
@@ -1115,6 +1153,20 @@ private[graft] object GatesPipeline {
           k = 5, centroids, cb, nProbe = 6, shortlist = 50))
         println(f"[sim_recall_report] ivfpq  recall@5 = $r6%.3f " +
           "(nProbe=6 curve probe, unrequired)")
+        // SUB-QUANTIZER resolution probe (r18): the r17 nProbe sweep
+        // showed the curve is shallow in the probe set — the verdict's
+        // hypothesis is that ivfpq recall lives in m (each sub-vector
+        // halves from 8 to 4 dims at m=16, so each code byte quantizes
+        // a finer slice). One PQ-only search at m=16 codebooks — logged
+        // for the BASELINE trend table, never required, and PQ-only so
+        // the probe prices the quantizer itself, not the IVF routing.
+        val cb16 = Similarity.trainPqCodebooks(emb, m = 16, k = 64,
+          iters = 2, sampleRate = 0.5)
+        val r16 = recall(Similarity.pqTopKReranked(emb,
+          Similarity.pqEncode(emb, cb16), queries, k = 5, cb16,
+          shortlist = 50))
+        println(f"[sim_recall_report] pq     recall@5 = $r16%.3f " +
+          "(m=16 resolution curve probe, unrequired; committed m=8)")
         // kNN JOIN recall (r17 verdict task 6): the both-sides-large tier
         // previously had only its own per-gate floor — fold its recall@5
         // into this report so the whole ANN surface shares one trend
@@ -1880,6 +1932,88 @@ private[graft] object GatesPipeline {
     * precondition is guarded in the unit CTE (a literal '##' would
     * alias raw and continuation piece keys — same loud-guard pattern as
     * the byte-fallback pipe check). */
+  /** Replay of the unigram-LM Viterbi encode: the SAME closed-form
+    * vocabulary derivation (positionless top-k + the alphabet floor),
+    * exact probabilities (one BIGINT-to-DOUBLE division), then the
+    * lattice as `chunk` chained DP steps — per position one
+    * (score DESC, start ASC) window argmax over the ≤maxPieceLen
+    * predecessors, scores carried as DOUBLE lists (every multiply is
+    * correctly rounded in the same order as the kernel, so the argmax
+    * is bit-identical) — and a recursive backtrace from each unit's
+    * final position. Every dp CTE is MATERIALIZED: each is referenced
+    * twice (carry + candidates), which would otherwise inline
+    * exponentially across 24 levels. */
+  private def unigramSql(chunk: Int, k: Int, maxPieceLen: Int): String = {
+    val stepCtes = (1 to chunk).map { i =>
+      s"""dp$i AS MATERIALIZED (
+         |  SELECT d.unit, d.wct,
+         |    list_append(d.dps, COALESCE(b.s, CAST(-1 AS DOUBLE))) AS dps,
+         |    list_append(d.bks, COALESCE(b.j, -1)) AS bks
+         |  FROM dp${i - 1} d LEFT JOIN (
+         |    SELECT unit, s, j FROM (
+         |      SELECT unit, sc AS s, j, row_number() OVER (
+         |          PARTITION BY unit ORDER BY sc DESC, j ASC) AS rn
+         |      FROM (
+         |        SELECT d.unit, jj.j AS j, d.dps[jj.j+1] * vp.p AS sc
+         |        FROM dp${i - 1} d,
+         |          UNNEST(range(greatest(0, $i - $maxPieceLen), $i))
+         |            AS jj(j), vp
+         |        WHERE length(d.unit) >= $i AND d.dps[jj.j+1] >= 0
+         |          AND vp.piece = substr(d.unit, jj.j+1, $i - jj.j)))
+         |    WHERE rn = 1) b USING (unit))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE u0 AS (
+       |  SELECT unnest(list_transform(
+       |      range(1, length(text)+1, $chunk),
+       |      i -> substr(text, i, $chunk))) AS unit
+       |  FROM documents WHERE length(text) > 0),
+       |u AS MATERIALIZED (SELECT unit, CAST(COUNT(*) AS BIGINT) AS wct
+       |  FROM u0 GROUP BY unit),
+       |pg AS MATERIALIZED (
+       |  SELECT substr(unit, p, n) AS piece, CAST(SUM(wct) AS BIGINT) AS ct
+       |  FROM u,
+       |    UNNEST(range(1, length(unit)+1)) AS up(p),
+       |    UNNEST(range(1, least($maxPieceLen, length(unit) - p + 1) + 1))
+       |      AS un(n)
+       |  GROUP BY 1),
+       |topk AS MATERIALIZED (
+       |  SELECT piece, ct FROM pg ORDER BY ct DESC, piece LIMIT $k),
+       |v AS (SELECT piece, ct FROM topk
+       |  UNION ALL
+       |  SELECT piece, ct FROM pg
+       |  WHERE length(piece) = 1
+       |    AND piece NOT IN (SELECT piece FROM topk)),
+       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS total FROM v),
+       |vp AS MATERIALIZED (SELECT piece,
+       |  CAST(ct AS DOUBLE) / CAST(total AS DOUBLE) AS p FROM v, tot),
+       |dp0 AS (SELECT unit, wct, [CAST(1.0 AS DOUBLE)] AS dps,
+       |  [0] AS bks FROM u),
+       |$stepCtes,
+       |chk AS MATERIALIZED (SELECT unit, wct, bks,
+       |    CASE WHEN dps[length(unit)+1] < 0
+       |      THEN error('unigram oracle: unreachable unit ' || unit)
+       |      ELSE 1 END AS ok
+       |  FROM dp$chunk),
+       |bt AS (
+       |  SELECT unit, wct, CAST(length(unit) AS INT) AS pos,
+       |    CAST([] AS VARCHAR[]) AS segr
+       |  FROM chk
+       |  UNION ALL
+       |  SELECT bt.unit, bt.wct, d.bks[bt.pos+1] AS pos,
+       |    list_append(bt.segr,
+       |      substr(bt.unit, d.bks[bt.pos+1]+1, bt.pos - d.bks[bt.pos+1]))
+       |      AS segr
+       |  FROM bt JOIN chk d ON bt.unit = d.unit WHERE bt.pos > 0),
+       |fin AS (SELECT unit, wct, CAST(len(segr) AS BIGINT) AS n_tokens,
+       |  array_to_string(list_reverse(segr), ' ') AS seg
+       |  FROM bt WHERE pos = 0)
+       |SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS units,
+       |  CAST(SUM(wct) AS BIGINT) AS occurrences,
+       |  CAST(SUM(length(seg)) AS BIGINT) AS seg_chars_sum,
+       |  MIN(seg) AS seg_min, MAX(seg) AS seg_max
+       |FROM fin GROUP BY 1 ORDER BY n_tokens""".stripMargin
+  }
+
   private def wordPieceSql(steps: Int, k: Int, maxPieceLen: Int,
       chunk: Int): String = {
     val stepCtes = (1 to steps).map { i =>
@@ -2427,6 +2561,7 @@ private[graft] object GatesPipeline {
     // full replay: vocab derivation AND the greedy longest-match walk
     // (24 chained extraction steps over 24-char chunk units)
     "text_wordpiece_encode" -> wordPieceSql(24, 200, 4, 24),
+    "text_unigram_encode" -> unigramSql(24, 200, 4),
 
     // full replay of all 8 likelihood-scored training rounds
     "text_wordpiece_train" -> wordPieceTrainSql(8),

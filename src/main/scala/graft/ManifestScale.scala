@@ -54,9 +54,9 @@ object ManifestScale {
     val keys = raw.select(col("k")).orderBy(col("k")).limit(2048)
       .collect().map(_.getLong(0))
     println("| manifest rows | build s | probe med s (r18 plan) | " +
-      "probe med s (pre-r18 collect) | files probed | driver stat bytes " +
-      "(pre-r18) |")
-    println("|---|---|---|---|---|---|")
+      "probe med s (pre-r18 collect) | batched s/key (readPoints) | " +
+      "files probed | driver stat bytes (pre-r18) |")
+    println("|---|---|---|---|---|---|---|")
 
     sizes.foreach { f =>
       val path = s"$root/store-$f"
@@ -115,11 +115,23 @@ object ManifestScale {
         (t / probesPerRun, statBytes / probesPerRun)
       }
 
-      newProbe(); oldProbe() // untimed warmup of both plan shapes
+      // the amortizing batch: ALL probe keys against ONE manifest scan
+      // (readPoints) — reported per key, comparable to the per-key
+      // probe columns
+      def batchProbe(): Double = {
+        val (t, _) = timed {
+          val df = Versioned.readPoints(spark, path, "k", probeKeys)
+          assert(df.count() >= probesPerRun.toLong,
+            "batched probe lost rows")
+        }
+        t / probesPerRun
+      }
+      newProbe(); oldProbe(); batchProbe() // untimed warmup of all shapes
       val (tNew, probed) = newProbe()
       val (tOld, bytes) = oldProbe()
+      val tBatch = batchProbe()
       println(f"| $mRows | $tBuild%.1f | $tNew%.3f | $tOld%.3f | " +
-        f"${probed / probesPerRun} | $bytes |")
+        f"$tBatch%.3f | ${probed / probesPerRun} | $bytes |")
       GateSupport.rmTree(path)
     }
     GateSupport.rmTree(root)

@@ -86,7 +86,12 @@ object GraftExtensions {
     ("graft_wordpiece", new ExpressionInfo(
       classOf[WordPieceEncode].getName, "graft_wordpiece"),
       (args: Seq[Expression]) =>
-        WordPieceEncode(args(0), stringArrayArg(args, 1, "vocab"))))
+        WordPieceEncode(args(0), stringArrayArg(args, 1, "vocab"))),
+    ("graft_unigram", new ExpressionInfo(
+      classOf[UnigramEncode].getName, "graft_unigram"),
+      (args: Seq[Expression]) =>
+        UnigramEncode(args(0), stringArrayArg(args, 1, "pieces"),
+          longArrayArg(args, 2, "counts"))))
 
   /** Extract a literal long parameter (int literals widen). */
   private def longArg(args: Seq[Expression], i: Int, name: String): Long = {
@@ -114,6 +119,29 @@ object GraftExtensions {
           .map(u => if (u == null) null else u.toString).toSeq
       case other => throw new IllegalArgumentException(
         s"argument $i ($name) must be an array<string> literal, got $other")
+    }
+  }
+
+  /** Extract a literal array<long> parameter (int elements widen) — the
+    * counts half of a plan-baked (piece, count) vocabulary. */
+  private def longArrayArg(args: Seq[Expression], i: Int,
+      name: String): Seq[Long] = {
+    require(args.length > i && args(i).foldable,
+      s"argument $i ($name) must be a literal array<bigint>")
+    args(i).eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        args(i).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, _) =>
+            a.toLongArray().toSeq
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType, _) =>
+            a.toIntArray().map(_.toLong).toSeq
+          case other => throw new IllegalArgumentException(
+            s"argument $i ($name) must be array<bigint>, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"argument $i ($name) must be an array<bigint> literal, got $other")
     }
   }
 

@@ -41,11 +41,12 @@ object Manifest {
     * (every file's [mn, mx] then contains almost any key, so envelope
     * pruning degenerates to a full scan, while the Bloom answers "this
     * file cannot contain k" per file with no false negatives). Same
-    * single narrow scan as [[build]]; the sketch adds
-    * ~1.2·expectedPerFile bytes per manifest row at fpp=1%. */
+    * single narrow scan as [[build]]; each sketch sizes to its file's
+    * actual distinct count at fpp=1% ([[graft.functions.BloomAgg
+    * adaptive]]), capped at ~1.2·expectedPerFile bytes. */
   def buildWithBloom(spark: SparkSession, path: String, statCol: String,
       expectedPerFile: Long = 1L << 13, fpp: Double = 0.01): DataFrame = {
-    val bloom = udaf(graft.functions.BloomAgg.agg(expectedPerFile, fpp))
+    val bloom = udaf(graft.functions.BloomAgg.adaptive(expectedPerFile, fpp))
     spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"),

@@ -283,9 +283,14 @@ object Versioned {
     a2.unionByName(b2.select(a2.columns.map(col): _*))
   }
 
-  /** Per-file Bloom sizing for stats-carrying manifests (the k16
-    * file-skipping tier): ~1.2·expected bytes per manifest row at 1% fpp
-    * — kilobytes per file, negligible next to the file itself. */
+  /** Per-file Bloom sizing CEILING for stats-carrying manifests (the
+    * k16 file-skipping tier): sketches size to each (file, part)
+    * group's ACTUAL distinct count ([[graft.functions.BloomAgg
+    * adaptive]]) and only a group past this cap pays the full
+    * ~1.2·cap bytes at 1% fpp. In a manifest the sketch bytes are the
+    * bulk of every probe's scan, so right-sizing the small-file tail
+    * shrinks the per-lookup manifest read, not just storage
+    * (ManifestScale banks the curvature). */
   private val StatsBloomExpected = 1L << 13
   private val StatsBloomFpp = 0.01
 
@@ -342,7 +347,7 @@ object Versioned {
         // them) so pre-r16 readers of single-column manifests keep
         // working; the full set lands in the `stats` map, keyed by
         // physical column name, which [[pruneFiles]] probes first.
-        val bloom = udaf(graft.functions.BloomAgg.agg(
+        val bloom = udaf(graft.functions.BloomAgg.adaptive(
           StatsBloomExpected, StatsBloomFpp))
         val aggs = cols.zipWithIndex.flatMap { case (c, j) =>
           Seq(min(col(c).cast("long")).as(s"__mn_$j"),
@@ -635,6 +640,30 @@ object Versioned {
     udf((bloom: Array[Byte], key: Long) =>
       graft.functions.BloomAgg.readFrom(bloom).mightContainLong(key))
 
+  /** Batched might-contain for [[readPoints]]: ONE sketch
+    * deserialization per manifest row answers the whole key batch.
+    * `keys` arrives sorted — binary search to the first key inside the
+    * row's [mn, mx] envelope, then test only the in-envelope run (the
+    * envelope already rejected everything outside). */
+  private val bloomAnyContain =
+    udf((bloom: Array[Byte], mn: Long, mx: Long,
+        keys: scala.collection.Seq[Long]) => {
+      val f = graft.functions.BloomAgg.readFrom(bloom)
+      // lower bound: first index with keys(i) >= mn
+      var lo = 0
+      var hi = keys.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (keys(mid) < mn) lo = mid + 1 else hi = mid
+      }
+      var hit = false
+      while (!hit && lo < keys.length && keys(lo) <= mx) {
+        hit = f.mightContainLong(keys(lo))
+        lo += 1
+      }
+      hit
+    })
+
   /** Schema-correct empty frame for snapshot `v` when a probe prunes
     * EVERY file: straight from the committed sidecar when one exists;
     * a pre-sidecar store derives it from any manifest-listed file — and
@@ -714,6 +743,43 @@ object Versioned {
         dvPathsOf(mDf, Some(files.toSet)), logicalNameOf(sch))
       else emptySnapshot(spark, dir, v, sch)
     base.filter(col(keyCol).cast("long") === key)
+  }
+
+  /** Batched point probe `keyCol IN keys` at snapshot `version` — N
+    * keys amortized over ONE distributed manifest scan and ONE data
+    * read of the union file set, where N [[readPoint]] calls pay N
+    * manifest scans (ManifestScale prices a scan at seconds per probe
+    * at the 10⁵-file tier, so the batch is the difference between a
+    * key-list lookup that costs one probe and one that costs N). Plan:
+    * per manifest row, the envelope rejects the whole batch span first,
+    * then ONE sketch deserialization answers the in-envelope keys
+    * ([[bloomAnyContain]]). Same guarantees as readPoint per key — no
+    * false negatives, fpp-bounded extra files — and the planned set is
+    * exactly the union of the per-key plans (sketches are
+    * deterministic). Keys ship into the scan as a literal array:
+    * thousands of keys, not millions — past that the probe stops being
+    * a point lookup and belongs to `read(...).join(keys)`. */
+  def readPoints(spark: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Long], version: Long = -1L): DataFrame = {
+    require(keys.nonEmpty, "Versioned.readPoints: empty key batch")
+    val ks = keys.distinct.sorted
+    val v = if (version < 0) latest(dir) else version
+    require(versions(dir).contains(v),
+      s"Versioned: version $v not in ${versions(dir)}")
+    val sch = readSchema(dir, v)
+    val probePhys = sch.flatMap(_.fields.find(_.name == keyCol))
+      .map(physName).getOrElse(keyCol)
+    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val kArr = typedlit(ks)
+    val files = pruneFiles(mDf, probePhys,
+      (mn, mx, bloom) => mn <= ks.last && mx >= ks.head &&
+        (bloom.isNull || bloomAnyContain(bloom, mn, mx, kArr)))
+    val base =
+      if (files.nonEmpty) applyDv(spark,
+        readFiles(spark, dir, files, sch),
+        dvPathsOf(mDf, Some(files.toSet)), logicalNameOf(sch))
+      else emptySnapshot(spark, dir, v, sch)
+    base.filter(col(keyCol).cast("long").isInCollection(ks))
   }
 
   /** MERGE `source` into the latest snapshot, committing a NEW version

@@ -1420,4 +1420,85 @@ class VersionedSpec extends SparkSpec {
         "the update must be applied exactly once")
     } finally rm(dir)
   }
+
+  test("readPoints: one manifest scan answers a key batch exactly like " +
+    "the per-key probes, and its plan is file-for-file their union") {
+    val dir = tmpDir("batchprobe")
+    try {
+      val base = spark.range(0, 1600)
+        .select(col("id").as("k"), (col("id") * 7).as("v"),
+          (col("id") / 100).cast("long").as("bucket"))
+      Versioned.init(spark, dir, "bucket", base, statsCol = Some("k"))
+      val src = base.filter(col("bucket").isin(3L, 11L) && col("k") % 5 === 0)
+        .withColumn("v", col("v") + 1).withColumn("op", lit("U"))
+      Versioned.merge(spark, dir, "bucket", "k", src, statsCol = Some("k"))
+      // 4 spread hits (one updated in v2) + a miss; unsorted + a dupe to
+      // exercise the normalize step
+      val batch = Seq(1105L, 42L, 315L, 777L, 999999L, 42L)
+      for (v <- Seq(1L, 2L)) {
+        val full = Versioned.read(spark, dir, v)
+        val got = Versioned.readPoints(spark, dir, "k", batch, v)
+        assert(got.orderBy("k").collect().toSeq ===
+          full.filter(col("k").isInCollection(batch))
+            .orderBy("k").collect().toSeq)
+        val union = batch.distinct.flatMap(k =>
+          Versioned.readPoint(spark, dir, "k", k, v).inputFiles).toSet
+        assert(got.inputFiles.toSet === union,
+          "the batch plan must be exactly the union of the per-key plans")
+        assert(got.inputFiles.length < full.inputFiles.length,
+          "a 4-bucket batch must not plan the whole snapshot")
+      }
+      // all-miss batch: zero planned files, empty answer, store schema
+      val miss = Versioned.readPoints(spark, dir, "k",
+        Seq(777777L, 999999L))
+      assert(miss.count() === 0L)
+      assert(miss.columns.toSet === Set("k", "v", "bucket"))
+      // empty batch fails loudly
+      intercept[IllegalArgumentException] {
+        Versioned.readPoints(spark, dir, "k", Seq.empty)
+      }
+    } finally rm(dir)
+  }
+
+  test("adaptive Bloom sketches size to each group's distinct count — " +
+    "the small-file tail stops paying the fixed-size sketch, overflow " +
+    "and cross-partition merge keep the no-false-negative guarantee") {
+    import graft.functions.BloomAgg
+    val cap = 1L << 13
+    val adaptive = udaf(BloomAgg.adaptive(cap, 0.01))
+    val fixed = udaf(BloomAgg.agg(cap, 0.01))
+    // group 0: 12 keys; group 1: 1,200 keys; group 2: 20,000 keys
+    // (spills past the cap); partitioned so partial buffers must merge
+    val rows = spark.range(0, 12).select(lit(0L).as("g"), col("id").as("k"))
+      .union(spark.range(100000, 101200)
+        .select(lit(1L).as("g"), col("id").as("k")))
+      .union(spark.range(200000, 220000)
+        .select(lit(2L).as("g"), col("id").as("k")))
+      .repartition(8)
+    val out = rows.groupBy("g")
+      .agg(adaptive(col("k")).as("a"), fixed(col("k")).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2))).toMap
+    val fixedBytes = out(0)._2.length
+    // fixed sketches cost ~9.6 KB regardless of the group; right-sized
+    // ones track the group (12 keys ≈ tens of bytes)
+    assert(out(0)._1.length < fixedBytes / 20,
+      s"tiny group sketch ${out(0)._1.length} B should be far under " +
+        s"the fixed $fixedBytes B")
+    assert(out(1)._1.length < fixedBytes / 2)
+    // the overflowed group falls back to exactly the fixed shape
+    assert(out(2)._1.length === fixedBytes)
+    // no false negatives, any size, including across the spill + merges
+    val probes = Map(0L -> (0L until 12L), 1L -> (100000L until 101200L),
+      2L -> (200000L until 220000L))
+    probes.foreach { case (g, ks) =>
+      val f = BloomAgg.readFrom(out(g)._1)
+      ks.foreach(k => assert(f.mightContainLong(k),
+        s"group $g lost key $k — a false negative"))
+    }
+    // right-sizing keeps the fpp budget: absent keys still mostly miss
+    val tiny = BloomAgg.readFrom(out(0)._1)
+    val falsePos = (5000L until 6000L).count(tiny.mightContainLong)
+    assert(falsePos < 50, s"tiny sketch claimed $falsePos/1000 absent keys")
+  }
 }
