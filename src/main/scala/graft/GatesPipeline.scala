@@ -431,6 +431,32 @@ private[graft] object GatesPipeline {
     }),
 
 
+    // ── Text: UNIGRAM-LM HARD-EM TRAINING — the re-estimation loop on
+    // top of the encode gate's seed (Viterbi-EM, the hard-assignment
+    // variant of Kudo 2018 §3.2's EM — SentencePiece's Viterbi training
+    // mode): per round, segment every distinct unit under the current
+    // model, RECOUNT piece usage weighted by unit frequency, and let
+    // never-used pieces drop out (round 1 sheds the seed's dead n-grams
+    // in bulk; later rounds refine — measured at sf0.001 the vocab
+    // walks 205→176→167→160). Reachability is invariant: every piece of
+    // a round's segmentations survives into the next vocabulary, so
+    // each unit keeps at least its previous path. The ledger pins
+    // vocab-size dynamics, token conservation (total_ct from the
+    // recount == corpus_tokens from segmentation lengths — computed
+    // independently on both sides), and the segmentations themselves
+    // (seg_min/seg_max per round); the oracle replays seed + all three
+    // lattice passes + recounts with zero tolerance (the same
+    // exact-division / fixed-order-multiply portability contract).
+    "text_unigram_train" -> ((s, dir) => {
+      val units = Tables.documents(s, dir).filter(length(col("text")) > 0)
+        .select(explode(transform(
+          sequence(lit(1), length(col("text")), lit(24)),
+          i => col("text").substr(i, lit(24)))).as("unit"))
+      Unigram.trainUnits(units, k = 200, maxPieceLen = 4, rounds = 3)
+        .orderBy(col("round"))
+    }),
+
+
     // ── Text: WORDPIECE TRAINING — likelihood-scored merge induction
     // (Schuster & Nakajima 2012: argmax of ct/(ct_a·ct_b), the pair
     // whose fusion most raises unigram-LM corpus likelihood — the real
@@ -1943,26 +1969,62 @@ private[graft] object GatesPipeline {
     * final position. Every dp CTE is MATERIALIZED: each is referenced
     * twice (carry + candidates), which would otherwise inline
     * exponentially across 24 levels. */
-  private def unigramSql(chunk: Int, k: Int, maxPieceLen: Int): String = {
+  /** The shared lattice replay of one Viterbi pass: `chunk` chained
+    * MATERIALIZED DP CTEs named `$dp1..$dp$chunk` (carry + candidates
+    * reference each level twice — inlining would go exponential across
+    * 24 levels) reading piece probabilities from `$vp`, then the loud
+    * unreachability check `${dp}chk` and the recursive backtrace
+    * `${dp}bt` ending in `${dp}fin` (unit, wct, segl list, seg string).
+    * `$dp0` (dp seed over `u`) must exist; `bt` CTEs are recursive, so
+    * the enclosing WITH must be RECURSIVE. */
+  private def unigramDpChain(dp: String, vp: String, chunk: Int,
+      maxPieceLen: Int): String = {
     val stepCtes = (1 to chunk).map { i =>
-      s"""dp$i AS MATERIALIZED (
+      s"""$dp$i AS MATERIALIZED (
          |  SELECT d.unit, d.wct,
          |    list_append(d.dps, COALESCE(b.s, CAST(-1 AS DOUBLE))) AS dps,
          |    list_append(d.bks, COALESCE(b.j, -1)) AS bks
-         |  FROM dp${i - 1} d LEFT JOIN (
+         |  FROM $dp${i - 1} d LEFT JOIN (
          |    SELECT unit, s, j FROM (
          |      SELECT unit, sc AS s, j, row_number() OVER (
          |          PARTITION BY unit ORDER BY sc DESC, j ASC) AS rn
          |      FROM (
-         |        SELECT d.unit, jj.j AS j, d.dps[jj.j+1] * vp.p AS sc
-         |        FROM dp${i - 1} d,
+         |        SELECT d.unit, jj.j AS j, d.dps[jj.j+1] * $vp.p AS sc
+         |        FROM $dp${i - 1} d,
          |          UNNEST(range(greatest(0, $i - $maxPieceLen), $i))
-         |            AS jj(j), vp
+         |            AS jj(j), $vp
          |        WHERE length(d.unit) >= $i AND d.dps[jj.j+1] >= 0
-         |          AND vp.piece = substr(d.unit, jj.j+1, $i - jj.j)))
+         |          AND $vp.piece = substr(d.unit, jj.j+1, $i - jj.j)))
          |    WHERE rn = 1) b USING (unit))""".stripMargin
     }.mkString(",\n")
-    s"""WITH RECURSIVE u0 AS (
+    s"""$stepCtes,
+       |${dp}chk AS MATERIALIZED (SELECT unit, wct, bks,
+       |    CASE WHEN dps[length(unit)+1] < 0
+       |      THEN error('unigram oracle: unreachable unit ' || unit)
+       |      ELSE 1 END AS ok
+       |  FROM $dp$chunk),
+       |${dp}bt AS (
+       |  SELECT unit, wct, CAST(length(unit) AS INT) AS pos,
+       |    CAST([] AS VARCHAR[]) AS segr
+       |  FROM ${dp}chk
+       |  UNION ALL
+       |  SELECT b.unit, b.wct, d.bks[b.pos+1] AS pos,
+       |    list_append(b.segr,
+       |      substr(b.unit, d.bks[b.pos+1]+1, b.pos - d.bks[b.pos+1]))
+       |      AS segr
+       |  FROM ${dp}bt b JOIN ${dp}chk d ON b.unit = d.unit
+       |  WHERE b.pos > 0),
+       |${dp}fin AS MATERIALIZED (SELECT unit, wct,
+       |  list_reverse(segr) AS segl,
+       |  array_to_string(list_reverse(segr), ' ') AS seg
+       |  FROM ${dp}bt WHERE pos = 0)""".stripMargin
+  }
+
+  /** The shared closed-form vocabulary derivation: 24-char chunk units
+    * `u` (unit, wct), positionless n-gram counts `pg`, `topk`, and the
+    * alphabet-floored seed `v1`. */
+  private def unigramSeedSql(chunk: Int, k: Int, maxPieceLen: Int): String =
+    s"""u0 AS (
        |  SELECT unnest(list_transform(
        |      range(1, length(text)+1, $chunk),
        |      i -> substr(text, i, $chunk))) AS unit
@@ -1978,41 +2040,64 @@ private[graft] object GatesPipeline {
        |  GROUP BY 1),
        |topk AS MATERIALIZED (
        |  SELECT piece, ct FROM pg ORDER BY ct DESC, piece LIMIT $k),
-       |v AS (SELECT piece, ct FROM topk
+       |v1 AS (SELECT piece, ct FROM topk
        |  UNION ALL
        |  SELECT piece, ct FROM pg
        |  WHERE length(piece) = 1
-       |    AND piece NOT IN (SELECT piece FROM topk)),
-       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS total FROM v),
+       |    AND piece NOT IN (SELECT piece FROM topk))""".stripMargin
+
+  private def unigramSql(chunk: Int, k: Int, maxPieceLen: Int): String = {
+    s"""WITH RECURSIVE ${unigramSeedSql(chunk, k, maxPieceLen)},
+       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS total FROM v1),
        |vp AS MATERIALIZED (SELECT piece,
-       |  CAST(ct AS DOUBLE) / CAST(total AS DOUBLE) AS p FROM v, tot),
+       |  CAST(ct AS DOUBLE) / CAST(total AS DOUBLE) AS p FROM v1, tot),
        |dp0 AS (SELECT unit, wct, [CAST(1.0 AS DOUBLE)] AS dps,
        |  [0] AS bks FROM u),
-       |$stepCtes,
-       |chk AS MATERIALIZED (SELECT unit, wct, bks,
-       |    CASE WHEN dps[length(unit)+1] < 0
-       |      THEN error('unigram oracle: unreachable unit ' || unit)
-       |      ELSE 1 END AS ok
-       |  FROM dp$chunk),
-       |bt AS (
-       |  SELECT unit, wct, CAST(length(unit) AS INT) AS pos,
-       |    CAST([] AS VARCHAR[]) AS segr
-       |  FROM chk
-       |  UNION ALL
-       |  SELECT bt.unit, bt.wct, d.bks[bt.pos+1] AS pos,
-       |    list_append(bt.segr,
-       |      substr(bt.unit, d.bks[bt.pos+1]+1, bt.pos - d.bks[bt.pos+1]))
-       |      AS segr
-       |  FROM bt JOIN chk d ON bt.unit = d.unit WHERE bt.pos > 0),
-       |fin AS (SELECT unit, wct, CAST(len(segr) AS BIGINT) AS n_tokens,
-       |  array_to_string(list_reverse(segr), ' ') AS seg
-       |  FROM bt WHERE pos = 0)
-       |SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS units,
+       |${unigramDpChain("dp", "vp", chunk, maxPieceLen)}
+       |SELECT CAST(len(segl) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS units,
        |  CAST(SUM(wct) AS BIGINT) AS occurrences,
        |  CAST(SUM(length(seg)) AS BIGINT) AS seg_chars_sum,
        |  MIN(seg) AS seg_min, MAX(seg) AS seg_max
-       |FROM fin GROUP BY 1 ORDER BY n_tokens""".stripMargin
+       |FROM dpfin GROUP BY 1 ORDER BY n_tokens""".stripMargin
   }
+
+  /** Replay of the hard-EM trainer: the seed derivation, then per round
+    * one full lattice pass (the shared DP chain against that round's
+    * probabilities) and the recount `v{r+1}` from the segmentations;
+    * the ledger unions one row per round, with total_ct and
+    * corpus_tokens computed from recount and segmentation lengths
+    * INDEPENDENTLY (token conservation is a pinned equality, as in the
+    * engine). */
+  private def unigramTrainSql(chunk: Int, k: Int, maxPieceLen: Int,
+      rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""vpr$r AS MATERIALIZED (SELECT piece,
+         |  CAST(ct AS DOUBLE) / CAST(total AS DOUBLE) AS p
+         |  FROM v$r, (SELECT CAST(SUM(ct) AS BIGINT) AS total FROM v$r)),
+         |dpr${r}_0 AS (SELECT unit, wct, [CAST(1.0 AS DOUBLE)] AS dps,
+         |  [0] AS bks FROM u),
+         |${unigramDpChain(s"dpr${r}_", s"vpr$r", chunk, maxPieceLen)},
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT t.piece, CAST(SUM(wct) AS BIGINT) AS ct
+         |  FROM dpr${r}_fin, UNNEST(dpr${r}_fin.segl) AS t(piece)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val leds = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v${r + 1}) AS n_pieces,
+         |  (SELECT CAST(SUM(ct) AS BIGINT) FROM v${r + 1}) AS total_ct,
+         |  CAST(SUM(wct * len(segl)) AS BIGINT) AS corpus_tokens,
+         |  MIN(seg) AS seg_min, MAX(seg) AS seg_max
+         |FROM dpr${r}_fin""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE ${unigramSeedSql(chunk, k, maxPieceLen)},
+       |$roundCtes
+       |SELECT * FROM (
+       |$leds
+       |) ORDER BY round""".stripMargin
+  }
+
 
   private def wordPieceSql(steps: Int, k: Int, maxPieceLen: Int,
       chunk: Int): String = {
@@ -2562,6 +2647,7 @@ private[graft] object GatesPipeline {
     // (24 chained extraction steps over 24-char chunk units)
     "text_wordpiece_encode" -> wordPieceSql(24, 200, 4, 24),
     "text_unigram_encode" -> unigramSql(24, 200, 4),
+    "text_unigram_train" -> unigramTrainSql(24, 200, 4, 3),
 
     // full replay of all 8 likelihood-scored training rounds
     "text_wordpiece_train" -> wordPieceTrainSql(8),

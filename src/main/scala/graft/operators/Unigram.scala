@@ -38,11 +38,16 @@ object Unigram {
     * every unit has a lattice path, so the encode can never strand).
     * Deterministic (ct DESC, piece ASC) and exactly replayable in SQL
     * — gate equality pins derivation AND encode. */
-  def vocabUnits(units: DataFrame, k: Int, maxPieceLen: Int = 4): DataFrame = {
+  def vocabUnits(units: DataFrame, k: Int, maxPieceLen: Int = 4): DataFrame =
+    vocabDistinct(distinctUnits(units), k, maxPieceLen)
+
+  /** [[vocabUnits]] over an already-aggregated (unit, wct) frame. */
+  private def vocabDistinct(du: DataFrame, k: Int,
+      maxPieceLen: Int): DataFrame = {
     require(k >= 1, s"Unigram.vocabUnits: k must be >= 1, got $k")
     require(maxPieceLen >= 1 && maxPieceLen <= 16,
       s"Unigram.vocabUnits: maxPieceLen in [1,16], got $maxPieceLen")
-    val grams = distinctUnits(units)
+    val grams = du
       .select(col("unit"), col("wct"),
         explode(sequence(lit(1), length(col("unit")))).as("p"))
       .select(col("unit"), col("wct"), col("p"),
@@ -64,9 +69,77 @@ object Unigram {
     * guarantees it); an unreachable unit fails loudly in the kernel. */
   def encodeUnits(units: DataFrame, vocab: Seq[(String, Long)]): DataFrame = {
     require(vocab.nonEmpty, "Unigram.encodeUnits: empty vocabulary")
-    distinctUnits(units)
-      .withColumn("toks", call_function("graft_unigram", col("unit"),
-        array(vocab.map(v => lit(v._1)): _*),
-        array(vocab.map(v => lit(v._2)): _*)))
+    encodeDistinct(distinctUnits(units), vocab)
+  }
+
+  private def encodeDistinct(du: DataFrame,
+      vocab: Seq[(String, Long)]): DataFrame =
+    du.withColumn("toks", call_function("graft_unigram", col("unit"),
+      array(vocab.map(v => lit(v._1)): _*),
+      array(vocab.map(v => lit(v._2)): _*)))
+
+  /** Hard-EM (Viterbi-EM) unigram TRAINING — the re-estimation loop
+    * that turns the closed-form seed into a model of how the corpus
+    * actually segments (the hard-assignment variant of Kudo 2018 §3.2's
+    * EM: Viterbi in place of full forward–backward expectations, the
+    * same loop SentencePiece exposes as its Viterbi training mode).
+    * Each round: (1) segment every DISTINCT unit under the current
+    * (piece, ct) model; (2) RECOUNT — a piece's new count is its usage
+    * in those segmentations, weighted by unit frequency; (3) pieces the
+    * Viterbi never used DROP OUT (the seed's top-k holds many n-grams
+    * the lattice never chooses — round 1 sheds them in bulk, later
+    * rounds refine). Reachability is invariant without any alphabet
+    * patching: every piece of round r's segmentations survives into
+    * round r+1's vocabulary, so each unit always retains at least its
+    * previous path.
+    *
+    * Returns the per-round ledger: (round, n_pieces, total_ct,
+    * corpus_tokens, seg_min, seg_max) — `total_ct` (sum of recounted
+    * piece counts) and `corpus_tokens` (sum of wct·|segmentation|) are
+    * computed INDEPENDENTLY and must agree, pinning token conservation
+    * through the recount; seg_min/seg_max pin the segmentations
+    * themselves. Deterministic throughout, so the whole loop — seed
+    * derivation, every lattice, every recount — replays exactly in SQL.
+    *
+    * Scale shape: each round is one lattice pass + one hash-aggregate
+    * over DISTINCT units plus a vocabulary-sized collect (the model is
+    * plan-sized metadata, shrinking monotonically); rounds are a small
+    * constant. The corpus itself is touched once, at [[distinctUnits]]. */
+  def trainUnits(units: DataFrame, k: Int, maxPieceLen: Int = 4,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"Unigram.trainUnits: rounds in [1,16], got $rounds")
+    val spark = units.sparkSession
+    import spark.implicits._
+    val du = distinctUnits(units).localCheckpoint(true)
+    try {
+      var vocab: Seq[(String, Long)] =
+        vocabDistinct(du, k, maxPieceLen)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          .sortBy(_._1)
+      val ledger = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, String, String)]
+      var r = 1
+      while (r <= rounds) {
+        val enc = encodeDistinct(du, vocab)
+          .withColumn("seg", concat_ws(" ", col("toks")))
+          .localCheckpoint(true) // two actions below share the lattice
+        val g = enc.agg(
+          sum(col("wct") * size(col("toks"))).as("corpus_tokens"),
+          min(col("seg")).as("seg_min"),
+          max(col("seg")).as("seg_max")).head()
+        val next = enc
+          .select(col("wct"), explode(col("toks")).as("piece"))
+          .groupBy(col("piece")).agg(sum(col("wct")).as("ct"))
+          .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+          .sortBy(_._1)
+        ledger += ((r.toLong, next.length.toLong, next.map(_._2).sum,
+          g.getLong(0), g.getString(1), g.getString(2)))
+        vocab = next
+        r += 1
+      }
+      ledger.toSeq.toDF("round", "n_pieces", "total_ct", "corpus_tokens",
+        "seg_min", "seg_max")
+    } finally du.unpersist()
   }
 }

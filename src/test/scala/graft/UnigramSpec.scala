@@ -61,6 +61,31 @@ class UnigramSpec extends SparkSpec {
     assert(ex.getMessage != null || ex.getCause != null)
   }
 
+  test("trainUnits: hard-EM rounds conserve tokens (recount total == " +
+    "segmentation-length total) and the vocabulary only ever shrinks") {
+    val units = (Seq.fill(30)("abcabc") ++ Seq.fill(20)("bcabca") ++
+      Seq.fill(5)("cab") :+ "zq").toDF("unit")
+    val led = Unigram.trainUnits(units, k = 12, maxPieceLen = 3, rounds = 4)
+      .orderBy(col("round"))
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    assert(led.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    // token conservation: the recount and the segmentation lengths are
+    // computed independently and must agree every round
+    led.foreach { case (r, _, totalCt, corpusToks, _, _) =>
+      assert(totalCt === corpusToks, s"round $r leaked tokens")
+    }
+    // a piece absent from round r's vocab cannot appear in round r's
+    // segmentations, so vocabularies are nested: n_pieces never grows
+    led.sliding(2).foreach {
+      case Seq(a, b) => assert(b._2 <= a._2,
+        s"vocab grew ${a._2} -> ${b._2} between rounds ${a._1}->${b._1}")
+      case _ =>
+    }
+    // every unit's characters survive somewhere: the rare 'zq' unit
+    // still segments (loud unreachability would have thrown above)
+    assert(led.last._5.nonEmpty && led.last._6.nonEmpty)
+  }
+
   test("generated code COMPILES with a non-nullable child (Janino, no " +
     "interpreted fallback) and agrees with interpreted eval") {
     import org.apache.spark.sql.catalyst.InternalRow
