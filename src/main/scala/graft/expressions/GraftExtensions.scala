@@ -91,7 +91,17 @@ object GraftExtensions {
       classOf[UnigramEncode].getName, "graft_unigram"),
       (args: Seq[Expression]) =>
         UnigramEncode(args(0), stringArrayArg(args, 1, "pieces"),
-          longArrayArg(args, 2, "counts"))))
+          longArrayArg(args, 2, "counts"))),
+    ("graft_merge_fold", new ExpressionInfo(
+      classOf[MergeFold].getName, "graft_merge_fold"),
+      (args: Seq[Expression]) => {
+        // flat (lhs1, rhs1, lhs2, rhs2, ...) literal — plan-baked rules
+        val flat = stringArrayArg(args, 1, "rules")
+        require(flat.length % 2 == 0 && flat.forall(_ != null),
+          "graft_merge_fold: rules must be a flat non-null " +
+            "(lhs, rhs, lhs, rhs, ...) array")
+        MergeFold(args(0), flat.grouped(2).map(p => (p(0), p(1))).toSeq)
+      }))
 
   /** Extract a literal long parameter (int literals widen). */
   private def longArg(args: Seq[Expression], i: Int, name: String): Long = {

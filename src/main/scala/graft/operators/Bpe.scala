@@ -18,22 +18,26 @@ import org.apache.spark.sql.functions._
   * winning pair) — the bounded-metadata pattern, same as k-means
   * centroids.
   *
-  * Merge application is a left-to-right greedy fold INTO a
-  * '|'-separated string: if the accumulated tail symbol equals `lhs`
-  * and the next symbol equals `rhs`, append `rhs` WITHOUT a separator
-  * (growing the tail symbol into the merge); otherwise append with one.
-  * A newly formed merge can never re-match as `lhs` in the same round
-  * (its text is lhs+rhs ≠ lhs since rhs is non-empty), so the fold is
-  * exactly the sequential greedy scan — and it is replayable
-  * operand-for-operand in the DuckDB oracle via list_reduce.
+  * Merge application is a left-to-right greedy fold over the symbol
+  * array, tracking the accumulated TAIL symbol: if the tail equals
+  * `lhs` and the next symbol equals `rhs`, the tail grows by `rhs`
+  * (the merge); otherwise the tail is emitted and restarts at the next
+  * symbol. A newly formed merge can never re-match as `lhs` in the
+  * same round (its text is lhs+rhs ≠ lhs since rhs is non-empty), so
+  * the fold is exactly the sequential greedy scan — and it is
+  * replayable operand-for-operand in the DuckDB oracle via list_reduce
+  * (which '|'-joins its accumulator, hence the oracle-side no-'|'
+  * corpus precondition below).
   *
-  * PRECONDITION of every fold tier ([[applyMerge]], [[applyMergeSet]],
-  * hence [[merges]]/[[mergesBatched]]/[[encode]]/[[encodeBatches]]): no
-  * symbol may contain '|' — a literal pipe inside a token corrupts the
-  * separator-based matching (BpeSpec pins the divergence on a
-  * constructed pipe word). Whitespace-split tokens containing '|' are
-  * legal input to [[encodeTable]], whose JVM scan compares whole symbols
-  * and needs no separator; a byte-level fold variant would escape first.
+  * The merge-application tiers ([[applyMerge]], [[applyMergeSet]], hence
+  * [[merges]]/[[mergesBatched]]/[[encode]]/[[encodeBatches]]) run the
+  * native [[graft.expressions.MergeFold]] kernel since r18 — it compares
+  * WHOLE symbols (like [[encodeTable]]), so a literal '|' in a token no
+  * longer corrupts the engine side (BpeSpec pins kernel/encodeTable
+  * agreement on a constructed pipe word). The no-'|' corpus PRECONDITION
+  * survives only as an ORACLE-REPLAY contract: the DuckDB fold oracles
+  * still encode the accumulator as a '|'-joined string, so a pipe-bearing
+  * corpus would diverge engine-vs-oracle — asserted loudly gate-side.
   *
   * Durability: generations roll forward via `localCheckpoint` (blocks in
   * executor storage, NOT on reliable storage) — an executor loss during
@@ -57,44 +61,36 @@ object Bpe {
           element_at(syms, i + 1).as("b"))))
 
   /** Greedy left-to-right application of a SET of merge rules in one
-    * fold pass. Exact equivalent of applying the rules one-by-one when
+    * pass. Exact equivalent of applying the rules one-by-one when
     * the rules are pairwise TRIPLE-DISJOINT ({lhs, rhs, lhs+rhs} sets
     * share no symbol, the [[mergesBatched]] selection invariant): a
     * merge's output symbol is then never an operand of another rule, so
     * merges cannot cascade within the batch, and each adjacent pair in
     * the pre-batch stream merges iff its rule is in the set — the same
-    * decision the per-rule sequential scans make. One pass keeps the
-    * expression tree CONSTANT-depth in the batch size (an 8-rule batch
-    * is 8 OR-terms inside one aggregate, not 8 nested aggregates). */
+    * decision the per-rule sequential scans make.
+    *
+    * Since r18 this is the native [[graft.expressions.MergeFold]]
+    * kernel (one JVM walk per row, rules hashed once per task), not the
+    * Catalyst `aggregate` HOF fold: HOFs evaluate interpreted per
+    * element, and the fold's `batchSize` OR-terms of
+    * `endswith(concat("|", acc), …)` copied the whole accumulated
+    * string per element — O(batch × |unit|²) character traffic per row
+    * against the kernel's one hash probe per adjacent pair (measured
+    * 6.5× on text_bpe_merges_xl's 64-rule batches over 128-char units).
+    * The kernel compares whole symbols, so the '|'-in-symbol corruption
+    * of the string fold is gone; the no-'|' PRECONDITION remains for
+    * ORACLE REPLAY parity only (the DuckDB fold oracles still
+    * '|'-encode — BpeSpec pins the kernel/encodeTable agreement). */
   private[graft] def applyMergeSet(syms: Column,
       rules: Seq[(String, String)]): Column =
     if (rules.isEmpty) syms
-    else when(size(syms) <= 1, syms).otherwise(
-      split(
-        aggregate(
-          slice(syms, lit(2), size(syms) - 1),
-          element_at(syms, 1),
-          (acc, x) =>
-            when(rules.map { case (l, r) =>
-                endswith(concat(lit("|"), acc), lit("|" + l)) && x === lit(r)
-              }.reduce(_ || _),
-              concat(acc, x))
-              .otherwise(concat(acc, lit("|"), x))),
-        "\\|"))
+    else call_function("graft_merge_fold", syms,
+      array(rules.flatMap { case (l, r) => Seq(lit(l), lit(r)) }: _*))
 
   /** Greedy left-to-right application of one merge rule to a symbol
-    * array (see object doc for why the string fold is exact). */
+    * array (the singleton [[applyMergeSet]]). */
   private[graft] def applyMerge(syms: Column, lhs: String, rhs: String): Column =
-    when(size(syms) <= 1, syms).otherwise(
-      split(
-        aggregate(
-          slice(syms, lit(2), size(syms) - 1),
-          element_at(syms, 1),
-          (acc, x) =>
-            when(endswith(concat(lit("|"), acc), lit("|" + lhs)) && x === lit(rhs),
-              concat(acc, x))
-              .otherwise(concat(acc, lit("|"), x))),
-        "\\|"))
+    applyMergeSet(syms, Seq((lhs, rhs)))
 
   /** Learn `rounds` BPE merges over the corpus. Returns one row per
     * round: (round, lhs, rhs, ct, syms_after) where `ct` is the

@@ -202,25 +202,44 @@ class BpeSpec extends SparkSpec {
     assert(a.head._2 === Seq("abab", "cd", "cd", "ab"))
   }
 
-  test("pipe-containing words: encodeTable segments exactly; the fold " +
-    "tiers' documented no-'|' precondition is real (divergence pinned)") {
+  test("pipe-containing words: the r18 MergeFold kernel compares whole " +
+    "symbols, so the fold tier now agrees with encodeTable on pipes " +
+    "(the no-'|' precondition is oracle-replay-only)") {
     // "a|b" tokenizes to symbols [a, |, b]; rule (a,b) must NOT apply
-    // (the operands are not adjacent)
+    // (the operands are not adjacent). The pre-r18 Catalyst string fold
+    // '|'-joined its accumulator and CORRUPTED this input to
+    // [a, "", "", b]; the native kernel has no separator encoding and
+    // segments exactly like encodeTable. The DuckDB fold ORACLES still
+    // '|'-encode, which is why the no-pipe corpus guard stays asserted
+    // gate-side — but it is no longer an engine-correctness issue.
     val docs = Seq((1L, "a|b ab")).toDF("doc_id", "text")
     val rules = Seq(("a", "b"))
     val t = Bpe.encodeTable(docs, rules).orderBy("doc_id")
       .as[(Long, Seq[String])].collect().head._2
     assert(t === Seq("a", "|", "b", "ab"),
       "encodeTable compares whole symbols — a literal '|' is just a symbol")
-    // the fold tier encodes its accumulator as a '|'-joined string, so the
-    // same input CORRUPTS: this pins that the precondition is load-bearing,
-    // not decorative (if this ever starts matching encodeTable, the
-    // precondition note in Bpe's scaladoc can be dropped)
     val f = Bpe.encode(docs, rules).orderBy("doc_id")
       .as[(Long, Seq[String])].collect().head._2
-    assert(f !== t)
-    assert(f.take(4) === Seq("a", "", "", "b"),
-      "the pipe symbol dissolves into separator positions in the fold tier")
+    assert(f === t,
+      "the native kernel segments pipe-bearing words exactly")
+  }
+
+  test("MergeFold kernel: rules sharing an rhs all match; tail identity " +
+    "is whole-symbol; merged output never re-matches in-pass") {
+    // two rules with the same rhs ((a,b) and (x,b)) — the rhs-keyed
+    // lookup must scan BOTH lhs candidates; "xab" has (a,b) adjacent
+    // after x, "xb" matches (x,b) directly
+    val df = Seq(
+      Seq("x", "a", "b"),       // (a,b) fires -> [x, ab]
+      Seq("x", "b"),            // (x,b) fires -> [xb]
+      Seq("a", "b", "b"),       // greedy: ab then b (ab,b) not a rule
+      Seq("b", "a")             // rhs-first probe misses: unchanged
+    ).toDF("syms")
+    val r = df.select(
+        Bpe.applyMergeSet(col("syms"), Seq(("a", "b"), ("x", "b"))).as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(r === Seq(
+      Seq("x", "ab"), Seq("xb"), Seq("ab", "b"), Seq("b", "a")))
   }
 
   test("mergesBatched: self-pairs select with RUN-AWARE attribution — " +
