@@ -130,6 +130,16 @@ object Versioned {
     val tmp = s"${logRoot(dir)}/$stagedName"
     manifest.coalesce(1).write.mode("errorifexists").parquet(tmp)
     schema.foreach(s0 => writeSchemaFile(new java.io.File(tmp), s0))
+    // the MANIFEST's own schema rides the commit too: every manifest
+    // read can then pass an explicit schema and skip the parquet
+    // schema-inference job — one fewer driver-coordinated job per
+    // manifest open, on a path hit several times per commit and once
+    // per probe (r18; the data sidecar above serves the same role for
+    // snapshot scans)
+    java.nio.file.Files.write(
+      new java.io.File(tmp, "_manifest_schema.json").toPath,
+      manifest.schema.json
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // commit wall-time rides the atomic rename with everything else —
     // the TIMESTAMP AS OF resolution source ([[readAsOf]])
     java.nio.file.Files.write(
@@ -324,9 +334,17 @@ object Versioned {
     * scan ([[readPoint]]/[[readRange]]). Stats columns ride as longs
     * (the column must cast); collection cost is the same single narrow
     * scan, widened by one column. */
+  // `dataSchema` (when the caller just WROTE the files and knows it)
+  // skips the parquet schema-inference job — one fewer driver round per
+  // commit; the directory-level PartDir column is appended by partition
+  // discovery either way and dropped
   private def fileParts(spark: SparkSession, path: String,
-      partCol: String, statsCols: Seq[String]): DataFrame =
-    filePartsOf(spark.read.parquet(path).drop(PartDir), partCol, statsCols)
+      partCol: String, statsCols: Seq[String],
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val rd = dataSchema.fold(spark.read)(s0 => spark.read.schema(s0))
+    filePartsOf(rd.parquet(path).drop(PartDir), partCol, statsCols)
+  }
 
   /** The manifest-row aggregation of [[fileParts]] over an ALREADY-OPEN
     * frame (physical column names) — shared with [[backfillStats]],
@@ -474,7 +492,8 @@ object Versioned {
     writeData(df, dataPath, partCol)
     commitManifest(spark, dir, 1L,
       fileParts(spark, dataPath, partCol,
-        (statsCol.toSeq ++ statsCols).distinct), Some(df.schema))
+        (statsCol.toSeq ++ statsCols).distinct, Some(df.schema)),
+      Some(df.schema))
     1L
   }
 
@@ -496,6 +515,24 @@ object Versioned {
     java.nio.file.Files.write(f.toPath,
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
+  }
+
+  /** Open version `v`'s manifest. When the commit carried a
+    * `_manifest_schema.json` sidecar (every post-r18 commit does) the
+    * read passes it explicitly — no schema-inference job; pre-sidecar
+    * manifests fall back to inference. Underscore-prefixed sidecars are
+    * invisible to the parquet scan itself. */
+  private def readManifest(spark: SparkSession, dir: String,
+      v: Long): DataFrame = {
+    val md = manifestDir(dir, v)
+    val f = new java.io.File(md, "_manifest_schema.json")
+    if (!f.exists()) spark.read.parquet(md)
+    else spark.read.schema(
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .parquet(md)
   }
 
   private def readSchema(dir: String,
@@ -543,12 +580,21 @@ object Versioned {
     val v = if (version < 0) latest(dir) else version
     require(versions(dir).contains(v),
       s"Versioned: version $v not in ${versions(dir)}")
-    val mDf = spark.read.parquet(manifestDir(dir, v))
-    val files = mDf.select(col("file")).distinct()
-      .collect().map(_.getString(0))
+    val mDf = readManifest(spark, dir, v)
+    // ONE narrow (file, dv) collect answers both the file list and the
+    // dv resolution — the second manifest scan (dvPathsOf) was one more
+    // job on every snapshot read; sketches stay out of the projection
+    val hasDv = mDf.columns.contains("dv")
+    val fd = (if (hasDv) mDf.select(col("file"), col("dv"))
+      else mDf.select(col("file"),
+        lit(null).cast("array<string>").as("dv"))).collect()
+    val files = fd.map(_.getString(0)).distinct
+    val dvPaths = fd.iterator
+      .flatMap(r => Option(r.getSeq[String](1)).getOrElse(Seq.empty))
+      .toSeq.distinct
     val sch = readSchema(dir, v)
     applyDv(spark, readFiles(spark, dir, files.toIndexedSeq, sch),
-      dvPathsOf(mDf), logicalNameOf(sch))
+      dvPaths, logicalNameOf(sch))
   }
 
   /** Commit wall-time of version `v` in epoch millis (from the
@@ -599,14 +645,28 @@ object Versioned {
     * the ANSWER (the probe's true file set + fpp), not the table. */
   // takes the already-loaded manifest frame: the probe paths read the
   // manifest ONCE and share it between stats pruning and dv resolution
-  // (a second read+collect per probe doubled hot-path manifest I/O)
+  // (a second read+collect per probe doubled hot-path manifest I/O).
+  // Returns (surviving files, their dv paths): the surviving rows'
+  // narrow (file, dv) projection rides the SAME distributed scan, so
+  // the probe paths no longer pay a second manifest job (dvPathsOf) to
+  // resolve tombstones — r18, one job per probe instead of two.
   private def pruneFiles(m: DataFrame, probeCol: String,
-      keep: (Column, Column, Column) => Column): IndexedSeq[String] = {
+      keep: (Column, Column, Column) => Column)
+      : (IndexedSeq[String], Seq[String]) = {
     val hasMap = m.columns.contains("stats")
     val hasLegacy = m.columns.contains("mn") && m.columns.contains("stats_col")
+    val dvCol =
+      if (m.columns.contains("dv")) col("dv")
+      else lit(null).cast("array<string>").as("dv")
+    def collectFd(rows: DataFrame): (IndexedSeq[String], Seq[String]) = {
+      val fd = rows.collect()
+      (fd.map(_.getString(0)).distinct.toIndexedSeq,
+        fd.iterator
+          .flatMap(r => Option(r.getSeq[String](1)).getOrElse(Seq.empty))
+          .toSeq.distinct)
+    }
     if (!hasMap && !hasLegacy)
-      m.select(col("file")).distinct().collect()
-        .map(_.getString(0)).toIndexedSeq
+      collectFd(m.select(col("file"), dvCol))
     else {
       // per ROW, not per manifest: a long history unions multi-column
       // rows, single-column rows, and stats-less rows (alignUnion
@@ -624,10 +684,9 @@ object Versioned {
       }
       val pmn = pick("mn", "mn")
       val pmx = pick("mx", "mx")
-      m.filter(pmn.isNull || pmx.isNull ||
+      collectFd(m.filter(pmn.isNull || pmx.isNull ||
           keep(pmn, pmx, pick("bloom", "bloom")))
-        .select(col("file")).distinct()
-        .collect().map(_.getString(0)).toIndexedSeq
+        .select(col("file"), dvCol))
     }
   }
 
@@ -677,7 +736,7 @@ object Versioned {
     sch match {
       case Some(s0) => emptyFrame(spark, s0)
       case None =>
-        val files = spark.read.parquet(manifestDir(dir, v))
+        val files = readManifest(spark, dir, v)
           .select(col("file")).distinct()
           .collect().map(_.getString(0))
         require(files.nonEmpty,
@@ -705,13 +764,13 @@ object Versioned {
     val sch = readSchema(dir, v)
     val probePhys = sch.flatMap(_.fields.find(_.name == keyCol))
       .map(physName).getOrElse(keyCol)
-    val mDf = spark.read.parquet(manifestDir(dir, v))
-    val files = pruneFiles(mDf, probePhys,
+    val mDf = readManifest(spark, dir, v)
+    val (files, dvs) = pruneFiles(mDf, probePhys,
       (mn, mx, _) => mx >= lo && mn <= hi)
     val base =
       if (files.nonEmpty) applyDv(spark,
         readFiles(spark, dir, files, sch),
-        dvPathsOf(mDf, Some(files.toSet)), logicalNameOf(sch))
+        dvs, logicalNameOf(sch))
       else emptySnapshot(spark, dir, v, sch)
     base.filter(col(keyCol).cast("long") >= lo &&
       col(keyCol).cast("long") <= hi)
@@ -733,14 +792,14 @@ object Versioned {
     val sch = readSchema(dir, v)
     val probePhys = sch.flatMap(_.fields.find(_.name == keyCol))
       .map(physName).getOrElse(keyCol)
-    val mDf = spark.read.parquet(manifestDir(dir, v))
-    val files = pruneFiles(mDf, probePhys,
+    val mDf = readManifest(spark, dir, v)
+    val (files, dvs) = pruneFiles(mDf, probePhys,
       (mn, mx, bloom) => mn <= key && mx >= key &&
         (bloom.isNull || bloomMightContain(bloom, lit(key))))
     val base =
       if (files.nonEmpty) applyDv(spark,
         readFiles(spark, dir, files, sch),
-        dvPathsOf(mDf, Some(files.toSet)), logicalNameOf(sch))
+        dvs, logicalNameOf(sch))
       else emptySnapshot(spark, dir, v, sch)
     base.filter(col(keyCol).cast("long") === key)
   }
@@ -769,15 +828,15 @@ object Versioned {
     val sch = readSchema(dir, v)
     val probePhys = sch.flatMap(_.fields.find(_.name == keyCol))
       .map(physName).getOrElse(keyCol)
-    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val mDf = readManifest(spark, dir, v)
     val kArr = typedlit(ks)
-    val files = pruneFiles(mDf, probePhys,
+    val (files, dvs) = pruneFiles(mDf, probePhys,
       (mn, mx, bloom) => mn <= ks.last && mx >= ks.head &&
         (bloom.isNull || bloomAnyContain(bloom, mn, mx, kArr)))
     val base =
       if (files.nonEmpty) applyDv(spark,
         readFiles(spark, dir, files, sch),
-        dvPathsOf(mDf, Some(files.toSet)), logicalNameOf(sch))
+        dvs, logicalNameOf(sch))
       else emptySnapshot(spark, dir, v, sch)
     base.filter(col(keyCol).cast("long").isInCollection(ks))
   }
@@ -805,9 +864,6 @@ object Versioned {
       statsCol: Option[String] = None, statsCols: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       parentVersion: Option[Long] = None): Long = {
-    require(source.filter(col(partCol).isNull).isEmpty,
-      s"Versioned.merge: source carries NULL $partCol values — fix the " +
-        "partition derivation upstream")
     // parentVersion PINS the snapshot this merge derives from AND the
     // version it will commit (parent+1): a caller whose correctness
     // depends on what it read BEFORE the merge (mergeIdempotent's txn
@@ -818,13 +874,34 @@ object Versioned {
     require(versions(dir).contains(v),
       s"Versioned.merge: parentVersion $v is not a committed version")
     val next = v + 1
-    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val mDf = readManifest(spark, dir, v)
     val mSchema = mDf.schema
     val mRows = mDf.collect()
     val (fIdx, pIdx) = (mSchema.fieldIndex("file"), mSchema.fieldIndex("part"))
     val manifest = mRows.map(r => (r.getString(fIdx), r.getString(pIdx)))
-    val affected = source.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
+    // the manifest rows are already on the driver — resolve dv paths from
+    // them instead of re-scanning the manifest per file set (dvPathsOf's
+    // distinct+collect was one more job per merge on the commit hot path)
+    val dvIdx =
+      if (mSchema.fieldNames.contains("dv")) Some(mSchema.fieldIndex("dv"))
+      else None
+    def dvOf(fs: Set[String]): Seq[String] = dvIdx match {
+      case None => Seq.empty
+      case Some(i) => mRows.iterator
+        .filter(r => fs(r.getString(fIdx)))
+        .flatMap(r => Option(r.getSeq[String](i)).getOrElse(Seq.empty))
+        .toSeq.distinct
+    }
+    // ONE distinct-partition collect does double duty: the NULL-partition
+    // guard and the affected set (the guard used to be its own full
+    // source computation — one extra job per merge; a NULL partition
+    // value surfaces here as a NULL in the distinct set)
+    val affectedRaw = source.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    require(!affectedRaw.contains(null),
+      s"Versioned.merge: source carries NULL $partCol values — fix the " +
+        "partition derivation upstream")
+    val affected = affectedRaw.toSet
     val touched = manifest.filter { case (_, p) => affected(p) }
       .map(_._1).toSet
     if (checkKeyMoves) {
@@ -834,7 +911,7 @@ object Versioned {
         val uSch = readSchema(dir, v)
         val moved = applyDv(spark,
             readFiles(spark, dir, untouched, uSch),
-            dvPathsOf(mDf, Some(untouched.toSet)), logicalNameOf(uSch))
+            dvOf(untouched.toSet), logicalNameOf(uSch))
           .select(col(keyCol))
           .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
           .limit(5).collect()
@@ -862,7 +939,7 @@ object Versioned {
         val tSch = readSchema(dir, v)
         applyDv(spark,
           readFiles(spark, dir, touched.toIndexedSeq, tSch),
-          dvPathsOf(mDf, Some(touched)), logicalNameOf(tSch))
+          dvOf(touched), logicalNameOf(tSch))
       }
     val kept = slice.join(
       source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
@@ -919,7 +996,7 @@ object Versioned {
       if (anyParquet(new java.io.File(dataPath)))
         fileParts(spark, dataPath, physPart,
           (statsCol.toSeq ++ statsCols).distinct
-            .map(c => prevMap.getOrElse(c, c)))
+            .map(c => prevMap.getOrElse(c, c)), Some(outPhys.schema))
       else spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         manifestSchema)
@@ -961,7 +1038,7 @@ object Versioned {
     val next = v + 1
     val sch = readSchema(dir, v)
     val m = mapping(sch)
-    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val mDf = readManifest(spark, dir, v)
     val affected = keys.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     val touched = mDf
@@ -1072,7 +1149,7 @@ object Versioned {
     val v = latest(dir)
     val sch = readSchema(dir, v)
     val prevMap = mapping(sch)
-    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val mDf = readManifest(spark, dir, v)
     if (!mDf.columns.contains("dv")) return v
     val mSchema = mDf.schema
     val mRows = mDf.collect()
@@ -1192,7 +1269,7 @@ object Versioned {
     val next = v + 1
     val sch = readSchema(dir, v)
     val prevMap = mapping(sch)
-    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val mDf = readManifest(spark, dir, v)
     val mSchema = mDf.schema
     val mRows = mDf.collect()
     val (fIdx, rIdx) = (mSchema.fieldIndex("file"), mSchema.fieldIndex("rows"))
@@ -1316,7 +1393,7 @@ object Versioned {
     val next = v + 1
     val sch = readSchema(dir, v)
     val prevMap = mapping(sch)
-    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val mDf = readManifest(spark, dir, v)
     val files = mDf.select(col("file")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
     require(files.nonEmpty,
@@ -1366,7 +1443,7 @@ object Versioned {
       s"Versioned.restore: $toVersion is not a PRIOR version (latest $v)")
     val next = v + 1
     commitManifest(spark, dir, next,
-      spark.read.parquet(manifestDir(dir, toVersion)),
+      readManifest(spark, dir, toVersion),
       readSchema(dir, toVersion))
     next
   }
@@ -1407,7 +1484,7 @@ object Versioned {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     commitManifest(spark, dst, 1L,
-      spark.read.parquet(manifestDir(src, v)), readSchema(src, v))
+      readManifest(spark, src, v), readSchema(src, v))
     1L
   }
 
@@ -1435,7 +1512,7 @@ object Versioned {
     val next = v + 1
     val sch = readSchema(dir, v)
     val m = mapping(sch)
-    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val mDf = readManifest(spark, dir, v)
     val files = mDf.select(col("file")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
     val physPart = m.getOrElse(partCol, partCol)
@@ -1496,7 +1573,7 @@ object Versioned {
       }
     })
     commitManifest(spark, dir, next,
-      spark.read.parquet(manifestDir(dir, v)), Some(newSch))
+      readManifest(spark, dir, v), Some(newSch))
     next
   }
 
@@ -1515,7 +1592,7 @@ object Versioned {
       s"Versioned.dropColumn: no column $name in ${sch.fieldNames.toSeq}")
     require(sch.fields.length >= 2,
       "Versioned.dropColumn: refusing to drop the last column")
-    val mDf = spark.read.parquet(manifestDir(dir, v))
+    val mDf = readManifest(spark, dir, v)
     // dropping the column live deletion vectors KEY ON would brick the
     // snapshot: every read applies the dvs by that (physical) column,
     // which the post-drop projection no longer carries — refuse loudly
@@ -1584,7 +1661,7 @@ object Versioned {
     // tombstoned rows as "D" (a compaction-style rewrite stays invisible
     // exactly as before: rewritten-but-unchanged rows drop out)
     def manifestEntries(v: Long): Map[String, Seq[String]] = {
-      val m = spark.read.parquet(manifestDir(dir, v))
+      val m = readManifest(spark, dir, v)
       val hasDv = m.columns.contains("dv")
       val sel =
         if (hasDv) m.select(col("file"), col("dv")).distinct()
@@ -1836,7 +1913,7 @@ object Versioned {
     * here. */
   def recover(spark: SparkSession, dir: String): Seq[String] = {
     val referenced = versions(dir).flatMap { v =>
-      spark.read.parquet(manifestDir(dir, v))
+      readManifest(spark, dir, v)
         .select(col("file")).distinct()
         .collect().map(r => new java.io.File(
           new org.apache.hadoop.fs.Path(
@@ -1881,7 +1958,7 @@ object Versioned {
     require(keep.nonEmpty,
       s"Versioned.vacuum: retainFrom=$retainFrom would drop every version")
     val referenced = keep.flatMap { v =>
-      spark.read.parquet(manifestDir(dir, v))
+      readManifest(spark, dir, v)
         .select(col("file")).distinct()
         .collect().map(r => new java.io.File(
           new org.apache.hadoop.fs.Path(
@@ -1903,7 +1980,7 @@ object Versioned {
     val dvRoot = new java.io.File(s"$dir/dv")
     if (dvRoot.isDirectory) {
       val keptDvs = keep.flatMap { v =>
-        dvPathsOf(spark.read.parquet(manifestDir(dir, v)))
+        dvPathsOf(readManifest(spark, dir, v))
       }.map(p => new java.io.File(p).getCanonicalPath).toSet
       Option(dvRoot.listFiles()).getOrElse(Array.empty)
         .filter(d => d.isDirectory && !keptDvs(d.getCanonicalPath))
