@@ -92,6 +92,29 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         UnigramEncode(args(0), stringArrayArg(args, 1, "pieces"),
           longArrayArg(args, 2, "counts"))),
+    ("graft_nearest_centroid", new ExpressionInfo(
+      classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+      (args: Seq[Expression]) =>
+        NearestCentroid(args(0), longArrayArg(args, 1, "ids"),
+          doubleArrayArg(args, 2, "flatCents"), intArg(args, 3, "d"))),
+    ("graft_top_centroids", new ExpressionInfo(
+      classOf[TopCentroids].getName, "graft_top_centroids"),
+      (args: Seq[Expression]) =>
+        TopCentroids(args(0), longArrayArg(args, 1, "ids"),
+          doubleArrayArg(args, 2, "flatCents"), intArg(args, 3, "d"),
+          intArg(args, 4, "n"))),
+    ("graft_pq_codes", new ExpressionInfo(
+      classOf[PqCodes].getName, "graft_pq_codes"),
+      (args: Seq[Expression]) =>
+        PqCodes(args(0), longArrayArg(args, 1, "perSubIds"),
+          doubleArrayArg(args, 2, "flatCodebooks"), intArg(args, 3, "k"),
+          intArg(args, 4, "subDim"))),
+    ("graft_nearest_code", new ExpressionInfo(
+      classOf[NearestCode].getName, "graft_nearest_code"),
+      (args: Seq[Expression]) =>
+        NearestCode(args(0), args(1), longArrayArg(args, 2, "perSubIds"),
+          doubleArrayArg(args, 3, "flatCodebooks"), intArg(args, 4, "k"),
+          intArg(args, 5, "subDim"))),
     ("graft_merge_fold", new ExpressionInfo(
       classOf[MergeFold].getName, "graft_merge_fold"),
       (args: Seq[Expression]) => {
@@ -152,6 +175,29 @@ object GraftExtensions {
         }
       case other => throw new IllegalArgumentException(
         s"argument $i ($name) must be an array<bigint> literal, got $other")
+    }
+  }
+
+  /** Extract a literal array<double> parameter (float elements widen) —
+    * a plan-baked centroid/codebook table, flattened. */
+  private def doubleArrayArg(args: Seq[Expression], i: Int,
+      name: String): Seq[Double] = {
+    require(args.length > i && args(i).foldable,
+      s"argument $i ($name) must be a literal array<double>")
+    args(i).eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        args(i).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, _) =>
+            a.toDoubleArray().toSeq
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType, _) =>
+            a.toFloatArray().map(_.toDouble).toSeq
+          case other => throw new IllegalArgumentException(
+            s"argument $i ($name) must be array<double>, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"argument $i ($name) must be an array<double> literal, got $other")
     }
   }
 

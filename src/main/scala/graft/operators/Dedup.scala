@@ -807,8 +807,7 @@ object Dedup {
     // the scan + centroid-assign subtree executes 3-4× (Catalyst does not
     // reuse it across the self-join). Blocks die with the session; Bench's
     // hygiene pass sweeps them (the trainCentroids idiom).
-    val assigned = embeddings
-      .join(Similarity.assign(embeddings, centroids), "vec_id")
+    val assigned = Similarity.withCluster(embeddings, centroids)
       .select(col("cluster_id"), col("vec_id"), col("embedding"))
       .localCheckpoint(true)
     // the raise_error is embedded in the guard's JOIN KEY itself (+0L is

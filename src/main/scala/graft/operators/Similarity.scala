@@ -86,19 +86,7 @@ object Similarity {
       sampleRate: Double = 1.0): DataFrame = {
     require(sampleRate > 0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1], got $sampleRate")
-    // Block lifetime: each localCheckpoint below is released as soon as
-    // its successor materializes (CheckpointUtil.free on exactly the
-    // wrapped RDD — concurrency-safe, unlike the registry diff this
-    // replaced in r15), so a call leaves behind ONLY the returned
-    // final centroids' blocks (which must outlive the lazy consumers;
-    // Bench's hygiene pass / spark.catalog.clearCache() reclaims those).
-    var prevGen: Option[DataFrame] = None
-    def swapCheckpoint(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(true) // eager — safe to drop inputs now
-      prevGen.foreach(CheckpointUtil.free)
-      prevGen = Some(out)
-      out
-    }
+    val spark = corpus.sparkSession
     // sample lazily and COUNT first: the thin-sample fallback must not
     // pay for (or leak) a checkpoint it will never read
     var pinnedSample: Option[DataFrame] = None
@@ -113,61 +101,100 @@ object Similarity {
           pinned
         } else corpus
       }
-    // deterministic init: first k by id. The k rows collapse into one agg
-    // (no global row_number window — that shape moves all data to a single
-    // partition and warns; here only k tiny rows ever reach one task)
-    var centroids = swapCheckpoint(train.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("centroid"))
-      .agg(array_sort(collect_list(struct(col("vec_id"), col("centroid")))).as("cs"))
-      .select(posexplode(col("cs")))
-      .select((col("pos") + 1).cast("long").as("cluster_id"),
-        col("col.centroid").as("centroid")))
+    // Centroids live DRIVER-SIDE across the loop (k×d doubles of bounded
+    // metadata — the same budget class as a collected probe plan): each
+    // Lloyd iteration is then ONE job — a per-row nearest-centroid
+    // projection (plan-baked kernel, no crossJoin, no assign-shuffle, no
+    // join-back) feeding the mean aggregation, collected. The pre-r18
+    // shape paid an assignment shuffle + a join + a localCheckpoint
+    // materialization per iteration for identical math.
+    // Deterministic init: first k by id, cluster ids 1..k in vec_id order.
+    var cents: Seq[(Long, Seq[Double])] =
+      train.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
+        .collect()
+        .sortBy(_.getLong(0))
+        .zipWithIndex
+        .map { case (r, i) =>
+          ((i + 1).toLong, r.getSeq[Double](1).toIndexedSeq) }
+        .toIndexedSeq
     for (_ <- 1 to iters) {
       // Mean per (cluster, position): posexplode + avg is the
       // constant-memory-per-group shape (no array buffering in the agg).
-      centroids = swapCheckpoint(assign(train, centroids)
-        .join(train, "vec_id")
-        .select(col("cluster_id"), posexplode(col("embedding")))
+      // An empty cell DROPS (groupBy emits no row for it) — the
+      // historical trainCentroids rule, unchanged.
+      cents = train
+        .select(nearestCol(col("embedding"), cents).as("cluster_id"),
+          posexplode(col("embedding")))
         .groupBy(col("cluster_id"), col("pos"))
         .agg(avg(col("col").cast("double")).as("m"))
         .groupBy(col("cluster_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid")))
+          s => s.getField("m")).as("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+        .sortBy(_._1).toIndexedSeq
     }
-    // the final Lloyd result is materialized — the training sample has no
-    // remaining reader
     pinnedSample.foreach(CheckpointUtil.free)
-    centroids
+    import spark.implicits._
+    cents.toDF("cluster_id", "centroid")
   }
 
-  /** Assign each vector to its nearest centroid (broadcast nested-loop over
-    * k centroids — k is small; the corpus stays partition-local). min_by
-    * keeps this a hash aggregation: a row_number window would force a full
-    * sort of |corpus|×k rows per Lloyd iteration. Tie-break on cluster_id
-    * keeps assignment deterministic. */
-  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("cluster_id"),
-        l2sq(col("embedding"), col("centroid")).as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cluster_id"), struct(col("d2"), col("cluster_id"))).as("cluster_id"))
+  /** Collect a (cluster_id, centroid) table — k×d doubles of BOUNDED
+    * driver metadata, the index-plan budget class — so assignment bakes
+    * into the plan as a per-row kernel instead of a corpus shuffle.
+    * LocalRelation-backed centroid frames (trainCentroids output)
+    * collect without launching a job. */
+  private def centroidRows(centroids: DataFrame): Seq[(Long, Seq[Double])] =
+    centroids.select(col("cluster_id"),
+        transform(col("centroid"), _.cast("double")).as("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
 
-  /** Query-side probe selection: each query's nProbe nearest centroids.
-    * Bounded TopK over (-d2, cluster_id) — score desc on the negated
-    * distance = d2 asc, tie on cluster_id asc, identical to the old
-    * row_number ordering, without sorting k rows per query. */
+  /** Per-row nearest-centroid expression ([[graft.expressions
+    * .NearestCentroid]]): argmin of [[l2sq]] over the baked table, ties
+    * to the lowest cluster_id — bit-identical to the crossJoin +
+    * `min_by(cluster_id, struct(d2, cluster_id))` shuffle shape it
+    * replaced (same element order, same float→double widening). */
+  private def nearestCol(emb: org.apache.spark.sql.Column,
+      cents: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column = {
+    val d = cents.head._2.length
+    call_function("graft_nearest_centroid", emb,
+      typedlit(cents.map(_._1)), typedlit(cents.flatMap(_._2)), lit(d))
+  }
+
+  /** Assign each vector to its nearest centroid — a PROJECTION (the
+    * centroid table rides the plan; the corpus never shuffles for an
+    * assignment decision, which is the posture that matters at 100 TB). */
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.select(col("vec_id"),
+      nearestCol(col("embedding"), centroidRows(centroids)).as("cluster_id"))
+
+  /** [[assign]] keeping every corpus column: the per-row kernel appends
+    * cluster_id in place — replaces the historical
+    * `corpus.join(assign(corpus, c), "vec_id")` self-join (same columns,
+    * same order, no join). */
+  def withCluster(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.withColumn("cluster_id",
+      nearestCol(col("embedding"), centroidRows(centroids)))
+
+  /** Query-side probe selection: each query's nProbe nearest centroids,
+    * nearest first — per-row kernel ([[graft.expressions.TopCentroids]],
+    * (d2 asc, cluster_id asc) ordering, identical to the bounded-TopK
+    * formulation it replaced), exploded. No crossJoin, no per-query
+    * aggregation. */
   private[graft] def probes(queries: DataFrame, centroids: DataFrame,
       nProbe: Int): DataFrame = {
-    val topk = udaf(graft.functions.TopK.agg(nProbe))
-    queries.crossJoin(broadcast(centroids))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("cluster_id"), l2sq(col("embedding"), col("centroid")).as("d2"))
-      .groupBy(col("query_id"))
-      .agg(topk(-col("d2"), col("cluster_id")).as("top"),
-        first(col("q_emb")).as("q_emb"))
-      .select(col("query_id"), col("q_emb"),
-        explode(col("top._2")).as("cluster_id"))
+    val cents = centroidRows(centroids)
+    val d = cents.head._2.length
+    queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      explode(call_function("graft_top_centroids", col("embedding"),
+        typedlit(cents.map(_._1)), typedlit(cents.flatMap(_._2)),
+        lit(d), lit(nProbe))).as("cluster_id"))
   }
 
   /** Rank (query_id, neighbor_id, cos) scores to top-k per query through
@@ -191,7 +218,7 @@ object Similarity {
     * those lists. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       centroids: DataFrame, nProbe: Int = 2): DataFrame = {
-    val lists = corpus.join(assign(corpus, centroids), "vec_id")
+    val lists = withCluster(corpus, centroids)
     val qProbes = probes(queries, centroids, nProbe)
     val scored = lists.join(broadcast(qProbes), Seq("cluster_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -205,7 +232,7 @@ object Similarity {
     * partition pruning happens before any row is deserialized, which is
     * the difference between an index and a full scan at 100 TB. */
   def buildIvfIndex(corpus: DataFrame, centroids: DataFrame, path: String): Unit =
-    corpus.join(assign(corpus, centroids), "vec_id")
+    withCluster(corpus, centroids)
       .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
 
   /** Append a vector delta to a persisted IVF index WITHOUT a rebuild:
@@ -218,7 +245,7 @@ object Similarity {
     * centroids (retrain + rebuild is the compaction analogue, on the
     * operator's schedule, not the ingest path's). */
   def appendIvfIndex(delta: DataFrame, centroids: DataFrame, path: String): Unit =
-    delta.join(assign(delta, centroids), "vec_id")
+    withCluster(delta, centroids)
       .write.partitionBy("cluster_id").mode("append").parquet(path)
 
   /** Search a persisted IVF index. The probe set is collected (it is
@@ -276,7 +303,7 @@ object Similarity {
     * re-joining the query table afterwards. */
   def knnJoinIvf(left: DataFrame, right: DataFrame, k: Int,
       centroids: DataFrame, nProbe: Int = 2): DataFrame = {
-    val lists = right.join(assign(right, centroids), "vec_id")
+    val lists = withCluster(right, centroids)
       .select(col("cluster_id"), col("vec_id").as("neighbor_id"),
         col("embedding").as("n_emb"))
     val qProbes = probes(left, centroids, nProbe)
@@ -331,62 +358,106 @@ object Similarity {
     // one materialized subvector table feeds every Lloyd iteration
     val sub = subvectors(sampled, m, subDim).localCheckpoint(true)
     // deterministic init: the k lowest vec_ids' subvectors, cluster ids
-    // 1..k in vec_id order — same collapse idiom as trainCentroids (only
-    // m×k tiny rows reach the single task)
+    // 1..k in vec_id order. Codebooks live DRIVER-SIDE across the loop
+    // (m×k×subDim doubles — bounded metadata): each Lloyd iteration is
+    // then ONE job — a per-row nearest-code projection over the pinned
+    // subvector table (plan-baked kernel) feeding the mean aggregation,
+    // collected. The pre-r18 shape paid a (vec, subspace) assignment
+    // shuffle + a join-back + a localCheckpoint per iteration.
+    val spark = corpus.sparkSession
     val initIds = sampled.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"))
-    var codebooks = sub.join(broadcast(initIds), "vec_id")
-      .groupBy(col("subspace"))
-      .agg(array_sort(collect_list(struct(col("vec_id"), col("sub")))).as("cs"))
-      .select(col("subspace"), posexplode(col("cs")))
-      .select(col("subspace"), (col("pos") + 1).cast("long").as("cluster_id"),
-        col("col.sub").as("centroid"))
-      .localCheckpoint(true)
+    var cb: Seq[(Int, Long, Seq[Double])] = sub
+      .join(broadcast(initIds), "vec_id")
+      .select(col("subspace"), col("vec_id"), col("sub"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq
+      .flatMap { case (sp, rows) =>
+        rows.sortBy(_.getLong(1)).zipWithIndex.map { case (r, i) =>
+          (sp, (i + 1).toLong, r.getSeq[Double](2).toIndexedSeq) }
+      }
+      .sortBy(t => (t._1, t._2)).toIndexedSeq
     for (_ <- 1 to iters) {
-      val means = pqAssign(sub, codebooks)
-        .join(sub, Seq("vec_id", "subspace"))
-        .select(col("subspace"), col("cluster_id"), posexplode(col("sub")))
+      val baked = cb
+      val means = sub
+        .select(col("subspace"),
+          nearestCodeCol(col("sub"), col("subspace"), baked, k, subDim)
+            .as("cluster_id"),
+          posexplode(col("sub")))
         .groupBy(col("subspace"), col("cluster_id"), col("pos"))
         .agg(avg(col("col")).as("mean"))
         .groupBy(col("subspace"), col("cluster_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("mean")))),
           s => s.getField("mean")).as("new_centroid"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)),
+          r.getSeq[Double](2).toIndexedSeq)).toMap
       // a cell that won no members keeps its previous centroid (the
-      // standard empty-cell rule) — without this the groupBy silently
-      // DROPS it and the codebook shrinks below k (duplicate init points
-      // collapse; later iterations can re-populate the retained cell)
-      codebooks = codebooks
-        .join(means, Seq("subspace", "cluster_id"), "left")
-        .select(col("subspace"), col("cluster_id"),
-          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
-        .localCheckpoint(true)
+      // standard empty-cell rule) — without this the codebook would
+      // shrink below k (duplicate init points collapse; later iterations
+      // can re-populate the retained cell)
+      cb = cb.map { case (sp, cid, cent) =>
+        (sp, cid, means.getOrElse((sp, cid), cent)) }
     }
-    codebooks
+    import spark.implicits._
+    cb.toDF("subspace", "cluster_id", "centroid")
   }
 
-  /** Nearest codebook entry per (vector, subspace): broadcast m×k
-    * centroids, min_by hash aggregation — the corpus never shuffles. */
-  private def pqAssign(sub: DataFrame, codebooks: DataFrame): DataFrame =
-    sub.join(broadcast(codebooks), Seq("subspace"))
-      .select(col("vec_id"), col("subspace"), col("cluster_id"),
-        l2sq(col("sub"), col("centroid")).as("d2"))
-      .groupBy(col("vec_id"), col("subspace"))
-      .agg(min_by(col("cluster_id"), struct(col("d2"), col("cluster_id"))).as("cluster_id"))
+  /** Collect an (subspace, cluster_id, centroid) codebook table —
+    * m×k×subDim doubles of bounded driver metadata — sorted
+    * subspace-major for the plan-baked kernels. LocalRelation-backed
+    * codebooks (trainPqCodebooks output) collect without a job. */
+  private def codebookRows(codebooks: DataFrame)
+      : (Seq[(Int, Long, Seq[Double])], Int, Int) = {
+    val rows = codebooks.select(col("subspace").cast("int"),
+        col("cluster_id").cast("long"),
+        transform(col("centroid"), _.cast("double")).as("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toIndexedSeq))
+      .sortBy(t => (t._1, t._2)).toIndexedSeq
+    val m = rows.map(_._1).distinct.length
+    require(rows.length % m == 0,
+      s"codebookRows: ${rows.length} entries not uniform over $m subspaces")
+    (rows, rows.length / m, rows.head._3.length)
+  }
+
+  /** Per-row nearest-code kernel over an already-sliced subvector (the
+    * Lloyd-loop assignment; [[graft.expressions.NearestCode]]). */
+  private def nearestCodeCol(sub: org.apache.spark.sql.Column,
+      subspace: org.apache.spark.sql.Column,
+      cb: Seq[(Int, Long, Seq[Double])], k: Int, subDim: Int)
+      : org.apache.spark.sql.Column =
+    call_function("graft_nearest_code", sub, subspace,
+      typedlit(cb.map(_._2)), typedlit(cb.flatMap(_._3)), lit(k), lit(subDim))
 
   /** Encode the corpus: one row per vector, `codes[i]` = nearest codebook
     * entry in subspace i. This IS the compressed index artifact — m
     * small ints per vector (persist it; raw embeddings are only needed
-    * again for an exact re-rank tier). One scan, one (vec_id, subspace)
-    * aggregation, one repack aggregation. */
+    * again for an exact re-rank tier). Since r18 the whole encode is ONE
+    * per-row kernel ([[graft.expressions.PqCodes]] — slice + argmin per
+    * subspace, identical arithmetic): the posexplode + assignment
+    * shuffle + repack aggregation it replaces shuffled the corpus twice
+    * for the same codes. */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame): DataFrame = {
-    val m = codebooks.agg(count_distinct(col("subspace"))).head().getLong(0).toInt
-    val subDim = codebooks.select(size(col("centroid"))).head().getInt(0)
-    pqAssign(subvectors(corpus, m, subDim), codebooks)
-      .groupBy(col("vec_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("subspace"), col("cluster_id")))),
-        s => s.getField("cluster_id").cast("int")).as("codes"))
+    val (cb, k, subDim) = codebookRows(codebooks)
+    corpus.select(col("vec_id"),
+      call_function("graft_pq_codes", col("embedding"),
+        typedlit(cb.map(_._2)), typedlit(cb.flatMap(_._3)),
+        lit(k), lit(subDim)).as("codes"))
+  }
+
+  /** [[pqEncode]] + coarse cluster id in the same projection — the
+    * composed-index row (vec_id, codes, cluster_id) without the
+    * encode-vs-assign self-join. */
+  private def encodeWithCluster(corpus: DataFrame, codebooks: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val (cb, k, subDim) = codebookRows(codebooks)
+    corpus.select(col("vec_id"),
+      call_function("graft_pq_codes", col("embedding"),
+        typedlit(cb.map(_._2)), typedlit(cb.flatMap(_._3)),
+        lit(k), lit(subDim)).as("codes"),
+      nearestCol(col("embedding"), centroidRows(centroids)).as("cluster_id"))
   }
 
   /** ADC (asymmetric distance computation) top-k: each query builds a
@@ -400,8 +471,8 @@ object Similarity {
     * similar first; ties break on neighbor_id. */
   def pqTopK(codes: DataFrame, queries: DataFrame, k: Int,
       codebooks: DataFrame): DataFrame = {
-    val m = codebooks.agg(count_distinct(col("subspace"))).head().getLong(0).toInt
-    val subDim = codebooks.select(size(col("centroid"))).head().getInt(0)
+    val (cbRows, _, subDim) = codebookRows(codebooks)
+    val m = cbRows.map(_._1).distinct.length
     val dt = subvectors(
         queries.select(col("vec_id"), col("embedding")), m, subDim)
       .withColumnRenamed("vec_id", "query_id")
@@ -472,7 +543,7 @@ object Similarity {
     * vec_id before the partitioned write. */
   def buildIvfPqIndex(corpus: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, path: String): Unit =
-    pqEncode(corpus, codebooks).join(assign(corpus, centroids), "vec_id")
+    encodeWithCluster(corpus, codebooks, centroids)
       .write.partitionBy("cluster_id").mode("overwrite").parquet(path)
 
   /** Append a vector delta to a persisted IVF-PQ index WITHOUT a rebuild
@@ -491,7 +562,7 @@ object Similarity {
     * maintenance schedule, applies unchanged. */
   def appendIvfPqIndex(delta: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, path: String): Unit =
-    pqEncode(delta, codebooks).join(assign(delta, centroids), "vec_id")
+    encodeWithCluster(delta, codebooks, centroids)
       .write.partitionBy("cluster_id").mode("append").parquet(path)
 
   /** Search a persisted IVF-PQ index: probe nProbe cells per query
@@ -520,8 +591,7 @@ object Similarity {
       centroids: DataFrame, codebooks: DataFrame, nProbe: Int = 2,
       shortlist: Int = 50): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
-    val cells = pqEncode(corpus, codebooks)
-      .join(assign(corpus, centroids), "vec_id")
+    val cells = encodeWithCluster(corpus, codebooks, centroids)
     val qProbes = probes(queries, centroids, nProbe)
     rerankExact(corpus, queries,
       adcShortlist(cells, qProbes, codebooks, shortlist), k)
@@ -536,8 +606,8 @@ object Similarity {
     * neighbor_id) pairs via the bounded TopK aggregation. */
   private def adcShortlist(cells: DataFrame, qProbes: DataFrame,
       codebooks: DataFrame, shortlist: Int): DataFrame = {
-    val m = codebooks.agg(count_distinct(col("subspace"))).head().getLong(0).toInt
-    val subDim = codebooks.select(size(col("centroid"))).head().getInt(0)
+    val (cbRows, _, subDim) = codebookRows(codebooks)
+    val m = cbRows.map(_._1).distinct.length
     val dt = subvectors(
         qProbes.select(col("query_id").as("vec_id"), col("q_emb").as("embedding"))
           .distinct(), m, subDim)
