@@ -242,6 +242,26 @@ object Bpe {
     val wordTotal = vocab.agg(sum(col("wct")).cast("long")).as[Long].head()
     var idx = 0L
     val ledger = Seq.newBuilder[(Long, Long, String, String, Long, Long)]
+    // DEFERRED-FOLD round shape (r18): a round's merge application rides
+    // the NEXT round's pair scan as extra (cheap, native) MergeFold
+    // layers over the last checkpointed generation, instead of paying a
+    // materialization job per round — ONE driver-coordinated job per
+    // round instead of two. Every FoldCheckpointEvery rounds the
+    // accumulated layers materialize once (bounding plan depth; the r13
+    // quadratic-lineage trap needed the per-round checkpoint only
+    // because the Catalyst HOF fold made re-applied layers expensive —
+    // the native kernel re-applies a layer in O(symbols) hash probes).
+    var pending = Vector.empty[Seq[(String, String)]]
+    def foldedSyms: Column =
+      pending.foldLeft(col("syms"))((c, batch) => applyMergeSet(c, batch))
+    def flush(): Unit = if (pending.nonEmpty) {
+      val prev = vocab
+      vocab = vocab
+        .select(col("word"), col("wct"), foldedSyms.as("syms"))
+        .localCheckpoint(true)
+      freeCheckpoint(prev) // hold 2 generations, not O(batches)
+      pending = Vector.empty
+    }
     // RUN-AWARE pair scan (native expressions/RunPairs, one JVM walk per
     // row): every candidate carries BOTH counting views — naive
     // adjacent counts (within-run len-1 + one per run boundary — the
@@ -256,7 +276,7 @@ object Bpe {
       val obs = new org.apache.spark.sql.Observation()
       val cands = vocab
         .select(col("wct"),
-          explode(call_function("graft_run_pairs", col("syms"))).as("p"))
+          explode(call_function("graft_run_pairs", foldedSyms)).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("wct") * col("p.ct")).as("ct"),
           sum(col("wct") * col("p.mct")).as("mct"))
@@ -288,13 +308,8 @@ object Bpe {
       }
       val chosen = sel.result()
       if (chosen.nonEmpty) {
-        val prev = vocab
-        vocab = vocab
-          .select(col("word"), col("wct"),
-            applyMergeSet(col("syms"),
-              chosen.map(c => (c._1, c._2))).as("syms"))
-          .localCheckpoint(true)
-        freeCheckpoint(prev) // hold 2 generations, not O(batches)
+        pending = pending :+ chosen.map(c => (c._1, c._2))
+        if (pending.size >= FoldCheckpointEvery) flush()
         var running = total
         for ((l, r, ct) <- chosen) {
           idx += 1
@@ -305,10 +320,10 @@ object Bpe {
       }
     }
     // the last applied batch has no next scan to verify it — one final
-    // vocab pass closes the conservation ledger (one pass total, instead
-    // of the pre-r15 one-per-round)
+    // vocab pass (applying any still-deferred layers) closes the
+    // conservation ledger
     val finalMeasured = vocab
-      .agg(sum(col("wct") * size(col("syms"))).cast("long")).as[Long].head()
+      .agg(sum(col("wct") * size(foldedSyms)).cast("long")).as[Long].head()
     require(finalMeasured == total,
       s"Bpe.mergesBatched: final corpus symbol total measures " +
         s"$finalMeasured but the ledger derived $total — the " +
@@ -316,6 +331,14 @@ object Bpe {
     freeCheckpoint(vocab)
     ledger.result().toDF("merge_idx", "batch", "lhs", "rhs", "ct", "syms_after")
   }
+
+  /** Deferred-fold plan-depth bound: how many rounds' merge layers may
+    * stack over the last checkpointed vocabulary before materializing.
+    * Each layer is one [[graft.expressions.MergeFold]] call (cheap to
+    * re-apply, O(symbols) hash probes), but analyzer/optimizer passes
+    * walk the whole literal-bearing tree every round — 8 keeps that
+    * walk trivial while amortizing the materialization job 8×. */
+  private val FoldCheckpointEvery = 8
 
   /** Segment the corpus with an ordered merge list (the output of
     * [[merges]]): every document becomes its BPE symbol sequence, words

@@ -226,26 +226,55 @@ object WordPiece {
     var total = vocab.agg(sum(col("wct") * size(col("syms"))).cast("long"))
       .as[Long].head()
     val wordTotal = vocab.agg(sum(col("wct")).cast("long")).as[Long].head()
+    // Corpus-weighted count per SYMBOL — the likelihood denominator —
+    // maintained DRIVER-SIDE (r18): the alphabet plus one entry per
+    // learned merge is bounded metadata, and under triple-disjointness
+    // the per-batch updates are exact (each applied merge removes
+    // exactly mct occurrences of lhs and of rhs — 2·mct of a self-pair's
+    // symbol — and creates mct of lhs+rhs; no selected merge touches
+    // another's operands). The pre-r18 shape recomputed this with a
+    // full explode+groupBy scan of the vocabulary EVERY round. A final
+    // distributed recount asserts the maintained map exactly.
+    val symCt = scala.collection.mutable.Map.empty[String, Long]
+    vocab.select(col("wct"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("wct")).cast("long").as("c"))
+      .collect().foreach(r => symCt(r.getString(0)) = r.getLong(1))
+    def symCtDf = {
+      import spark.implicits._
+      symCt.toSeq.toDF("sym", "c")
+    }
     var idx = 0L
     val ledger = Seq.newBuilder[(Long, Long, String, String, Long, Double, Long)]
+    // deferred-fold round shape, shared rationale with
+    // [[Bpe.mergesBatchedUnits]]: merge layers ride the next scan as
+    // native MergeFold calls; materialize every few rounds only
+    var pending = Vector.empty[Seq[(String, String)]]
+    def foldedSyms =
+      pending.foldLeft(col("syms"))((c, batch) => Bpe.applyMergeSet(c, batch))
+    def flush(): Unit = if (pending.nonEmpty) {
+      val prev = vocab
+      vocab = vocab
+        .select(col("word"), col("wct"), foldedSyms.as("syms"))
+        .localCheckpoint(true)
+      CheckpointUtil.free(prev) // hold 2 generations, not O(batches)
+      pending = Vector.empty
+    }
     for (b <- 1 to batches) {
       val obs = new org.apache.spark.sql.Observation()
       val pairs = vocab
         .select(col("wct"),
-          explode(call_function("graft_run_pairs", col("syms"))).as("p"))
+          explode(call_function("graft_run_pairs", foldedSyms)).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("wct") * col("p.ct")).as("ct"),
           sum(col("wct") * col("p.mct")).as("mct"))
         .observe(obs, coalesce(sum(col("ct")), lit(0L)).cast("long")
           .as("pair_total"))
-      val symCt = vocab
-        .select(col("wct"), explode(col("syms")).as("sym"))
-        .groupBy(col("sym")).agg(sum(col("wct")).as("c"))
+      val cs = symCtDf
       val cands = pairs
-        .join(broadcast(symCt.withColumnRenamed("sym", "a")
-          .withColumnRenamed("c", "ca")), Seq("a"))
-        .join(broadcast(symCt.withColumnRenamed("sym", "b")
-          .withColumnRenamed("c", "cb")), Seq("b"))
+        .join(broadcast(cs.select(col("sym").as("a"), col("c").as("ca"))),
+          Seq("a"))
+        .join(broadcast(cs.select(col("sym").as("b"), col("c").as("cb"))),
+          Seq("b"))
         .withColumn("score",
           col("ct").cast("double") /
             (col("ca").cast("double") * col("cb").cast("double")))
@@ -271,29 +300,43 @@ object WordPiece {
       }
       val chosen = sel.result()
       if (chosen.nonEmpty) {
-        val prev = vocab
-        vocab = vocab
-          .select(col("word"), col("wct"),
-            Bpe.applyMergeSet(col("syms"),
-              chosen.map(c => (c._1, c._2))).as("syms"))
-          .localCheckpoint(true)
-        CheckpointUtil.free(prev) // hold 2 generations, not O(batches)
+        pending = pending :+ chosen.map(c => (c._1, c._2))
+        if (pending.size >= 8) flush()
         var running = total
         for ((l, r, mct, score) <- chosen) {
           idx += 1
           running -= mct
+          // exact denominator maintenance (see symCt above)
+          if (l == r) symCt(l) = symCt(l) - 2 * mct
+          else {
+            symCt(l) = symCt(l) - mct
+            symCt(r) = symCt(r) - mct
+          }
+          symCt(l + r) = symCt.getOrElse(l + r, 0L) + mct
           ledger += ((idx, b.toLong, l, r, mct,
             math.floor(score * 1e6) / 1e6, running))
         }
         total = running // verified by the NEXT round's observed scan
       }
     }
-    val finalMeasured = vocab
-      .agg(sum(col("wct") * size(col("syms"))).cast("long")).as[Long].head()
+    val finalRows = vocab
+      .select(col("wct"), explode(foldedSyms).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("wct")).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val finalMeasured = finalRows.map(_._2).sum
     require(finalMeasured == total,
       s"WordPiece.learnVocabBatched: final corpus symbol total measures " +
         s"$finalMeasured but the ledger derived $total — the " +
         "triple-disjointness invariant is broken")
+    // the maintained denominator map must recount EXACTLY — any drift
+    // here means a selection scored against a wrong ca/cb
+    val recount = finalRows.toMap
+    val maintained = symCt.toMap.filter(_._2 != 0L)
+    require(recount == maintained,
+      "WordPiece.learnVocabBatched: driver-maintained symbol counts " +
+        s"diverge from the final recount (maintained ${maintained.size} " +
+        s"entries, recounted ${recount.size}) — the exact-update " +
+        "invariant is broken")
     CheckpointUtil.free(vocab)
     ledger.result()
       .toDF("merge_idx", "batch", "lhs", "rhs", "ct", "score", "syms_after")
