@@ -1130,9 +1130,13 @@ private[graft] object GatesBatch {
         .rowsBetween(-99, Window.currentRow)
       Tables.events(s, dir)
         .filter(col("event_id") % 11 === 0)
+        // one percentile(value, array(...)) frame buffer per row, not
+        // two (the a8 single-buffer form, r18) — identical interpolation
         .select(col("event_id"), col("event_type"),
-          truncate6(expr("percentile(value, 0.5)").over(w)).as("p50_t"),
-          truncate6(expr("percentile(value, 0.95)").over(w)).as("p95_t"))
+          expr("percentile(value, array(0.5, 0.95))").over(w).as("ps"))
+        .select(col("event_id"), col("event_type"),
+          truncate6(element_at(col("ps"), 1)).as("p50_t"),
+          truncate6(element_at(col("ps"), 2)).as("p95_t"))
         .orderBy(col("event_id"))
     }),
 
@@ -1551,11 +1555,19 @@ private[graft] object GatesBatch {
     "a8_percentiles" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
+        // ONE percentile(col, array(...)) buffer per group, not three:
+        // each separate percentile(...) call is its own aggregate
+        // holding the full value set (r18 — 3× the aggregation memory
+        // and merge traffic for identical interpolations)
         .agg(
-          truncate6(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
-          truncate6(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-          truncate6(expr("percentile(l_extendedprice, 0.75)")).as("p75"),
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+            .as("ps"),
           count(lit(1)).as("ct"))
+        .select(col("l_returnflag"),
+          truncate6(element_at(col("ps"), 1)).as("p25"),
+          truncate6(element_at(col("ps"), 2)).as("p50"),
+          truncate6(element_at(col("ps"), 3)).as("p75"),
+          col("ct"))
         .orderBy(col("l_returnflag"))),
 
 

@@ -121,20 +121,26 @@ object Unigram {
         .empty[(Long, Long, Long, Long, String, String)]
       var r = 1
       while (r <= rounds) {
+        // ONE job per round (r18): the global segmentation stats ride
+        // the piece-count aggregation as observe() metrics over the
+        // lattice rows — the pre-r18 shape checkpointed the lattice and
+        // ran a separate global-agg action for the same numbers
+        val obs = new org.apache.spark.sql.Observation()
         val enc = encodeDistinct(du, vocab)
           .withColumn("seg", concat_ws(" ", col("toks")))
-          .localCheckpoint(true) // two actions below share the lattice
-        val g = enc.agg(
-          sum(col("wct") * size(col("toks"))).as("corpus_tokens"),
-          min(col("seg")).as("seg_min"),
-          max(col("seg")).as("seg_max")).head()
+          .observe(obs,
+            sum(col("wct") * size(col("toks"))).as("corpus_tokens"),
+            min(col("seg")).as("seg_min"),
+            max(col("seg")).as("seg_max"))
         val next = enc
           .select(col("wct"), explode(col("toks")).as("piece"))
           .groupBy(col("piece")).agg(sum(col("wct")).as("ct"))
           .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
           .sortBy(_._1)
         ledger += ((r.toLong, next.length.toLong, next.map(_._2).sum,
-          g.getLong(0), g.getString(1), g.getString(2)))
+          obs.get("corpus_tokens").asInstanceOf[Long],
+          obs.get("seg_min").asInstanceOf[String],
+          obs.get("seg_max").asInstanceOf[String]))
         vocab = next
         r += 1
       }
