@@ -7,19 +7,36 @@ import org.apache.spark.sql.functions._
   *
   * Every accessor is a plain parquet scan so Catalyst keeps full pushdown:
   * filters and column pruning reach the scan (`PushedFilters`/`ReadSchema`
-  * in `.explain`). Nothing is cached here — at 100 TB the tables don't fit,
-  * and the scan-time pruning is what makes queries cheap.
+  * in `.explain`). No DATA is ever cached here — at 100 TB the tables
+  * don't fit, and the scan-time pruning is what makes queries cheap. The
+  * table SCHEMA is memoized per (path, mtime) (r18): schema inference is
+  * a footer-reading driver job per open, and a bench session opens each
+  * table hundreds of times — pure metadata, the same class of cache a
+  * real deployment gets from its catalog instead of re-reading footers.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.sql.types.StructType)]()
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // every query path enters through here: make sure the native graft_*
     // functions exist even on sessions not built by Sessions.tuned
     graft.expressions.GraftExtensions.ensureRegistered(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    // mtime-keyed: a regenerated table re-infers, a static one infers once
+    val stamp = new java.io.File(path).lastModified()
+    val hit = schemaMemo.get(path)
+    if (hit != null && hit._1 == stamp && stamp != 0L)
+      spark.read.schema(hit._2).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      if (stamp != 0L) schemaMemo.put(path, (stamp, df.schema))
+      df
+    }
   }
 
   /** `events.parquet`'s physical `ts` type has drifted across driver data
