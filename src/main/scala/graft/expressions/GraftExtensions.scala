@@ -124,6 +124,31 @@ object GraftExtensions {
           "graft_merge_fold: rules must be a flat non-null " +
             "(lhs, rhs, lhs, rhs, ...) array")
         MergeFold(args(0), flat.grouped(2).map(p => (p(0), p(1))).toSeq)
+      }),
+    ("graft_merge_pair_deltas", new ExpressionInfo(
+      classOf[MergePairDeltas].getName, "graft_merge_pair_deltas"),
+      (args: Seq[Expression]) => {
+        // (syms, layersFlat, layerLens, batchFlat): every rule list is a
+        // flat (lhs1, rhs1, lhs2, rhs2, ...) literal; layerLens carries
+        // the RULE count of each deferred layer so layersFlat can be
+        // resliced into the ordered layer stack
+        def pairs(flat: Seq[String], what: String): Seq[(String, String)] = {
+          require(flat.length % 2 == 0 && flat.forall(_ != null),
+            s"graft_merge_pair_deltas: $what must be a flat non-null " +
+              "(lhs, rhs, lhs, rhs, ...) array")
+          flat.grouped(2).map(p => (p(0), p(1))).toSeq
+        }
+        val layersFlat = pairs(stringArrayArg(args, 1, "layersFlat"),
+          "layersFlat")
+        val lens = longArrayArg(args, 2, "layerLens").map(_.toInt)
+        require(lens.sum == layersFlat.length && lens.forall(_ > 0),
+          "graft_merge_pair_deltas: layerLens must partition layersFlat")
+        val layers = lens.foldLeft((Seq.empty[Seq[(String, String)]], 0)) {
+          case ((acc, off), len) =>
+            (acc :+ layersFlat.slice(off, off + len), off + len)
+        }._1
+        MergePairDeltas(args(0), layers,
+          pairs(stringArrayArg(args, 3, "batchFlat"), "batchFlat"))
       }))
 
   /** Extract a literal long parameter (int literals widen). */

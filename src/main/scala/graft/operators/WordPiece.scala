@@ -213,19 +213,21 @@ object WordPiece {
     require(win >= batchSize,
       s"WordPiece.learnVocabBatched: window $win must be >= batchSize $batchSize")
     val spark = units.sparkSession
-    import spark.implicits._
 
-    var vocab = units
+    val vocab = units
       .select(col("unit").as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("wct"))
-      .select(col("word"), col("wct"),
+      // `word` is dead after this projection (ledger carries only pairs
+      // and counts); LAZY checkpoint: the init scan materializes it —
+      // see Bpe.mergesBatchedUnits
+      .select(col("wct"),
         transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1))).as("syms"))
-      .localCheckpoint(true) // constant-depth plan per round (see Bpe.merges)
-    var total = vocab.agg(sum(col("wct") * size(col("syms"))).cast("long"))
-      .as[Long].head()
-    val wordTotal = vocab.agg(sum(col("wct")).cast("long")).as[Long].head()
+      .localCheckpoint(false)
+    // ONE init job: the complete aggregated pair table plus the corpus
+    // word/symbol totals as observe metrics (see Bpe.mergesBatchedUnits)
+    val (initPairs, wordTotal, total) = PairLedger.initScan(vocab)
     // Corpus-weighted count per SYMBOL — the likelihood denominator —
     // maintained DRIVER-SIDE (r18): the alphabet plus one entry per
     // learned merge is bounded metadata, and under triple-disjointness
@@ -239,6 +241,159 @@ object WordPiece {
     vocab.select(col("wct"), explode(col("syms")).as("sym"))
       .groupBy(col("sym")).agg(sum(col("wct")).cast("long").as("c"))
       .collect().foreach(r => symCt(r.getString(0)) = r.getLong(1))
+    val ledger =
+      if (initPairs.length > PairLedger.Budget)
+        // pair table over driver budget: per-round full-rescan shape
+        // (the pre-r19 loop) — fail-soft, never driver-OOM
+        learnRescanLoop(vocab, symCt, total, wordTotal, batches,
+          batchSize, win)
+      else
+        learnIncrementalLoop(vocab, initPairs, symCt, total, wordTotal,
+          batches, batchSize, win)
+    import spark.implicits._
+    ledger.toDF("merge_idx", "batch", "lhs", "rhs", "ct", "score", "syms_after")
+  }
+
+  /** INCREMENTAL round shape (r19) — [[Bpe]]'s incremental loop with
+    * the likelihood argmax: candidates are ranked DRIVER-SIDE from the
+    * maintained pair table and symbol counts (`ct / (ct_a · ct_b)`,
+    * each long cast to double exactly, one IEEE multiply + divide —
+    * bit-identical to the engine's scoring; ties and the window cutoff
+    * replicate `orderBy(score.desc, a, b).limit(win)` with binary
+    * string order), so the two per-round broadcast joins of the rescan
+    * shape disappear entirely. Each round's ONE job is the shared
+    * [[PairLedger.deltaScan]]; the per-round conservation requires and
+    * the end-of-run entry-for-entry recounts (pair table AND symbol
+    * counts) make every driver-side number falsifiable. */
+  private def learnIncrementalLoop(vocab0: DataFrame,
+      initPairs: Array[(String, String, Long, Long)],
+      symCt: scala.collection.mutable.Map[String, Long], total0: Long,
+      wordTotal: Long, batches: Int, batchSize: Int, win: Int)
+      : Seq[(Long, Long, String, String, Long, Double, Long)] = {
+    var vocab = vocab0
+    var total = total0
+    val table = new PairLedger.Table
+    initPairs.foreach { case (a, b, ct, mct) => table.add(a, b, ct, mct) }
+    require(table.totalCt + wordTotal == total,
+      s"WordPiece.learnVocabBatched: the init pair table sums to " +
+        s"${table.totalCt} pairs but the corpus measures $total symbols " +
+        s"over $wordTotal words — the Σct + W == symbols identity is " +
+        "broken at round 1")
+    def scoreOf(e: PairLedger.Entry): Double = {
+      val ca = symCt.getOrElse(e.a, 0L)
+      val cb = symCt.getOrElse(e.b, 0L)
+      require(ca > 0L && cb > 0L,
+        s"WordPiece.learnVocabBatched: pair ('${e.a}','${e.b}') references " +
+          "a symbol with no maintained count — the exact-update invariant " +
+          "is broken")
+      e.ct.toDouble / (ca.toDouble * cb.toDouble)
+    }
+    var idx = 0L
+    val ledger = Seq.newBuilder[(Long, Long, String, String, Long, Double, Long)]
+    var pending = Vector.empty[Seq[(String, String)]]
+    def foldedSyms: Column =
+      pending.foldLeft(col("syms"))((c, batch) => Bpe.applyMergeSet(c, batch))
+    // LAZY flush + deferred free — see Bpe.mergesIncrementalLoop
+    var toFree = List.empty[DataFrame]
+    def reap(): Unit = { toFree.foreach(CheckpointUtil.free); toFree = Nil }
+    def flush(): Unit = if (pending.nonEmpty) {
+      toFree ::= vocab
+      vocab = vocab
+        .select(col("wct"), foldedSyms.as("syms"))
+        .localCheckpoint(false)
+      pending = Vector.empty
+    }
+    for (b <- 1 to batches) {
+      // the denominator counts move between rounds, so the score-ranked
+      // window is re-selected per round against the CURRENT symCt —
+      // exactly what the rescan shape's per-round broadcast join scored
+      val cands = table.top(win, PairLedger.byScore(scoreOf))
+      val sel = Seq.newBuilder[(String, String, Long, Double)]
+      var taken = 0
+      var used = Set.empty[String]
+      for (e <- cands if taken < batchSize) {
+        val triple = Set(e.a, e.b, e.a + e.b)
+        if ((triple & used).isEmpty) {
+          sel += ((e.a, e.b, e.mct, scoreOf(e))); used ++= triple; taken += 1
+        }
+      }
+      val chosen = sel.result()
+      if (chosen.nonEmpty) {
+        val rules = chosen.map(c => (c._1, c._2))
+        val (deltaRows, pre, post) =
+          PairLedger.deltaScan(vocab, pending, rules)
+        reap() // the scan materialized any lazily flushed generation
+        require(pre == total,
+          s"WordPiece.learnVocabBatched: entering batch $b the corpus " +
+            s"symbol total measures $pre but the ledger derived $total — " +
+            "the triple-disjointness invariant is broken")
+        var running = total
+        for ((l, r, mct, score) <- chosen) {
+          idx += 1
+          running -= mct
+          // exact denominator maintenance (see symCt above)
+          if (l == r) symCt(l) = symCt(l) - 2 * mct
+          else {
+            symCt(l) = symCt(l) - mct
+            symCt(r) = symCt(r) - mct
+          }
+          symCt(l + r) = symCt.getOrElse(l + r, 0L) + mct
+          ledger += ((idx, b.toLong, l, r, mct,
+            math.floor(score * 1e6) / 1e6, running))
+        }
+        require(post == running,
+          s"WordPiece.learnVocabBatched: batch $b derived a symbol total " +
+            s"of $running but the fold measures $post — the " +
+            "triple-disjointness invariant is broken")
+        deltaRows.foreach { case (a, bb, dct, dmct) =>
+          table.add(a, bb, dct, dmct) }
+        require(table.totalCt == post - wordTotal,
+          s"WordPiece.learnVocabBatched: after batch $b the pair table " +
+            s"sums to ${table.totalCt} but the corpus holds $post symbols " +
+            s"over $wordTotal words — the Σct + W == symbols identity is " +
+            "broken")
+        total = running
+        pending = pending :+ rules
+        if (pending.size >= 8) flush()
+      }
+    }
+    // end-of-run exactness proofs: the maintained PAIR table and the
+    // maintained SYMBOL counts must both match distributed recounts
+    val (finalPairs, finalMeasured) = PairLedger.recountScan(vocab, foldedSyms)
+    reap()
+    require(finalMeasured == total,
+      s"WordPiece.learnVocabBatched: final corpus symbol total measures " +
+        s"$finalMeasured but the ledger derived $total — the " +
+        "triple-disjointness invariant is broken")
+    require(table.sameAs(finalPairs.toIndexedSeq),
+      "WordPiece.learnVocabBatched: the driver-maintained pair table " +
+        s"diverges from the final distributed recount (maintained " +
+        s"${table.size} entries, recounted ${finalPairs.length}) — the " +
+        "delta-update invariant is broken")
+    val recount = vocab
+      .select(col("wct"), explode(foldedSyms).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("wct")).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val maintained = symCt.toMap.filter(_._2 != 0L)
+    require(recount == maintained,
+      "WordPiece.learnVocabBatched: driver-maintained symbol counts " +
+        s"diverge from the final recount (maintained ${maintained.size} " +
+        s"entries, recounted ${recount.size}) — the exact-update " +
+        "invariant is broken")
+    CheckpointUtil.free(vocab)
+    ledger.result()
+  }
+
+  /** The pre-r19 per-round full-rescan loop — the fail-soft fallback
+    * for a corpus whose distinct-pair table exceeds
+    * [[PairLedger.Budget]]. Same semantics, same ledger. */
+  private def learnRescanLoop(vocab0: DataFrame,
+      symCt: scala.collection.mutable.Map[String, Long], total0: Long,
+      wordTotal: Long, batches: Int, batchSize: Int, win: Int)
+      : Seq[(Long, Long, String, String, Long, Double, Long)] = {
+    var vocab = vocab0
+    var total = total0
+    val spark = vocab0.sparkSession
     def symCtDf = {
       import spark.implicits._
       symCt.toSeq.toDF("sym", "c")
@@ -254,7 +409,7 @@ object WordPiece {
     def flush(): Unit = if (pending.nonEmpty) {
       val prev = vocab
       vocab = vocab
-        .select(col("word"), col("wct"), foldedSyms.as("syms"))
+        .select(col("wct"), foldedSyms.as("syms"))
         .localCheckpoint(true)
       CheckpointUtil.free(prev) // hold 2 generations, not O(batches)
       pending = Vector.empty
@@ -339,6 +494,5 @@ object WordPiece {
         "invariant is broken")
     CheckpointUtil.free(vocab)
     ledger.result()
-      .toDF("merge_idx", "batch", "lhs", "rhs", "ct", "score", "syms_after")
   }
 }
