@@ -1127,42 +1127,117 @@ private[graft] object GatesPipeline {
     // oracle-replayed output; the measured recalls print to the log for
     // banking (data-learned quantizers make them non-SQL-expressible).
     "sim_recall_report" -> ((s, dir) => {
+      // r19 shape: the report runs SEVEN independent recall arms over
+      // independently trained quantizers — sequential, that was 120
+      // driver-scheduled jobs averaging 70 ms with a ~50 ms gap each
+      // (measured; no single hot job). Two fusions, results identical:
+      //   1. the independent TRAININGS / truth sets run on concurrent
+      //      driver threads (Spark sessions support multi-threaded
+      //      action submission; nothing here mutates session conf) —
+      //      each arm's Lloyd loops are driver-sequential, but the arms'
+      //      loops overlap;
+      //   2. the per-arm `truth.join(ann).count()` actions fuse into ONE
+      //      family-tagged union aggregated by method — one action whose
+      //      independent stages the scheduler runs in parallel, instead
+      //      of 7 join+count round-trips. Ratios are byte-identical:
+      //      same inner joins, same counts, same denominators.
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 20)
-      val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
-      val nQ = queries.count()
-      val denom = truth.count().toDouble
-      val centroids = Similarity.trainCentroids(emb, k = 16, iters = 2,
-        sampleRate = 0.5)
-      val cb = Similarity.trainPqCodebooks(emb, m = 8, k = 64, iters = 2,
-        sampleRate = 0.5)
-      val codes = Similarity.pqEncode(emb, cb)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val truthF = Future {
+        val t = Similarity.bruteForceTopK(emb, queries, k = 5)
+          .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+        (t, t.count().toDouble)
+      }
+      val nQF = Future(queries.count())
+      val centroidsF = Future(Similarity.trainCentroids(emb, k = 16,
+        iters = 2, sampleRate = 0.5))
+      val cbF = Future(Similarity.trainPqCodebooks(emb, m = 8, k = 64,
+        iters = 2, sampleRate = 0.5))
+      // SUB-QUANTIZER resolution probe (r18): the r17 nProbe sweep
+      // showed the curve is shallow in the probe set — the verdict's
+      // hypothesis is that ivfpq recall lives in m (each sub-vector
+      // halves from 8 to 4 dims at m=16, so each code byte quantizes
+      // a finer slice). PQ-only, logged for the BASELINE trend table,
+      // never required, prices the quantizer itself, not IVF routing.
+      val cb16F = Future(Similarity.trainPqCodebooks(emb, m = 16, k = 64,
+        iters = 2, sampleRate = 0.5))
+      // kNN JOIN recall (r17 verdict task 6): the both-sides-large tier
+      // folded into this report so the whole ANN surface shares one
+      // trend table. Truth is the exact kNN join over the same split.
+      val knnRight = emb.filter(col("vec_id") >= 20)
+      val knnTruthF = Future {
+        val t = Similarity.knnJoinExact(queries, knnRight, k = 5)
+          .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+        (t, t.count().toDouble)
+      }
+      val (truth, denom) = Await.result(truthF, Duration.Inf)
+      val nQ = Await.result(nQF, Duration.Inf)
+      val centroids = Await.result(centroidsF, Duration.Inf)
+      val cb = Await.result(cbF, Duration.Inf)
+      val cb16 = Await.result(cb16F, Duration.Inf)
+      val (knnTruth, knnDenom) = Await.result(knnTruthF, Duration.Inf)
       val path = s"$shmRoot/graft-recall-${System.nanoTime()}"
       try {
-        Similarity.buildIvfPqIndex(emb, centroids, cb, path)
-        def recall(ann: org.apache.spark.sql.DataFrame): Double =
-          truth.join(ann.select(col("query_id"), col("neighbor_id")),
-            Seq("query_id", "neighbor_id")).count() / denom
+        val indexF = Future(Similarity.buildIvfPqIndex(emb, centroids, cb,
+          path))
+        val codesF = Future(Similarity.pqEncode(emb, cb))
+        val codes16F = Future(Similarity.pqEncode(emb, cb16))
+        Await.result(indexF, Duration.Inf)
+        val codes = Await.result(codesF, Duration.Inf)
+        val codes16 = Await.result(codes16F, Duration.Inf)
         // (method, floor%) — floors TIGHTENED r17 per the banked plan
         // (BASELINE.md r17 recall trend: three identical measurement
         // rounds — deterministic tunings): ≈0.9 × the 3-scale min of
-        // each tier (ivf 0.69, ivfpq 0.62, lsh 0.46, pq 0.62)
-        val arms = Seq(
-          ("ivf", 60L, () => Similarity.ivfTopK(emb, queries, k = 5,
+        // each tier (ivf 0.69, ivfpq 0.62, lsh 0.46, pq 0.62).
+        // 4 LSH planes (16 buckets), not sim_topk_lsh's 8: the recall
+        // arm wants the recall-oriented tuning — at sf0.001 the
+        // 256-bucket variant strands most queries with near-empty
+        // buckets (measured 0.11 recall@5; 4 planes measures ~0.5).
+        // ivfpq6 is the r17 recall/cost CURVE probe (nProbe=6, logged
+        // for banking, never required — nProbe=4 stays the contract).
+        val arms: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+          ("ivf", Similarity.ivfTopK(emb, queries, k = 5,
             centroids, nProbe = 4)),
-          ("ivfpq", 50L, () => Similarity.ivfPqTopKIndexed(s, path, emb,
+          ("ivfpq", Similarity.ivfPqTopKIndexed(s, path, emb,
             queries, k = 5, centroids, cb, nProbe = 4, shortlist = 50)),
-          // 4 planes (16 buckets), not sim_topk_lsh's 8: the recall arm
-          // wants the recall-oriented tuning — at sf0.001 the 256-bucket
-          // variant strands most queries with near-empty buckets
-          // (measured 0.11 recall@5; 4 planes measures ~0.5)
-          ("lsh", 35L, () => Similarity.lshTopK(emb, queries, k = 5,
+          ("lsh", Similarity.lshTopK(emb, queries, k = 5,
             graft.functions.VectorFns.randomPlanes(4, 64))),
-          ("pq", 55L, () => Similarity.pqTopKReranked(emb, codes, queries,
-            k = 5, cb, shortlist = 50)))
-        val rows = arms.map { case (method, floorPct, f) =>
-          val r = recall(f())
+          ("pq", Similarity.pqTopKReranked(emb, codes, queries,
+            k = 5, cb, shortlist = 50)),
+          ("ivfpq6", Similarity.ivfPqTopKIndexed(s, path, emb, queries,
+            k = 5, centroids, cb, nProbe = 6, shortlist = 50)),
+          ("pq16", Similarity.pqTopKReranked(emb, codes16, queries,
+            k = 5, cb16, shortlist = 50)),
+          ("knn", Similarity.knnJoinIvf(queries, knnRight, k = 5,
+            centroids, nProbe = 4)))
+        // one tagged union: `family` keys which truth set an arm is
+        // measured against (the knn arm's truth is the exact kNN join
+        // over its own corpus split, not the brute-force top-k)
+        val annAll = arms.map { case (method, df) =>
+          df.select(lit(method).as("method"),
+            lit(if (method == "knn") "knn" else "main").as("family"),
+            col("query_id"), col("neighbor_id"))
+        }.reduce(_.unionByName(_))
+        val truthAll = truth
+          .select(lit("main").as("family"), col("query_id"),
+            col("neighbor_id"))
+          .unionByName(knnTruth.select(lit("knn").as("family"),
+            col("query_id"), col("neighbor_id")))
+        val hits = truthAll
+          .join(annAll, Seq("family", "query_id", "neighbor_id"))
+          .groupBy(col("method")).agg(count(lit(1)).as("hits"))
+          .collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        def recallOf(method: String): Double =
+          hits.getOrElse(method, 0L) /
+            (if (method == "knn") knnDenom else denom)
+        val floors = Seq(("ivf", 60L), ("ivfpq", 50L), ("lsh", 35L),
+          ("pq", 55L))
+        val rows = floors.map { case (method, floorPct) =>
+          val r = recallOf(method)
           println(f"[sim_recall_report] $method%-6s recall@5 = $r%.3f " +
             s"(floor ${floorPct / 100.0})")
           require(r * 100 >= floorPct,
@@ -1170,41 +1245,11 @@ private[graft] object GatesPipeline {
               s"${floorPct / 100.0} floor — a quality regression, not noise")
           (method, nQ, 5L, floorPct, 1L)
         }
-        // ivfpq recall/cost CURVE probe (r17 verdict task 6): one extra
-        // search at nProbe=6 — logged for banking, never required, so the
-        // committed tuning (nProbe=4) stays the gate's contract while the
-        // trend table records whether widening the probe set moves the
-        // band's low point (sf0.1 ivfpq 0.620)
-        val r6 = recall(Similarity.ivfPqTopKIndexed(s, path, emb, queries,
-          k = 5, centroids, cb, nProbe = 6, shortlist = 50))
-        println(f"[sim_recall_report] ivfpq  recall@5 = $r6%.3f " +
+        println(f"[sim_recall_report] ivfpq  recall@5 = ${recallOf("ivfpq6")}%.3f " +
           "(nProbe=6 curve probe, unrequired)")
-        // SUB-QUANTIZER resolution probe (r18): the r17 nProbe sweep
-        // showed the curve is shallow in the probe set — the verdict's
-        // hypothesis is that ivfpq recall lives in m (each sub-vector
-        // halves from 8 to 4 dims at m=16, so each code byte quantizes
-        // a finer slice). One PQ-only search at m=16 codebooks — logged
-        // for the BASELINE trend table, never required, and PQ-only so
-        // the probe prices the quantizer itself, not the IVF routing.
-        val cb16 = Similarity.trainPqCodebooks(emb, m = 16, k = 64,
-          iters = 2, sampleRate = 0.5)
-        val r16 = recall(Similarity.pqTopKReranked(emb,
-          Similarity.pqEncode(emb, cb16), queries, k = 5, cb16,
-          shortlist = 50))
-        println(f"[sim_recall_report] pq     recall@5 = $r16%.3f " +
+        println(f"[sim_recall_report] pq     recall@5 = ${recallOf("pq16")}%.3f " +
           "(m=16 resolution curve probe, unrequired; committed m=8)")
-        // kNN JOIN recall (r17 verdict task 6): the both-sides-large tier
-        // previously had only its own per-gate floor — fold its recall@5
-        // into this report so the whole ANN surface shares one trend
-        // table. Truth is the exact kNN join over the same split.
-        val knnRight = emb.filter(col("vec_id") >= 20)
-        val knnTruth = Similarity.knnJoinExact(queries, knnRight, k = 5)
-          .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
-        val knnAnn = Similarity.knnJoinIvf(queries, knnRight, k = 5,
-          centroids, nProbe = 4)
-        val rKnn = knnTruth
-          .join(knnAnn.select(col("query_id"), col("neighbor_id")),
-            Seq("query_id", "neighbor_id")).count() / knnTruth.count().toDouble
+        val rKnn = recallOf("knn")
         println(f"[sim_recall_report] knn    recall@5 = $rKnn%.3f (floor 0.5)")
         require(rKnn * 100 >= 50L,
           f"sim_recall_report: knn-join recall@5 $rKnn%.3f fell below its " +
