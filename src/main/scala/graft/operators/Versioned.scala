@@ -518,21 +518,33 @@ object Versioned {
   }
 
   /** Open version `v`'s manifest. When the commit carried a
-    * `_manifest_schema.json` sidecar (every post-r18 commit does) the
-    * read passes it explicitly — no schema-inference job; pre-sidecar
-    * manifests fall back to inference. Underscore-prefixed sidecars are
+    * `_manifest_schema.json` sidecar (every post-r18 commit does), the
+    * bounded-metadata rows are decoded DRIVER-LOCALLY
+    * ([[ManifestLocal]], r19) and answered as a LocalRelation — every
+    * downstream collect/filter/distinct over the manifest then runs
+    * job-free in the optimizer, deleting one driver-scheduled Spark job
+    * from every store open (a path hit hundreds of times per bench).
+    * Any decode surprise, and pre-sidecar manifests, fall back to the
+    * distributed reader (with the explicit sidecar schema when present,
+    * skipping the inference job). Underscore-prefixed sidecars are
     * invisible to the parquet scan itself. */
   private def readManifest(spark: SparkSession, dir: String,
       v: Long): DataFrame = {
     val md = manifestDir(dir, v)
     val f = new java.io.File(md, "_manifest_schema.json")
     if (!f.exists()) spark.read.parquet(md)
-    else spark.read.schema(
-      org.apache.spark.sql.types.DataType.fromJson(
+    else {
+      val sch = org.apache.spark.sql.types.DataType.fromJson(
         new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-      .parquet(md)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      (if (sys.props.contains("graft.manifest.nolocal")) None
+       else ManifestLocal.readRows(md, sch)) match {
+        case Some(rows) => spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), sch)
+        case None => spark.read.schema(sch).parquet(md)
+      }
+    }
   }
 
   private def readSchema(dir: String,
