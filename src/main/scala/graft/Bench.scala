@@ -4,6 +4,18 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 
 object Bench {
 
+  /** Per-gate Spark-job accounting (r19, verdict task: make scaling
+    * legible): how many driver-scheduled jobs a gate ran and their
+    * summed in-job wall time. A gate whose c8/c32 ratio is ≈1 with a
+    * HIGH job count is driver-round-bound (scheduling latency doesn't
+    * scale with cores); one with few jobs and ratio ≈1 deserves a
+    * closer look. Artifact-only (bench_full_r*.json) — the stdout
+    * metric line is the driver contract and stays unchanged. */
+  private final class JobAgg {
+    var jobs = 0L
+    var jobMs = 0L
+  }
+
   /** Per-stream-gate micro-batch accounting, summed over every progress
     * event the gate's (bounded) run emitted. Splits the streaming
     * lifecycle cost — state-store commit, WAL/offset commits, planning —
@@ -101,6 +113,31 @@ object Bench {
       }
     }
     spark.streams.addListener(listener)
+    // per-gate job accounting (see JobAgg): jobs are attributed to the
+    // gate current at job START; the bus is drained before attribution
+    // moves on, so counts are exact per gate
+    val jobAgg = new java.util.concurrent.ConcurrentHashMap[String, JobAgg]()
+    val jobStarts =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val gate = current
+        if (gate != null) { jobStarts.put(e.jobId, (System.nanoTime(), gate)); () }
+      }
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = jobStarts.remove(e.jobId)
+        if (s != null) {
+          val a = jobAgg.computeIfAbsent(s._2, _ => new JobAgg)
+          a.synchronized {
+            a.jobs += 1
+            a.jobMs += (System.nanoTime() - s._1) / 1000000L
+          }
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(jobListener)
     // (sec, succeeded) per query — a throwing query must NOT masquerade as
     // a healthy timing
     // sorted execution order: Map iteration order shifts when gates are
@@ -123,8 +160,13 @@ object Bench {
       // gate, or an in-flight event is dropped / mis-credited
       if (name.startsWith("stream_"))
         org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drain once more OUTSIDE the timed window so the job accounting
+      // (JobAgg) credits in-flight job-end events to this gate before
+      // `current` moves on — attribution hygiene, not lifecycle cost
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
       current = null
-      ((System.nanoTime() - t0) / 1e9, ok)
+      (sec, ok)
     }
     val gateList0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -197,6 +239,7 @@ object Bench {
       if (!slowest.contains(name)) name -> ((t1, ok1))
       else {
         streamAgg.remove(name)
+        jobAgg.remove(name) // keep the LAST trial's job accounting too
         val (t2, ok2) = timeGate(name,
           gateList.find(_._1 == name).get._2)
         trialPairs(name) = (t1, t2)
@@ -207,6 +250,7 @@ object Bench {
     }
     val calPost = calibrate()
     spark.streams.removeListener(listener)
+    spark.sparkContext.removeSparkListener(jobListener)
     // Full-precision per-query lines for humans/logs (the driver ignores
     // these; they scroll off its 2000-char stdout tail window)
     results.foreach { case (k, (v, ok)) =>
@@ -220,7 +264,7 @@ object Bench {
     val ambient = (calPre + calPost) / 2 / CalibrationRefSec
     println(f"[bench] calibration pre=$calPre%.3f post=$calPost%.3f " +
       f"ref=$CalibrationRefSec%.3f ambient_factor=$ambient%.2f")
-    writeFullArtifact(results, streamAgg, failed, total, sfShort,
+    writeFullArtifact(results, streamAgg, jobAgg, failed, total, sfShort,
       calPre, calPost, ambient, trialPairs.toMap)
     // The driver records only the LAST ~2000 chars of stdout, and sbt
     // appends ~70 chars of its own after us — so the ONE metric line must
@@ -264,6 +308,7 @@ object Bench {
   private def writeFullArtifact(
       results: Seq[(String, (Double, Boolean))],
       streamAgg: java.util.concurrent.ConcurrentHashMap[String, StreamAgg],
+      jobAgg: java.util.concurrent.ConcurrentHashMap[String, JobAgg],
       failed: String, total: Double, sfShort: String,
       calPre: Double, calPost: Double, ambient: Double,
       trialPairs: Map[String, (Double, Double)]): Unit = {
@@ -291,12 +336,19 @@ object Bench {
     }
     val trials = trialPairs.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
       s""""$k":[${q3(a)},${q3(b)}]""" }.mkString("{", ",", "}")
+    val jobs = {
+      import scala.jdk.CollectionConverters._
+      jobAgg.asScala.toSeq.sortBy(_._1).map { case (k, a) =>
+        s""""$k":{"n":${a.jobs},"job_ms":${a.jobMs}}"""
+      }.mkString("{", ",", "}")
+    }
     val json =
       s"""{"sf":"$sfShort","total_sec":${q3(total)},"failed":$failed,
          |"calibration_pre_sec":${q3(calPre)},"calibration_post_sec":${q3(calPost)},
          |"calibration_ref_sec":${q3(CalibrationRefSec)},"ambient_factor":${q3(ambient)},
          |"queries":$queries,
          |"trials":$trials,
+         |"jobs":$jobs,
          |"streams":$streams}
          |""".stripMargin
     try {
