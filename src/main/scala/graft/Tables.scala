@@ -22,13 +22,36 @@ object Tables {
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, org.apache.spark.sql.types.StructType)]()
 
+  /** Memo stamp: a digest of the LISTING (sorted child names + sizes +
+    * mtimes), not the top-level mtime alone — content-only rewrites of
+    * existing part files (or regeneration within the same mtime tick)
+    * don't reliably bump the parent directory's mtime, and a stale
+    * schema on a regenerated table would be silent (r19, ADVICE fix).
+    * 0 = absent (never memoized). */
+  private def stampOf(f: java.io.File): Long = {
+    if (!f.exists()) return 0L
+    if (f.isFile) {
+      val s = f.lastModified() * 31L + f.length()
+      if (s == 0L) 1L else s
+    } else {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .sortBy(_.getName)
+      val s = kids.foldLeft(f.lastModified()) { (h, k) =>
+        ((h * 31L + k.getName.hashCode) * 31L + k.lastModified()) * 31L +
+          k.length()
+      }
+      if (s == 0L) 1L else s
+    }
+  }
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // every query path enters through here: make sure the native graft_*
     // functions exist even on sessions not built by Sessions.tuned
     graft.expressions.GraftExtensions.ensureRegistered(spark)
     val path = s"$dir/$name.parquet"
-    // mtime-keyed: a regenerated table re-infers, a static one infers once
-    val stamp = new java.io.File(path).lastModified()
+    // listing-digest-keyed: a regenerated table re-infers, a static one
+    // infers once (see stampOf)
+    val stamp = stampOf(new java.io.File(path))
     val hit = schemaMemo.get(path)
     if (hit != null && hit._1 == stamp && stamp != 0L)
       spark.read.schema(hit._2).parquet(path)

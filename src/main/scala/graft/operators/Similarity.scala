@@ -142,17 +142,40 @@ object Similarity {
     cents.toDF("cluster_id", "centroid")
   }
 
+  /** Budget for PLAN-BAKED literal tables (centroids/codebooks), in
+    * doubles: k×d up to 2²¹ (16 MB) rides the plan as a per-row kernel
+    * table; anything larger would serialize into every task binary and
+    * bloat driver plan memory — above it the public entry points DEGRADE
+    * to the pre-r18 broadcast-join shapes (bit-identical results,
+    * SimilaritySpec pins it) instead of OOMing at an unplanned k.
+    * Overridable only so the parity spec can force the fallback on a
+    * small table — not a tuning knob. */
+  private def PlanLiteralBudget: Long = sys.props.get("graft.plan.literal.budget")
+    .flatMap(v => scala.util.Try(v.toLong).toOption)
+    .getOrElse(1L << 21)
+
+  private def overBudget(cents: Seq[(Long, Seq[Double])]): Boolean =
+    cents.length.toLong * cents.head._2.length > PlanLiteralBudget
+
   /** Collect a (cluster_id, centroid) table — k×d doubles of BOUNDED
     * driver metadata, the index-plan budget class — so assignment bakes
     * into the plan as a per-row kernel instead of a corpus shuffle.
     * LocalRelation-backed centroid frames (trainCentroids output)
-    * collect without launching a job. */
-  private def centroidRows(centroids: DataFrame): Seq[(Long, Seq[Double])] =
-    centroids.select(col("cluster_id"),
+    * collect without launching a job; any other plan shape pays one
+    * collect job AT CALL TIME (the public assign/withCluster/probes
+    * are eager in the centroids argument since r18). */
+  private def centroidRows(centroids: DataFrame): Seq[(Long, Seq[Double])] = {
+    val rows = centroids.select(col("cluster_id"),
         transform(col("centroid"), _.cast("double")).as("centroid"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
       .sortBy(_._1).toIndexedSeq
+    require(rows.nonEmpty,
+      "Similarity: the centroids frame is EMPTY — assignment/probing " +
+        "needs at least one (cluster_id, centroid) row (was the quantizer " +
+        "trained on an empty corpus?)")
+    rows
+  }
 
   /** Per-row nearest-centroid expression ([[graft.expressions
     * .NearestCentroid]]): argmin of [[l2sq]] over the baked table, ties
@@ -168,33 +191,70 @@ object Similarity {
 
   /** Assign each vector to its nearest centroid — a PROJECTION (the
     * centroid table rides the plan; the corpus never shuffles for an
-    * assignment decision, which is the posture that matters at 100 TB). */
-  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.select(col("vec_id"),
-      nearestCol(col("embedding"), centroidRows(centroids)).as("cluster_id"))
+    * assignment decision, which is the posture that matters at 100 TB).
+    * EAGER in `centroids` (collected at call time — one job unless the
+    * frame is LocalRelation-backed, as trainCentroids output is). A
+    * table over [[PlanLiteralBudget]] degrades to the broadcast-join
+    * shape — bit-identical results (same l2sq arithmetic, ties to the
+    * lowest cluster_id), guarded by SimilaritySpec. */
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroidRows(centroids)
+    if (overBudget(cents))
+      corpus.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("cluster_id"),
+          l2sq(col("embedding"), col("centroid")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cluster_id"),
+          struct(col("d2"), col("cluster_id"))).as("cluster_id"))
+    else
+      corpus.select(col("vec_id"),
+        nearestCol(col("embedding"), cents).as("cluster_id"))
+  }
 
   /** [[assign]] keeping every corpus column: the per-row kernel appends
     * cluster_id in place — replaces the historical
     * `corpus.join(assign(corpus, c), "vec_id")` self-join (same columns,
-    * same order, no join). */
-  def withCluster(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.withColumn("cluster_id",
-      nearestCol(col("embedding"), centroidRows(centroids)))
+    * same order, no join). Same eager-collect contract and over-budget
+    * fallback as [[assign]] (the fallback re-joins on vec_id, column
+    * order preserved). */
+  def withCluster(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroidRows(centroids)
+    if (overBudget(cents))
+      corpus.join(assign(corpus, centroids)
+          .withColumnRenamed("cluster_id", "__cl"), Seq("vec_id"))
+        .select(corpus.columns.map(col).toIndexedSeq :+
+          col("__cl").as("cluster_id"): _*)
+    else
+      corpus.withColumn("cluster_id", nearestCol(col("embedding"), cents))
+  }
 
   /** Query-side probe selection: each query's nProbe nearest centroids,
     * nearest first — per-row kernel ([[graft.expressions.TopCentroids]],
     * (d2 asc, cluster_id asc) ordering, identical to the bounded-TopK
     * formulation it replaced), exploded. No crossJoin, no per-query
-    * aggregation. */
+    * aggregation. Same eager-collect contract and over-budget
+    * broadcast-join fallback as [[assign]]. */
   private[graft] def probes(queries: DataFrame, centroids: DataFrame,
       nProbe: Int): DataFrame = {
     val cents = centroidRows(centroids)
-    val d = cents.head._2.length
-    queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"),
-      explode(call_function("graft_top_centroids", col("embedding"),
-        typedlit(cents.map(_._1)), typedlit(cents.flatMap(_._2)),
-        lit(d), lit(nProbe))).as("cluster_id"))
+    if (overBudget(cents)) {
+      val topk = udaf(graft.functions.TopK.agg(nProbe))
+      queries.crossJoin(broadcast(centroids))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("cluster_id"), l2sq(col("embedding"), col("centroid")).as("d2"))
+        .groupBy(col("query_id"))
+        .agg(topk(-col("d2"), col("cluster_id")).as("top"),
+          first(col("q_emb")).as("q_emb"))
+        .select(col("query_id"), col("q_emb"),
+          explode(col("top._2")).as("cluster_id"))
+    } else {
+      val d = cents.head._2.length
+      queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        explode(call_function("graft_top_centroids", col("embedding"),
+          typedlit(cents.map(_._1)), typedlit(cents.flatMap(_._2)),
+          lit(d), lit(nProbe))).as("cluster_id"))
+    }
   }
 
   /** Rank (query_id, neighbor_id, cos) scores to top-k per query through
@@ -416,9 +476,26 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toIndexedSeq))
       .sortBy(t => (t._1, t._2)).toIndexedSeq
-    val m = rows.map(_._1).distinct.length
-    require(rows.length % m == 0,
-      s"codebookRows: ${rows.length} entries not uniform over $m subspaces")
+    require(rows.nonEmpty, "codebookRows: the codebook frame is EMPTY")
+    // the PqTable kernels index subspace-major: a NON-UNIFORM codebook
+    // (3 entries in one subspace, 1 in another — total still divisible)
+    // or non-contiguous subspace ids would silently read the wrong
+    // centroids, so the shape is asserted, not assumed
+    val bySubspace = rows.groupBy(_._1)
+    val sizes = bySubspace.values.map(_.length).toSet
+    require(sizes.size == 1,
+      s"codebookRows: per-subspace entry counts differ " +
+        s"(${bySubspace.view.mapValues(_.length).toMap}) — the codebook " +
+        "is not uniform and subspace-major indexing would misread it")
+    val m = bySubspace.size
+    require(bySubspace.keySet == (0 until m).toSet,
+      s"codebookRows: subspace ids ${bySubspace.keySet.toSeq.sorted} are " +
+        s"not contiguous 0 until $m")
+    require(rows.length.toLong * rows.head._3.length <= PlanLiteralBudget,
+      s"codebookRows: ${rows.length} entries x ${rows.head._3.length} dims " +
+        s"exceeds the plan-literal budget ($PlanLiteralBudget doubles) — " +
+        "a codebook this large must not be baked into task binaries; " +
+        "shrink m x k or raise the budget deliberately")
     (rows, rows.length / m, rows.head._3.length)
   }
 

@@ -306,4 +306,55 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().sorted
     assert(ivf === exact)
   }
+
+  test("over-budget centroid tables degrade to the broadcast-join shape " +
+    "with identical assignments, clusters, and probes (r19 guard)") {
+    // force the fallback on a small table: budget below this k x d
+    val centroids = Similarity.trainCentroids(emb, k = 8, iters = 1)
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 6)
+    def runAll() = {
+      val a = Similarity.assign(emb, centroids)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val w = Similarity.withCluster(emb, centroids)
+        .select(col("vec_id"), col("cluster_id"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      val t = Similarity.ivfTopK(emb, queries, k = 4, centroids, nProbe = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().sorted.toSeq
+      (a, w, t)
+    }
+    val planBaked = runAll()
+    sys.props("graft.plan.literal.budget") = "1"
+    val fallback = try runAll()
+    finally { sys.props.remove("graft.plan.literal.budget"); () }
+    assert(fallback._1 === planBaked._1)
+    assert(fallback._2 === planBaked._2)
+    assert(fallback._3 === planBaked._3)
+    assert(planBaked._1.nonEmpty)
+    // and the fallback really took the join shape: its plan carries a
+    // broadcast exchange where the kernel shape has none
+    sys.props("graft.plan.literal.budget") = "1"
+    val plan = try Similarity.assign(emb, centroids)
+      .queryExecution.optimizedPlan.toString
+    finally { sys.props.remove("graft.plan.literal.budget"); () }
+    assert(plan.contains("Join") || plan.toLowerCase.contains("broadcast"))
+  }
+
+  test("codebookRows rejects non-uniform and non-contiguous codebooks " +
+    "(ADVICE: subspace-major indexing must fail loud)") {
+    val bad = Seq((0, 1L, Seq(0.0, 0.0)), (0, 2L, Seq(1.0, 1.0)),
+      (0, 3L, Seq(2.0, 2.0)), (1, 1L, Seq(3.0, 3.0)))
+      .toDF("subspace", "cluster_id", "centroid")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(emb, bad).collect()
+    }
+    assert(e.getMessage.contains("not uniform"))
+    val gap = Seq((0, 1L, Seq(0.0, 0.0)), (2, 1L, Seq(1.0, 1.0)))
+      .toDF("subspace", "cluster_id", "centroid")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(emb, gap).collect()
+    }
+    assert(e2.getMessage.contains("contiguous"))
+  }
 }
