@@ -547,6 +547,12 @@ object Versioned {
     }
   }
 
+  /** The (file, dv) resolution frame of the latest manifest — exposed
+    * only for the r19 plan-artifact dump (PlansR19). */
+  private[graft] def manifestFdPlan(spark: SparkSession,
+      dir: String): DataFrame =
+    readManifest(spark, dir, latest(dir)).select(col("file"), col("dv"))
+
   private def readSchema(dir: String,
       v: Long): Option[org.apache.spark.sql.types.StructType] = {
     val f = schemaFile(dir, v)
